@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed twice: a warm-up pass is NOT taken (we measure
+the first real execution — the honest number for a batch engine), but
+the session, JVM, and parquet footer caches are warmed by a trivial
+count() first so JVM startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set — one per operator family (SURVEY.md §2 + extensions).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "top_customers_per_nation",
+    "rollup_revenue",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "triple_two_hop",
+    "triple_three_hop",
+    "graph_degrees",
+    "docs_minhash_neardups",
+    "docs_quality_scores",
+    "emb_knn_topk",
+    "emb_lsh_knn",
+]
+
+
+def main() -> None:
+    from degdb_spark.queries import registry
+    from degdb_spark.session import get_spark
+
+    spark = get_spark(app_name="degdb_spark_bench")
+    # warm the JVM + parquet footers without billing it to the first query
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    reg = registry()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.time()
+        df = q.spark(spark, SF_DIR)
+        n = df.count()  # force full execution
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,9 +27,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # agree to the microsecond.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer DIV keeps full precision (a double division of an
+            # ~1.7e18 nanos value is off by ±1 µs); DuckDB's ns→us cast
+            # truncates identically.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -1,0 +1,181 @@
+"""Graph analytics over the triple table (SURVEY.md §7 Phase 4).
+
+The graph view of a triple store: vertices = distinct(subj ∪ obj),
+edges = (src=subj, dst=obj, rel=pred) — the degdb "economic graph"
+reinterpreted for analytics. Algorithms are Pregel-pattern loops
+(graph/pregel.py) or closed-form DataFrame aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from degdb_spark.graph.pregel import pregel
+
+
+def graph_view(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vertices, edges) from a triple DataFrame. Literal-valued objects
+    (e.g. names) become vertices too — matching RDF semantics where any
+    obj is a node."""
+    edges = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), F.col("pred").alias("rel")
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return vertices, edges
+
+
+def degrees(triples: DataFrame) -> DataFrame:
+    """In/out/total degree per vertex — closed-form, oracle-checkable."""
+    _, edges = graph_view(triples)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_deg.join(in_deg, on="id", how="full_outer")
+        .na.fill(0, ["out_degree", "in_degree"])
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def pagerank(
+    triples: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PageRank via the Pregel loop.
+
+    Dangling mass is redistributed uniformly each superstep so ranks sum
+    to N (the GraphX convention of per-node rank around 1.0).
+    """
+    vertices, edges = graph_view(triples)
+    n = vertices.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+
+    def initial(v: DataFrame) -> DataFrame:
+        return (
+            v.join(out_deg, on="id", how="left")
+            .na.fill(0, ["out_degree"])
+            .withColumn("rank", F.lit(1.0))
+        )
+
+    def send(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            F.col("dst"), (F.col("rank") / F.col("out_degree")).alias("msg")
+        )
+
+    def aggregate(messages: DataFrame) -> DataFrame:
+        return messages.groupBy(F.col("dst").alias("id")).agg(
+            F.sum("msg").alias("msg_sum")
+        )
+
+    def update(state: DataFrame, aggd: DataFrame) -> DataFrame:
+        # dangling mass: total rank not propagated through edges
+        dangling = (
+            state.filter(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        return (
+            state.drop("rank")
+            .join(aggd, on="id", how="left")
+            .na.fill(0.0, ["msg_sum"])
+            .withColumn("rank", F.lit(base) + F.lit(damping) * F.col("msg_sum"))
+            .drop("msg_sum")
+        )
+
+    final = pregel(vertices, edges, initial, send, aggregate, update, max_iter=max_iter)
+    return final.select("id", F.round("rank", round_dp).alias("pagerank"))
+
+
+def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Undirected connected components by iterative min-label propagation
+    (HashMin — the standard Pregel CC).
+
+    Converges in O(diameter) supersteps; the loop early-exits when no
+    label changes. Each superstep is one shuffle on vertex id.
+    """
+    vertices, directed = graph_view(triples)
+    edges = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    # initial component = own id
+    state = vertices.withColumn("component", F.col("id"))
+    for i in range(max_iter):
+        msgs = (
+            edges.join(state.select(F.col("id").alias("src"), "component"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("min_neighbor"))
+        )
+        new_state = (
+            state.join(msgs, on="id", how="left")
+            .withColumn(
+                "new_component",
+                F.least(F.col("component"), F.coalesce("min_neighbor", "component")),
+            )
+            .select("id", F.col("new_component").alias("component"))
+        )
+        new_state = new_state.localCheckpoint(eager=True)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            break
+    return state
+
+
+def component_summary(triples: DataFrame) -> DataFrame:
+    """Deterministic CC summary: one row per component with size."""
+    cc = connected_components(triples)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("component"))
+    )
+
+
+def bfs_distances(
+    triples: DataFrame, source: str, max_depth: int = 6, undirected: bool = False
+) -> DataFrame:
+    """Single-source shortest hop-distance (frontier BFS, one join per
+    level, frontier checkpointed)."""
+    _, directed = graph_view(triples)
+    edges = directed.select("src", "dst")
+    if undirected:
+        edges = edges.union(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    spark = triples.sparkSession
+    visited = spark.createDataFrame([(source, 0)], ["id", "dist"])
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("id").alias("src")), on="src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), on="id", how="left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited

@@ -1,0 +1,54 @@
+"""Pregel-style aggregate-messages loop over DataFrames.
+
+GraphX is Scala-only; this is the standard PySpark re-expression of its
+``aggregateMessages``/``Pregel`` pattern (BASELINE.json: "GraphX/Pregel
+for analytics"): vertices and edges are DataFrames, one superstep =
+join(vertices, edges) → per-destination aggregation → vertex update.
+
+Scale discipline (SURVEY.md §7 risk 1): every superstep re-partitions on
+the vertex id so the join is co-partitioned, and the vertex frame is
+localCheckpoint()ed every ``checkpoint_every`` supersteps to truncate the
+iterative lineage — without that, 20 PageRank iterations build a
+2^20-node plan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial: Callable[[DataFrame], DataFrame],
+    send: Callable[[DataFrame], DataFrame],
+    aggregate: Callable[[DataFrame], DataFrame],
+    update: Callable[[DataFrame, DataFrame], DataFrame],
+    max_iter: int = 20,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Generic superstep loop.
+
+    - vertices: DataFrame with an ``id`` column (+ state columns)
+    - edges: DataFrame with ``src``/``dst`` (+ edge attrs)
+    - initial(vertices)       -> vertices with initial state
+    - send(joined)            -> messages DataFrame (must have ``dst``);
+                                 ``joined`` = edges ⋈ vertex state on src
+    - aggregate(messages)     -> one row per ``dst`` (grouped agg)
+    - update(vertices, aggd)  -> next vertex state (left join on id)
+    """
+    state = initial(vertices)
+    for i in range(max_iter):
+        joined = edges.join(
+            state.select(F.col("id").alias("src"), *[c for c in state.columns if c != "id"]),
+            on="src",
+        )
+        messages = send(joined)
+        aggd = aggregate(messages)
+        state = update(state, aggd)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    return state

@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, each a different cost/recall point at 100 TB:
+
+- exact:       hash-groupBy on a normalized fingerprint — one shuffle on
+               a 128-bit key; always the first pass.
+- minhash-LSH: shingle → minhash signature → band buckets → candidate
+               pairs from bucket joins only (no all-pairs). The classic
+               Broder scheme; at scale the band-bucket shuffle dominates
+               and is ~linear in corpus size.
+- simhash:     64-bit weighted-projection fingerprint; near-dups differ
+               in few bits. Hamming-ball search via 4-block exact-match
+               banding (any 16-bit block equal → candidate).
+- ngram-jaccard: exact verification on candidate pairs (token-set
+               Jaccard) — used as the verifier behind the LSH recall
+               stages.
+- embedding-cosine: near-dup at semantic level; delegates to
+               operators/similarity.py.
+
+All stages are built-in-function compositions — no Python in the
+per-row path. MinHash permutations are seeded xxhash64 slots folded in a
+single pass over the shingle array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.text import fingerprint, shingle_fingerprints, tokens
+from degdb_spark.queries.rounding import dround
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns one row per duplicate-group: fingerprint, group size, the
+    kept representative (min id) — the canonical keep-first policy.
+    """
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: keep min-id doc per fingerprint. One
+    shuffle; at 100 TB this is a groupBy on md5 — perfectly balanced."""
+    w_keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(w_keep, on=id_col, how="left_semi")
+
+
+def _minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
+    """num_hashes minhash values over an array<long> of shingle hashes.
+
+    Permutation i is xxhash64(shingle, seed, i) — an independent 64-bit
+    keyed hash per slot, evaluated entirely in codegen. (A classical
+    (a·x+b) mod p universal family needs 128-bit arithmetic, which maps
+    to decimal ops in Spark and is ~100× slower; seeded xxhash64 has the
+    same min-stability property in practice and is the approach Spark's
+    own MinHashLSH-adjacent tooling takes.)
+    """
+    # single pass: per shingle compute all num_hashes hashes, fold with
+    # element-wise min — the shingle array is evaluated exactly once
+    # (32 separate array_min(transform(...)) projections would each
+    # re-evaluate the shingling; Catalyst doesn't CSE across them).
+    max_long = (1 << 63) - 1
+    return F.aggregate(
+        F.transform(
+            shingles_col,
+            lambda x: F.array(
+                *[F.xxhash64(x, F.lit(seed), F.lit(i)) for i in range(num_hashes)]
+            ),
+        ),
+        F.array(*[F.lit(max_long).cast("long")] * num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows = num_hashes/bands per band; two docs collide if any band of
+    their signatures is identical. Collision probability for Jaccard s is
+    1-(1-s^rows)^bands — 8 bands × 4 rows targets s ≳ 0.6.
+
+    Plan shape: explode to (band_id, band_hash) — one shuffle on the
+    band key, self-join *within buckets only*, so cost tracks the number
+    of colliding pairs, not n².
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        _minhash_signature(
+            shingle_fingerprints(text_col, k=shingle_k), num_hashes
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard for (candidate) pairs; the verification
+    stage behind LSH. Without a candidate set it verifies all pairs —
+    only for small slices / tests."""
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("tokset")
+    )
+    if candidates is None:
+        a = toks.alias("a")
+        b = toks.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.tokset").alias("ts_a"),
+            F.col("b.tokset").alias("ts_b"),
+        )
+    else:
+        pairs = (
+            candidates.join(
+                toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokset", "ts_a"),
+                on="id_a",
+            ).join(
+                toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tokset", "ts_b"),
+                on="id_b",
+            )
+        )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size(F.array_union("ts_a", "ts_b"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            dround(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over token hashes.
+
+    Each token votes its hash's bits ±1; the fingerprint is the sign
+    vector. Expressed with aggregate/transform over the token array —
+    stays in codegen; one projection, no shuffle.
+    """
+    toks = tokens(text_col)
+    # per-token bit votes, unrolled over literal bit positions (the
+    # shiftright wrapper requires a literal shift count)
+    bit_votes = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array(*[F.lit(0).cast("long")] * bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    ).alias("votes")
+    votes_df = df.select(F.col(id_col), bit_votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.element_at("votes", i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes_df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Banding: split the 64-bit fingerprint into 4 × 16-bit blocks; any
+    pair within Hamming distance 3 must agree exactly on ≥1 block
+    (pigeonhole), so candidates come from 4 block-equality buckets —
+    linear shuffle, no all-pairs.
+    """
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.block", "bb.block_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

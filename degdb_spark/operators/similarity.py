@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force cosine top-k: exact; query set broadcast against the
+  corpus, dot products via zip_with/aggregate (JVM codegen, no Python).
+  At 100 TB this is the per-partition scan baseline — O(Q·N·d) but
+  embarrassingly parallel and shuffle-free until the final top-k.
+- LSH-bucketed (random hyperplane / SRP): sign-bit sketches over r
+  hyperplanes → 2^r buckets; neighbors come from matching buckets only.
+  The scale path: one shuffle on bucket id, cost ~ collisions.
+
+An IVF variant (k-means coarse quantizer) would slot in the same shape
+(assign → per-centroid buckets); SRP chosen because it needs no training
+pass.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from degdb_spark.queries.rounding import dround
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float/double> columns, as a
+    double expression (all JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is assumed small (it is broadcast); the join is a
+    broadcast-nested-loop producing Q·N rows that immediately collapse
+    through the per-query top-k window. Self-matches are excluded.
+    Similarity is rounded to ``round_dp`` and ties break on neighbor id,
+    making the ranking fully deterministic (and oracle-comparable).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", dround(cosine(F.col("qvec"), F.col("cvec")), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def srp_sketch(vec_col, hyperplanes: list[list[float]]):
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        arr = F.array(*[F.lit(float(x)) for x in h])
+        proj = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller over a seeded
+    PRNG) — fixed across runs so sketches are reproducible."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            u1, u2 = rng.random(), rng.random()
+            plane.append(math.sqrt(-2 * math.log(max(u1, 1e-12))) * math.cos(2 * math.pi * u2))
+        planes.append(plane)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket in ≥1 of
+    n_tables sketch tables; exact cosine re-ranks candidates.
+
+    Scale shape: corpus is sketched once per table (a projection, no
+    shuffle), candidate generation is an equi-join on (table, bucket) —
+    the only shuffle — and re-rank cost is proportional to collisions.
+    """
+    tables = [
+        make_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
+    ]
+
+    def sketched(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            srp_sketch(F.col(vec_col), tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("sk"),
+        ).select(f"{side}_id", f"{side}_vec", "sk.tbl", "sk.bucket")
+
+    cq = sketched(queries, "query")
+    cc = sketched(corpus, "neighbor")
+    cand = (
+        cc.join(F.broadcast(cq), on=["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine_sim", dround(cosine(F.col("query_vec"), F.col("neighbor_vec")), round_dp)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold, via SRP
+    bucketing (no all-pairs)."""
+    topk = lsh_topk(
+        corpus,
+        corpus,
+        k=20,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    return (
+        topk.filter(
+            (F.col("cosine_sim") >= threshold)
+            & (F.col("query_id") < F.col("neighbor_id"))
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine_sim",
+        )
+        .distinct()
+    )

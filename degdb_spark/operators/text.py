@@ -1,0 +1,151 @@
+"""Text-analysis operators for training-data pipelines.
+
+All expressions are JVM-side built-ins (no Python UDFs in the hot path):
+at 100 TB these run inside whole-stage codegen over the parquet scan with
+only the final aggregation shuffling.
+
+Operators: tokenization, token counting (whitespace + BPE-ish regex),
+quality scoring (length/punct/digit/stopword ratios), language-ID
+(stopword-marker voting), document fingerprinting (normalized-text hash +
+rolling shingle fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from degdb_spark.queries.rounding import dround
+
+#: Marker words per language for the n-gram/stopword-voting heuristic.
+#: Deterministic and tiny → broadcast as literals into codegen.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "no"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+
+#: A BPE-ish token pattern: runs of word chars OR single non-space symbol —
+#: the cheap proxy for subword token counting.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish tokens (alnum runs + individual symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def char_class_ratio(col: Column | str, pattern: str) -> Column:
+    """Fraction of characters matching a regex char class, 4 dp."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    kept = n - F.length(F.regexp_replace(c, pattern, ""))
+    return dround(F.when(n == 0, F.lit(0.0)).otherwise(kept / n), 4)
+
+
+def stopword_hits(col: Column | str, markers: list[str]) -> Column:
+    """Occurrences (with repeats) of marker words among tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(c), lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Mirrors the length/punct/stopword-ratio style scoring of public
+    pretraining-data pipelines (C4/Gopher-style rules), columnar.
+    """
+    ntok = token_count(text_col)
+    en_hits = stopword_hits(text_col, LANG_MARKERS["en"])
+    return (
+        df.withColumn("n_tokens", ntok)
+        .withColumn("alpha_ratio", char_class_ratio(text_col, "[A-Za-z]"))
+        .withColumn("digit_ratio", char_class_ratio(text_col, "[0-9]"))
+        .withColumn("punct_ratio", char_class_ratio(text_col, r"[^\w\s]"))
+        .withColumn(
+            "avg_token_len",
+            dround(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+                    / F.col("n_tokens")
+                ),
+                4,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            dround(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    en_hits / F.col("n_tokens")
+                ),
+                4,
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            dround(
+                (
+                    F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.3
+                    + F.col("alpha_ratio") * 0.3
+                    + (1 - F.col("digit_ratio")) * 0.2
+                    + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+                ),
+                4,
+            ),
+        )
+    )
+
+
+def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: argmax of marker hits, 'und'
+    (undetermined) when no marker matches. Ties break in the fixed
+    iteration order of LANG_MARKERS (deterministic)."""
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"_hits_{lang}", stopword_hits(text_col, markers))
+    best = F.greatest(*[F.col(f"_hits_{l}") for l in LANG_MARKERS])
+    pred = F.lit("und")
+    # first lang reaching the max wins — build right-to-left so earlier
+    # langs take precedence
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (F.col(f"_hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    out = out.withColumn("pred_lang", pred)
+    return out.drop(*[f"_hits_{l}" for l in LANG_MARKERS])
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable across engines — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def shingle_fingerprints(col: Column | str, k: int = 5) -> Column:
+    """Rolling k-word shingle fingerprints: array of xxhash64 values, one
+    per k-token window — the input units for MinHash/SimHash."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+    )

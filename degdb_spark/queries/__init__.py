@@ -1,0 +1,47 @@
+"""Query registry: every operator surfaced to the driver contract.
+
+Each entry pairs a Spark implementation (Callable[(SparkSession, sf_dir),
+DataFrame]) with the equivalent DuckDB oracle SQL (or None for ops that
+are not SQL-expressible — the driver then records a rows-only check).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark code and the oracle SQL, because the driver's comparator sorts
+columns by name before value-hashing. Float aggregates are ROUND()ed on
+both sides so double summation-order differences can't drift the hash.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Query(NamedTuple):
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
+
+
+def registry() -> dict[str, Query]:
+    from degdb_spark.queries import (
+        embeddings_queries,
+        events_queries,
+        graph_queries,
+        relational,
+        text_queries,
+        triples_queries,
+    )
+
+    out: dict[str, Query] = {}
+    for mod in (
+        relational,
+        triples_queries,
+        events_queries,
+        text_queries,
+        embeddings_queries,
+        graph_queries,
+    ):
+        overlap = set(out) & set(mod.QUERIES)
+        assert not overlap, f"duplicate query names: {overlap}"
+        out.update(mod.QUERIES)
+    return out

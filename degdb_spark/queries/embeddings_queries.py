@@ -1,0 +1,150 @@
+"""Similarity-search queries over `embeddings` (array<float>, dim 64).
+
+The brute-force top-k is oracle-checked: DuckDB computes the identical
+sequential-order double dot product over the list (embedding::DOUBLE[]),
+so the rounded cosine values match bit-for-bit. The SRP-LSH variant is
+rows-only (hash-bucketing is engine-specific)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.operators import similarity as S
+from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround
+
+
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         FLOOR((
+           list_dot_product(qvec, cvec) /
+           (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.8 within a bounded slice, plus label
+    agreement — the exact analogue of embedding-cosine near-dup."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("la")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("lb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", dround(S.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine_sim") >= 0.8)
+        .withColumn("same_label", (F.col("la") == F.col("lb")).cast("int"))
+        .select("id_a", "id_b", "cosine_sim", "same_label")
+        .orderBy("id_a", "id_b")
+    )
+
+
+THRESHOLD_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         FLOOR((
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim, same_label
+FROM pairs WHERE cosine_sim >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation surface: per-label centroid norm + count.
+    Element-wise mean via posexplode/groupBy — the distributed reduction
+    shape for embedding statistics at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = exploded.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cent.withColumn("mean_val", F.col("s") / F.col("n"))
+        .groupBy("label")
+        .agg(
+            dround(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 4).alias(
+                "centroid_norm"
+            ),
+            F.max("n").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )
+
+
+CENTROID_SQL = """
+WITH exploded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
+  FROM exploded GROUP BY label, pos
+)
+SELECT label,
+       FLOOR((SQRT(SUM((s / n) * (s / n)))) * 10000 + 0.5) / 10000 AS centroid_norm,
+       MAX(n) AS n_vectors
+FROM cent GROUP BY label ORDER BY label
+"""
+
+
+def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (rows-only check; recall vs the exact
+    path is asserted in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP buckets (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+QUERIES: dict[str, Query] = {
+    "emb_knn_topk": Query(knn_topk, KNN_SQL),
+    "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),
+    "emb_centroid_by_label": Query(centroid_by_label, CENTROID_SQL),
+    "emb_lsh_knn": Query(lsh_knn, None),
+    "emb_neardup": Query(embedding_neardup, None),
+}

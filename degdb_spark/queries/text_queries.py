@@ -1,0 +1,227 @@
+"""Text-analysis + dedup queries over `documents`, oracle-checked where
+SQL-expressible (minhash/simhash are rows-only — the driver records the
+weaker check; their Jaccard verifier IS oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.operators import dedup as D
+from degdb_spark.operators import text as X
+from degdb_spark.queries import Query
+
+# DuckDB-side token expression mirroring operators/text.tokens
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            X.token_count("text").alias("n_tokens"),
+            X.bpe_token_count("text").alias("n_bpe_tokens"),
+            F.length("text").alias("n_chars_computed"),
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       LENGTH(text) AS n_chars_computed
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.quality_features(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "alpha_ratio",
+            "digit_ratio",
+            "punct_ratio",
+            "avg_token_len",
+            "stopword_ratio",
+            "quality_score",
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+_EN = "['the','and','of','to','a','in','is','that']"
+QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS alpha_ratio,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS digit_ratio,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS punct_ratio,
+    len(list_filter({_TOKS}, t -> list_contains({_EN}, t))) AS en_hits,
+    LENGTH(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((n_nonspace::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END AS avg_token_len,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((en_hits::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END AS stopword_ratio,
+  FLOOR((
+    LEAST(n_tokens / 50.0, 1.0) * 0.3
+    + alpha_ratio * 0.3
+    + (1 - digit_ratio) * 0.2
+    + LEAST((CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((en_hits::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END) * 5.0, 1.0) * 0.2
+  ) * 10000 + 0.5) / 10000 AS quality_score
+FROM feats ORDER BY doc_id
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.predict_lang(docs)
+    return (
+        out.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang, markers in X.LANG_MARKERS.items():
+        lit = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        cols.append(
+            f"len(list_filter({_TOKS}, t -> list_contains({lit}, t))) AS hits_{lang}"
+        )
+    return ", ".join(cols)
+
+
+LANG_ID_SQL = f"""
+WITH hits AS (
+  SELECT doc_id, lang, {_lang_hits_sql()} FROM documents
+), best AS (
+  SELECT doc_id, lang,
+         GREATEST(hits_en, hits_de, hits_fr, hits_es, hits_zh) AS best,
+         hits_en, hits_de, hits_fr, hits_es, hits_zh
+  FROM hits
+), pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN best = 0 THEN 'und'
+         WHEN hits_en = best THEN 'en'
+         WHEN hits_de = best THEN 'de'
+         WHEN hits_fr = best THEN 'fr'
+         WHEN hits_es = best THEN 'es'
+         WHEN hits_zh = best THEN 'zh'
+         ELSE 'und' END AS pred_lang
+  FROM best
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: distinct fingerprints + kept representatives.
+    (Data is dup-free, so this doubles as the fingerprint operator
+    check — md5-of-normalized-text must agree byte-for-byte.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = D.exact_duplicates(docs)
+    return (
+        groups.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").alias("n_docs"),
+            F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+WITH groups AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         COUNT(*) AS group_size
+  FROM documents GROUP BY 1
+)
+SELECT COUNT(*) AS n_groups, SUM(group_size) AS n_docs,
+       SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+FROM groups
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint("text").alias("fp"))
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a bounded pair set (doc_id < 80) —
+    the oracle-checkable verifier behind the LSH stages."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return D.ngram_jaccard_pairs(docs, threshold=0.4).orderBy("id_a", "id_b")
+
+
+JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS tokset
+  FROM documents WHERE doc_id < 80
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.tokset, b.tokset)) AS n_inter,
+         len(list_distinct(list_concat(a.tokset, b.tokset))) AS n_union
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 AS jaccard
+FROM pairs
+WHERE FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard — rows-only check
+    (the banding involves engine-specific hashing), but the verifier
+    semantics are pinned by ngram_jaccard_neardups above."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs)
+    return D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs — rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs).orderBy("id_a", "id_b")
+
+
+QUERIES: dict[str, Query] = {
+    "docs_token_stats": Query(token_stats, TOKEN_STATS_SQL),
+    "docs_quality_scores": Query(quality_scores, QUALITY_SQL),
+    "docs_language_id": Query(language_id, LANG_ID_SQL),
+    "docs_exact_dedup": Query(exact_dedup_groups, EXACT_DEDUP_SQL),
+    "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),
+    "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),
+    "docs_minhash_neardups": Query(minhash_neardups, None),
+    "docs_simhash_neardups": Query(simhash_neardups, None),
+}

@@ -1,0 +1,156 @@
+"""Triple-pattern surface over the derived triple table — oracle-checked.
+
+These exercise the reference's actual query semantics (pattern selection,
+AND/OR/NOT, step chaining, insert dedup — SURVEY.md §2.2–2.3) against a
+DuckDB oracle, using the deterministic triples derivation in
+sources/triples.py so both engines see identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import register_all
+from degdb_spark.operators.traversal import chain_steps
+from degdb_spark.operators.triplestore import TripleStore
+from degdb_spark.plans.pattern import ArrayOp, compile_array_op
+from degdb_spark.queries import Query
+from degdb_spark.sources.triples import TRIPLES_SQL, triples_df
+
+_CTE = f"WITH triples AS ({TRIPLES_SQL})"
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return triples_df(spark)
+
+
+def subject_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    out = t.filter(compile_array_op(ArrayOp(triples=[{"subj": "customer/42"}])))
+    return out.orderBy("subj", "pred", "obj")
+
+
+SUBJECT_SQL = f"""{_CTE}
+SELECT subj, pred, obj FROM triples WHERE subj = 'customer/42'
+ORDER BY subj, pred, obj
+"""
+
+
+def or_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    op = ArrayOp(mode="OR", triples=[{"subj": "nation/1"}, {"subj": "nation/2"}, {"pred": "in_region"}])
+    return t.filter(compile_array_op(op)).orderBy("subj", "pred", "obj")
+
+
+OR_SQL = f"""{_CTE}
+SELECT subj, pred, obj FROM triples
+WHERE subj = 'nation/1' OR subj = 'nation/2' OR pred = 'in_region'
+ORDER BY subj, pred, obj
+"""
+
+
+def and_not_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AND(pred=in_region, NOT(obj=region/0)) — nested ArrayOp tree
+    t = _triples(spark, sf_dir)
+    op = ArrayOp(
+        mode="AND",
+        triples=[{"pred": "in_region"}],
+        arguments=[ArrayOp(mode="NOT", triples=[{"obj": "region/0"}])],
+    )
+    return t.filter(compile_array_op(op)).orderBy("subj", "pred", "obj")
+
+
+AND_NOT_SQL = f"""{_CTE}
+SELECT subj, pred, obj FROM triples
+WHERE pred = 'in_region' AND NOT (obj = 'region/0')
+ORDER BY subj, pred, obj
+"""
+
+
+def two_hop_customer_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step chaining (core/query.go:14-28): customers' nations' regions —
+    the final step's triples, deduplicated."""
+    t = _triples(spark, sf_dir)
+    out = chain_steps(t, [{"pred": "in_nation"}, {"pred": "in_region"}])
+    return out.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+TWO_HOP_SQL = f"""{_CTE}
+SELECT DISTINCT t2.subj, t2.pred, t2.obj
+FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+WHERE t1.pred = 'in_nation' AND t2.pred = 'in_region'
+ORDER BY 1, 2, 3
+"""
+
+
+def three_hop_order_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order →by_customer→ customer →in_nation→ nation →in_region→ region."""
+    t = _triples(spark, sf_dir)
+    out = chain_steps(
+        t, [{"pred": "by_customer"}, {"pred": "in_nation"}, {"pred": "in_region"}]
+    )
+    return out.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+THREE_HOP_SQL = f"""{_CTE}
+SELECT DISTINCT t3.subj, t3.pred, t3.obj
+FROM triples t1
+JOIN triples t2 ON t1.obj = t2.subj
+JOIN triples t3 ON t2.obj = t3.subj
+WHERE t1.pred = 'by_customer' AND t2.pred = 'in_nation' AND t3.pred = 'in_region'
+ORDER BY 1, 2, 3
+"""
+
+
+def insert_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics insert (triplestore.go:134-148): inserting the same
+    batch twice leaves the count at the distinct-key cardinality."""
+    t = _triples(spark, sf_dir)
+    store = TripleStore(spark)
+    store.insert(t)
+    re_added = store.insert(t)  # idempotent → 0
+    return spark.createDataFrame(
+        [(store.df.count() + re_added,)], "n_triples long"
+    ).select("n_triples")
+
+
+INSERT_DEDUP_SQL = f"""{_CTE}
+SELECT COUNT(*) AS n_triples
+FROM (SELECT DISTINCT subj, pred, obj FROM triples)
+"""
+
+
+def predicate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the triple table itself (the reference only had
+    COUNT(*), triplestore.go:167 — this is its grouped generalisation)."""
+    t = _triples(spark, sf_dir)
+    return (
+        t.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+        )
+        .orderBy("pred")
+    )
+
+
+PRED_HISTO_SQL = f"""{_CTE}
+SELECT pred, COUNT(*) AS n,
+       COUNT(DISTINCT subj) AS n_subjects,
+       COUNT(DISTINCT obj) AS n_objects
+FROM triples GROUP BY pred ORDER BY pred
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "triple_subject_lookup": Query(subject_lookup, SUBJECT_SQL),
+    "triple_or_patterns": Query(or_patterns, OR_SQL),
+    "triple_and_not": Query(and_not_pattern, AND_NOT_SQL),
+    "triple_two_hop": Query(two_hop_customer_region, TWO_HOP_SQL),
+    "triple_three_hop": Query(three_hop_order_region, THREE_HOP_SQL),
+    "triple_insert_dedup": Query(insert_dedup_count, INSERT_DEDUP_SQL),
+    "triple_predicate_histogram": Query(predicate_histogram, PRED_HISTO_SQL),
+}
