@@ -125,8 +125,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     round_dp: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket in ≥1 of

@@ -1,0 +1,116 @@
+"""Structured Streaming over the events table (SURVEY.md §7 Phase 5).
+
+The reference has no streaming surface at all — this layer exists because
+the driver's testdata includes an event stream, and because at 100 TB the
+ingest path of a triple/document store IS a stream. Every operator here
+is the streaming twin of a batch query in queries/events_queries.py: the
+same logical plan, plus watermarks for state eviction.
+
+Scale notes: all aggregations are keyed by (window, event_type) or
+user_id, so state is bounded by watermark horizon × key cardinality;
+dropDuplicatesWithinWatermark keeps exactly one state entry per event_id
+inside the horizon — the streaming version of the reference's
+unique-(subj,pred,obj) insert semantics (triplestore.go:42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: File-stream schema: ts arrives as long nanos (see catalog.load_table).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream of events parquet (a stand-in for Kafka: the
+    transformations downstream are source-agnostic)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(directory)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window aggregation with late-data watermark — the
+    streaming twin of events_hourly_rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rate_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows (1 h window, 15 min slide) — rate monitoring."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once semantics per event_id within the watermark horizon
+    (streaming twin of the idempotent insert, triplestore.go:134-148)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (session_window) — the streaming twin of
+    the lag-gap batch sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"):
+    """Drain the stream with the availableNow trigger into an in-memory
+    sink; returns after completion (test/dev harness; production sinks
+    swap format for parquet/Delta/Kafka)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

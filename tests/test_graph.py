@@ -1,0 +1,58 @@
+"""Graph-analytics tests with hand-computed fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from degdb_spark.graph import algorithms as G
+
+
+@pytest.fixture(scope="module")
+def tri(spark):
+    # two components: {a,b,c,d} (a→b→c, a→d) and {x,y} (x→y)
+    rows = [
+        ("a", "e", "b"),
+        ("b", "e", "c"),
+        ("a", "e", "d"),
+        ("x", "e", "y"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_degrees(tri):
+    d = {r.id: (r.out_degree, r.in_degree) for r in G.degrees(tri).collect()}
+    assert d["a"] == (2, 0)
+    assert d["b"] == (1, 1)
+    assert d["c"] == (0, 1)
+    assert d["y"] == (0, 1)
+
+
+def test_connected_components(tri):
+    cc = {r.id: r.component for r in G.connected_components(tri).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == cc["d"] == "a"
+    assert cc["x"] == cc["y"] == "x"
+
+
+def test_bfs_distances(tri):
+    d = {r.id: r.dist for r in G.bfs_distances(tri, "a").collect()}
+    assert d == {"a": 0, "b": 1, "d": 1, "c": 2}
+    # undirected reaches nothing extra here but respects reverse edges
+    du = {r.id: r.dist for r in G.bfs_distances(tri, "c", undirected=True).collect()}
+    assert du == {"c": 0, "b": 1, "a": 2, "d": 3}
+
+
+def test_pagerank_sums_to_n(tri):
+    pr = G.pagerank(tri, max_iter=15)
+    ranks = {r.id: r.pagerank for r in pr.collect()}
+    assert sum(ranks.values()) == pytest.approx(len(ranks), rel=1e-3)
+    # sinks accumulate rank: c > b's sources
+    assert ranks["c"] > ranks["a"]
+
+
+def test_pagerank_star_ordering(spark):
+    # hub: many nodes point at h
+    rows = [(f"n{i}", "e", "h") for i in range(5)]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    ranks = {r.id: r.pagerank for r in G.pagerank(tri, max_iter=10).collect()}
+    assert ranks["h"] == max(ranks.values())

@@ -1,0 +1,60 @@
+"""Similarity-search operator tests: exactness of brute force, recall of
+the LSH path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vecs(spark, dim=8):
+    rows = [
+        (0, [1.0] + [0.0] * (dim - 1), 0),
+        (1, [1.0, 0.01] + [0.0] * (dim - 2), 0),  # nearly parallel to 0
+        (2, [0.0, 1.0] + [0.0] * (dim - 2), 1),  # orthogonal to 0
+        (3, [-1.0] + [0.0] * (dim - 1), 1),  # antiparallel to 0
+        (4, [1.0, 1.0] + [0.0] * (dim - 2), 0),  # 45° to 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_exact(spark):
+    from degdb_spark.operators.similarity import brute_force_topk
+
+    df = _vecs(spark)
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=4)
+    got = {r.neighbor_id: r.cosine_sim for r in out.collect()}
+    assert got[1] == pytest.approx(1 / math.sqrt(1 + 0.01**2), abs=1e-4)
+    assert got[2] == pytest.approx(0.0, abs=1e-4)
+    assert got[3] == pytest.approx(-1.0, abs=1e-4)
+    assert got[4] == pytest.approx(1 / math.sqrt(2), abs=1e-4)
+    ranks = {r.neighbor_id: r.rank for r in out.collect()}
+    assert ranks[1] == 1 and ranks[4] == 2 and ranks[2] == 3 and ranks[3] == 4
+
+
+def test_lsh_recall_on_testdata(spark):
+    """SRP-LSH top-5 must recover most of the exact top-5 on the real
+    embeddings table (recall ≥ 0.6 with 8 tables × 4 planes — the
+    synthetic Gaussian embeddings have low-cosine neighbors, which is
+    the hard case for SRP)."""
+    from degdb_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dups_self(spark):
+    from degdb_spark.operators.similarity import embedding_near_dups
+
+    df = _vecs(spark)
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(df, threshold=0.99).collect()}
+    assert (0, 1) in pairs  # the nearly-parallel pair
+    assert (0, 3) not in pairs  # antiparallel

@@ -1,0 +1,104 @@
+"""Unit tests for text-analysis and dedup operators with hand-computed
+expectations (the reference's exact-expected-output test style)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from degdb_spark.operators import dedup as D
+from degdb_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The  Quick   Brown Fox jumps over the lazy dog"),  # ws/case dup of 0
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup (1 token)
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty edge case
+        (6, "der hund ist nicht ein katze und das ist gut"),  # German markers
+        (7, "el perro es una mascota y no es el gato"),  # Spanish markers
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    out = {r.doc_id: r.n for r in docs.select("doc_id", X.token_count("text").alias("n")).collect()}
+    assert out[0] == 9
+    assert out[2] == 9  # multiple spaces collapse
+    assert out[5] == 0  # empty text
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "hello, world! x2")], ["doc_id", "text"])
+    # tokens: hello , world ! x2  → 5
+    assert df.select(X.bpe_token_count("text").alias("n")).collect()[0].n == 5
+
+
+def test_exact_dedup(docs):
+    deduped = D.exact_dedup(docs)
+    kept = sorted(r.doc_id for r in deduped.collect())
+    # 0,1,2 collapse to 0 (whitespace+case normalization); rest survive
+    assert kept == [0, 3, 4, 5, 6, 7]
+
+
+def test_fingerprint_normalization(docs):
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", X.fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[0] != fps[3]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # docs 0/3: 8 distinct tokens each, 7 shared, union 9 → 7/9
+    assert pairs[(0, 3)] == pytest.approx(7 / 9, abs=1e-4)
+    # exact dups → 1.0
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(docs, shingle_k=3).collect()}
+    assert (0, 1) in cand  # identical docs always collide
+    assert (0, 2) in cand  # normalization makes shingles identical
+    assert (0, 3) in cand  # high-overlap near dup collides w.h.p.
+    assert (0, 4) not in cand  # unrelated docs don't
+
+
+def test_simhash_hamming(docs):
+    near = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_dups(docs, max_hamming=10).collect()}
+    assert near[(0, 1)] == 0  # identical → distance 0
+    assert near[(0, 2)] == 0  # normalized-identical tokens
+    assert (0, 3) in near  # one-token change → few bits
+    assert (0, 4) not in near
+
+
+def test_lang_markers(docs):
+    preds = {r.doc_id: r.pred_lang for r in X.predict_lang(docs).collect()}
+    assert preds[0] == "en"
+    assert preds[6] == "de"
+    assert preds[7] == "es"
+    assert preds[5] == "und"  # empty text → undetermined
+
+
+def test_quality_score_range(docs):
+    out = X.quality_features(docs).select("doc_id", "quality_score").collect()
+    scores = {r.doc_id: r.quality_score for r in out}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[0] > scores[5]  # real text beats empty
+
+
+def test_shingles_short_doc(spark):
+    # doc shorter than k → single whole-text shingle
+    df = spark.createDataFrame([(0, "two words")], ["doc_id", "text"])
+    arr = df.select(X.shingle_fingerprints("text", k=5).alias("sh")).collect()[0].sh
+    assert len(arr) == 1
