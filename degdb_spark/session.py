@@ -31,6 +31,16 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle = str(shuffle_partitions or cpus)
 
+    # Python workers unpickle our pandas-UDF closures by module reference;
+    # make the package importable there even when the driver script runs
+    # from elsewhere. (On a real cluster this is the --py-files step.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
