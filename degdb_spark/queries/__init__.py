@@ -28,6 +28,7 @@ def registry() -> dict[str, Query]:
         events_queries,
         graph_queries,
         relational,
+        relational_adv,
         text_queries,
         triples_queries,
     )
@@ -35,6 +36,7 @@ def registry() -> dict[str, Query]:
     out: dict[str, Query] = {}
     for mod in (
         relational,
+        relational_adv,
         triples_queries,
         events_queries,
         text_queries,

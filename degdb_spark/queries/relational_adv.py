@@ -1,0 +1,334 @@
+"""Advanced relational surface: outer joins, percentiles, correlated and
+IN subqueries, regexp/string gallery, window-function gallery, moving
+averages, conditional aggregation. All oracle-checked.
+
+Everything here is Catalyst-native (no UDFs); subqueries are expressed
+with join rewrites on the Spark side where the DataFrame API lacks the
+construct — the same rewrite Catalyst itself would do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround, dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------ outer joins
+def left_join_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with null-aware aggregation: every customer, their
+    order count (0 for none) and total spend (NULL→0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("spend"),
+    )
+    return (
+        cust.join(per, cust.c_custkey == per.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        )
+        .filter(F.col("c_custkey") < 300)
+        .orderBy("c_custkey")
+    )
+
+
+LEFT_JOIN_SQL = """
+SELECT c_custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(spend, 0.0) AS spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+WHERE c_custkey < 300
+ORDER BY c_custkey
+"""
+
+
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: which nations have customers vs suppliers."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk2, "full_outer")
+        .select(
+            F.coalesce("nk", "nk2").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+ON c.nk = s.nk2
+ORDER BY nationkey
+"""
+
+
+# ------------------------------------------------------------ percentiles
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order priority (Spark
+    percentile == DuckDB quantile_cont)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            dround(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            dround(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       FLOOR((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS p50,
+       FLOOR((quantile_cont(o_totalprice, 0.9)) * 100 + 0.5) / 100 AS p90,
+       FLOOR((quantile_cont(o_totalprice, 0.99)) * 100 + 0.5) / 100 AS p99,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------- subqueries
+def above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics: customers whose balance exceeds
+    their nation's average, as the groupBy+join rewrite."""
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), on="c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("c_nationkey")
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_above_avg
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery semantics (left-semi): orders containing any lineitem
+    with quantity ≥ 49."""
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(big, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+IN_SUBQ_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------- string/regexp
+def regexp_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.col("p_name").rlike("^(red|blue|green)").cast("int").alias("is_color_first"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("split_first"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+        F.lpad(F.col("p_partkey").cast("string"), 6, "0").alias("padded_key"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    ).orderBy("p_partkey")
+
+
+REGEXP_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+       CAST(regexp_matches(p_name, '^(red|blue|green)') AS INT) AS is_color_first,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       str_split(p_name, ' ')[1] AS split_first,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+       lpad(CAST(p_partkey AS VARCHAR(32)), 6, '0') AS padded_key,
+       reverse(p_brand) AS brand_rev
+FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+"""
+
+
+# ------------------------------------------------------- window gallery
+def window_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last/dense_rank/ntile over each customer's order
+    history (bounded slice)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.dense_rank().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_GALLERY_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+       LAST_VALUE(o_orderkey) OVER wf AS last_order,
+       DENSE_RANK() OVER w AS order_seq,
+       NTILE(4) OVER w AS quartile
+FROM orders WHERE o_custkey < 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average over daily revenue — time-series surface."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("day_rev"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("ma7", dround(F.avg("day_rev").over(w), 2))
+        .filter(F.col("day") < F.lit("1995-03-01"))
+        .orderBy("day")
+    )
+
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT DATE_TRUNC('day', o_orderdate) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS day_rev
+  FROM orders GROUP BY 1
+)
+SELECT day, day_rev,
+       FLOOR((AVG(day_rev) OVER (ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS ma7
+FROM daily
+WHERE day < TIMESTAMP '1995-03-01 00:00:00'
+ORDER BY day
+"""
+
+
+# ------------------------------------------------- conditional aggregation
+def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+            dsum(
+                F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0), 2
+            ).alias("bulk_value"),
+            F.countDistinct(F.when(F.col("l_linestatus") == "O", F.col("l_orderkey"))).alias(
+                "open_orders"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+COND_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+       CAST(SUM(CAST((CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END) AS DECIMAL(30,2))) AS DOUBLE) AS bulk_value,
+       COUNT(DISTINCT CASE WHEN l_linestatus = 'O' THEN l_orderkey END) AS open_orders
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------------------------ array aggregation
+def array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list surface with deterministic ordering, reduced to a
+    string so cross-engine value comparison is exact."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
+       COUNT(*) AS n_nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "left_join_order_stats": Query(left_join_order_stats, LEFT_JOIN_SQL),
+    "full_outer_nation_presence": Query(full_outer_nation_presence, FULL_OUTER_SQL),
+    "price_percentiles": Query(price_percentiles, PERCENTILES_SQL),
+    "above_nation_average": Query(above_nation_average, ABOVE_AVG_SQL),
+    "orders_with_big_items": Query(orders_with_big_items, IN_SUBQ_SQL),
+    "regexp_gallery": Query(regexp_gallery, REGEXP_SQL),
+    "window_function_gallery": Query(window_function_gallery, WINDOW_GALLERY_SQL),
+    "moving_average_revenue": Query(moving_average_revenue, MOVING_AVG_SQL),
+    "conditional_aggregation": Query(conditional_aggregation, COND_AGG_SQL),
+    "array_aggregation": Query(array_aggregation, ARRAY_AGG_SQL),
+}
