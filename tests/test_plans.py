@@ -1,0 +1,138 @@
+"""Physical-plan quality assertions — the 100 TB discipline, enforced in
+CI: filters reach the parquet scan, dimensions broadcast, shard layout
+prunes partitions, codegen covers the hot path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _capture_explain(df, mode) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _plan(df) -> str:
+    """Simple physical plan (shows join strategies + codegen stars)."""
+    return _capture_explain(df, "simple")
+
+
+def _formatted(df) -> str:
+    """Formatted plan (shows PushedFilters/ReadSchema/PartitionFilters)."""
+    return _capture_explain(df, "formatted")
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    """q6 is filter+sum: every range predicate must appear in
+    PushedFilters on the parquet scan, and the scan schema must carry
+    only the needed columns."""
+    from degdb_spark.queries.relational import q6_revenue_change
+
+    plan = _formatted(q6_revenue_change(spark, SF))
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThan({col}" in plan or f"LessThan({col}" in plan or \
+               f"GreaterThanOrEqual({col}" in plan or f"LessThanOrEqual({col}" in plan, col
+    # column pruning: tax/returnflag are not referenced
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_tax" not in read_schema[0]
+
+
+def test_q5_dimensions_broadcast(spark):
+    """All five dimension joins in q5 must be broadcast — the only
+    sort-merge/shuffle allowed is lineitem⋈orders."""
+    from degdb_spark.queries.relational import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # lineitem⋈orders may be SMJ or shuffled-hash depending on stats, but
+    # must not be a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_single_shuffle(spark):
+    """Q1 must partial-aggregate map-side: exactly one exchange (the
+    6-group final agg), no join, wholestage codegen on the scan+agg."""
+    from degdb_spark.queries.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF)
+    plan = _formatted(df)
+    # one exchange for the agg + one for the tiny final orderBy
+    assert plan.count("Exchange (") <= 2
+    # map-side combine: partial aggregation below the exchange
+    assert "partial_sum" in plan
+    # whole-stage codegen covers the scan→agg pipeline (final AQE plan)
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in final_plan  # codegen stage markers
+
+
+def test_pattern_query_prunes_columns_and_pushes_subject(spark, tmp_path):
+    """A rooted pattern query over a parquet-backed store pushes the
+    subject equality into the scan."""
+    from degdb_spark.operators.triplestore import TripleStore
+
+    store = TripleStore.from_rows(
+        spark, [{"subj": f"s{i}", "pred": "p", "obj": str(i)} for i in range(100)]
+    )
+    path = str(tmp_path / "triples")
+    store.df.write.parquet(path)
+    disk = TripleStore(spark, df=spark.read.parquet(path))
+    plan = _formatted(disk.query({"subj": "s42"}))
+    assert "PushedFilters:" in plan and "EqualTo(subj,s42)" in plan
+
+
+def test_sharded_store_partition_pruning(spark, tmp_path):
+    """Rooted queries against the sharded layout must read only the
+    matching shard partitions (degdb keyspace routing as partition
+    pruning)."""
+    from degdb_spark.operators.sharded import rooted_query, write_sharded
+
+    df = spark.createDataFrame(
+        [(f"s{i}", "p", str(i), None, None, None, None) for i in range(500)],
+        schema="subj string, pred string, obj string, lang string, author string, sig string, created timestamp",
+    )
+    path = str(tmp_path / "sharded")
+    write_sharded(df, path, n_shards=16)
+    q = rooted_query(spark, path, ["s7", "s99"], n_shards=16)
+    rows = {(r.subj, r.obj) for r in q.collect()}
+    assert rows == {("s7", "7"), ("s99", "99")}
+    plan = _formatted(q)
+    # partition filter present and scan limited to <= 2 of 16 shard dirs
+    assert "PartitionFilters:" in plan
+    import re
+
+    m = re.search(r"files read: (\d+)", plan)
+    if m:  # file-count line present in Spark 4 formatted scan node
+        assert int(m.group(1)) <= 2
+
+
+def test_broadcast_in_knn(spark):
+    """Brute-force kNN must broadcast the query side — a shuffle here
+    would be catastrophic at corpus scale."""
+    from degdb_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(brute_force_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """The LSH candidate join must be an equi-join on (band, band_hash),
+    never a cartesian product."""
+    from degdb_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
