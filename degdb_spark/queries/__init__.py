@@ -26,6 +26,7 @@ def registry() -> dict[str, Query]:
     from degdb_spark.queries import (
         embeddings_queries,
         events_queries,
+        graph_motif_queries,
         graph_queries,
         relational,
         relational_adv,
@@ -42,6 +43,7 @@ def registry() -> dict[str, Query]:
         text_queries,
         embeddings_queries,
         graph_queries,
+        graph_motif_queries,
     ):
         overlap = set(out) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
