@@ -138,14 +138,29 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``value`` once and
+    pass it to ``body`` as a bound lambda variable.
+
+    A free-variable reference inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (e.g. re-splitting a document for every
+    shingle window — measured 10× slowdown); routing it through a
+    1-element transform makes it a cheap bound-variable read.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingle_fingerprints(col: Column | str, k: int = 5) -> Column:
     """Rolling k-word shingle fingerprints: array of xxhash64 values, one
     per k-token window — the input units for MinHash/SimHash."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
-        F.transform(
-            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+            F.transform(
+                idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+            )
         )
-    )
+
+    return let(tokens(col), build)
