@@ -30,6 +30,7 @@ def registry() -> dict[str, Query]:
         graph_queries,
         relational,
         relational_adv,
+        sampling_queries,
         text_queries,
         triples_queries,
     )
@@ -44,6 +45,7 @@ def registry() -> dict[str, Query]:
         embeddings_queries,
         graph_queries,
         graph_motif_queries,
+        sampling_queries,
     ):
         overlap = set(out) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
