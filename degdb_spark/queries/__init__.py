@@ -32,6 +32,7 @@ def registry() -> dict[str, Query]:
         relational_adv,
         sampling_queries,
         text_queries,
+        tpch_more,
         triples_queries,
     )
 
@@ -39,6 +40,7 @@ def registry() -> dict[str, Query]:
     for mod in (
         relational,
         relational_adv,
+        tpch_more,
         triples_queries,
         events_queries,
         text_queries,

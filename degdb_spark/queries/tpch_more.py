@@ -1,0 +1,285 @@
+"""Further TPC-H adaptations (columns limited to the driver testdata
+schema — no partsupp/shipmode/phone, so q2/q9/q11/q12/q16/q21-22 are
+re-shaped onto what exists; the join/aggregation shapes are preserved).
+
+All oracle-checked. Scale notes: every query keeps dims broadcast and
+facts shuffling on their join keys only; q17's correlated-avg subquery
+is the classic broadcast-the-aggregate rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround, dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- q7-like
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flow between two nation pairs by ship year (q7 without
+    the supplier-nation side of the original predicate tangle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(
+            ((F.col("c_nationkey") == 1) & (F.col("s_nationkey") == 2))
+            | ((F.col("c_nationkey") == 2) & (F.col("s_nationkey") == 1))
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("c_nationkey").alias("cust_nation"),
+            F.col("s_nationkey").alias("supp_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, out_dp=2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+Q7_SQL = """
+SELECT c_nationkey AS cust_nation, s_nationkey AS supp_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+       CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE (c_nationkey = 1 AND s_nationkey = 2) OR (c_nationkey = 2 AND s_nationkey = 1)
+GROUP BY c_nationkey, s_nationkey, EXTRACT(YEAR FROM l_shipdate)
+ORDER BY cust_nation, supp_nation, ship_year
+"""
+
+
+# ---------------------------------------------------------------- q8-like
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation 3's share of ASIA's order revenue per year — the
+    conditional-share aggregation of q8."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    per_year = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        dsum(F.col("o_totalprice"), 2).alias("total_rev"),
+        dsum(
+            F.when(F.col("c_nationkey") == 3, F.col("o_totalprice")).otherwise(0.0), 2
+        ).alias("nation3_rev"),
+    )
+    return per_year.select(
+        "order_year",
+        dround(F.col("nation3_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    ).orderBy("order_year")
+
+
+Q8_SQL = """
+WITH per_year AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_rev,
+         CAST(SUM(CAST((CASE WHEN c_nationkey = 3 THEN o_totalprice ELSE 0.0 END) AS DECIMAL(30,2))) AS DOUBLE) AS nation3_rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT order_year,
+       FLOOR((nation3_rev / total_rev) * 1000000 + 0.5) / 1000000 AS mkt_share
+FROM per_year ORDER BY order_year
+"""
+
+
+# --------------------------------------------------------------- q13-like
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of customers by order count (incl. zero) — q13's
+    left-join + double aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------- q14-like
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMO-type revenue share in one month (q14's conditional ratio)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        dsum(
+            F.when(
+                F.col("p_type") == "PROMO",
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            ).otherwise(0.0),
+            4,
+        ).alias("promo_rev"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev"),
+    )
+    return agg.select(
+        dround(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+Q14_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CAST((CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DECIMAL(30,4))) AS DOUBLE) AS promo_rev,
+    CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+)
+SELECT FLOOR((100.0 * promo_rev / total_rev) * 10000 + 0.5) / 10000 AS promo_revenue_pct
+FROM agg
+"""
+
+
+# --------------------------------------------------------------- q17-like
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avg yearly revenue loss from small orders: lineitems below 50% of
+    their part's average quantity (q17's correlated scalar subquery as a
+    broadcast-aggregate join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (dsum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, on="l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(dround(dsum(F.col("l_extendedprice"), 2) / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+# --------------------------------------------------------------- q18-like
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders above a total-quantity threshold (q18's
+    HAVING-subquery turned into semi-join on the aggregated key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) > 150
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- q19-like
+def q19_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs bracket predicate (q19's shape, on brand/size/qty)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 40)))
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, out_dp=2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q7_volume_shipping": Query(q7_volume_shipping, Q7_SQL),
+    "q8_market_share": Query(q8_market_share, Q8_SQL),
+    "q13_customer_distribution": Query(q13_customer_distribution, Q13_SQL),
+    "q14_promo_revenue": Query(q14_promo_revenue, Q14_SQL),
+    "q17_small_quantity_revenue": Query(q17_small_quantity_revenue, Q17_SQL),
+    "q18_large_orders": Query(q18_large_orders, Q18_SQL),
+    "q19_discount_brackets": Query(q19_discount_brackets, Q19_SQL),
+}
