@@ -20,6 +20,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session built without our factory; the
+    # TIMESTAMP(NANOS) reader conf is runtime-settable, so pin it here —
+    # otherwise any events read throws PARQUET_TYPE_ILLEGAL.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts becomes TIMESTAMP_LTZ after conversion; date_trunc
+        # etc. are session-timezone-dependent, and the DuckDB oracle is
+        # timezone-naive — pin UTC so buckets agree in any session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns (events.ts) arrive as long nanos under
     # spark.sql.legacy.parquet.nanosAsLong; truncate to micros — the same

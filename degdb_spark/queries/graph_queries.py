@@ -73,9 +73,38 @@ def graph_bfs_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_sql(source: str, max_depth: int) -> str:
+    """Fixed-depth BFS as non-recursive CTE expansion (one level per
+    CTE, NOT-IN against all previous levels) — makes the iterative
+    Spark BFS oracle-checkable without recursive-CTE aggregation."""
+    ctes = [
+        "edges AS (SELECT subj AS src, obj AS dst FROM triples "
+        "UNION SELECT obj, subj FROM triples)",
+        f"d0 AS (SELECT '{source}' AS n)",
+    ]
+    for i in range(1, max_depth + 1):
+        seen = " UNION ALL ".join(f"SELECT n FROM d{j}" for j in range(i))
+        ctes.append(
+            f"d{i} AS (SELECT DISTINCT dst AS n FROM edges "
+            f"JOIN d{i-1} ON src = d{i-1}.n "
+            f"WHERE dst NOT IN ({seen}))"
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT {i} AS dist, n FROM d{i}" for i in range(max_depth + 1)
+    )
+    return (
+        f"{_CTE},\n" + ",\n".join(ctes) + f"\nSELECT dist, COUNT(*) AS n_nodes "
+        f"FROM ({levels}) WHERE dist = 0 OR n IS NOT NULL "
+        f"GROUP BY dist HAVING COUNT(*) > 0 ORDER BY dist"
+    )
+
+
+BFS_SQL = _bfs_sql("region/0", 5)
+
+
 QUERIES: dict[str, Query] = {
     "graph_degrees": Query(graph_degrees, DEGREES_SQL),
     "graph_pagerank_top": Query(graph_pagerank_top, None),
     "graph_components": Query(graph_components, None),
-    "graph_bfs_from_region": Query(graph_bfs_from_region, None),
+    "graph_bfs_from_region": Query(graph_bfs_from_region, BFS_SQL),
 }
