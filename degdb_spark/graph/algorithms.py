@@ -30,17 +30,21 @@ def graph_view(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def degrees(triples: DataFrame) -> DataFrame:
-    """In/out/total degree per vertex — closed-form, oracle-checkable."""
+    """In/out/total degree per vertex — closed-form, oracle-checkable.
+
+    One union + one groupBy = a single shuffle (vs two aggregations
+    joined full-outer = three shuffles); at 100 TB the union rides the
+    same scan twice but never materialises, and the partial aggregation
+    combines map-side."""
     _, edges = graph_view(triples)
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_degree")
-    )
-    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
-        F.count(F.lit(1)).alias("in_degree")
+    endpoints = edges.select(
+        F.col("src").alias("id"), F.lit(1).alias("out_c"), F.lit(0).alias("in_c")
+    ).unionAll(
+        edges.select(F.col("dst").alias("id"), F.lit(0), F.lit(1))
     )
     return (
-        out_deg.join(in_deg, on="id", how="full_outer")
-        .na.fill(0, ["out_degree", "in_degree"])
+        endpoints.groupBy("id")
+        .agg(F.sum("out_c").alias("out_degree"), F.sum("in_c").alias("in_degree"))
         .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
     )
 
@@ -80,18 +84,24 @@ def pagerank(
         )
 
     def update(state: DataFrame, aggd: DataFrame) -> DataFrame:
-        # dangling mass: total rank not propagated through edges
-        dangling = (
-            state.filter(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass: total rank not propagated through edges — kept
+        # inside the plan as a broadcast 1-row aggregate instead of a
+        # per-superstep driver collect() (which would serialize every
+        # iteration on a driver round-trip).
+        dangling = state.filter(F.col("out_degree") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
-        base = (1.0 - damping) + damping * dangling / n
         return (
             state.drop("rank")
             .join(aggd, on="id", how="left")
             .na.fill(0.0, ["msg_sum"])
-            .withColumn("rank", F.lit(base) + F.lit(damping) * F.col("msg_sum"))
-            .drop("msg_sum")
+            .crossJoin(F.broadcast(dangling))
+            .withColumn(
+                "rank",
+                F.lit(1.0 - damping)
+                + F.lit(damping) * (F.col("msg_sum") + F.col("_dangling") / n),
+            )
+            .drop("msg_sum", "_dangling")
         )
 
     final = pregel(vertices, edges, initial, send, aggregate, update, max_iter=max_iter)

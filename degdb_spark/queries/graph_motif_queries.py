@@ -119,7 +119,28 @@ ORDER BY user_id
 """
 
 
+def gremlin_region_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gremlin-DSL traversal as a contract query: everyone (customers +
+    suppliers) two hops out of region/1 via reversed edges —
+    g.V('region/1').in_('in_region').in_('in_nation')."""
+    from degdb_spark.graph.gremlin import G
+
+    register_all(spark, sf_dir)
+    t = triples_df(spark)
+    out = G(t).V("region/1").in_("in_region").in_("in_nation").df()
+    return out.select(F.col("node")).orderBy("node")
+
+
+GREMLIN_SQL = f"""{_CTE}
+SELECT DISTINCT t2.subj AS node
+FROM triples t1 JOIN triples t2 ON t2.obj = t1.subj
+WHERE t1.pred = 'in_region' AND t1.obj = 'region/1' AND t2.pred = 'in_nation'
+ORDER BY node
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "gremlin_region_members": Query(gremlin_region_members, GREMLIN_SQL),
     "motif_customer_region": Query(motif_customer_region, MOTIF_SQL),
     "motif_shared_nation": Query(motif_shared_nation, MOTIF_SHARED_SQL),
     "aggregate_gallery": Query(aggregate_gallery, AGG_GALLERY_SQL),
