@@ -19,7 +19,10 @@ from degdb_spark.queries.rounding import dround
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    out = S.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
 
 
 KNN_SQL = """

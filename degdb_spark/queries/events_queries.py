@@ -35,7 +35,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HOURLY_SQL = """
-SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+SELECT DATE_TRUNC('hour', ts)::TIMESTAMP_NS AS hour, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
@@ -58,7 +58,7 @@ def event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SQL = """
-SELECT event_id, MIN(ts)::TIMESTAMP AS first_ts, COUNT(*) AS n_dups
+SELECT event_id, MIN(ts)::TIMESTAMP::TIMESTAMP_NS AS first_ts, COUNT(*) AS n_dups
 FROM events GROUP BY event_id
 HAVING event_id < 100
 ORDER BY event_id
@@ -158,7 +158,7 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIVOT_SQL = """
-SELECT DATE_TRUNC('day', ts) AS day,
+SELECT DATE_TRUNC('day', ts)::TIMESTAMP_NS AS day,
        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
        COUNT(*) FILTER (WHERE event_type = 'view') AS view,
        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,

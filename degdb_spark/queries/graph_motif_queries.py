@@ -108,7 +108,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LATEST_EVENT_SQL = """
-SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type
+SELECT user_id, event_id, ts::TIMESTAMP::TIMESTAMP_NS AS ts, event_type
 FROM (
   SELECT user_id, event_id, ts, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

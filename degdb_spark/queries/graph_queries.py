@@ -90,7 +90,7 @@ def _bfs_sql(source: str, max_depth: int) -> str:
             f"WHERE dst NOT IN ({seen}))"
         )
     levels = " UNION ALL ".join(
-        f"SELECT {i} AS dist, n FROM d{i}" for i in range(max_depth + 1)
+        f"SELECT CAST({i} AS BIGINT) AS dist, n FROM d{i}" for i in range(max_depth + 1)
     )
     return (
         f"{_CTE},\n" + ",\n".join(ctes) + f"\nSELECT dist, COUNT(*) AS n_nodes "

@@ -92,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q3_SQL = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
+SELECT l_orderkey, o_orderdate::TIMESTAMP_NS AS o_orderdate, o_orderpriority,
        CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -270,7 +270,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_spent").desc(), F.col("c_custkey")
     )
     return (
-        per_cust.withColumn("rank_in_nation", F.row_number().over(w))
+        per_cust.withColumn("rank_in_nation", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_nation") <= 3)
         .select("c_nationkey", "c_custkey", "total_spent", "rank_in_nation")
         .orderBy("c_nationkey", "rank_in_nation")
@@ -314,7 +314,7 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RUNNING_TOTALS_SQL = """
-SELECT o_custkey, o_orderkey, o_orderdate,
+SELECT o_custkey, o_orderkey, o_orderdate::TIMESTAMP_NS AS o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
@@ -427,7 +427,7 @@ def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_pfx"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         dround(F.col("p_retailprice") * 1.1, 2).alias("uplift_price"),
@@ -458,12 +458,12 @@ def date_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        F.quarter("o_orderdate").alias("order_quarter"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).cast("long").alias(
             "days_to_2002"
         ),
     ).orderBy("o_orderkey")
@@ -475,7 +475,7 @@ SELECT o_orderkey,
        EXTRACT(MONTH FROM o_orderdate) AS order_month,
        EXTRACT(DAY FROM o_orderdate) AS order_day,
        EXTRACT(QUARTER FROM o_orderdate) AS order_quarter,
-       DATE_TRUNC('month', o_orderdate) AS month_start,
+       DATE_TRUNC('month', o_orderdate)::TIMESTAMP_NS AS month_start,
        DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
 FROM orders WHERE o_orderkey < 200
 ORDER BY o_orderkey

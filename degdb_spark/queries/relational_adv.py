@@ -218,8 +218,8 @@ def window_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.first("o_orderkey").over(wf).alias("first_order"),
         F.last("o_orderkey").over(wf).alias("last_order"),
-        F.dense_rank().over(w).alias("order_seq"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("order_seq"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -259,7 +259,7 @@ WITH daily AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS day_rev
   FROM orders GROUP BY 1
 )
-SELECT day, day_rev,
+SELECT day::TIMESTAMP_NS AS day, day_rev,
        FLOOR((AVG(day_rev) OVER (ORDER BY day
               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS ma7
 FROM daily
@@ -290,7 +290,7 @@ def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 COND_AGG_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS n,
-       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
        CAST(SUM(CAST((CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END) AS DECIMAL(30,2))) AS DOUBLE) AS bulk_value,
        COUNT(DISTINCT CASE WHEN l_linestatus = 'O' THEN l_orderkey END) AS open_orders
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag

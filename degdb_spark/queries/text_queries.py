@@ -21,9 +21,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            X.token_count("text").alias("n_tokens"),
-            X.bpe_token_count("text").alias("n_bpe_tokens"),
-            F.length("text").alias("n_chars_computed"),
+            X.token_count("text").cast("long").alias("n_tokens"),
+            X.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+            F.length("text").cast("long").alias("n_chars_computed"),
         )
         .filter(F.col("doc_id") < 200)
         .orderBy("doc_id")
@@ -45,7 +45,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_features(docs)
         .select(
             "doc_id",
-            "n_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             "alpha_ratio",
             "digit_ratio",
             "punct_ratio",
@@ -151,8 +151,8 @@ WITH groups AS (
          COUNT(*) AS group_size
   FROM documents GROUP BY 1
 )
-SELECT COUNT(*) AS n_groups, SUM(group_size) AS n_docs,
-       SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+SELECT COUNT(*) AS n_groups, CAST(SUM(group_size) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
 FROM groups
 """
 

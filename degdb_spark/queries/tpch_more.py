@@ -42,7 +42,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(
             F.col("c_nationkey").alias("cust_nation"),
             F.col("s_nationkey").alias("supp_nation"),
-            F.year("l_shipdate").alias("ship_year"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, out_dp=2).alias(
@@ -80,7 +80,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    per_year = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+    per_year = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
         dsum(F.col("o_totalprice"), 2).alias("total_rev"),
         dsum(
             F.when(F.col("c_nationkey") == 3, F.col("o_totalprice")).otherwise(0.0), 2
@@ -233,7 +235,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = """
-SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+SELECT c_custkey, c_name, o_orderkey, o_orderdate::TIMESTAMP_NS AS o_orderdate, o_totalprice, total_qty
 FROM orders
 JOIN (
   SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty

@@ -97,6 +97,15 @@ def main() -> int:
             print(f"FAIL  {name}: columns {list(cs.columns)} != {list(co.columns)}")
             n_fail += 1
             continue
+        dt_diff = {
+            c: (str(sdf.dtypes[c]), str(odf.dtypes[c]))
+            for c in sdf.columns
+            if c in odf.columns and str(sdf.dtypes[c]) != str(odf.dtypes[c])
+        }
+        if dt_diff:
+            print(f"FAIL  {name}: dtype mismatch {dt_diff}")
+            n_fail += 1
+            continue
         if len(cs) != len(co):
             print(f"FAIL  {name}: rows {len(cs)} != {len(co)}")
             n_fail += 1
