@@ -1,0 +1,113 @@
+"""Count-Min sketch over DataFrames — the 'novel sketch' operator.
+
+A CMS estimates per-key frequencies in sublinear space: depth d hash
+rows × width w counters; estimate = min over rows of the bucketed
+counts. Built entirely with groupBy aggregations:
+
+    build:    explode each key to its d (row, bucket) cells, groupBy
+              cell, sum — ONE shuffle of d·n rows into d·w cells.
+    query:    compute the d cells for each probe key, min over the d
+              looked-up counters — a broadcast join against the (tiny)
+              sketch table.
+
+The bucket hash is the engine-portable md5 bucket (operators/
+sampling.py), so the whole sketch — build and estimate — replays in
+DuckDB for the correctness oracle. At 100 TB the sketch table is
+d·w rows regardless of input size; merging shards/sketches is a plain
+groupBy-sum over the cell table (CMS is a linear sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(key: Column, row: int, width: int) -> Column:
+    """Portable bucket for hash-row ``row``: md5 of (row:key)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame, key: Column | str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """The sketch table: (row, bucket, cnt) with depth·width cells."""
+    k = F.col(key) if isinstance(key, str) else key
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cell(k, r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key: Column | str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-frequency estimates for the probe keys: min over the depth
+    looked-up counters (overestimates only, never under)."""
+    k = F.col(key) if isinstance(key, str) else key
+    cells = probes.select(
+        k.alias("probe_key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), _cell(k, r, width).alias("bucket"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("probe_key", "c.row", "c.bucket")
+    looked = cells.join(F.broadcast(sketch), on=["row", "bucket"], how="left").na.fill(
+        0, ["cnt"]
+    )
+    return looked.groupBy("probe_key").agg(F.min("cnt").alias("est_count"))
+
+
+def cms_sql(source_expr: str, probe_expr: str, depth: int = 4, width: int = 64) -> str:
+    """DuckDB replay of build+estimate for the oracle (same md5 cells).
+
+    source_expr / probe_expr: SQL producing (key) rows, e.g.
+    "SELECT event_type AS key FROM events".
+    """
+
+    def cell(row: int) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5('{row}:' || CAST(key AS VARCHAR(64))), 1, 8)) AS BIGINT) "
+            f"% {width} AS INT)"
+        )
+
+    cells_src = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell(r)} AS bucket FROM src" for r in range(depth)
+    )
+    cells_probe = " UNION ALL ".join(
+        f"SELECT key AS probe_key, {r} AS row, {cell(r)} AS bucket FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH src AS MATERIALIZED ({source_expr}),
+probes AS MATERIALIZED ({probe_expr}),
+sketch AS MATERIALIZED (
+  SELECT row, bucket, COUNT(*) AS cnt FROM ({cells_src}) GROUP BY row, bucket
+),
+pcells AS ({cells_probe}),
+looked AS (
+  SELECT probe_key, COALESCE(cnt, 0) AS cnt
+  FROM pcells LEFT JOIN sketch USING (row, bucket)
+)
+SELECT probe_key, MIN(cnt) AS est_count FROM looked GROUP BY probe_key
+"""

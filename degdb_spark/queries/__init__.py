@@ -32,6 +32,7 @@ def registry() -> dict[str, Query]:
         relational_adv,
         sampling_queries,
         text_queries,
+        timeseries_queries,
         tpch_more,
         triples_queries,
     )
@@ -48,6 +49,7 @@ def registry() -> dict[str, Query]:
         graph_queries,
         graph_motif_queries,
         sampling_queries,
+        timeseries_queries,
     ):
         overlap = set(out) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"

@@ -1,0 +1,158 @@
+"""Contract queries for the custom time-series + sketch operators —
+all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.operators.sketch import cms_build, cms_estimate, cms_sql
+from degdb_spark.operators.timeseries import asof_join, hypertable_rollup, range_join_count
+from degdb_spark.queries import Query
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent click at or
+    before it (1-hour tolerance). Summarised per user for a bounded
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_seconds=3600,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("asof_ts").alias("n_with_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), with_click AS (
+  SELECT p.user_id, p.event_id,
+         (SELECT MAX(c.ts) FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts <= p.ts) AS last_click
+  FROM purchases p
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+       COUNT(CASE WHEN last_click IS NOT NULL
+                   AND EPOCH(ts_part) - EPOCH(last_click) <= 3600
+             THEN 1 END) AS n_with_click
+FROM (SELECT w.user_id, w.event_id, w.last_click, p2.ts AS ts_part
+      FROM with_click w JOIN purchases p2 ON w.event_id = p2.event_id)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many same-user events occurred
+    in the preceding 5 minutes. Histogram over that count."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    counted = range_join_count(
+        errors, ev, on="user_id", probe_ts="ts", build_ts="ts", lookback_seconds=300
+    )
+    return (
+        counted.groupBy("n_in_range")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy("n_in_range")
+    )
+
+
+RANGE_SQL = """
+WITH errors AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+), counted AS (
+  SELECT e.event_id,
+         (SELECT COUNT(*) FROM events b
+          WHERE b.user_id = e.user_id
+            AND EPOCH(b.ts)::BIGINT >= EPOCH(e.ts)::BIGINT - 300
+            AND EPOCH(b.ts)::BIGINT < EPOCH(e.ts)::BIGINT) AS n_in_range
+  FROM errors e
+)
+SELECT n_in_range, COUNT(*) AS n_errors
+FROM counted GROUP BY n_in_range ORDER BY n_in_range
+"""
+
+
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day grain built FROM the hourly continuous aggregate (per event
+    type) — must equal a direct daily aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    day = hypertable_rollup(ev, dims=["event_type"])["day"]
+    return day.select(
+        "bucket",
+        "event_type",
+        "n",
+        "sum_value",
+        F.floor(F.col("avg_value") * 10000 + F.lit(0.5)) / 10000,
+    ).withColumnRenamed(
+        "(FLOOR(((avg_value * 10000) + 0.5)) / 10000)", "avg_value"
+    ).orderBy("bucket", "event_type")
+
+
+ROLLUP_HT_SQL = """
+SELECT DATE_TRUNC('day', ts)::TIMESTAMP_NS AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+       FLOOR((CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_value
+FROM events
+GROUP BY DATE_TRUNC('day', ts), event_type
+ORDER BY bucket, event_type
+"""
+
+
+def events_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for user_id frequencies (depth 4 × width 64
+    over 10k events) next to exact counts for the first 30 users."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    probes = ev.select("user_id").distinct().filter(F.col("user_id") < 30)
+    est = cms_estimate(sketch, probes, "user_id")
+    exact = ev.filter(F.col("user_id") < 30).groupBy(
+        F.col("user_id").alias("probe_key")
+    ).agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, on="probe_key")
+        .select("probe_key", "est_count", "exact_count")
+        .orderBy("probe_key")
+    )
+
+
+CMS_SQL = (
+    "WITH cms AS ("
+    + cms_sql(
+        "SELECT user_id AS key FROM events",
+        "SELECT DISTINCT user_id AS key FROM events WHERE user_id < 30",
+    )
+    + """),
+exact AS (
+  SELECT user_id AS probe_key, COUNT(*) AS exact_count
+  FROM events WHERE user_id < 30 GROUP BY user_id
+)
+SELECT cms.probe_key, cms.est_count, exact.exact_count
+FROM cms JOIN exact USING (probe_key)
+ORDER BY probe_key
+"""
+)
+
+
+QUERIES: dict[str, Query] = {
+    "events_asof_join": Query(events_asof, ASOF_SQL),
+    "events_range_join": Query(events_range_join, RANGE_SQL),
+    "events_hypertable_rollup": Query(events_hypertable_rollup, ROLLUP_HT_SQL),
+    "events_cms_estimate": Query(events_cms, CMS_SQL),
+}

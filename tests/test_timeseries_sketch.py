@@ -1,0 +1,101 @@
+"""As-of join / range join / hypertable rollup / count-min sketch tests
+with hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.sketch import cms_build, cms_estimate
+from degdb_spark.operators.timeseries import asof_join, hypertable_rollup, range_join_count
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(30)), (2, _ts(5))],
+        ["sym", "ts"],
+    )
+    trades = spark.createDataFrame(
+        [(1, 100, _ts(12)), (1, 101, _ts(31)), (2, 102, _ts(4)), (2, 103, _ts(50))],
+        ["sym", "trade_id", "ts"],
+    )
+    return quotes, trades
+
+
+def test_asof_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {r.trade_id: r.asof_ts for r in asof_join(
+        quotes, trades, on="sym", left_ts="ts", right_ts="ts"
+    ).collect()}
+    assert out[100] == _ts(10)  # latest quote <= 10:12
+    assert out[101] == _ts(30)
+    assert out[102] is None  # no quote before 10:04 for sym 2
+    assert out[103] == _ts(5)
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {r.trade_id: r.asof_ts for r in asof_join(
+        quotes, trades, on="sym", left_ts="ts", right_ts="ts",
+        tolerance_seconds=600,
+    ).collect()}
+    assert out[100] == _ts(10)  # 2 min gap, inside tolerance
+    assert out[103] is None  # 45 min gap > 10 min tolerance
+
+
+def test_range_join_count(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0)), (1, 2, _ts(3)), (1, 3, _ts(4)), (1, 4, _ts(20)), (2, 5, _ts(4))],
+        ["user", "eid", "ts"],
+    )
+    probes = ev.filter(F.col("eid").isin(3, 4, 5))
+    out = {r.eid: r.n_in_range for r in range_join_count(
+        probes, ev, on="user", probe_ts="ts", build_ts="ts", lookback_seconds=300
+    ).collect()}
+    # eid 3 @10:04: events 1(10:00) outside [09:59,10:04)? 10:00 >= 09:59 -> in; 2(10:03) in
+    assert out[3] == 2
+    assert out[4] == 0  # nothing in [10:15,10:20)
+    assert out[5] == 0  # other user only
+
+
+def test_hypertable_rollup_consistency(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    grains = hypertable_rollup(ev, dims=["event_type"])
+    # day-from-hour equals day-from-raw
+    direct = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("sum_value"),
+    )
+    d1 = {(r.bucket, r.event_type): (r.n, r.sum_value) for r in grains["day"].collect()}
+    d2 = {(r.bucket, r.event_type): (r.n, r.sum_value) for r in direct.collect()}
+    assert d1 == d2
+    # month totals equal day totals
+    m = grains["month"].agg(F.sum("n")).collect()[0][0]
+    assert m == ev.count()
+
+
+def test_cms_overestimates_only(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+    probes = ev.select("user_id").distinct()
+    est = {r.probe_key: r.est_count for r in cms_estimate(sketch, probes, "user_id").collect()}
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[u] >= exact[u] for u in exact)  # CMS never undercounts
+    # with 20 users in 64 buckets the error should be modest
+    rel_err = sum(est[u] - exact[u] for u in exact) / sum(exact.values())
+    assert rel_err < 0.5
