@@ -38,6 +38,12 @@ HEADLINE = [
     "docs_quality_scores",
     "emb_knn_topk",
     "emb_lsh_knn",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "events_asof_join",
+    "events_cms_estimate",
+    "events_hypertable_rollup",
+    "docs_train_test_split",
 ]
 
 

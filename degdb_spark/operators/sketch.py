@@ -111,3 +111,56 @@ looked AS (
 )
 SELECT probe_key, MIN(cnt) AS est_count FROM looked GROUP BY probe_key
 """
+
+
+def _unit_hash(key: Column) -> Column:
+    """Portable hash of key to a uniform double in [0, 1): md5 first 12
+    hex chars / 16^12 (48 bits of mantissa — exact in a double)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("double")
+        / float(1 << 48)
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, key: Column | str, k: int = 256
+) -> DataFrame:
+    """K-Minimum-Values distinct-count estimate: keep the k smallest
+    unit-hashes of the key; estimate = (k-1)/h_(k) (unbiased for the
+    uniform order statistic). One groupBy-free pass: distinct hash,
+    global sort, limit k — at scale the sort is a top-k (takeOrdered
+    shape), not a full sort.
+
+    Returns one row: (est_distinct double, k_used int). Exactly
+    replayable in DuckDB (same md5-derived hashes), so the estimate —
+    not just its error bound — is oracle-checkable.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    hashes = df.select(_unit_hash(kcol).alias("h")).distinct()
+    topk = hashes.orderBy("h").limit(k)
+    return topk.agg(
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )  # fewer distinct than k → exact count
+        .otherwise((F.lit(float(k - 1))) / F.max("h"))
+        .alias("est_distinct"),
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+    )
+
+
+def kmv_sql(source_expr: str, k: int = 256) -> str:
+    """DuckDB replay of the KMV estimate over ``source_expr`` → (key)."""
+    return f"""
+WITH src AS MATERIALIZED ({source_expr}),
+hashes AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(key AS VARCHAR(64))), 1, 12)) AS BIGINT)::DOUBLE
+      / {float(1 << 48)} AS h
+  FROM src
+),
+topk AS (SELECT h FROM hashes ORDER BY h LIMIT {k})
+SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE
+            ELSE {float(k - 1)} / MAX(h) END AS est_distinct,
+       CAST(COUNT(*) AS INT) AS k_used
+FROM topk
+"""

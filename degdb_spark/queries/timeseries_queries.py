@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from degdb_spark.catalog import load_table
-from degdb_spark.operators.sketch import cms_build, cms_estimate, cms_sql
+from degdb_spark.operators.sketch import cms_build, cms_estimate, cms_sql, kmv_distinct_estimate, kmv_sql
 from degdb_spark.operators.timeseries import asof_join, hypertable_rollup, range_join_count
 from degdb_spark.queries import Query
 
@@ -150,7 +150,34 @@ ORDER BY probe_key
 )
 
 
+def events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate with k=64 (vs ~1000 true uniques at
+    sf0.01) next to the exact count — deterministic, so the estimate
+    itself is oracle-checked, not just bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_distinct_estimate(ev, "user_id", k=64)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        (F.floor(F.col("est_distinct") * 100 + F.lit(0.5)) / 100).alias("est_distinct"),
+        "k_used",
+        "exact_distinct",
+    )
+
+
+KMV_SQL = (
+    "WITH kmv AS ("
+    + kmv_sql("SELECT user_id AS key FROM events", k=64)
+    + """),
+exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT FLOOR(kmv.est_distinct * 100 + 0.5) / 100 AS est_distinct,
+       kmv.k_used, exact.exact_distinct
+FROM kmv CROSS JOIN exact
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
+    "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_asof_join": Query(events_asof, ASOF_SQL),
     "events_range_join": Query(events_range_join, RANGE_SQL),
     "events_hypertable_rollup": Query(events_hypertable_rollup, ROLLUP_HT_SQL),
