@@ -120,3 +120,69 @@ def ml_brp_neighbors(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into centroid cells; each query probes its
+    ``n_probe`` nearest cells and exact cosine re-ranks only those.
+
+    The scale path beyond SRP when the corpus is clusterable: cell
+    assignment is one fitted-model transform (a broadcast of k centroid
+    vectors), candidate generation an equi-join on cell id — identical
+    shuffle shape to the LSH paths, but data-adaptive. The training pass
+    is the price SRP avoids.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+
+    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        to_vec(F.col(vec_col)).alias("features"),
+    ).localCheckpoint(eager=True)
+    model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    )
+
+    centroids = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["qvec"], dtype=float)
+        d2 = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r["query_id"], list(map(float, r["qvec"])), int(cell)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, qvec array<double>, cell int"
+    )
+
+    from degdb_spark.operators.similarity import cosine
+    from degdb_spark.queries.rounding import dround
+    from pyspark.sql import Window
+
+    cand = assigned.join(F.broadcast(probes), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine_sim", dround(cosine(F.col("qvec"), F.col("cvec")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -223,7 +223,19 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dups(emb, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — rows-only
+    (the trained quantizer is engine-specific; recall vs exact is
+    asserted in tests/test_similarity.py)."""
+    from degdb_spark.operators.ml_lsh import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 QUERIES: dict[str, Query] = {
+    "emb_ivf_knn": Query(ivf_knn, None),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),
     "emb_centroid_by_label": Query(centroid_by_label, CENTROID_SQL),

@@ -58,3 +58,20 @@ def test_embedding_near_dups_self(spark):
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(df, threshold=0.99).collect()}
     assert (0, 1) in pairs  # the nearly-parallel pair
     assert (0, 3) not in pairs  # antiparallel
+
+
+def test_ivf_recall_on_testdata(spark):
+    """IVF with 16 cells / 4 probes must recover a good share of the
+    exact top-5 (clusterable synthetic data; recall bound is loose
+    because the quantizer is coarse)."""
+    from degdb_spark.operators.ml_lsh import ivf_topk
+    from degdb_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
