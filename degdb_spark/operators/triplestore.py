@@ -82,6 +82,13 @@ class TripleStore:
         fresh = new.join(self._df.select(TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
         added = fresh.count()
         self._df = self._df.unionByName(fresh)
+        # each insert nests the previous anti-join inside the next one's
+        # plan; without truncation the plan grows super-linearly with
+        # insert count (measured: 10 single-row inserts → 11 s each).
+        self._inserts_since_checkpoint = getattr(self, "_inserts_since_checkpoint", 0) + 1
+        if self._inserts_since_checkpoint >= 4:
+            self._df = self._df.localCheckpoint(eager=True)
+            self._inserts_since_checkpoint = 0
         return added
 
     def write(self, path: str, buckets: int = 32) -> None:
