@@ -104,7 +104,7 @@ SESSION_SQL = """
 WITH gapped AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

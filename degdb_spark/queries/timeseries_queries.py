@@ -47,7 +47,7 @@ WITH purchases AS (
 )
 SELECT user_id, COUNT(*) AS n_purchases,
        COUNT(CASE WHEN last_click IS NOT NULL
-                   AND EPOCH(ts_part) - EPOCH(last_click) <= 3600
+                   AND FLOOR(EPOCH(ts_part)) - FLOOR(EPOCH(last_click)) <= 3600
              THEN 1 END) AS n_with_click
 FROM (SELECT w.user_id, w.event_id, w.last_click, p2.ts AS ts_part
       FROM with_click w JOIN purchases p2 ON w.event_id = p2.event_id)
@@ -79,8 +79,8 @@ WITH errors AS (
   SELECT e.event_id,
          (SELECT COUNT(*) FROM events b
           WHERE b.user_id = e.user_id
-            AND EPOCH(b.ts)::BIGINT >= EPOCH(e.ts)::BIGINT - 300
-            AND EPOCH(b.ts)::BIGINT < EPOCH(e.ts)::BIGINT) AS n_in_range
+            AND FLOOR(EPOCH(b.ts)) >= FLOOR(EPOCH(e.ts)) - 300
+            AND FLOOR(EPOCH(b.ts)) < FLOOR(EPOCH(e.ts))) AS n_in_range
   FROM errors e
 )
 SELECT n_in_range, COUNT(*) AS n_errors

@@ -276,7 +276,69 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+# --------------------------------------------------------------- q16-like
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers serving each (brand, type) — q16's
+    COUNT(DISTINCT) shape via lineitem in lieu of partsupp."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 20
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+# --------------------------------------------------------------- q22-like
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no high-value orders
+    (> 450000), per nation — q22's scalar-subquery + anti-join shape.
+    (Plain 'no orders' is empty at every SF: order counts scale with
+    customers.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+  FROM customer WHERE c_acctbal > 0
+)
+AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q16_supplier_variety": Query(q16_supplier_variety, Q16_SQL),
+    "q22_dormant_rich_customers": Query(q22_dormant_rich_customers, Q22_SQL),
     "q7_volume_shipping": Query(q7_volume_shipping, Q7_SQL),
     "q8_market_share": Query(q8_market_share, Q8_SQL),
     "q13_customer_distribution": Query(q13_customer_distribution, Q13_SQL),
