@@ -54,6 +54,18 @@ class DegDB:
         df = self.store.query(patterns, limit=limit)
         return self._dump(df)
 
+    def query_array_op_json(self, q: str, limit: int = -1) -> list[dict]:
+        """Full ArrayOp boolean-tree query as JSON — the binary
+        protocol's QueryRequest form (protocol.proto:80-89):
+        {"mode": "AND", "triples": [...], "arguments": [...]}."""
+        import json as _json
+
+        from degdb_spark.plans.pattern import ArrayOp
+
+        op = ArrayOp.from_dict(_json.loads(q))
+        df = self.store.query_array_op(op, limit=limit)
+        return self._dump(df)
+
     def query_steps(self, steps: Sequence[Mapping | Iterable[Mapping]]) -> list[dict]:
         """Multi-step path query (ExecuteQuery's chaining,
         core/query.go:14-28), with result dedup (fixing the reference's

@@ -75,3 +75,11 @@ def test_limit(db):
 def test_bad_payload_rejected(db):
     with pytest.raises(ValueError):
         db.insert_json('[{"subject": "typo"}]')
+
+
+def test_query_array_op_json(db):
+    rows = db.query_array_op_json(
+        '{"mode": "AND", "triples": [{"pred": "/type/object/type"}],'
+        ' "arguments": [{"mode": "NOT", "triples": [{"subj": "/m/0hume"}]}]}'
+    )
+    assert _spo(rows) == [("/m/02mjmr", "/type/object/type", "/people/person")]
