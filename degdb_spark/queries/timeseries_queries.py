@@ -176,7 +176,56 @@ FROM kmv CROSS JOIN exact
 )
 
 
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy hitters: users whose estimated frequency exceeds 1.1×
+    the mean (the SpaceSaving-style candidate set from a linear sketch),
+    with exact counts attached for the survivors. At 100 TB the
+    candidate filter runs against the tiny sketch; only candidates touch
+    the exact-count aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    total = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # scale-invariant: 10% above the mean per-user frequency
+    threshold = total / n_users * 1.1
+    probes = ev.select("user_id").distinct()
+    cands = cms_estimate(sketch, probes, "user_id").filter(
+        F.col("est_count") > threshold
+    )
+    exact = ev.groupBy(F.col("user_id").alias("probe_key")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        cands.join(exact, on="probe_key")
+        .select("probe_key", "est_count", "exact_count")
+        .orderBy("probe_key")
+    )
+
+
+HH_SQL = (
+    "WITH cms AS ("
+    + cms_sql(
+        "SELECT user_id AS key FROM events",
+        "SELECT DISTINCT user_id AS key FROM events",
+    )
+    + """),
+thresh AS (
+  SELECT COUNT(*)::DOUBLE / COUNT(DISTINCT user_id) * 1.1 AS t FROM events
+),
+exact AS (
+  SELECT user_id AS probe_key, COUNT(*) AS exact_count
+  FROM events GROUP BY user_id
+)
+SELECT cms.probe_key, cms.est_count, exact.exact_count
+FROM cms JOIN exact USING (probe_key)
+WHERE cms.est_count > (SELECT t FROM thresh)
+ORDER BY probe_key
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
+    "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_asof_join": Query(events_asof, ASOF_SQL),
     "events_range_join": Query(events_range_join, RANGE_SQL),
