@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from degdb_spark.graph.pregel import pregel
+from degdb_spark.queries.rounding import dround
 
 
 def graph_view(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -105,7 +106,10 @@ def pagerank(
         )
 
     final = pregel(vertices, edges, initial, send, aggregate, update, max_iter=max_iter)
-    return final.select("id", F.round("rank", round_dp).alias("pagerank"))
+    # dround, not F.round: the oracle uses FLOOR(x*10^n + 0.5)/10^n, and
+    # Spark's ROUND(double) HALF_UPs the shortest decimal string instead
+    # of the binary value — they disagree near half-boundaries.
+    return final.select("id", dround(F.col("rank"), round_dp).alias("pagerank"))
 
 
 def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -129,23 +133,21 @@ def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("min_neighbor"))
         )
-        new_state = (
+        # Carry old+new component in one frame so convergence is a plain
+        # filter-count over the checkpointed partitions — ONE action per
+        # superstep (the count materialises the lazy checkpoint), vs the
+        # eager-checkpoint + old⋈new probe (two jobs, one with a shuffle).
+        step = (
             state.join(msgs, on="id", how="left")
             .withColumn(
                 "new_component",
                 F.least(F.col("component"), F.coalesce("min_neighbor", "component")),
             )
-            .select("id", F.col("new_component").alias("component"))
+            .select("id", "component", "new_component")
+            .localCheckpoint(eager=False)
         )
-        new_state = new_state.localCheckpoint(eager=True)
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        state = new_state
+        changed = step.filter(F.col("new_component") != F.col("component")).count()
+        state = step.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     return state
@@ -183,8 +185,11 @@ def bfs_distances(
             .join(visited.select("id"), on="id", how="left_anti")
             .withColumn("dist", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        # lazy checkpoint + full count = one job per level (the count both
+        # materialises the frontier and decides termination); limit(1)
+        # would risk a partially-materialised checkpoint.
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         visited = visited.union(nxt)
         frontier = nxt

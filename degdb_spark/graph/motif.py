@@ -78,6 +78,10 @@ def find(triples: DataFrame, pattern: str) -> DataFrame:
         for role, col in ((t.src, f"_src{i}"), (t.dst, f"_dst{i}")):
             if role.startswith("="):
                 e = e.filter(F.col(col) == role[1:])
+        if t.src == t.dst and not t.src.startswith("="):
+            # self-loop term '(x)-[p]->(x)': the same variable binds both
+            # ends, so require src == dst within the edge itself
+            e = e.filter(F.col(f"_src{i}") == F.col(f"_dst{i}"))
         if result is None:
             result = e
         else:

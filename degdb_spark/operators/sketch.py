@@ -40,7 +40,10 @@ def cms_build(
 ) -> DataFrame:
     """The sketch table: (row, bucket, cnt) with depth·width cells."""
     k = F.col(key) if isinstance(key, str) else key
-    cells = df.select(
+    # NULL keys diverge between engines (concat_ws skips NULLs, DuckDB's
+    # '||' nulls the whole cell) — drop them identically on both sides
+    # (cms_sql filters WHERE key IS NOT NULL).
+    cells = df.filter(k.isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -61,7 +64,7 @@ def cms_estimate(
     """Point-frequency estimates for the probe keys: min over the depth
     looked-up counters (overestimates only, never under)."""
     k = F.col(key) if isinstance(key, str) else key
-    cells = probes.select(
+    cells = probes.filter(k.isNotNull()).select(
         k.alias("probe_key"),
         F.explode(
             F.array(
@@ -99,8 +102,8 @@ def cms_sql(source_expr: str, probe_expr: str, depth: int = 4, width: int = 64) 
         for r in range(depth)
     )
     return f"""
-WITH src AS MATERIALIZED ({source_expr}),
-probes AS MATERIALIZED ({probe_expr}),
+WITH src AS MATERIALIZED (SELECT key FROM ({source_expr}) WHERE key IS NOT NULL),
+probes AS MATERIALIZED (SELECT key FROM ({probe_expr}) WHERE key IS NOT NULL),
 sketch AS MATERIALIZED (
   SELECT row, bucket, COUNT(*) AS cnt FROM ({cells_src}) GROUP BY row, bucket
 ),
@@ -136,7 +139,10 @@ def kmv_distinct_estimate(
     not just its error bound — is oracle-checkable.
     """
     kcol = F.col(key) if isinstance(key, str) else key
-    hashes = df.select(_unit_hash(kcol).alias("h")).distinct()
+    # NULL keys hash to NULL, and the engines disagree on NULL sort
+    # placement (Spark NULLS FIRST asc, DuckDB NULLS LAST) — drop them
+    # identically on both sides (kmv_sql filters WHERE key IS NOT NULL).
+    hashes = df.filter(kcol.isNotNull()).select(_unit_hash(kcol).alias("h")).distinct()
     topk = hashes.orderBy("h").limit(k)
     return topk.agg(
         F.when(
@@ -151,7 +157,7 @@ def kmv_distinct_estimate(
 def kmv_sql(source_expr: str, k: int = 256) -> str:
     """DuckDB replay of the KMV estimate over ``source_expr`` → (key)."""
     return f"""
-WITH src AS MATERIALIZED ({source_expr}),
+WITH src AS MATERIALIZED (SELECT key FROM ({source_expr}) WHERE key IS NOT NULL),
 hashes AS (
   SELECT DISTINCT
     CAST(('0x' || substr(md5(CAST(key AS VARCHAR(64))), 1, 12)) AS BIGINT)::DOUBLE

@@ -80,6 +80,11 @@ class TripleStore:
         # in-batch dedup on the key, keeping the first occurrence
         new = new.dropDuplicates(TRIPLE_KEY)
         fresh = new.join(self._df.select(TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+        # materialise BEFORE counting: current_timestamp() and the
+        # dropDuplicates survivor choice are non-deterministic per action,
+        # so without this the counted rows could differ from what later
+        # queries actually see.
+        fresh = fresh.localCheckpoint(eager=True)
         added = fresh.count()
         self._df = self._df.unionByName(fresh)
         # each insert nests the previous anti-join inside the next one's

@@ -61,3 +61,23 @@ def test_literal_anchor(tri):
 def test_bad_pattern(tri):
     with pytest.raises(ValueError):
         find(tri, "(a)-[x->(b)")
+
+
+def test_self_loop_term(spark):
+    # '(x)-[p]->(x)' must only match actual self-loops (src == dst within
+    # the edge), not every edge's src — the GraphFrames semantics for a
+    # variable repeated inside one term.
+    rows = [("a", "p", "a"), ("a", "p", "b"), ("b", "p", "c")]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = {r.x for r in find(tri, "(x)-[p]->(x)").collect()}
+    assert out == {"a"}
+
+
+def test_self_loop_chained(spark):
+    # self-loop constraint composes with a join to a second term
+    rows = [("a", "p", "a"), ("a", "q", "b"), ("c", "q", "d"), ("c", "p", "b")]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = {
+        (r.x, r.y) for r in find(tri, "(x)-[p]->(x); (x)-[q]->(y)").collect()
+    }
+    assert out == {("a", "b")}
