@@ -38,18 +38,24 @@ def registry() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
+    # Ordering is a verification-coverage decision: the driver's oracle
+    # gate checks the first 50 entries in iteration order, so the least-
+    # proven families (embeddings, graph, motif, sampling, sketch/
+    # timeseries, text-dedup) lead and the long-green relational/TPC-H
+    # queries trail. Round 1 verified the relational half; this order
+    # puts every other family inside the round-2 window.
     for mod in (
-        relational,
-        relational_adv,
-        tpch_more,
-        triples_queries,
-        events_queries,
-        text_queries,
         embeddings_queries,
         graph_queries,
         graph_motif_queries,
         sampling_queries,
         timeseries_queries,
+        text_queries,
+        events_queries,
+        triples_queries,
+        relational,
+        relational_adv,
+        tpch_more,
     ):
         overlap = set(out) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
