@@ -141,7 +141,6 @@ def ivf_topk(
     shuffle shape to the LSH paths, but data-adaptive. The training pass
     is the price SRP avoids.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
 
     to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
@@ -155,17 +154,49 @@ def ivf_topk(
         "neighbor_id", "cvec", F.col("prediction").alias("cell")
     )
 
-    centroids = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
-    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(r["qvec"], dtype=float)
-        d2 = ((centroids - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d2)[:n_probe]:
-            probe_rows.append((r["query_id"], list(map(float, r["qvec"])), int(cell)))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, qvec array<double>, cell int"
+    # Probe assignment stays IN-PLAN: the k centroid vectors (k·dim
+    # floats — tiny) are embedded as an array-of-structs literal, each
+    # query ranks them by squared distance with array_sort and keeps the
+    # n_probe nearest. No driver collect — the query side can be a
+    # full table.
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("cv"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, ctr in enumerate(model.clusterCenters())
+        ]
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn(
+            "_near",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cent_lit,
+                        lambda ctr: F.struct(
+                            _d2(F.col("qvec"), ctr["cv"]).alias("d2"),
+                            ctr["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("query_id", "qvec", F.explode("_near.cell").alias("cell"))
     )
 
     from degdb_spark.operators.similarity import cosine

@@ -166,6 +166,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     round_dp: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket in ≥1 of
     n_tables sketch tables; exact cosine re-ranks candidates.
@@ -173,6 +174,12 @@ def lsh_topk(
     Scale shape: corpus is sketched once per table (a projection, no
     shuffle), candidate generation is an equi-join on (table, bucket) —
     the only shuffle — and re-rank cost is proportional to collisions.
+
+    ``broadcast_queries`` is the small-query-set fast path (shuffle-free
+    candidate join). Pass False whenever the query side is corpus-sized
+    — e.g. self-join near-dup — so the join shuffles both sides on
+    (tbl, bucket) instead of replicating a full sketched corpus to every
+    executor.
     """
     tables = [
         make_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
@@ -190,8 +197,10 @@ def lsh_topk(
 
     cq = sketched(queries, "query")
     cc = sketched(corpus, "neighbor")
+    if broadcast_queries:
+        cq = F.broadcast(cq)
     cand = (
-        cc.join(F.broadcast(cq), on=["tbl", "bucket"])
+        cc.join(cq, on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
         .distinct()
@@ -217,7 +226,12 @@ def embedding_near_dups(
     round_dp: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, via SRP
-    bucketing (no all-pairs)."""
+    bucketing (no all-pairs).
+
+    The query side IS the corpus here, so the candidate join must NOT
+    broadcast it (that would replicate the whole sketched corpus to
+    every executor at 100 TB) — both sides shuffle on (tbl, bucket),
+    and the bucket key bounds the pair explosion."""
     topk = lsh_topk(
         corpus,
         corpus,
@@ -225,6 +239,7 @@ def embedding_near_dups(
         id_col=id_col,
         vec_col=vec_col,
         round_dp=round_dp,
+        broadcast_queries=False,
     )
     return (
         topk.filter(

@@ -14,12 +14,15 @@ core/query.go:109-112). This implements the useful core:
     {"id": "...", "pred": {...}}   → nested template on the pred's
                                      object (one hop per nesting level)
 
-Execution: constraints (non-null values) become pattern filters; each
-requested property is one hash-join against the triple table. All joins
-on ``subj`` — with the subj-sharded layout they co-partition; the n
-property lookups for one template are n semi/left joins in ONE Catalyst
-plan, resolved per-subject in parallel (vs the reference, which would
-have routed per-subject requests peer-by-peer).
+Execution: constraints (non-null values) become semi-joins narrowing the
+subject set; then ONE plan gathers every requested property for every
+matching subject — join subjects⋈triples on ``subj``, filter to the
+requested predicates, groupBy(subj, pred) with sorted collect_list, and
+a map_from_arrays pivot. A single collect returns the whole level;
+nested templates recurse once per nesting LEVEL (all parents' children
+batched together), never per subject. With the subj-sharded layout the
+joins co-partition; total job count is O(nesting depth), independent of
+match count.
 """
 
 from __future__ import annotations
@@ -33,8 +36,8 @@ from pyspark.sql import functions as F
 def query_mql(triples: DataFrame, template: Mapping[str, Any]) -> list[dict]:
     """Resolve an MQL-ish template; returns completed dicts."""
     subjects = _matching_subjects(triples, template)
-    rows = subjects.collect()
-    return [_fill(triples, r["subj"], template) for r in rows]
+    filled = _resolve_level(triples, subjects, template)
+    return [filled[s] for s in sorted(filled)]
 
 
 def _matching_subjects(triples: DataFrame, template: Mapping[str, Any]) -> DataFrame:
@@ -52,22 +55,64 @@ def _matching_subjects(triples: DataFrame, template: Mapping[str, Any]) -> DataF
     return subjects
 
 
-def _fill(triples: DataFrame, subj: str, template: Mapping[str, Any]) -> dict:
-    out: dict[str, Any] = {"id": subj}
-    own = triples.filter(F.col("subj") == subj).select("pred", "obj")
-    have: dict[str, list[str]] = {}
-    for r in own.collect():
-        have.setdefault(r["pred"], []).append(r["obj"])
+def _resolve_level(
+    triples: DataFrame, subjects: DataFrame, template: Mapping[str, Any]
+) -> dict[str, dict]:
+    """Fill ``template`` for every subject in one plan (one collect);
+    recurse once per nesting level for dict-valued predicates."""
+    wanted = [p for p in template if p != "id"]
+    if wanted:
+        props = (
+            triples.join(subjects, on="subj")
+            .filter(F.col("pred").isin(wanted))
+            .groupBy("subj", "pred")
+            .agg(F.sort_array(F.collect_list("obj")).alias("vals"))
+            .groupBy("subj")
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("pred"), F.collect_list("vals")
+                ).alias("pm")
+            )
+        )
+        level = subjects.join(props, on="subj", how="left")
+    else:
+        level = subjects.withColumn("pm", F.lit(None).cast("map<string,array<string>>"))
+    rows = level.collect()  # the ONE action for this nesting level
+
+    have: dict[str, dict[str, list[str]]] = {
+        r["subj"]: dict(r["pm"] or {}) for r in rows
+    }
+
+    # batch-resolve nested templates: all parents' children in one
+    # recursive call per dict-valued predicate
+    nested: dict[str, dict[str, dict]] = {}
     for pred, want in template.items():
-        if pred == "id":
-            continue
-        vals = sorted(have.get(pred, []))
-        if want is None:
-            out[pred] = vals[0] if vals else None
-        elif isinstance(want, list):
-            out[pred] = vals
-        elif isinstance(want, dict):
-            out[pred] = [_fill(triples, v, want) for v in vals]
-        else:  # constraint — echo it (subject already filtered)
-            out[pred] = str(want)
+        if isinstance(want, dict):
+            children = sorted(
+                {v for vals in have.values() for v in vals.get(pred, [])}
+            )
+            if children:
+                child_df = triples.sparkSession.createDataFrame(
+                    [(c,) for c in children], ["subj"]
+                )
+                nested[pred] = _resolve_level(triples, child_df, want)
+            else:
+                nested[pred] = {}
+
+    out: dict[str, dict] = {}
+    for subj, props_of in have.items():
+        d: dict[str, Any] = {"id": subj}
+        for pred, want in template.items():
+            if pred == "id":
+                continue
+            vals = props_of.get(pred, [])
+            if want is None:
+                d[pred] = vals[0] if vals else None
+            elif isinstance(want, list):
+                d[pred] = vals
+            elif isinstance(want, dict):
+                d[pred] = [nested[pred].get(v, {"id": v}) for v in vals]
+            else:  # constraint — echo it (subject already filtered)
+                d[pred] = str(want)
+        out[subj] = d
     return out

@@ -184,13 +184,22 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-count aggregation."""
     ev = load_table(spark, sf_dir, "events")
     sketch = cms_build(ev, "user_id")
-    total = ev.count()
-    n_users = ev.select("user_id").distinct().count()
-    # scale-invariant: 10% above the mean per-user frequency
-    threshold = total / n_users * 1.1
+    # scale-invariant threshold (10% above the mean per-user frequency)
+    # computed IN-PLAN as a broadcast 1-row aggregate — no driver-side
+    # count()/distinct().count() actions ahead of the query itself
+    thresh = ev.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.count_distinct("user_id")
+            * F.lit(1.1)
+        ).alias("_t")
+    )
     probes = ev.select("user_id").distinct()
-    cands = cms_estimate(sketch, probes, "user_id").filter(
-        F.col("est_count") > threshold
+    cands = (
+        cms_estimate(sketch, probes, "user_id")
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("est_count") > F.col("_t"))
+        .drop("_t")
     )
     exact = ev.groupBy(F.col("user_id").alias("probe_key")).agg(
         F.count(F.lit(1)).alias("exact_count")

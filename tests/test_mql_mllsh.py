@@ -56,6 +56,24 @@ def test_missing_property_is_null(tri):
     assert out[0]["/people/person/spouse"] is None
 
 
+def test_mql_job_count_independent_of_matches(tri, spark):
+    # A flat template resolves in ONE action (a handful of AQE stage
+    # jobs) regardless of how many subjects match — the old per-subject
+    # _fill loop ran a separate Spark job per matching subject.
+    sc = spark.sparkContext
+    sc.setJobGroup("mql-flat-probe", "job count probe")
+    try:
+        out = query_mql(
+            tri,
+            {"id": None, "/type/object/type": "/people/person", "/type/object/name": None},
+        )
+        assert len(out) == 2
+        jobs = len(sc.statusTracker().getJobIdsForGroup("mql-flat-probe"))
+        assert jobs <= 6, f"flat template ran {jobs} jobs"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 # ------------------------------------------------------------- ml wrappers
 def test_ml_minhash_agrees_with_expression_impl(spark):
     from degdb_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs

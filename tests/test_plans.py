@@ -136,3 +136,34 @@ def test_minhash_no_cartesian(spark):
     plan = _plan(minhash_lsh_candidates(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_no_corpus_broadcast(spark):
+    """embedding_near_dups self-joins the corpus on (tbl, bucket): the
+    query side must NOT carry a broadcast hint — replicating the full
+    sketched corpus to every executor is the 100 TB killer. With the
+    auto-broadcast threshold disabled, a hint-free plan has no
+    BroadcastExchange at all (and no cartesian fallback)."""
+    from degdb_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(embedding_near_dups(emb, threshold=0.8))
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lsh_topk_still_broadcasts_small_queries(spark):
+    """The distinct-query-set path keeps the shuffle-free broadcast
+    candidate join."""
+    from degdb_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(lsh_topk(emb, q, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
