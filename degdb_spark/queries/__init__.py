@@ -28,6 +28,7 @@ def registry() -> dict[str, Query]:
         events_queries,
         graph_motif_queries,
         graph_queries,
+        multimodal_queries,
         relational,
         relational_adv,
         sampling_queries,
@@ -50,6 +51,7 @@ def registry() -> dict[str, Query]:
         graph_motif_queries,
         sampling_queries,
         timeseries_queries,
+        multimodal_queries,
         text_queries,
         events_queries,
         triples_queries,
