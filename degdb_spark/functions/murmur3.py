@@ -92,6 +92,23 @@ def murmur3_64(data: bytes, seed: int = 0) -> int:
     return murmur3_x64_128(data, seed)[0]
 
 
+def murmur3_hash_udf():
+    """Arrow-batched murmur3_64(subj) as a signed int64 column — the
+    same bit pattern a JVM hash would carry, for keyspace predicates
+    (plans/keyspace.includes_column) and range-scheme shard ids."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def h(s: pandas.Series) -> pandas.Series:
+        def signed(x: str) -> int:
+            v = murmur3_64(x.encode("utf-8"))
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        return s.map(signed).astype("int64")
+
+    return h
+
+
 def murmur3_shard_udf(n_shards: int):
     """Arrow-batched shard-id column: murmur3_64(subj) % n_shards, the
     exact routing a live degdb ring applies (unsigned modulus)."""

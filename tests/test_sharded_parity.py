@@ -34,7 +34,7 @@ def test_murmur3_sharded_roundtrip(spark, tmp_path):
     )
     path = str(tmp_path / "mm3_sharded")
     write_sharded(df, path, n_shards=8, algo="murmur3_64")
-    assert layout_meta(path) == (8, "murmur3_64")
+    assert layout_meta(path) == (8, "murmur3_64", "mod")
     # rooted_query picks the algo up from layout metadata — no caller hint
     q = rooted_query(spark, path, ["s7", "s99"])
     assert {(r.subj, r.obj) for r in q.collect()} == {("s7", "7"), ("s99", "99")}
