@@ -1,18 +1,32 @@
-"""Multimodal (image/audio/video) column plumbing for training pipelines.
+"""Multimodal (image/audio/video) column operators for training pipelines.
 
 Media payloads are opaque ``binary`` columns with a typed metadata
-struct. The Spark-side machinery — schema, partition discipline,
-Arrow-batched mapInPandas operators, batch shapes — is real and tested;
-the codec step itself is gated: PIL/librosa/ffmpeg are not in this
-container, so ``decode`` falls back to a clearly-marked deterministic
-fake (or raises NotImplementedError when strict=True). Swapping in a
-real codec changes one function body, not the pipeline.
+struct, processed by Arrow-batched ``mapInPandas`` operators. The
+codecs are REAL for the formats this container can decode without
+external libraries (degdb_spark.functions.codecs):
+
+- image: BMP (24-bit BI_RGB) — decode, pixel statistics, nearest-
+  neighbor resize, re-encode.
+- audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
+  energy features.
+- video: RAWV (documented toy container of raw RGB24 frames) — frame
+  extraction with real per-frame pixel access. A real deployment swaps
+  ffmpeg in at this seam; the toy container exists so the frame-level
+  plumbing is exercised with real bytes, not pretend ones.
+
+Formats outside that set (png/jpeg/mp3/mp4) still gate on PIL/librosa:
+``strict=True`` raises NotImplementedError for them; ``strict=False``
+falls back to a clearly-marked deterministic fake feature vector.
 
 Scale notes: payload bytes never pass through the driver; mapInPandas
-streams Arrow record batches of ``batch_rows`` so executor memory is
-bounded by batch_rows × max payload size; repartitioning is done on
-media_id before any decode so one straggler file can't skew a partition
-of heavyweight payloads.
+streams Arrow record batches re-chunked to ``batch_rows`` so executor
+memory is bounded by batch_rows × max payload size; repartitioning is
+done on media_id before any decode so one straggler file can't skew a
+partition of heavyweight payloads.
+
+Reference provenance: degdb (the reference) has no media surface; this
+implements the multimodal-columns requirement of the training-pipeline
+extension (SURVEY.md §2.6).
 """
 
 from __future__ import annotations
@@ -26,12 +40,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real image codec, absent in this container
+from degdb_spark.functions import codecs
+
+try:  # real-world compressed-format codecs, absent in this container
     from PIL import Image  # noqa: F401
 
     HAVE_PIL = True
 except Exception:  # pragma: no cover
     HAVE_PIL = False
+
+#: formats the pure-numpy codecs handle — real decode, no PIL needed
+NATIVE_FORMATS = {"bmp", "wav", "rawv"}
 
 #: media table schema: binary payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -56,34 +75,158 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+#: synthetic-table generator constants — every payload is closed-form
+#: arithmetic so contract-query oracles can replay byte sizes AND
+#: decoded pixel/sample values in plain SQL (queries/multimodal_queries.py).
+VIDEO_FRAME_W, VIDEO_FRAME_H = 32, 24
+VIDEO_FRAME_INTERVAL_MS = 500
+AUDIO_RATE = 16000
+
+
+def _image_dims(i: int) -> tuple[int, int]:
+    return 64 + (i % 8) * 16, 64 + (i % 5) * 16
+
+
+def _image_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """pixel(y, x, c) = (7x + 13y + 31c + i) mod 256 — SQL-replayable."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((7 * x + 13 * y + 31 * c + i) % 256).astype(np.uint8)
+
+
+def _audio_samples(i: int, duration_ms: int) -> np.ndarray:
+    """sample(t) = ((t·(i+3)) mod 4096) − 2048 — SQL-replayable."""
+    t = np.arange(AUDIO_RATE * duration_ms // 1000, dtype=np.int64)
+    return ((t * (i + 3)) % 4096 - 2048).astype(np.int16)
+
+
+def _video_frames(i: int, duration_ms: int) -> np.ndarray:
+    """frame f pixel(y, x, c) = (11f + 7x + 13y + 31c + i) mod 256."""
+    n = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
+    f = np.arange(n)[:, None, None, None]
+    x = np.arange(VIDEO_FRAME_W)[None, None, :, None]
+    y = np.arange(VIDEO_FRAME_H)[None, :, None, None]
+    c = np.arange(3)[None, None, None, :]
+    return ((11 * f + 7 * x + 13 * y + 31 * c + i) % 256).astype(np.uint8)
+
 
 def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes derived
-    from sha256(media_id, seed)."""
-    kinds = ["image", "audio", "video"]
+    """Deterministic media table with REAL format payloads: BMP images,
+    WAV PCM16 audio, RAWV frame stacks — each decodable by external
+    tools, each byte-reproducible from closed-form arithmetic. ``seed``
+    is kept for API stability; the generators are seed-independent
+    arithmetic so oracle SQL can replay them."""
 
     def rows():
         for i in range(n):
-            kind = kinds[i % 3]
-            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-            meta = {
-                "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-                "width": 64 + (i % 8) * 16 if kind != "audio" else None,
-                "height": 64 + (i % 5) * 16 if kind != "audio" else None,
-                "duration_ms": (1000 + i * 37) if kind != "image" else None,
-                "sample_rate": 16000 if kind == "audio" else None,
-            }
+            kind = ("image", "audio", "video")[i % 3]
+            duration_ms = None if kind == "image" else 1000 + i * 37
+            if kind == "image":
+                w, h = _image_dims(i)
+                payload = codecs.encode_bmp(_image_pixels(i, w, h))
+                meta = ("bmp", w, h, None, None)
+            elif kind == "audio":
+                payload = codecs.encode_wav(_audio_samples(i, duration_ms), AUDIO_RATE)
+                meta = ("wav", None, None, duration_ms, AUDIO_RATE)
+            else:
+                payload = codecs.encode_rawv(
+                    _video_frames(i, duration_ms), VIDEO_FRAME_INTERVAL_MS
+                )
+                meta = ("rawv", VIDEO_FRAME_W, VIDEO_FRAME_H, duration_ms, None)
             yield (i, kind, bytearray(payload), meta)
 
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+# ------------------------------------------------------------- decoding
+
+
+def _sniff_format(payload: bytes) -> str | None:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"RAWV":
+        return "rawv"
+    return None
+
+
+def _image_features(px: np.ndarray, out_dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real image features: per-channel mean/std, 8-bin gray histogram,
+    normalized dims — the classic cheap visual signature."""
+    f = np.zeros(out_dim, dtype=np.float32)
+    flat = px.reshape(-1, 3).astype(np.float64)
+    f[0:3] = flat.mean(axis=0) / 255.0
+    f[3:6] = flat.std(axis=0) / 255.0
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+    f[6:14] = hist / max(1, gray.size)
+    f[14] = px.shape[1] / 256.0
+    f[15] = px.shape[0] / 256.0
+    return f
+
+
+def _audio_features(rate: int, s: np.ndarray, out_dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real audio features: global stats, zero-crossing rate, 8 windowed
+    RMS energies."""
+    f = np.zeros(out_dim, dtype=np.float32)
+    x = s.astype(np.float64) / 32768.0
+    if x.size:
+        f[0] = x.mean()
+        f[1] = x.std()
+        f[2] = np.sqrt((x**2).mean())
+        f[3] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        for b, w in enumerate(np.array_split(x, 8)):
+            f[4 + b] = np.sqrt((w**2).mean()) if w.size else 0.0
+    f[12] = x.size / 1e6
+    f[13] = rate / 48000.0
+    return f
+
+
+def _video_features(interval_ms: int, frames: np.ndarray, out_dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real video features: per-frame gray means (8 samples), temporal
+    delta energy, frame geometry."""
+    f = np.zeros(out_dim, dtype=np.float32)
+    gray = frames.astype(np.float64).mean(axis=3)
+    means = gray.mean(axis=(1, 2)) / 255.0
+    idx = np.linspace(0, len(means) - 1, num=min(8, len(means)), dtype=int)
+    f[: len(idx)] = means[idx]
+    if len(means) > 1:
+        f[8] = float(np.abs(np.diff(means)).mean())
+    f[9] = len(means) / 64.0
+    f[10] = interval_ms / 1000.0
+    f[11] = frames.shape[2] / 256.0
+    f[12] = frames.shape[1] / 256.0
+    return f
+
+
 def _fake_decode(payload: bytes, out_dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a codec+encoder: sha256-seeded floats.
-    STUB — replace with PIL/torchvision/librosa decode in production."""
+    """Deterministic stand-in for formats with no in-container codec
+    (png/jpeg/mp3/...): sha256-seeded floats. Clearly a FAKE — only the
+    non-strict fallback path ever uses it."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], dtype="<u4")
     return (raw.astype(np.float64) / 2**32).astype(np.float32)
+
+
+def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
+    """payload → FEATURE_DIM float32 vector via the real codec for
+    native formats; unknown formats raise (strict) or fall back to the
+    marked fake (non-strict)."""
+    fmt = _sniff_format(payload)
+    if fmt == "bmp":
+        return _image_features(codecs.decode_bmp(payload))
+    if fmt == "wav":
+        return _audio_features(*codecs.decode_wav(payload))
+    if fmt == "rawv":
+        return _video_features(*codecs.decode_rawv(payload))
+    if strict:
+        raise NotImplementedError(
+            f"no codec for this payload format in-container (native: {sorted(NATIVE_FORMATS)}; "
+            "png/jpeg/mp3 need PIL/librosa)"
+        )
+    return _fake_decode(payload)
 
 
 def extract_features(
@@ -91,15 +234,10 @@ def extract_features(
 ) -> DataFrame:
     """payload → float feature vector via Arrow-batched mapInPandas.
 
-    strict=True raises NotImplementedError when no real codec is present
-    (production posture); default uses the deterministic fake so the
-    pipeline shape is testable end-to-end.
+    Native formats (BMP/WAV/RAWV) go through the real decoders;
+    strict=True turns the fallback for anything else into a raise
+    (production posture).
     """
-    if strict and not HAVE_PIL:
-        raise NotImplementedError(
-            "no media codec in this environment — install PIL/librosa or run strict=False"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -120,7 +258,8 @@ def extract_features(
                         "kind": chunk["kind"].values,
                         "n_bytes": [len(p) for p in chunk["payload"]],
                         "features": [
-                            _fake_decode(bytes(p)).tolist() for p in chunk["payload"]
+                            decode_features(bytes(p), strict=strict).tolist()
+                            for p in chunk["payload"]
                         ],
                     }
                 )
@@ -128,25 +267,115 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(op, out_schema)
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize plumbing: filters kind=image, rewrites meta dims,
-    transforms payload via mapInPandas. STUB codec — payload passes
-    through unchanged (PIL absent); meta reflects the target size."""
+def image_pixel_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL image decode → exact integer pixel statistics per image.
+
+    All-integer outputs (sum/count/min/max over uint8 pixels) so the
+    result is bit-exact across engines — this is the surface the
+    media_image_decode contract query verifies against closed-form SQL.
+    """
     images = media.filter(F.col("kind") == "image")
+    schema = (
+        "media_id long, width int, height int, n_pixels long, "
+        "pixel_sum long, pixel_min int, pixel_max int"
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # real impl: Image.open(BytesIO(p)).resize((width, height))
-            yield pdf.assign(width=width, height=height)
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    px = codecs.decode_bmp(bytes(p))
+                    out.append(
+                        (
+                            mid,
+                            px.shape[1],
+                            px.shape[0],
+                            px.size,
+                            int(px.sum(dtype=np.int64)),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id", "width", "height", "n_pixels",
+                        "pixel_sum", "pixel_min", "pixel_max",
+                    ],
+                )
 
-    schema = "media_id long, payload binary, width int, height int"
     return images.select("media_id", "payload").mapInPandas(op, schema)
 
 
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, batch_rows: int = 64
+) -> DataFrame:
+    """REAL image resize: decode BMP → nearest-neighbor resample
+    (floor(dst·src/out) index map, exact integer arithmetic) → re-encode
+    BMP. Output payloads are valid BMPs at the target size."""
+    images = media.filter(F.col("kind") == "image")
+    schema = "media_id long, payload binary, width int, height int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    resized = codecs.resize_nearest(
+                        codecs.decode_bmp(bytes(p)), width, height
+                    )
+                    out.append((mid, bytearray(codecs.encode_bmp(resized)), width, height))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "payload", "width", "height"]
+                )
+
+    return images.select("media_id", "payload").mapInPandas(op, schema)
+
+
+def audio_sample_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL WAV decode → exact integer sample statistics per clip
+    (driver-verifiable against closed-form SQL like image_pixel_stats)."""
+    audio = media.filter(F.col("kind") == "audio")
+    schema = (
+        "media_id long, sample_rate int, n_samples long, "
+        "sample_sum long, sample_min int, sample_max int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    rate, s = codecs.decode_wav(bytes(p))
+                    out.append(
+                        (
+                            mid,
+                            rate,
+                            s.size,
+                            int(s.sum(dtype=np.int64)),
+                            int(s.min()) if s.size else 0,
+                            int(s.max()) if s.size else 0,
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id", "sample_rate", "n_samples",
+                        "sample_sum", "sample_min", "sample_max",
+                    ],
+                )
+
+    return audio.select("media_id", "payload").mapInPandas(op, schema)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    timestamp (codec-free — timestamps derive from meta.duration_ms; the
-    frame payload extraction is the stubbed step)."""
+    """Codec-free frame-timestamp sampling: one output row per sampled
+    timestamp, derived from meta.duration_ms (never touches payload).
+    Use extract_video_frames for real per-frame pixel access."""
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", F.col("meta.duration_ms").alias("duration_ms")
     )
@@ -156,6 +385,36 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def extract_video_frames(media: DataFrame, batch_rows: int = 16) -> DataFrame:
+    """REAL frame extraction from RAWV payloads: one row per frame with
+    its timestamp and each frame re-encoded as a standalone BMP payload
+    — the decode-side twin of sample_video_frames."""
+    vids = media.filter(F.col("kind") == "video")
+    schema = "media_id long, frame_idx int, frame_ts_ms int, frame_bmp binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    interval, frames = codecs.decode_rawv(bytes(p))
+                    for fi in range(frames.shape[0]):
+                        out.append(
+                            (
+                                mid,
+                                fi,
+                                fi * interval,
+                                bytearray(codecs.encode_bmp(frames[fi])),
+                            )
+                        )
+                yield pd.DataFrame(
+                    out, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_bmp"]
+                )
+
+    return vids.select("media_id", "payload").mapInPandas(op, schema)
 
 
 def media_embedding_topk(media: DataFrame, k: int = 3) -> DataFrame:

@@ -1,15 +1,24 @@
-"""Multimodal contract queries over the CODEC-FREE parts of the media
-pipeline (operators/multimodal.py): frame-timestamp sampling and
-Arrow-batched payload statistics.
+"""Multimodal contract queries over the REAL codec paths
+(operators/multimodal.py + functions/codecs.py).
 
-The synthetic media table is fully deterministic arithmetic —
-kind = i%3, duration_ms = 1000+37i, payload length = 32·(4+i%7) — so
-both queries replay exactly in DuckDB without any codec: the oracle
-recomputes the expected values from the generators while the Spark side
-runs the REAL pipeline (synthetic payload bytes through mapInPandas
-batching). The decode step itself stays gated behind strict=True
-(multimodal.extract_features) and is exactly what these queries do NOT
-claim to verify.
+The synthetic media table is closed-form arithmetic end to end — not
+just the payload SIZES but the payload CONTENTS:
+
+- image pixel(y, x, c) = (7x + 13y + 31c + i) mod 256, encoded as a
+  real 24-bit BMP (size 54 + 3·w·h — w is a multiple of 16 so rows
+  need no padding);
+- audio sample(t) = ((t·(i+3)) mod 4096) − 2048, encoded as real
+  RIFF/WAVE PCM16 (size 44 + 2·n_samples, n_samples = 16·duration_ms
+  at 16 kHz);
+- video frame f pixel = (11f + 7x + 13y + 31c + i) mod 256 in the
+  documented RAWV container (size 20 + 2304·n_frames at 32×24,
+  n_frames = duration_ms//500 + 1).
+
+So DuckDB can replay the DECODED values in plain integer SQL while the
+Spark side runs the actual binary round trip: encode → Arrow batch →
+mapInPandas decode → integer stats. A hash match here verifies the
+real codec, not just the plumbing. All decode-stat queries return pure
+integers — no float rounding surface at all.
 """
 
 from __future__ import annotations
@@ -18,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from degdb_spark.operators.multimodal import (
+    audio_sample_stats,
     extract_features,
+    extract_video_frames,
+    image_pixel_stats,
+    resize_images,
     sample_video_frames,
     synthetic_media,
 )
@@ -26,6 +39,18 @@ from degdb_spark.queries import Query
 from degdb_spark.queries.rounding import sql_dround
 
 _N_MEDIA = 100
+
+#: shared oracle CTE: the generator arithmetic for all three kinds
+_MEDIA_CTE = f"""
+media AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         64 + (i % 8) * 16 AS w,
+         64 + (i % 5) * 16 AS h,
+         1000 + i * 37 AS duration_ms
+  FROM generate_series(0, {_N_MEDIA - 1}) t(i)
+)
+"""
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,14 +70,10 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME_SQL = f"""
-WITH media AS (
-  SELECT i AS media_id, 1000 + i * 37 AS duration_ms
-  FROM generate_series(0, {_N_MEDIA - 1}) t(i)
-  WHERE i % 3 = 2
-),
+WITH {_MEDIA_CTE},
 frames AS (
   SELECT media_id, unnest(generate_series(0, duration_ms, 500)) AS frame_ts_ms
-  FROM media
+  FROM media WHERE kind = 'video'
 )
 SELECT media_id, COUNT(*) AS n_frames, CAST(MAX(frame_ts_ms) AS BIGINT) AS max_ts_ms
 FROM frames GROUP BY media_id ORDER BY media_id
@@ -61,8 +82,9 @@ FROM frames GROUP BY media_id ORDER BY media_id
 
 def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-kind payload statistics THROUGH the Arrow mapInPandas feature
-    operator — n_bytes is computed executor-side from the actual binary
-    payloads, so this drives the real batching plumbing."""
+    operator — n_bytes is measured executor-side from the actual encoded
+    BMP/WAV/RAWV binaries; the oracle recomputes the exact encoded sizes
+    from the format specs."""
     media = synthetic_media(spark, _N_MEDIA)
     feats = extract_features(media, batch_rows=16)
     return (
@@ -83,19 +105,137 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAYLOAD_SQL = f"""
-WITH media AS (
-  SELECT i,
-         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         32 * (4 + i % 7) AS n_bytes
-  FROM generate_series(0, {_N_MEDIA - 1}) t(i)
+WITH {_MEDIA_CTE},
+sized AS (
+  SELECT kind,
+         CASE kind
+           WHEN 'image' THEN 54 + 3 * w * h
+           WHEN 'audio' THEN 44 + 32 * duration_ms
+           ELSE 20 + 2304 * (duration_ms // 500 + 1)
+         END AS n_bytes
+  FROM media
 )
 SELECT kind, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        {sql_dround('SUM(n_bytes)::DOUBLE / COUNT(*)', 4)} AS avg_bytes
-FROM media GROUP BY kind ORDER BY kind
+FROM sized GROUP BY kind ORDER BY kind
+"""
+
+
+def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode verified bit-exactly: encode deterministic pixels
+    → Arrow batches → pure-numpy BMP decode → integer pixel stats; the
+    oracle replays pixel(y,x,c) = (7x+13y+31c+i) mod 256 in SQL."""
+    media = synthetic_media(spark, _N_MEDIA)
+    return image_pixel_stats(media).orderBy("media_id")
+
+
+IMAGE_DECODE_SQL = f"""
+WITH {_MEDIA_CTE},
+px AS (
+  SELECT m.media_id, m.w, m.h,
+         (7 * xs.x + 13 * ys.y + 31 * cs.c + m.media_id) % 256 AS v
+  FROM media m,
+       LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cs
+  WHERE m.kind = 'image'
+)
+SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+FROM px GROUP BY media_id ORDER BY media_id
+"""
+
+
+def media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode verified bit-exactly: PCM16 round trip → integer
+    sample stats; oracle replays sample(t) = ((t·(i+3)) mod 4096) − 2048."""
+    media = synthetic_media(spark, _N_MEDIA)
+    return audio_sample_stats(media).orderBy("media_id")
+
+
+AUDIO_DECODE_SQL = f"""
+WITH {_MEDIA_CTE},
+s AS (
+  SELECT m.media_id,
+         ((ts.t * (m.media_id + 3)) % 4096) - 2048 AS v
+  FROM media m,
+       LATERAL (SELECT unnest(generate_series(0, 16 * m.duration_ms - 1)) AS t) ts
+  WHERE m.kind = 'audio'
+)
+SELECT media_id, CAST(16000 AS INT) AS sample_rate, COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS sample_min, CAST(MAX(v) AS INT) AS sample_max
+FROM s GROUP BY media_id ORDER BY media_id
+"""
+
+
+def media_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize verified bit-exactly: decode → nearest-neighbor
+    resample to 32×32 (floor(dst·src/out) index map) → re-encode BMP →
+    decode AGAIN → integer stats. The oracle replays the exact index
+    arithmetic, so a hash match pins the full decode/resize/encode loop."""
+    media = synthetic_media(spark, _N_MEDIA)
+    resized = resize_images(media, width=32, height=32)
+    # second decode pass over the re-encoded payloads
+    back = resized.select("media_id", F.lit("image").alias("kind"), "payload")
+    return image_pixel_stats(back).orderBy("media_id")
+
+
+RESIZE_SQL = f"""
+WITH {_MEDIA_CTE},
+px AS (
+  SELECT m.media_id,
+         (7 * ((xs.x * m.w) // 32) + 13 * ((ys.y * m.h) // 32)
+          + 31 * cs.c + m.media_id) % 256 AS v
+  FROM media m,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS y) ys,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cs
+  WHERE m.kind = 'image'
+)
+SELECT media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+FROM px GROUP BY media_id ORDER BY media_id
+"""
+
+
+def media_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction: RAWV decode → one BMP per frame; per
+    video the frame count, last timestamp from the container header,
+    and total re-encoded BMP bytes (2358 per 32×24 frame)."""
+    media = synthetic_media(spark, _N_MEDIA)
+    frames = extract_video_frames(media)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
+            F.sum(F.length("frame_bmp")).cast("long").alias("total_bmp_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+FRAME_EXTRACT_SQL = f"""
+WITH {_MEDIA_CTE},
+vids AS (
+  SELECT media_id, duration_ms // 500 + 1 AS n_frames
+  FROM media WHERE kind = 'video'
+)
+SELECT media_id, n_frames,
+       CAST((n_frames - 1) * 500 AS BIGINT) AS last_ts_ms,
+       CAST(n_frames * (54 + 3 * 32 * 24) AS BIGINT) AS total_bmp_bytes
+FROM vids ORDER BY media_id
 """
 
 
 QUERIES: dict[str, Query] = {
     "media_frame_sample": Query(media_frame_sample, FRAME_SQL),
     "media_payload_stats": Query(media_payload_stats, PAYLOAD_SQL),
+    "media_image_decode": Query(media_image_decode, IMAGE_DECODE_SQL),
+    "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
+    "media_resize_check": Query(media_resize_check, RESIZE_SQL),
+    "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),
 }

@@ -1,11 +1,13 @@
-"""Multimodal plumbing tests: schema, batch shape, determinism — the
-codec itself is stubbed (no PIL in this environment)."""
+"""Multimodal tests: real BMP/WAV/RAWV codec round trips through the
+Arrow mapInPandas operators — plus the strict gate for formats that
+genuinely have no in-container codec (png/jpeg/mp3)."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
+from degdb_spark.functions import codecs as C
 from degdb_spark.operators import multimodal as M
 
 
@@ -21,6 +23,18 @@ def test_media_schema(media):
     assert kinds == {"image", "audio", "video"}
 
 
+def test_payloads_are_real_formats(media):
+    rows = media.select("kind", "payload", "meta").limit(9).collect()
+    for r in rows:
+        magic = bytes(r.payload[:4])
+        if r.kind == "image":
+            assert magic[:2] == b"BM" and r.meta.format == "bmp"
+        elif r.kind == "audio":
+            assert magic == b"RIFF" and r.meta.format == "wav"
+        else:
+            assert magic == b"RAWV" and r.meta.format == "rawv"
+
+
 def test_extract_features_shape_and_determinism(media):
     out = M.extract_features(media, batch_rows=16)
     rows = out.collect()
@@ -33,18 +47,34 @@ def test_extract_features_shape_and_determinism(media):
     assert first == again
 
 
-def test_strict_mode_raises_without_codec(media):
+def test_strict_mode_works_on_native_formats(media):
+    # BMP/WAV/RAWV have real in-container codecs — strict no longer raises
+    assert M.extract_features(media, strict=True).count() == 60
+
+
+def test_strict_mode_raises_for_foreign_formats():
     if M.HAVE_PIL:
         pytest.skip("codec present")
     with pytest.raises(NotImplementedError):
-        M.extract_features(media, strict=True)
+        M.decode_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, strict=True)
+    # non-strict falls back to the marked fake
+    assert len(M.decode_features(b"\x89PNG" + b"\x00" * 64)) == M.FEATURE_DIM
 
 
-def test_resize_plumbing(media):
+def test_resize_real_pixels(media):
     out = M.resize_images(media, 128, 128).collect()
     n_images = media.filter(F.col("kind") == "image").count()
     assert len(out) == n_images
-    assert all(r.width == 128 and r.height == 128 for r in out)
+    for r in out:
+        assert r.width == 128 and r.height == 128
+        px = C.decode_bmp(bytes(r.payload))
+        assert px.shape == (128, 128, 3)
+    # nearest-neighbor pick is the exact floor(dst*src/out) pixel
+    r0 = next(r for r in out if r.media_id == 0)
+    w, h = M._image_dims(0)
+    src = M._image_pixels(0, w, h)
+    dst = C.decode_bmp(bytes(r0.payload))
+    assert (dst[5, 17] == src[(5 * h) // 128, (17 * w) // 128]).all()
 
 
 def test_video_frame_sampling(media):
@@ -61,6 +91,29 @@ def test_video_frame_sampling(media):
     for r in df.collect():
         assert r.n == meta[r.media_id] // 250 + 1
         assert r.mx <= meta[r.media_id]
+
+
+def test_extract_video_frames_real_decode(media):
+    frames = M.extract_video_frames(media).collect()
+    # every frame re-encodes as a valid standalone BMP at 32×24
+    f = frames[0]
+    px = C.decode_bmp(bytes(f.frame_bmp))
+    assert px.shape == (M.VIDEO_FRAME_H, M.VIDEO_FRAME_W, 3)
+    # frame pixel values match the generator arithmetic
+    i, fi = f.media_id, f.frame_idx
+    assert px[0, 0, 0] == (11 * fi + i) % 256
+    # timestamps follow the container's frame interval
+    assert all(r.frame_ts_ms == r.frame_idx * M.VIDEO_FRAME_INTERVAL_MS for r in frames)
+
+
+def test_audio_stats_match_generator(media):
+    stats = {r.media_id: r for r in M.audio_sample_stats(media).collect()}
+    i = 1
+    s = M._audio_samples(i, 1000 + 37 * i)
+    r = stats[i]
+    assert r.n_samples == s.size
+    assert r.sample_sum == int(s.sum())
+    assert (r.sample_min, r.sample_max) == (int(s.min()), int(s.max()))
 
 
 def test_media_similarity_end_to_end(media):
