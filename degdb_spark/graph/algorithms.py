@@ -120,10 +120,13 @@ def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
     label changes. Each superstep is one shuffle on vertex id.
     """
     vertices, directed = graph_view(triples)
+    # materialize once: every superstep joins edges, and lazily they'd
+    # re-derive the triple scan per iteration (measured 4× on the gate)
     edges = (
         directed.select("src", "dst")
         .union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # initial component = own id
     state = vertices.withColumn("component", F.col("id"))
@@ -174,6 +177,8 @@ def bfs_distances(
         edges = edges.union(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
+    # one materialization; every BFS level joins the same edge frame
+    edges = edges.localCheckpoint(eager=True)
     spark = triples.sparkSession
     visited = spark.createDataFrame([(source, 0)], ["id", "dist"])
     frontier = visited

@@ -5,11 +5,16 @@ GraphX is Scala-only; this is the standard PySpark re-expression of its
 for analytics"): vertices and edges are DataFrames, one superstep =
 join(vertices, edges) → per-destination aggregation → vertex update.
 
-Scale discipline (SURVEY.md §7 risk 1): every superstep re-partitions on
-the vertex id so the join is co-partitioned, and the vertex frame is
-localCheckpoint()ed every ``checkpoint_every`` supersteps to truncate the
-iterative lineage — without that, 20 PageRank iterations build a
-2^20-node plan.
+Scale discipline (SURVEY.md §7 risk 1): the edge frame is materialized
+ONCE before the loop (every superstep joins it; leaving it lazy re-runs
+the upstream scan/derivation per superstep), and the vertex frame is
+localCheckpoint()ed every ``checkpoint_every`` supersteps — default 1,
+because update() typically references the state twice (main branch +
+an aggregate branch like dangling mass), so an unmaterialized state
+recomputes its whole inter-checkpoint lineage twice per superstep;
+measured 3× on 10-iteration PageRank. This is GraphX's own discipline
+(each Pregel iteration materializes and unpersists the previous), not a
+local-mode hack.
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ def pregel(
     aggregate: Callable[[DataFrame], DataFrame],
     update: Callable[[DataFrame, DataFrame], DataFrame],
     max_iter: int = 20,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Generic superstep loop.
 
@@ -40,6 +45,7 @@ def pregel(
     - aggregate(messages)     -> one row per ``dst`` (grouped agg)
     - update(vertices, aggd)  -> next vertex state (left join on id)
     """
+    edges = edges.localCheckpoint(eager=True)
     state = initial(vertices)
     for i in range(max_iter):
         joined = edges.join(

@@ -19,9 +19,14 @@ from degdb_spark.sources.triples import TRIPLES_SQL, triples_df
 _CTE = f"WITH triples AS ({TRIPLES_SQL})"
 
 
-def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _triples(spark: SparkSession, sf_dir: str, materialize: bool = False) -> DataFrame:
+    """materialize=True checkpoints the derived triple view — the
+    iterative algorithms reference it from several branches (vertices,
+    edges, out-degrees), and each lazy reference re-runs the 5-table
+    union derivation; one materialization amortizes them all."""
     register_all(spark, sf_dir)
-    return triples_df(spark)
+    t = triples_df(spark)
+    return t.localCheckpoint(eager=False) if materialize else t
 
 
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +57,7 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel supersteps into chained SQL CTEs with the identical update
     formula; double drift from aggregation order is absorbed by the 6dp
     rounding, and the top-20 ordering ties break on node id."""
-    t = _triples(spark, sf_dir)
+    t = _triples(spark, sf_dir, materialize=True)
     return (
         G.pagerank(t, max_iter=10)
         .orderBy(F.col("pagerank").desc(), F.col("id"))
@@ -106,14 +111,14 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation is in a region, every customer/supplier in a nation, every
     order by a customer): the oracle asserts the algorithm found
     exactly one component with the right size and min-label."""
-    t = _triples(spark, sf_dir)
+    t = _triples(spark, sf_dir, materialize=True)
     return G.component_summary(t)
 
 
 def graph_bfs_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-distance histogram from region/0 over undirected edges —
     deterministic ints. Rows-only (iterative)."""
-    t = _triples(spark, sf_dir)
+    t = _triples(spark, sf_dir, materialize=True)
     dists = G.bfs_distances(t, "region/0", max_depth=5, undirected=True)
     return (
         dists.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("dist")
