@@ -112,19 +112,24 @@ def pagerank(
     return final.select("id", dround(F.col("rank"), round_dp).alias("pagerank"))
 
 
-def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
+def hash_min_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
     """Undirected connected components by iterative min-label propagation
-    (HashMin — the standard Pregel CC).
+    (HashMin — the standard Pregel CC) over arbitrary (id) / (src, dst)
+    frames. Shared by the triple-graph view below and the near-dup
+    clustering in operators/dedup.py.
 
     Converges in O(diameter) supersteps; the loop early-exits when no
-    label changes. Each superstep is one shuffle on vertex id.
+    label changes. Each superstep is one shuffle on vertex id. The
+    resulting ``component`` label is the MIN vertex id of the component —
+    callers rely on that for deterministic representative selection.
     """
-    vertices, directed = graph_view(triples)
     # materialize once: every superstep joins edges, and lazily they'd
-    # re-derive the triple scan per iteration (measured 4× on the gate)
+    # re-derive the upstream scan per iteration (measured 4× on the gate)
     edges = (
-        directed.select("src", "dst")
-        .union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -154,6 +159,12 @@ def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return state
+
+
+def connected_components(triples: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components of the triple graph (see hash_min_components)."""
+    vertices, directed = graph_view(triples)
+    return hash_min_components(vertices, directed.select("src", "dst"), max_iter)
 
 
 def component_summary(triples: DataFrame) -> DataFrame:

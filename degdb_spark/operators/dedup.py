@@ -284,3 +284,56 @@ def simhash_near_dups(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters from verified pairs (id_a, id_b).
+
+    Near-duplication is not transitive (A~B, B~C does not imply A~C) but
+    dedup policy must be: if A~B then only one survives, so the keep-set
+    is one representative per *connected component* of the pair graph —
+    the FineWeb/CCNet convention. Components come from the shared HashMin
+    min-label loop (graph/algorithms.py): O(diameter) supersteps, one
+    shuffle each; near-dup clusters are shallow (diameter ~ chain length)
+    so this converges in a handful of rounds even at corpus scale.
+
+    Returns one row per document: (id_col, cluster_id, cluster_size,
+    kept). cluster_id = min doc id in the component, and the kept
+    representative is exactly that min-id doc — deterministic across
+    engines and runs.
+    """
+    from degdb_spark.graph.algorithms import hash_min_components
+
+    vertices = df.select(F.col(id_col).alias("id")).distinct()
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = hash_min_components(vertices, edges, max_iter=max_iter)
+    from pyspark.sql import Window
+
+    sizes = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("id").alias(id_col), F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(sizes))
+        .withColumn("kept", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The near-deduplicated corpus: keep the min-id representative of
+    each pair-graph component. Docs in no pair are their own component
+    and always survive. One semi-join after the cluster pass."""
+    keep = (
+        dedup_clusters(df, pairs, id_col, max_iter)
+        .filter(F.col("kept"))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")

@@ -198,6 +198,89 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering on a bounded slice: exact-Jaccard
+    pairs (≥0.4) → transitive components (HashMin) → min-id keep policy.
+    Fully oracle-checked — the DuckDB side replays the fixpoint with a
+    recursive CTE (min label over reachability)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.4)
+    return D.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+# Shared CTE prefix: the same bounded pair set as JACCARD_SQL, then the
+# undirected edge list and the min-label closure. UNION (not UNION ALL)
+# dedups the recursive frontier so the CTE terminates.
+_CLUSTER_CTE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS tokset
+  FROM documents WHERE doc_id < 80
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE FLOOR((CASE WHEN len(list_distinct(list_concat(a.tokset, b.tokset))) = 0 THEN 0.0
+               ELSE len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                    / len(list_distinct(list_concat(a.tokset, b.tokset))) END) * 10000 + 0.5) / 10000 >= 0.4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 80
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+), clusters AS (
+  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+)
+"""
+
+DEDUP_CLUSTERS_SQL = (
+    _CLUSTER_CTE
+    + """
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS kept
+FROM clusters ORDER BY doc_id
+"""
+)
+
+
+def neardup_kept_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level outcome of the near-dedup pass: how many docs
+    survive the keep-one-per-cluster policy."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.4)
+    kept = D.near_dedup(docs, pairs)
+    clusters = D.dedup_clusters(docs, pairs)
+    n_multi = (
+        clusters.filter(F.col("cluster_size") > 1)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.lit(n_multi).cast("long").alias("n_multi_clusters"),
+    )
+
+
+NEARDUP_KEPT_SQL = (
+    _CLUSTER_CTE
+    + """
+, sized AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM clusters
+)
+SELECT CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(DISTINCT CASE WHEN cluster_size > 1 THEN cluster_id END) AS BIGINT) AS n_multi_clusters
+FROM sized
+"""
+)
+
+
 def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — rows-only check
     (the banding involves engine-specific hashing), but the verifier
@@ -222,6 +305,8 @@ QUERIES: dict[str, Query] = {
     "docs_exact_dedup": Query(exact_dedup_groups, EXACT_DEDUP_SQL),
     "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),
     "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),
+    "docs_dedup_clusters": Query(dedup_clusters_query, DEDUP_CLUSTERS_SQL),
+    "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, None),
     "docs_simhash_neardups": Query(simhash_neardups, None),
 }

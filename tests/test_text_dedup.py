@@ -102,3 +102,25 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(0, "two words")], ["doc_id", "text"])
     arr = df.select(X.shingle_fingerprints("text", k=5).alias("sh")).collect()[0].sh
     assert len(arr) == 1
+
+
+def test_dedup_clusters_transitive(spark, docs):
+    # A~B, B~C chains into one cluster even though A~C was never a pair
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"])
+    out = {r.doc_id: r for r in D.dedup_clusters(docs, pairs).collect()}
+    assert {d: out[d].cluster_id for d in range(8)} == {
+        0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7,
+    }
+    assert out[0].cluster_size == 3 and out[6].cluster_size == 2
+    assert {d for d in out if out[d].kept} == {0, 3, 4, 5, 7}
+
+
+def test_near_dedup_keeps_min_id(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in D.near_dedup(docs, pairs).collect())
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_near_dedup_no_pairs_keeps_all(spark, docs):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.near_dedup(docs, pairs).count() == docs.count()
