@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from degdb_spark.operators.balance import rebalance_for_compute
 from degdb_spark.operators.text import fingerprint, shingle_fingerprints, tokens
 from degdb_spark.queries.rounding import dround
 
@@ -72,15 +73,20 @@ def _minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
     # element-wise min — the shingle array is evaluated exactly once
     # (32 separate array_min(transform(...)) projections would each
     # re-evaluate the shingling; Catalyst doesn't CSE across them).
+    # The hash slots come from transform over sequence(0..n-1), not an
+    # unrolled literal array: identical values (the slot index hashes the
+    # same as lit(i) — both int), but the expression tree stays O(1) in
+    # num_hashes, cutting whole-stage codegen compile ~2-3 s per query.
     max_long = (1 << 63) - 1
     return F.aggregate(
         F.transform(
             shingles_col,
-            lambda x: F.array(
-                *[F.xxhash64(x, F.lit(seed), F.lit(i)) for i in range(num_hashes)]
+            lambda x: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(x, F.lit(seed), i),
             ),
         ),
-        F.array(*[F.lit(max_long).cast("long")] * num_hashes),
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
     )
 
@@ -110,15 +116,18 @@ def minhash_lsh_candidates(
     # accumulated signature is a bound variable — evaluated once per
     # row. (Deriving bands from a separate sig column re-evaluates the
     # whole signature aggregate per reference after project-collapse;
-    # measured 20-80× slowdown.)
+    # measured 20-80× slowdown.) Hash slots loop over sequence() rather
+    # than unrolling — same values, O(1) codegen size (see
+    # _minhash_signature).
     band_arr = F.aggregate(
         F.transform(
             shingle_fingerprints(text_col, k=shingle_k),
-            lambda x: F.array(
-                *[F.xxhash64(x, F.lit(42), F.lit(i)) for i in range(num_hashes)]
+            lambda x: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(x, F.lit(42), i),
             ),
         ),
-        F.array(*[F.lit(max_long).cast("long")] * num_hashes),
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
         lambda acc: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -132,6 +141,7 @@ def minhash_lsh_candidates(
             ),
         ),
     )
+    df = rebalance_for_compute(df)
     banded = df.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
     )
@@ -203,33 +213,38 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     stays in codegen; one projection, no shuffle.
     """
     toks = tokens(text_col)
-    # per-token bit votes, unrolled over literal bit positions (the
-    # shiftright wrapper requires a literal shift count)
+    # per-token bit votes; bit positions loop over sequence() with a
+    # column-valued shift (F.call_function — the F.shiftright wrapper
+    # only takes literal counts), keeping codegen O(1) in `bits`
     bit_votes = F.aggregate(
         F.transform(toks, lambda t: F.xxhash64(t)),
-        F.array(*[F.lit(0).cast("long")] * bits),
+        F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, h: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-                    .otherwise(-1)
-                    .cast("long")
-                    for i in range(bits)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+                )
+                .otherwise(-1)
+                .cast("long"),
             ),
             lambda a, v: a + v,
         ),
     ).alias("votes")
-    votes_df = df.select(F.col(id_col), bit_votes)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp.bitwiseOR(
+    votes_df = rebalance_for_compute(df).select(F.col(id_col), bit_votes)
+    # fingerprint = sign bits of the vote vector, folded with a
+    # column-valued shiftleft over the same sequence trick
+    fp = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc.bitwiseOR(
             F.when(
                 F.element_at("votes", i + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
+                F.call_function("shiftleft", F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
-        )
+        ),
+    )
     return votes_df.select(F.col(id_col), fp.alias("simhash"))
 
 

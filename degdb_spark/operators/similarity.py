@@ -23,6 +23,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from degdb_spark.operators.balance import rebalance_for_compute
 from degdb_spark.queries.rounding import dround
 
 
@@ -69,7 +70,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = rebalance_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -156,6 +157,65 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return planes
 
 
+def _buckets_from_matrix(vec_col, h2d_col, n_tables: int, n_planes: int):
+    """srp_buckets_all with the coefficient matrix read from a COLUMN
+    instead of inlined literals. Identical arithmetic (same position-major
+    fold), but the hyperplanes travel as data — a dim×(tables·planes)
+    literal matrix (64×32 = 2048 nodes) otherwise dominates whole-stage
+    codegen compile time (~3 s per query at the default shape)."""
+    width = n_tables * n_planes
+    return F.aggregate(
+        F.zip_with(
+            vec_col, h2d_col, lambda x, hrow: F.transform(hrow, lambda h: h * x.cast("double"))
+        ),
+        F.array_repeat(F.lit(0.0), width),
+        lambda acc, row: F.zip_with(acc, row, lambda a, b: a + b),
+        lambda projs: F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0),
+                lambda acc, p: acc
+                + F.when(
+                    F.element_at(projs, t * n_planes + p + 1) >= 0,
+                    F.pow(F.lit(2.0), p).cast("int"),
+                ).otherwise(F.lit(0)),
+            ).cast("int"),
+        ),
+    )
+
+
+def _sketched(
+    df: DataFrame,
+    side: str,
+    tables: list[list[list[float]]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(side_id, side_vec, tbl, bucket) rows — all sketch tables in one
+    pass. The hyperplane matrix rides in via a broadcast 1-row cross
+    join (a length-dim array column), not as expression literals."""
+    n_tables, n_planes = len(tables), len(tables[0])
+    spark = df.sparkSession
+    h2d = [
+        [float(tables[t][p][i]) for t in range(n_tables) for p in range(n_planes)]
+        for i in range(dim)
+    ]
+    mat = spark.createDataFrame([(h2d,)], "_h2d array<array<double>>")
+    return (
+        rebalance_for_compute(df)
+        .crossJoin(F.broadcast(mat))
+        .select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            F.posexplode(
+                _buckets_from_matrix(F.col(vec_col), F.col("_h2d"), n_tables, n_planes)
+            ).alias("tbl", "bucket"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,19 +244,8 @@ def lsh_topk(
     tables = [
         make_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
     ]
-
-    def sketched(df: DataFrame, side: str) -> DataFrame:
-        # all tables' buckets in one pass over the vector, then posexplode
-        return df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"{side}_vec"),
-            F.posexplode(srp_buckets_all(F.col(vec_col), tables, dim)).alias(
-                "tbl", "bucket"
-            ),
-        )
-
-    cq = sketched(queries, "query")
-    cc = sketched(corpus, "neighbor")
+    cq = _sketched(queries, "query", tables, dim, id_col, vec_col)
+    cc = _sketched(corpus, "neighbor", tables, dim, id_col, vec_col)
     if broadcast_queries:
         cq = F.broadcast(cq)
     cand = (

@@ -151,9 +151,14 @@ def test_neardup_no_corpus_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _plan(embedding_near_dups(emb, threshold=0.8))
-        assert "BroadcastExchange" not in plan
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # The ONLY allowed broadcast is the 1-row SRP hyperplane matrix
+        # (a LocalTableScan of _h2d — constant-size data, the thing that
+        # SHOULD replicate). Any other BroadcastExchange would mean a
+        # corpus-derived side is being replicated — the 100 TB killer.
+        for seg in plan.split("BroadcastExchange")[1:]:
+            head = "\n".join(seg.splitlines()[:3])
+            assert "_h2d" in head, head
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
