@@ -150,6 +150,122 @@ def let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams (space-joined token windows); empty array
+    when the document has fewer than n tokens."""
+
+    def build(toks: Column) -> Column:
+        sz = F.size(toks)
+        idx = F.sequence(F.lit(0), sz - n)
+        return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    return let(tokens(col), build)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, all in-codegen array math:
+
+    - dup_2gram_ratio / dup_3gram_ratio: fraction of word n-grams that
+      are repeats of an earlier one (1 − distinct/total);
+    - top_2gram_share: share of all 2-grams taken by the most frequent
+      one (boilerplate detector).
+
+    The top-share pass is O(u·n) per row over the distinct n-grams —
+    bounded by document length, no shuffle, no Python.
+    """
+
+    def dup_ratio(n: int) -> Column:
+        def body(g: Column) -> Column:
+            total = F.size(g)
+            return F.when(total <= 0, F.lit(0.0)).otherwise(
+                dround(1 - F.size(F.array_distinct(g)) / total, 4)
+            )
+
+        return let(ngrams(text_col, n), body)
+
+    def top_share(n: int) -> Column:
+        def body(g: Column) -> Column:
+            total = F.size(g)
+            top = F.array_max(
+                F.transform(
+                    F.array_distinct(g),
+                    lambda d: F.size(F.filter(g, lambda x: x == d)),
+                )
+            )
+            return F.when(total <= 0, F.lit(0.0)).otherwise(dround(top / total, 4))
+
+        return let(ngrams(text_col, n), body)
+
+    return (
+        df.withColumn("dup_2gram_ratio", dup_ratio(2))
+        .withColumn("dup_3gram_ratio", dup_ratio(3))
+        .withColumn("top_2gram_share", top_share(2))
+    )
+
+
+#: C4/Gopher-style document filter thresholds (public heuristics).
+FILTER_RULES = {
+    "word_count": (10, 10000),  # min/max whitespace tokens
+    "mean_word_len": (2.0, 12.0),  # chars per token
+    "max_symbol_ratio": 0.3,  # non-word/space chars
+    "max_dup_2gram": 0.5,  # duplicate 2-gram fraction
+    "min_stopword_ratio": 0.01,  # English-marker floor
+}
+
+
+def filter_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document boolean columns for each pretraining filter rule plus
+    ``passes_all`` — the Gopher/C4 rule-gate, columnar. Downstream keeps
+    `df.filter("passes_all")`; the flags survive for audit."""
+    lo_wc, hi_wc = FILTER_RULES["word_count"]
+    lo_ml, hi_ml = FILTER_RULES["mean_word_len"]
+    out = repetition_features(quality_features(df, text_col), text_col)
+    out = (
+        out.withColumn(
+            "rule_word_count",
+            F.col("n_tokens").between(lo_wc, hi_wc),
+        )
+        .withColumn(
+            "rule_mean_word_len",
+            (F.col("avg_token_len") >= lo_ml) & (F.col("avg_token_len") <= hi_ml),
+        )
+        .withColumn(
+            "rule_symbol_ratio",
+            F.col("punct_ratio") <= FILTER_RULES["max_symbol_ratio"],
+        )
+        .withColumn(
+            "rule_dup_2gram",
+            F.col("dup_2gram_ratio") <= FILTER_RULES["max_dup_2gram"],
+        )
+        .withColumn(
+            "rule_stopwords",
+            F.col("stopword_ratio") >= FILTER_RULES["min_stopword_ratio"],
+        )
+    )
+    flags = [c for c in out.columns if c.startswith("rule_")]
+    passes = F.lit(True)
+    for c in flags:
+        passes = passes & F.col(c)
+    return out.withColumn("passes_all", passes)
+
+
+def doc_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, df_count, idf) over the corpus — the vocabulary-building
+    pass. One explode + one groupBy shuffle on token; idf = ln(N/df)
+    with N carried as a broadcast 1-row aggregate (no driver action)."""
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    toks = df.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", dround(F.log(F.col("_n_docs") / F.col("df_count")), 6))
+        .drop("_n_docs")
+    )
+
+
 def shingle_fingerprints(col: Column | str, k: int = 5) -> Column:
     """Rolling k-word shingle fingerprints: array of xxhash64 values, one
     per k-token window — the input units for MinHash/SimHash."""

@@ -234,8 +234,43 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization reconstruction error (operators/
+    quantize.py) — scale, MSE, max abs error per vector; decimal-summed
+    so the oracle matches bit-for-bit."""
+    from degdb_spark.operators.quantize import reconstruction_error
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return reconstruction_error(emb).orderBy("vec_id")
+
+
+QUANTIZATION_SQL = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) / 127.0 AS scale
+  FROM embeddings WHERE vec_id < 100
+), e AS (
+  SELECT vec_id, scale, len(embedding) AS dim,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+              ELSE list_transform(embedding, x ->
+                   CAST(x AS DOUBLE) - FLOOR(CAST(x AS DOUBLE)/scale + 0.5) * scale)
+         END AS err
+  FROM q
+)
+SELECT vec_id,
+       FLOOR(scale * 100000000 + 0.5) / 100000000 AS scale,
+       CASE WHEN dim = 0 THEN 0.0
+            ELSE FLOOR((CAST(list_sum(list_transform(err, x -> CAST(x*x AS DECIMAL(30,20)))) AS DOUBLE) / dim) * 100000000 + 0.5) / 100000000
+       END AS mse,
+       FLOOR(COALESCE(list_max(list_transform(err, x -> abs(x))), 0.0) * 100000000 + 0.5) / 100000000 AS max_abs_err
+FROM e ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "emb_ivf_knn": Query(ivf_knn, None),
+    "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),
     "emb_centroid_by_label": Query(centroid_by_label, CENTROID_SQL),

@@ -11,6 +11,7 @@ from degdb_spark.catalog import load_table
 from degdb_spark.operators import dedup as D
 from degdb_spark.operators import text as X
 from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround
 
 # DuckDB-side token expression mirroring operators/text.tokens
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -298,7 +299,211 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(docs).orderBy("id_a", "id_b")
 
 
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        X.repetition_features(docs)
+        .select("doc_id", "dup_2gram_ratio", "dup_3gram_ratio", "top_2gram_share")
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) AS g2,
+    list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN len(g2) <= 0 THEN 0.0
+       ELSE FLOOR((1 - len(list_distinct(g2))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000 END AS dup_2gram_ratio,
+  CASE WHEN len(g3) <= 0 THEN 0.0
+       ELSE FLOOR((1 - len(list_distinct(g3))::DOUBLE / len(g3)) * 10000 + 0.5) / 10000 END AS dup_3gram_ratio,
+  CASE WHEN len(g2) <= 0 THEN 0.0
+       ELSE FLOOR((list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000 END AS top_2gram_share
+FROM g ORDER BY doc_id
+"""
+
+
+def filter_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher rule-gate flags per document (operators/text.py
+    FILTER_RULES thresholds)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        X.filter_rules(docs)
+        .select(
+            "doc_id",
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_dup_2gram",
+            "rule_stopwords",
+            "passes_all",
+        )
+        .orderBy("doc_id")
+    )
+
+
+FILTER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+), feats AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS punct_ratio,
+    len(list_filter(toks, t -> list_contains({_EN}, t))) AS en_hits,
+    LENGTH(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+    list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) AS g2
+  FROM t
+), derived AS (
+  SELECT doc_id, n_tokens, punct_ratio,
+    CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((n_nonspace::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END AS avg_token_len,
+    CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((en_hits::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END AS stopword_ratio,
+    CASE WHEN len(g2) <= 0 THEN 0.0
+         ELSE FLOOR((1 - len(list_distinct(g2))::DOUBLE / len(g2)) * 10000 + 0.5) / 10000 END AS dup_2gram_ratio
+  FROM feats
+)
+SELECT doc_id,
+  n_tokens BETWEEN 10 AND 10000 AS rule_word_count,
+  avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS rule_mean_word_len,
+  punct_ratio <= 0.3 AS rule_symbol_ratio,
+  dup_2gram_ratio <= 0.5 AS rule_dup_2gram,
+  stopword_ratio >= 0.01 AS rule_stopwords,
+  (n_tokens BETWEEN 10 AND 10000) AND (avg_token_len >= 2.0 AND avg_token_len <= 12.0)
+    AND punct_ratio <= 0.3 AND dup_2gram_ratio <= 0.5 AND stopword_ratio >= 0.01 AS passes_all
+FROM derived ORDER BY doc_id
+"""
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by document frequency with
+    IDF weights (ties break on token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.doc_frequency(docs)
+        .orderBy(F.col("df_count").desc(), "token")
+        .limit(100)
+    )
+
+
+VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+), df AS (
+  SELECT token, COUNT(*) AS df_count FROM toks GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT token, df_count,
+       FLOOR(ln(n_docs::DOUBLE / df_count) * 1000000 + 0.5) / 1000000 AS idf
+FROM df, n
+ORDER BY df_count DESC, token LIMIT 100
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the doc_id<50 slice: term
+    frequency × ln(N/df), ranked on the rounded score (cross-engine
+    stable ordering), ties on token."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tot = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_total"))
+    dfreq = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        tf.join(doc_tot, on="doc_id")
+        .join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            dround(
+                (F.col("cnt") / F.col("doc_total"))
+                * F.log(F.col("_n_docs") / F.col("df_count")),
+                6,
+            ),
+        )
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tfidf", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 50
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM base
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token
+), tot AS (
+  SELECT doc_id, COUNT(*) AS doc_total FROM tok GROUP BY doc_id
+), dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df_count FROM tok GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM base
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         FLOOR(((tf.cnt::DOUBLE / tot.doc_total) * ln(n.n_docs::DOUBLE / dfreq.df_count)) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+          JOIN dfreq ON tf.token = dfreq.token
+          CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tfidf, term_rank FROM ranked
+WHERE term_rank <= 3 ORDER BY doc_id, term_rank
+"""
+
+
+def packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing placements (operators/
+    packing.py two-phase scan), 256-token windows."""
+    from degdb_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return pack_documents(docs, budget=256).orderBy("doc_id")
+
+
+PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < 300
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 256 AS pack_id,
+       n_tokens > 0 AND (start_offset // 256) <> ((start_offset + GREATEST(n_tokens - 1, 0)) // 256) AS crosses_boundary
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
+    "docs_filter_rules": Query(filter_rules_query, FILTER_RULES_SQL),
+    "docs_vocab_topk": Query(vocab_topk, VOCAB_SQL),
+    "docs_tfidf_terms": Query(tfidf_top_terms, TFIDF_SQL),
+    "docs_packing": Query(packing_query, PACKING_SQL),
     "docs_token_stats": Query(token_stats, TOKEN_STATS_SQL),
     "docs_quality_scores": Query(quality_scores, QUALITY_SQL),
     "docs_language_id": Query(language_id, LANG_ID_SQL),

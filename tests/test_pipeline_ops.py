@@ -1,0 +1,93 @@
+"""Unit tests for the training-data pipeline operators added in round 2:
+repetition metrics, filter rules, vocabulary, sequence packing, int8
+quantization — hand-computed expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from degdb_spark.operators import text as X
+from degdb_spark.operators.packing import pack_documents
+from degdb_spark.operators.quantize import quantize_int8, reconstruction_error
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b a b a b"),          # heavy 2-gram repetition
+        (1, "one two three four"),   # no repetition
+        (2, ""),                     # empty
+        (3, "x"),                    # single token — no 2-grams
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngrams(spark):
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    out = df.select(X.ngrams("text", 2).alias("g")).collect()[0].g
+    assert out == ["a b", "b c"]
+    assert df.select(X.ngrams("text", 4).alias("g")).collect()[0].g == []
+
+
+def test_repetition_features(docs):
+    out = {r.doc_id: r for r in X.repetition_features(docs).collect()}
+    # doc 0: 2-grams = [a b, b a, a b, b a, a b] → 5 total, 2 distinct
+    assert out[0].dup_2gram_ratio == pytest.approx(1 - 2 / 5, abs=1e-4)
+    # top 2-gram "a b" appears 3/5
+    assert out[0].top_2gram_share == pytest.approx(3 / 5, abs=1e-4)
+    assert out[1].dup_2gram_ratio == 0.0
+    assert out[2].dup_2gram_ratio == 0.0 and out[3].top_2gram_share == 0.0
+
+
+def test_filter_rules(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ran off fast"),  # passes
+        (1, "word " * 3),                                        # too short
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.filter_rules(df).collect()}
+    assert out[0].passes_all
+    assert not out[1].rule_word_count and not out[1].passes_all
+
+
+def test_doc_frequency(docs):
+    out = {r.token: r for r in X.doc_frequency(docs).collect()}
+    # "a" appears (distinct) in docs 0 and 3?? — doc 3 is "x"; "a" only doc 0
+    assert out["a"].df_count == 1
+    assert out["x"].df_count == 1
+    assert out["a"].idf == pytest.approx(math.log(4 / 1), abs=1e-6)
+
+
+def test_pack_documents_matches_serial(spark):
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(100)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    out = {r.doc_id: r for r in pack_documents(df, budget=10, num_partitions=8).collect()}
+    # serial reference
+    off = 0
+    for i in range(100):
+        n = i % 7 + 1
+        assert out[i].n_tokens == n
+        assert out[i].start_offset == off, f"doc {i}"
+        assert out[i].pack_id == off // 10
+        assert out[i].crosses_boundary == (off // 10 != (off + n - 1) // 10)
+        off += n
+
+
+def test_quantize_int8_properties(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert out[0].scale == pytest.approx(1.0 / 127)
+    assert out[0].codes == [127, -63, 32, 0]  # -0.5/s = -63.5 → floor(-63) ; 0.25/s = 31.75 → 32
+    assert out[1].scale == 0.0 and out[1].codes == [0, 0, 0, 0]
+    err = {r.vec_id: r for r in reconstruction_error(df).collect()}
+    # max error bounded by scale/2, + 8dp-rounding slack (the reported
+    # value is dround(·, 8) so it can exceed the raw bound by ≤5e-9)
+    assert err[0].max_abs_err <= out[0].scale / 2 + 5e-9
+    assert err[1].mse == 0.0 and err[1].max_abs_err == 0.0
