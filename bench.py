@@ -44,6 +44,10 @@ HEADLINE = [
     "events_cms_estimate",
     "events_hypertable_rollup",
     "docs_train_test_split",
+    "docs_dedup_clusters",
+    "docs_packing",
+    "docs_vocab_topk",
+    "emb_quantization",
 ]
 
 
