@@ -19,28 +19,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: File-stream schema: ts arrives as long nanos (see catalog.load_table).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, directory: str) -> DataFrame:
     """File-source stream of events parquet (a stand-in for Kafka: the
-    transformations downstream are source-agnostic)."""
+    transformations downstream are source-agnostic).
+
+    File streams need a declared schema, but the testdata's ``ts`` physical
+    type varies (TIMESTAMP(NANOS) surfaces as long under
+    ``nanosAsLong``; TIMESTAMP(MICROS) reads as a native timestamp) — peek
+    at the footer with the batch reader and adapt, mirroring
+    catalog.load_table's convert-only-if-long rule.
+    """
+    static = (
+        spark.read.option("pathGlobFilter", "events*.parquet").parquet(directory)
+    )
+    ts_is_long = isinstance(static.schema["ts"].dataType, T.LongType)
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            _events_stream_schema(T.LongType() if ts_is_long else T.TimestampType())
+        )
         .option("pathGlobFilter", "events*.parquet")
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        # long nanos → truncate to micros, same as the batch path
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

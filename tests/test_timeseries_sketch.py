@@ -66,9 +66,9 @@ def test_range_join_count(spark):
 
 
 def test_hypertable_rollup_consistency(spark):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    from degdb_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
     grains = hypertable_rollup(ev, dims=["event_type"])
     # day-from-hour equals day-from-raw
     direct = ev.groupBy(
