@@ -326,7 +326,20 @@ def dedup_clusters(
 
     vertices = df.select(F.col(id_col).alias("id")).distinct()
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = hash_min_components(vertices, edges, max_iter=max_iter)
+    # Only pair-touched docs can ever change label: run the superstep loop
+    # over that (dup-set-sized) vertex set and left-join singletons back as
+    # their own component. At corpus scale the near-dup set is a few % of
+    # documents, so this shrinks every superstep's state and shuffle from
+    # O(corpus) to O(dups) — the loop cost tracks the problem, not the table.
+    touched = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc_touched = hash_min_components(touched, edges, max_iter=max_iter)
+    cc = vertices.join(cc_touched, on="id", how="left").withColumn(
+        "component", F.coalesce("component", F.col("id"))
+    )
     from pyspark.sql import Window
 
     sizes = Window.partitionBy("cluster_id")

@@ -60,6 +60,11 @@ def get_spark(
         # (micro truncation — matching DuckDB's own nanos→micros behaviour).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # ContextCleaner only frees shuffle/checkpoint/broadcast state when
+        # driver GC runs; under light driver heap pressure that can lag a
+        # long-lived session into multi-second per-query aging (measured on
+        # the 26-query bench suite). Tighten the periodic-GC fallback.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
