@@ -8,9 +8,9 @@ Five tiers, each a different cost/recall point at 100 TB:
                pairs from bucket joins only (no all-pairs). The classic
                Broder scheme; at scale the band-bucket shuffle dominates
                and is ~linear in corpus size.
-- simhash:     64-bit weighted-projection fingerprint; near-dups differ
+- simhash:     60-bit weighted-projection fingerprint; near-dups differ
                in few bits. Hamming-ball search via 4-block exact-match
-               banding (any 16-bit block equal → candidate).
+               banding (any 15-bit block equal → candidate).
 - ngram-jaccard: exact verification on candidate pairs (token-set
                Jaccard) — used as the verifier behind the LSH recall
                stages.
@@ -18,17 +18,22 @@ Five tiers, each a different cost/recall point at 100 TB:
                operators/similarity.py.
 
 All stages are built-in-function compositions — no Python in the
-per-row path. MinHash permutations are seeded xxhash64 slots folded in a
-single pass over the shingle array.
+per-row path. MinHash/SimHash hashing is md5-derived and ENGINE-PORTABLE:
+every hash in the pipeline can be reproduced in ANSI-ish SQL
+(md5 hex → integer), so the full banding pipelines — not just their
+Jaccard verifiers — replay in the DuckDB correctness oracle. MinHash
+slots come from Kirsch-Mitzenmacher double hashing (one md5 per shingle,
+two independent halves, slot_i = h1 + i·h2), which costs one hash per
+shingle like the xxhash64 scheme it replaced while staying portable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from degdb_spark.operators.balance import rebalance_for_compute
-from degdb_spark.operators.text import fingerprint, shingle_fingerprints, tokens
+from degdb_spark.operators.text import fingerprint, let, ngrams, tokens
 from degdb_spark.queries.rounding import dround
 
 MERSENNE_P = (1 << 61) - 1
@@ -59,31 +64,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w_keep, on=id_col, how="left_semi")
 
 
-def _minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
-    """num_hashes minhash values over an array<long> of shingle hashes.
+def _shingle_hash_pair(shingle: Column) -> Column:
+    """[h1, h2] from ONE md5 of the shingle string: h1 = first 15 hex
+    digits (60 bits), h2 = hex digits 17-30 (56 bits). Both positive
+    longs, both exactly reproducible in DuckDB as
+    ``CAST(('0x' || substr(md5(s), off, len)) AS BIGINT)``."""
+    return let(
+        F.md5(shingle),
+        lambda m: F.array(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long"),
+            F.conv(F.substring(m, 17, 14), 16, 10).cast("long"),
+        ),
+    )
 
-    Permutation i is xxhash64(shingle, seed, i) — an independent 64-bit
-    keyed hash per slot, evaluated entirely in codegen. (A classical
-    (a·x+b) mod p universal family needs 128-bit arithmetic, which maps
-    to decimal ops in Spark and is ~100× slower; seeded xxhash64 has the
-    same min-stability property in practice and is the approach Spark's
-    own MinHashLSH-adjacent tooling takes.)
+
+def _minhash_signature(shingles_col, num_hashes: int):
+    """num_hashes minhash values over an array<string> of shingles.
+
+    Slot i's hash is h1 + i·h2 (Kirsch-Mitzenmacher double hashing over
+    the two md5 halves) — one md5 per shingle total, and every slot value
+    is plain 64-bit arithmetic both engines compute identically:
+    max(h1) + 31·max(h2) < 2^60 + 2^61 never overflows a signed long.
+    A seeded-xxhash64 slot family is marginally faster but engine-
+    private; md5 keeps the whole signature (and therefore LSH banding)
+    replayable in the DuckDB correctness oracle.
     """
-    # single pass: per shingle compute all num_hashes hashes, fold with
-    # element-wise min — the shingle array is evaluated exactly once
-    # (32 separate array_min(transform(...)) projections would each
-    # re-evaluate the shingling; Catalyst doesn't CSE across them).
-    # The hash slots come from transform over sequence(0..n-1), not an
-    # unrolled literal array: identical values (the slot index hashes the
-    # same as lit(i) — both int), but the expression tree stays O(1) in
-    # num_hashes, cutting whole-stage codegen compile ~2-3 s per query.
+    # single pass: per shingle compute all num_hashes slot hashes, fold
+    # with element-wise min — the shingle array is evaluated exactly once.
+    # Slots loop over sequence(0..n-1) so the tree stays O(1) in
+    # num_hashes (an unrolled literal array compiles ~2-3 s per query).
     max_long = (1 << 63) - 1
     return F.aggregate(
         F.transform(
             shingles_col,
-            lambda x: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(x, F.lit(seed), i),
+            lambda s: let(
+                _shingle_hash_pair(s),
+                lambda h: F.transform(
+                    F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                    lambda i: F.element_at(h, 1) + i.cast("long") * F.element_at(h, 2),
+                ),
             ),
         ),
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
@@ -118,20 +137,26 @@ def minhash_lsh_candidates(
     # whole signature aggregate per reference after project-collapse;
     # measured 20-80× slowdown.) Hash slots loop over sequence() rather
     # than unrolling — same values, O(1) codegen size (see
-    # _minhash_signature).
+    # _minhash_signature). The band hash is md5 of the comma-joined
+    # slot minima — a fixed-width shuffle key DuckDB reproduces verbatim
+    # (string_agg ... ORDER BY slot), so the banding itself is
+    # oracle-checkable, not just the Jaccard verifier behind it.
     band_arr = F.aggregate(
         F.transform(
-            shingle_fingerprints(text_col, k=shingle_k),
-            lambda x: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(x, F.lit(42), i),
+            ngrams(text_col, n=shingle_k),
+            lambda s: let(
+                _shingle_hash_pair(s),
+                lambda h: F.transform(
+                    F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                    lambda i: F.element_at(h, 1) + i.cast("long") * F.element_at(h, 2),
+                ),
             ),
         ),
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
         lambda acc: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(
+            lambda b: F.md5(
                 F.concat_ws(
                     ",",
                     F.transform(
@@ -142,9 +167,13 @@ def minhash_lsh_candidates(
         ),
     )
     df = rebalance_for_compute(df)
+    # materialize the (tiny: one row per doc·band) sketch before the
+    # self-join — otherwise both join sides re-evaluate the signature
+    # fold over the full corpus. At cluster scale this is the difference
+    # between scanning the corpus once and twice.
     banded = df.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
-    )
+    ).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -205,19 +234,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over token hashes.
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """60-bit SimHash over engine-portable token hashes.
 
     Each token votes its hash's bits ±1; the fingerprint is the sign
     vector. Expressed with aggregate/transform over the token array —
-    stays in codegen; one projection, no shuffle.
+    stays in codegen; one projection, no shuffle. Token hashes are the
+    first 15 md5 hex digits as a long (60 usable bits — hence a 60-bit
+    fingerprint rather than 64), so the identical fingerprint is
+    computable in DuckDB for the correctness oracle.
     """
     toks = tokens(text_col)
     # per-token bit votes; bit positions loop over sequence() with a
     # column-valued shift (F.call_function — the F.shiftright wrapper
     # only takes literal counts), keeping codegen O(1) in `bits`
     bit_votes = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        ),
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, h: F.zip_with(
             acc,
@@ -256,7 +290,7 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
 
-    Banding: split the 64-bit fingerprint into 4 × 16-bit blocks; any
+    Banding: split the 60-bit fingerprint into 4 × 15-bit blocks; any
     pair within Hamming distance 3 must agree exactly on ≥1 block
     (pigeonhole), so candidates come from 4 block-equality buckets —
     linear shuffle, no all-pairs.
@@ -270,8 +304,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("block_val"),
                     )
                     for b in range(4)

@@ -1,6 +1,8 @@
-"""Text-analysis + dedup queries over `documents`, oracle-checked where
-SQL-expressible (minhash/simhash are rows-only — the driver records the
-weaker check; their Jaccard verifier IS oracle-checked)."""
+"""Text-analysis + dedup queries over `documents` — every query here is
+oracle-checked, including the MinHash-LSH and SimHash banding pipelines:
+their hashing is md5-derived (operators/dedup.py), so DuckDB replays the
+exact signatures, band buckets, and Hamming balls, not just the Jaccard
+verifier behind them."""
 
 from __future__ import annotations
 
@@ -283,9 +285,9 @@ FROM sized
 
 
 def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard — rows-only check
-    (the banding involves engine-specific hashing), but the verifier
-    semantics are pinned by ngram_jaccard_neardups above."""
+    """MinHash-LSH candidates verified by exact Jaccard. Fully
+    oracle-checked: the md5 double-hash slots, band buckets, and verifier
+    all replay in DuckDB (MINHASH_SQL)."""
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs)
     return D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4).orderBy(
@@ -293,10 +295,103 @@ def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact DuckDB replay of the banded-LSH pipeline: same shingles, same
+# md5 halves (h1: hex 1-15, h2: hex 17-30), same slot family
+# h1 + i*h2, same maxlong default for shingle-less docs, same
+# md5-of-joined-minima band key, same Jaccard verification.
+MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_transform(range(1, len(t) - 5 + 2),
+                                  i -> array_to_string(t[i:i+4], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS h2
+  FROM ex
+), slotmin AS (
+  SELECT doc_id, r.i AS i, MIN(h1 + r.i * h2) AS mh
+  FROM hp CROSS JOIN range(32) AS r(i)
+  GROUP BY doc_id, r.i
+), sig AS (
+  SELECT d.doc_id, r.i AS i, COALESCE(sm.mh, 9223372036854775807) AS mh
+  FROM (SELECT doc_id FROM toks) d
+  CROSS JOIN range(32) AS r(i)
+  LEFT JOIN slotmin sm ON sm.doc_id = d.doc_id AND sm.i = r.i
+), bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), tsets AS (
+  SELECT doc_id, list_distinct(t) AS tokset FROM toks
+), pairs AS (
+  SELECT id_a, id_b,
+         len(list_intersect(x.tokset, y.tokset)) AS n_inter,
+         len(list_distinct(list_concat(x.tokset, y.tokset))) AS n_union
+  FROM cand
+  JOIN tsets x ON x.doc_id = cand.id_a
+  JOIN tsets y ON y.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 AS jaccard
+FROM pairs
+WHERE FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 near-dup pairs — rows-only check."""
+    """SimHash Hamming-≤3 near-dup pairs. Fully oracle-checked: the
+    60-bit md5 token hashes, bit votes, 4×15-bit block banding, and
+    Hamming filter all replay in DuckDB (SIMHASH_SQL)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs).orderBy("id_a", "id_b")
+
+
+# Exact DuckDB replay of the SimHash pipeline: same 60-bit token hash,
+# same ±1 bit votes (ties → 0 bit), same block banding, same Hamming
+# verification via bit_count(xor).
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), ex AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM ex
+), votes AS (
+  SELECT doc_id, r.j AS j,
+         SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(60) AS r(j)
+  GROUP BY doc_id, r.j
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash, r.b AS b, (simhash >> (r.b * 15)) & 32767 AS bv
+  FROM fp CROSS JOIN range(4) AS r(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.simhash AS sa, c.simhash AS sc
+  FROM blocks a JOIN blocks c
+    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sc)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sc)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +607,6 @@ QUERIES: dict[str, Query] = {
     "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),
     "docs_dedup_clusters": Query(dedup_clusters_query, DEDUP_CLUSTERS_SQL),
     "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),
-    "docs_minhash_neardups": Query(minhash_neardups, None),
-    "docs_simhash_neardups": Query(simhash_neardups, None),
+    "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
+    "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
 }

@@ -78,8 +78,16 @@ def test_simhash_hamming(docs):
     near = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_dups(docs, max_hamming=10).collect()}
     assert near[(0, 1)] == 0  # identical → distance 0
     assert near[(0, 2)] == 0  # normalized-identical tokens
-    assert (0, 3) in near  # one-token change → few bits
     assert (0, 4) not in near
+    # Pigeonhole guarantee: every pair within Hamming ≤ 3 MUST be found
+    # by the 4×15-bit block banding (pairs beyond 3 — e.g. (0,3) sits at
+    # distance 11 under the md5 hash — are best-effort only).
+    fps = {r[0]: r.simhash for r in D.simhash(docs).collect()}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(fps[a] ^ fps[b]).count("1") <= 3:
+                assert (a, b) in near, (a, b)
 
 
 def test_lang_markers(docs):
