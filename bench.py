@@ -45,6 +45,8 @@ HEADLINE = [
     "events_hypertable_rollup",
     "docs_train_test_split",
     "docs_dedup_clusters",
+    "docs_decontaminate",
+    "docs_pii_redaction",
     "docs_packing",
     "docs_vocab_topk",
     "emb_quantization",

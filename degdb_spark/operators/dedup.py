@@ -399,3 +399,63 @@ def near_dedup(
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-grams appear anywhere in the benchmark (eval) set —
+    the GPT-3/PaLM-style n-gram-overlap contamination check.
+
+    Plan shape: the benchmark's distinct n-grams are a (small) build
+    side, broadcast into a semi-style inner join against the corpus's
+    exploded distinct n-grams; zero-hit docs come back via a left join
+    of the per-doc hit counts. Benchmarks are tiny next to a training
+    corpus, so at 100 TB this stays one broadcast + one narrow
+    groupBy(doc) shuffle — the corpus is scanned once and no all-pairs
+    comparison exists.
+
+    Returns (id_col, n_hit, contaminated) — n_hit = distinct overlapping
+    n-grams, contaminated = n_hit > 0.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(text_col, n=n)).alias("gram")).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(ngrams(text_col, n=n))).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_hit") > 0)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hits: int = 0,
+) -> DataFrame:
+    """The decontaminated corpus: drop documents whose benchmark n-gram
+    overlap exceeds ``max_hits`` (default: any overlap). One semi-join
+    against the report's clean set."""
+    clean = (
+        contamination_report(corpus, benchmark, text_col, id_col, n)
+        .filter(F.col("n_hit") <= max_hits)
+        .select(id_col)
+    )
+    return corpus.join(clean, on=id_col, how="left_semi")

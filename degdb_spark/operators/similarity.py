@@ -248,14 +248,21 @@ def lsh_topk(
     cc = _sketched(corpus, "neighbor", tables, dim, id_col, vec_col)
     if broadcast_queries:
         cq = F.broadcast(cq)
-    cand = (
+    # Score in the join projection (vectors are colocated there), THEN
+    # dedup multi-table collisions on bare (query_id, neighbor_id):
+    # duplicates carry identical cosine, so max() == distinct, and the
+    # dedup shuffle moves two ids + one double instead of two full
+    # embedding vectors per candidate — at 100 TB the difference between
+    # shuffling the corpus's vector payload and shuffling a pair list.
+    scored = (
         cc.join(cq, on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
-        .distinct()
-    )
-    scored = cand.withColumn(
-        "cosine_sim", dround(cosine(F.col("query_vec"), F.col("neighbor_vec")), round_dp)
+        .withColumn(
+            "cosine_sim",
+            dround(cosine(F.col("query_vec"), F.col("neighbor_vec")), round_dp),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

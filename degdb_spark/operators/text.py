@@ -280,3 +280,38 @@ def shingle_fingerprints(col: Column | str, k: int = 5) -> Column:
         )
 
     return let(tokens(col), build)
+
+
+#: PII redaction rules applied IN ORDER (email before phone so the
+#: digits in an address aren't half-eaten by the phone rule; SSN and
+#: IPv4 before phone for the same reason). Patterns stay in the
+#: Java-regex ∩ RE2 dialect subset — no lookaround, no backrefs — so
+#: the identical pattern string runs in Spark and DuckDB (with the 'g'
+#: flag there; Spark regexp_replace is global by default).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with emails / SSNs / IPv4s / phone-shaped spans replaced by
+    typed placeholders. A chain of regexp_replace — pure codegen, no
+    Python, embarrassingly parallel at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One count column per PII rule (aliased pii_<name>), counted on the
+    raw text BEFORE redaction so overlapping rules don't shadow each
+    other's counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"pii_{name}")
+        for name, pat, _ in PII_RULES
+    ]

@@ -593,7 +593,98 @@ FROM c ORDER BY doc_id
 """
 
 
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 25th doc is the held-out 'eval
+    set'; report 3-gram overlap for the rest of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return D.contamination_report(corpus, bench, n=3).orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 3 + 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 25 = 0
+), doc_grams AS (
+  SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM grams WHERE doc_id % 25 <> 0
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit
+  FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       COALESCE(h.n_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity check: deterministic PII (email / IP / phone
+    derived from doc_id) is appended to each document, then redacted;
+    the oracle builds the identical string and applies the identical
+    rules, so the md5 of the redacted text must match exactly."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 555 000 1"),
+            F.col("doc_id").cast("string"),
+        ).alias("pii_text"),
+    )
+    return withpii.select(
+        "doc_id",
+        F.md5(X.redact_pii("pii_text")).alias("redacted_fp"),
+        *X.pii_counts("pii_text"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = r"""
+WITH withpii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 or +1 555 000 1' || CAST(doc_id AS VARCHAR) AS pii_text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g')
+       ) AS redacted_fp,
+       len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+       len(regexp_extract_all(pii_text, '\b\d{3}-\d{2}-\d{4}\b')) AS pii_ssn,
+       len(regexp_extract_all(pii_text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS pii_ipv4,
+       len(regexp_extract_all(pii_text, '\+?\d[\d()\- ]{6,}\d')) AS pii_phone
+FROM withpii
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
+    "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
     "docs_filter_rules": Query(filter_rules_query, FILTER_RULES_SQL),
     "docs_vocab_topk": Query(vocab_topk, VOCAB_SQL),

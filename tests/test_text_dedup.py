@@ -132,3 +132,50 @@ def test_near_dedup_keeps_min_id(spark, docs):
 def test_near_dedup_no_pairs_keeps_all(spark, docs):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.near_dedup(docs, pairs).count() == docs.count()
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "mail me at jane.doe+spam@corp.example.org today"),
+        (1, "server 192.168.1.254 and ssn 123-45-6789"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.red
+        for r in df.select("doc_id", X.redact_pii("text").alias("red")).collect()
+    }
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server <IP> and ssn <SSN>"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "no pii here at all"
+    counts = df.select("doc_id", *X.pii_counts("text")).collect()
+    by_id = {r.doc_id: r for r in counts}
+    assert by_id[0].pii_email == 1
+    assert by_id[1].pii_ipv4 == 1 and by_id[1].pii_ssn == 1
+    assert by_id[2].pii_phone == 1
+    assert all(
+        getattr(by_id[3], f) == 0
+        for f in ("pii_email", "pii_ssn", "pii_ipv4", "pii_phone")
+    )
+
+
+def test_contamination_report(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),       # contains bench 3-gram
+            (1, "one two three four five"),      # disjoint
+            (2, "beta gamma delta epsilon"),     # shares 'beta gamma delta'
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], ["doc_id", "text"]
+    )
+    rep = {r.doc_id: (r.n_hit, r.contaminated) for r in D.contamination_report(corpus, bench).collect()}
+    assert rep[0] == (2, True)   # 'alpha beta gamma', 'beta gamma delta'
+    assert rep[1] == (0, False)
+    assert rep[2] == (1, True)   # 'beta gamma delta'
+    kept = sorted(r.doc_id for r in D.decontaminate(corpus, bench).collect())
+    assert kept == [1]
