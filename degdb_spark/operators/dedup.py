@@ -110,38 +110,31 @@ def _minhash_signature(shingles_col, num_hashes: int):
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
+def minhash_band_hashes(
     text_col: str = "text",
-    id_col: str = "doc_id",
     shingle_k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
+) -> Column:
+    """array<string> of LSH band hashes for one document — the shared
+    sketch expression behind batch candidate generation AND streaming
+    dedup.
 
-    rows = num_hashes/bands per band; two docs collide if any band of
-    their signatures is identical. Collision probability for Jaccard s is
-    1-(1-s^rows)^bands — 8 bands × 4 rows targets s ≳ 0.6.
-
-    Plan shape: explode to (band_id, band_hash) — one shuffle on the
-    band key, self-join *within buckets only*, so cost tracks the number
-    of colliding pairs, not n².
+    One expression computes signature AND band hashes: the band
+    derivation happens in the aggregate's `finish` lambda where the
+    accumulated signature is a bound variable — evaluated once per
+    row. (Deriving bands from a separate sig column re-evaluates the
+    whole signature aggregate per reference after project-collapse;
+    measured 20-80× slowdown.) Hash slots loop over sequence() rather
+    than unrolling — same values, O(1) codegen size (see
+    _minhash_signature). The band hash is md5 of the comma-joined
+    slot minima — a fixed-width shuffle key DuckDB reproduces verbatim
+    (string_agg ... ORDER BY slot), so the banding itself is
+    oracle-checkable, not just the Jaccard verifier behind it.
     """
     rows = num_hashes // bands
     max_long = (1 << 63) - 1
-    # One expression computes signature AND band hashes: the band
-    # derivation happens in the aggregate's `finish` lambda where the
-    # accumulated signature is a bound variable — evaluated once per
-    # row. (Deriving bands from a separate sig column re-evaluates the
-    # whole signature aggregate per reference after project-collapse;
-    # measured 20-80× slowdown.) Hash slots loop over sequence() rather
-    # than unrolling — same values, O(1) codegen size (see
-    # _minhash_signature). The band hash is md5 of the comma-joined
-    # slot minima — a fixed-width shuffle key DuckDB reproduces verbatim
-    # (string_agg ... ORDER BY slot), so the banding itself is
-    # oracle-checkable, not just the Jaccard verifier behind it.
-    band_arr = F.aggregate(
+    return F.aggregate(
         F.transform(
             ngrams(text_col, n=shingle_k),
             lambda s: let(
@@ -166,6 +159,27 @@ def minhash_lsh_candidates(
             ),
         ),
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows = num_hashes/bands per band; two docs collide if any band of
+    their signatures is identical. Collision probability for Jaccard s is
+    1-(1-s^rows)^bands — 8 bands × 4 rows targets s ≳ 0.6.
+
+    Plan shape: explode to (band_id, band_hash) — one shuffle on the
+    band key, self-join *within buckets only*, so cost tracks the number
+    of colliding pairs, not n².
+    """
+    band_arr = minhash_band_hashes(text_col, shingle_k, num_hashes, bands)
     df = rebalance_for_compute(df)
     # materialize the (tiny: one row per doc·band) sketch before the
     # self-join — otherwise both join sides re-evaluate the signature

@@ -91,3 +91,69 @@ def test_stateful_user_profile(spark, stream_dir, ckpt):
         for r in _batch_events(spark).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory, spark):
+    """Documents with synthesized event time and planted duplicates,
+    written as a parquet dir a file stream can read."""
+    d = tmp_path_factory.mktemp("docs_stream")
+    base = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(50)
+    dups = (
+        base.filter(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 1000)  # same text, new id
+    )
+    near = (
+        base.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .withColumn("doc_id", F.col("doc_id") + 2000)
+        .withColumn("text", F.concat(F.upper(F.substring("text", 1, 1)), F.expr("substring(text, 2)")))
+    )  # case change only -> same normalized fingerprint AND signature
+    (
+        base.unionByName(dups).unionByName(near)
+        .withColumn("ts", F.expr("timestamp_micros(cast(1704067200000000 + doc_id * 1000000 as long))"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(d))
+    )
+    return str(d)
+
+
+def _stream_docs(spark, directory):
+    static = spark.read.parquet(directory)
+    return spark.readStream.schema(static.schema).parquet(directory)
+
+
+def test_exact_dedup_stream(spark, docs_stream_dir, ckpt):
+    from degdb_spark.streaming.dedup import exact_dedup_stream
+
+    s = exact_dedup_stream(_stream_docs(spark, docs_stream_dir))
+    SE.run_available_now(s, "docdedup_mem", ckpt, output_mode="append")
+    out = spark.sql("select doc_id, fp from docdedup_mem").collect()
+    # one survivor per fingerprint; the 10 exact dups and 5 case-only
+    # dups collapse into their originals
+    assert len(out) == 50
+    assert len({r.fp for r in out}) == 50
+
+
+def test_neardup_dedup_stream(spark, docs_stream_dir, ckpt):
+    from degdb_spark.operators.dedup import minhash_band_hashes
+    from degdb_spark.streaming.dedup import neardup_dedup_stream
+
+    s = neardup_dedup_stream(_stream_docs(spark, docs_stream_dir))
+    SE.run_available_now(s, "docneardup_mem", ckpt, output_mode="append")
+    out = spark.sql("select doc_id, minhash_sig from docneardup_mem").collect()
+    # expected survivors = distinct full signatures in the input (the
+    # base corpus itself contains a natural near-dup pair, so derive the
+    # expectation from the batch expression instead of hardcoding)
+    batch_sigs = (
+        spark.read.parquet(docs_stream_dir)
+        .select(F.concat_ws("|", minhash_band_hashes("text")).alias("s"))
+        .collect()
+    )
+    n_expected = len({r.s for r in batch_sigs})
+    assert len(out) == n_expected
+    assert len({r.minhash_sig for r in out}) == n_expected
+    # the planted exact and case-only dups (ids >= 1000) never survive
+    # when their originals streamed in the same horizon
+    survivors = {r.doc_id for r in out}
+    assert all(d < 1000 for d in survivors)
