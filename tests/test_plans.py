@@ -172,3 +172,31 @@ def test_lsh_topk_still_broadcasts_small_queries(spark):
     q = emb.filter(F.col("vec_id") < 5)
     plan = _plan(lsh_topk(emb, q, k=3))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram side must broadcast (it is MBs next to a
+    100 TB corpus); the corpus side must never be broadcast or
+    cartesian-joined."""
+    from degdb_spark.operators.dedup import contamination_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    plan = _plan(contamination_report(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redaction_no_shuffle(spark):
+    """Redaction is a pure projection: no Exchange anywhere in the
+    plan, and the regexp chain stays inside whole-stage codegen."""
+    from degdb_spark.operators.text import redact_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", redact_pii("text").alias("red"))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    # codegen stage marker in simple mode is the star: *(1) Project
+    assert "*(1) Project" in plan
