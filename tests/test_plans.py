@@ -200,3 +200,47 @@ def test_pii_redaction_no_shuffle(spark):
     assert "Exchange" not in plan
     # codegen stage marker in simple mode is the star: *(1) Project
     assert "*(1) Project" in plan
+
+
+def test_bucketed_fact_join_no_shuffle(spark, tmp_path):
+    """The SCALE.md deployment claim, demonstrated: orders and lineitem
+    written bucketed+sorted by the join key join WITHOUT any Exchange —
+    the physical shape a 100 TB fact⋈fact join must have. (The parquet
+    testdata itself can't carry bucket metadata; this writes a small
+    bucketed copy through the metastore path to prove the plan.)"""
+    import uuid
+
+    db = f"bucketdemo_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet").limit(1000)
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").limit(1000)
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        joined = (
+            spark.table(f"{db}.orders_b")
+            .join(
+                spark.table(f"{db}.lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey", "l_extendedprice")
+        )
+        # disable auto-broadcast so the join exercises the bucketed path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-bucketed: no shuffle either side
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
