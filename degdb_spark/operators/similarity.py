@@ -280,6 +280,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, via SRP
     bucketing (no all-pairs).
@@ -294,6 +295,7 @@ def embedding_near_dups(
         k=20,
         id_col=id_col,
         vec_col=vec_col,
+        dim=dim,
         round_dp=round_dp,
         broadcast_queries=False,
     )

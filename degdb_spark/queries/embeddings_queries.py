@@ -1,9 +1,15 @@
-"""Similarity-search queries over `embeddings` (array<float>, dim 64).
+"""Similarity-search queries over `embeddings` (array<float>).
 
 The brute-force top-k is oracle-checked: DuckDB computes the identical
 sequential-order double dot product over the list (embedding::DOUBLE[]),
-so the rounded cosine values match bit-for-bit. The SRP-LSH variant is
-rows-only (hash-bucketing is engine-specific)."""
+so the rounded cosine values match bit-for-bit. The SRP-LSH variants are
+oracle-checked too (replicated hyperplane literals).
+
+The embedding dimension is SNIFFED from the testdata parquet footer at
+registry-build time (driver testdata has been regenerated between
+rounds before): the Spark hyperplanes and the oracle's replicated
+literals are generated from the same value, so a dim change can never
+desynchronize them."""
 
 from __future__ import annotations
 
@@ -14,6 +20,27 @@ from degdb_spark.catalog import load_table
 from degdb_spark.operators import similarity as S
 from degdb_spark.queries import Query
 from degdb_spark.queries.rounding import dround
+
+
+def _embedding_dim(default: int = 64) -> int:
+    """Actual dim of the testdata embedding column (footer peek, no
+    Spark session needed); falls back to the historical 64."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if os.path.exists(path):
+            try:
+                col = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+                return len(col.column("embedding")[0].as_py())
+            except Exception:
+                break
+    return default
+
+
+EMB_DIM = _embedding_dim()
 
 
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,13 +163,13 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing with list_dot_product literals (see _srp_oracle_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.lsh_topk(emb, queries, k=5)
+    out = S.lsh_topk(emb, queries, k=5, dim=EMB_DIM)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
         "query_id", "rank"
     )
 
 
-def _srp_oracle_sql(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
+def _srp_oracle_sql(n_tables: int = 8, n_planes: int = 4, dim: int = EMB_DIM) -> str:
     """Generate the DuckDB replication of the SRP bucketing + rerank.
 
     Bucket bits use the same position-sequential double dot product as
@@ -218,9 +245,12 @@ EMB_NEARDUP_SQL = _srp_neardup_sql()
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via SRP buckets (oracle-checked
+    via the replicated-hyperplane SQL)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return S.embedding_near_dups(emb, threshold=0.9, dim=EMB_DIM).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
