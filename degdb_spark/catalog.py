@@ -18,6 +18,10 @@ from degdb_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Event-time columns across the testdata tables; any of these read as
+#: long means the parquet carried TIMESTAMP(NANOS) (see load_table).
+_TS_COLUMNS = {"ts", "l_shipdate", "o_orderdate", "created"}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a session built without our factory; the
@@ -32,16 +36,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns (events.ts) arrive as long nanos under
+    # TIMESTAMP(NANOS) columns arrive as long nanos under
     # spark.sql.legacy.parquet.nanosAsLong; truncate to micros — the same
     # thing DuckDB does when reading nanos parquet — so oracle comparisons
-    # agree to the microsecond.
+    # agree to the microsecond. The driver has regenerated testdata with
+    # different physical timestamp types between rounds (events.ts was
+    # NANOS in round 1, MICROS in round 2), so convert ONLY when the
+    # column actually surfaces as long, for every known timestamp column.
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name in _TS_COLUMNS and isinstance(field.dataType, T.LongType):
             # integer DIV keeps full precision (a double division of an
             # ~1.7e18 nanos value is off by ±1 µs); DuckDB's ns→us cast
             # truncates identically.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
     return df
 
 
