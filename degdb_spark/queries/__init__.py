@@ -24,6 +24,7 @@ class Query(NamedTuple):
 
 def registry() -> dict[str, Query]:
     from degdb_spark.queries import (
+        coverage_queries,
         embeddings_queries,
         events_queries,
         graph_motif_queries,
@@ -52,6 +53,7 @@ def registry() -> dict[str, Query]:
         sampling_queries,
         timeseries_queries,
         multimodal_queries,
+        coverage_queries,
         text_queries,
         events_queries,
         triples_queries,
