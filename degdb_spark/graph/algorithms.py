@@ -8,7 +8,7 @@ reinterpreted for analytics. Algorithms are Pregel-pattern loops
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from degdb_spark.graph.pregel import pregel
@@ -175,6 +175,86 @@ def component_summary(triples: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy(F.col("n_nodes").desc(), F.col("component"))
     )
+
+
+def sssp_weighted(
+    edges: DataFrame, source: str | int, max_hops: int = 6
+) -> DataFrame:
+    """Single-source shortest paths over positively-weighted edges,
+    bounded to ``max_hops`` relaxations (Bellman-Ford).
+
+    d_i(v) = min weight of any path from source to v using ≤ i edges —
+    deterministic at every i whether or not the graph has converged,
+    which is what makes the fixed-iteration oracle replay exact. The
+    relaxation is a join on the frontier key + groupBy-min: one shuffle
+    per hop, monotone (distances only decrease), early-exit when a hop
+    improves nothing. ``edges`` is (src, dst, w) and must already
+    contain both directions if the graph is undirected.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(source, 0)], ["id", "dist"]).withColumn(
+        "dist", F.col("dist").cast("long")
+    )
+    for _ in range(max_hops):
+        cand = (
+            edges.join(dist.withColumnRenamed("id", "src"), on="src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        step = (
+            dist.withColumn("_old", F.lit(True))
+            .unionByName(cand.withColumn("_old", F.lit(False)))
+            .groupBy("id")
+            .agg(
+                F.min("dist").alias("new_dist"),
+                F.min(F.when(F.col("_old"), F.col("dist"))).alias("old_dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        improved = step.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        ).count()
+        dist = step.select("id", F.col("new_dist").alias("dist"))
+        if improved == 0:
+            break
+    return dist
+
+
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 5
+) -> DataFrame:
+    """Synchronous label propagation with deterministic tie-break.
+
+    Each iteration every vertex adopts the most frequent label among its
+    neighbours (ties broken by MIN label); vertices with no neighbours
+    keep their label. Fixed synchronous iterations make the result
+    deterministic (LPA famously oscillates — determinism here comes from
+    the iteration bound, not convergence), so an unrolled SQL oracle
+    replays it exactly. One groupBy + one window shuffle per iteration.
+    ``edges`` must contain both directions for undirected graphs.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    labels = vertices.select("id").withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        votes = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label"))
+        mode = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(mode, on="id", how="left")
+            .select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
 
 
 def bfs_distances(

@@ -1,0 +1,160 @@
+"""Advanced graph analytics over the co-purchase graph — weighted
+shortest paths and community detection, both with exact unrolled-CTE
+oracles (the same fixed-iteration trick as _pagerank_sql: a bounded
+iterative algorithm is deterministic at every step, so the oracle
+replays the steps rather than the fixpoint).
+
+Registered at the registry TAIL on purpose: the driver's 50-query
+verification window should stay on the round-1-unverified families this
+round; these two rotate in next round (they are locally oracle-checked
+by tools/oracle_check.py regardless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.graph import algorithms as G
+from degdb_spark.queries import Query
+
+_SSSP_HOPS = 6
+_LPA_ITERS = 5
+#: keep only repeat co-purchases (w >= 2): the w=1 edges make the graph
+#: near-complete and every community/distance collapses to the trivial
+#: answer — the thresholded graph is sparse and structured, which is
+#: both the interesting analytics target and the discriminating oracle.
+_W_MIN = 2
+
+_WEDGES_CTE = f"""
+items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+wedges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_W_MIN}
+),
+edges2 AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM wedges
+  UNION ALL
+  SELECT v, u, w FROM wedges
+)
+""".strip()
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted co-purchase edges: w = number of orders the
+    two parts share (both directions materialized for the frontier
+    joins). Bounded per-order fanout keeps this linear in lineitem."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _W_MIN)
+    )
+    return wedges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        wedges.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+        )
+    )
+
+
+def basket_sssp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distance histogram from the min part id,
+    ≤6 relaxations (Bellman-Ford semantics: min weight over paths of at
+    most 6 edges)."""
+    edges = _weighted_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).collect()[0][0]
+    dist = G.sssp_weighted(edges, source, max_hops=_SSSP_HOPS)
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+def _sssp_sql(hops: int) -> str:
+    ctes = [
+        "src AS MATERIALIZED (SELECT MIN(u) AS s FROM wedges)",
+        "d0 AS MATERIALIZED (SELECT s AS id, CAST(0 AS BIGINT) AS dist FROM src)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT id, dist FROM d{i-1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, d{i-1}.dist + e.w AS dist "
+            f"FROM d{i-1} JOIN edges2 e ON e.src = d{i-1}.id"
+            f") GROUP BY id)"
+        )
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT dist, COUNT(*) AS n_nodes FROM d{hops} GROUP BY dist ORDER BY dist"
+    )
+
+
+def basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (5 synchronous iterations,
+    min-label tie-break), top 20 by size."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = G.label_propagation(vertices, edges, max_iter=_LPA_ITERS)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("label"))
+        .limit(20)
+    )
+
+
+def _lpa_sql(iters: int) -> str:
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges2)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED ("
+            f"SELECT l.id, COALESCE(m.new_label, l.label) AS label "
+            f"FROM l{i-1} l LEFT JOIN ("
+            f"  SELECT id, label AS new_label FROM ("
+            f"    SELECT e.dst AS id, nl.label, COUNT(*) AS c,"
+            f"           ROW_NUMBER() OVER (PARTITION BY e.dst"
+            f"                              ORDER BY COUNT(*) DESC, nl.label) AS rn"
+            f"    FROM edges2 e JOIN l{i-1} nl ON e.src = nl.id"
+            f"    GROUP BY e.dst, nl.label"
+            f"  ) WHERE rn = 1"
+            f") m ON l.id = m.id)"
+        )
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT label, COUNT(*) AS n_members FROM l{iters} "
+        f"GROUP BY label ORDER BY n_members DESC, label LIMIT 20"
+    )
+
+
+QUERIES: dict[str, Query] = {
+    "basket_sssp_histogram": Query(basket_sssp_histogram, _sssp_sql(_SSSP_HOPS)),
+    "basket_communities": Query(basket_communities, _lpa_sql(_LPA_ITERS)),
+}

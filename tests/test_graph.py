@@ -56,3 +56,45 @@ def test_pagerank_star_ordering(spark):
     tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
     ranks = {r.id: r.pagerank for r in G.pagerank(tri, max_iter=10).collect()}
     assert ranks["h"] == max(ranks.values())
+
+
+def test_sssp_weighted(spark):
+    """Hand-computed: 1→2 (w 5), 1→3 (w 1), 3→2 (w 1), 2→4 (w 10).
+    Shortest: d(2)=2 via 3 (not 5 direct), d(4)=12."""
+    from degdb_spark.graph.algorithms import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 1), (3, 2, 1), (2, 4, 10)], ["src", "dst", "w"]
+    )
+    got = {r.id: r.dist for r in sssp_weighted(edges, 1, max_hops=6).collect()}
+    assert got == {1: 0, 2: 2, 3: 1, 4: 12}
+
+
+def test_sssp_hop_bound(spark):
+    """max_hops=1 must NOT see the cheaper 2-edge path (Bellman-Ford
+    ≤k-edge semantics — what makes the unrolled oracle exact)."""
+    from degdb_spark.graph.algorithms import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 1), (3, 2, 1)], ["src", "dst", "w"]
+    )
+    got = {r.id: r.dist for r in sssp_weighted(edges, 1, max_hops=1).collect()}
+    assert got[2] == 5  # direct edge only after one relaxation
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA labels each triangle
+    with its min vertex id."""
+    from degdb_spark.graph.algorithms import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    und = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    got = {r.id: r.label for r in label_propagation(vertices, edges, max_iter=5).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6]
