@@ -50,6 +50,11 @@ HEADLINE = [
     "docs_packing",
     "docs_vocab_topk",
     "emb_quantization",
+    "basket_triangle_count",
+    "docs_chunking",
+    "events_sliding_window",
+    "events_per_user_cap",
+    "basket_sssp_histogram",
 ]
 
 
