@@ -244,3 +244,47 @@ def test_bucketed_fact_join_no_shuffle(spark, tmp_path):
         assert "Exchange" not in plan  # co-bucketed: no shuffle either side
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_chunking_prunes_columns(spark):
+    """docs_chunking projects (doc_id, text): the parquet scan must not
+    read lang/source/n_chars, and the plan needs no join/shuffle before
+    the final order."""
+    from degdb_spark.queries.coverage_queries import docs_chunking
+
+    plan = _formatted(docs_chunking(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0] and "source" not in read_schema[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_window_single_agg_shuffle(spark):
+    """events_sliding_window: the window explode must stay codegen-side
+    (no UDF) and aggregation shuffles are bounded (partial+distinct
+    expand, never a join)."""
+    from degdb_spark.queries.coverage_queries import events_sliding_window
+
+    plan = _plan(events_sliding_window(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_triangle_join_no_cartesian(spark):
+    """Triangle enumeration is equi-joins only — the sole nested-loop
+    allowed is the final 1-row x 1-row scalar crossJoin."""
+    from degdb_spark.queries.coverage_queries import basket_triangle_count
+
+    plan = _plan(basket_triangle_count(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the scalar combine is 1x1: BroadcastNestedLoopJoin appears at most once
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_per_user_cap_one_window_shuffle(spark):
+    """Per-key capping: exactly one hashpartitioning exchange on the key
+    feeds the row_number window (plus the final sort)."""
+    from degdb_spark.queries.coverage_queries import events_per_user_cap
+
+    plan = _plan(events_per_user_cap(spark, SF))
+    assert plan.count("hashpartitioning(user_id") <= 2  # window + agg reuse
+    assert "BatchEvalPython" not in plan
