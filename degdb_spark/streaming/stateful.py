@@ -64,3 +64,53 @@ def user_profile_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+CAP_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp"
+CAP_STATE_SCHEMA = "n long"
+_CAP = 3
+
+
+def _cap_per_user(
+    key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit at most ``_CAP`` events per user over the stream's lifetime
+    (first-arrival order within the micro-batch pinned by (ts,
+    event_id) sort for determinism). State is one counter per user —
+    the streaming twin of the batch per-key capping primitive
+    (queries/coverage_queries.py::events_per_user_cap; batch uses a
+    stable-hash order, streaming necessarily uses arrival order)."""
+    (user_id,) = key
+    n = state.get[0] if state.exists else 0
+    out = []
+    for pdf in pdfs:
+        if n >= _CAP:
+            break
+        pdf = pdf.sort_values(["ts", "event_id"])
+        take = pdf.head(_CAP - n)
+        n += len(take)
+        out.append(take[["user_id", "event_id", "ts"]])
+    state.update((int(n),))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+    yield (
+        pd.concat(out)
+        if out
+        else pd.DataFrame(columns=["user_id", "event_id", "ts"])
+    )
+
+
+
+def cap_per_user_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Keep the first ``_CAP`` events per user (append mode) — bounded
+    per-key state (one counter), evicted on event-time timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cap_per_user,
+            outputStructType=CAP_OUTPUT_SCHEMA,
+            stateStructType=CAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

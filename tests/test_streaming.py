@@ -157,3 +157,26 @@ def test_neardup_dedup_stream(spark, docs_stream_dir, ckpt):
     # when their originals streamed in the same horizon
     survivors = {r.doc_id for r in out}
     assert all(d < 1000 for d in survivors)
+
+
+def test_stateful_cap_per_user(spark, stream_dir, ckpt):
+    """Streaming per-user cap: ≤3 events emitted per user, and exactly
+    min(3, user's event count)."""
+    from degdb_spark.streaming.stateful import cap_per_user_stream
+
+    s = cap_per_user_stream(SE.stream_events(spark, stream_dir))
+    SE.run_available_now(s, "cap_mem", ckpt, output_mode="append")
+    got = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "select user_id, count(*) n from cap_mem group by user_id"
+        ).collect()
+    }
+    exp = {
+        r.user_id: min(r.n, 3)
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
