@@ -34,6 +34,7 @@ def registry() -> dict[str, Query]:
         relational,
         relational_adv,
         sampling_queries,
+        surface_queries,
         text_queries,
         timeseries_queries,
         tpch_more,
@@ -65,6 +66,7 @@ def registry() -> dict[str, Query]:
         # 50-query window; this round the window stays on the round-1-
         # unverified families (see module docstring).
         graph_adv_queries,
+        surface_queries,
     ):
         overlap = set(out) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"

@@ -1,0 +1,101 @@
+"""Contract queries for the API-shaped surfaces (MQL, bloom semi-join)
+— the last operators whose only correctness evidence was pytest.
+
+Both produce exact, SQL-replayable answers: MQL resolution is just a
+join template underneath, and the bloom filter is a *prefilter* whose
+final answer (after the exact semi-join) is independent of its false
+positives.
+
+Registered at the registry tail with graph_adv_queries (same window
+policy — see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import register_all
+from degdb_spark.queries import Query
+from degdb_spark.sources.triples import TRIPLES_SQL, triples_df
+
+_CTE = f"WITH triples AS ({TRIPLES_SQL})"
+
+
+def mql_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQL template resolution ({"in_region": "region/0", "name": None})
+    → the nations of region/0 with their names. Exercises the full
+    query_mql path (semi-join subject match + single-plan property
+    fill, plans/mql.py); the bounded template result is re-framed for
+    the comparator. vals[0] of the sorted value list == MIN(obj)."""
+    register_all(spark, sf_dir)
+    from degdb_spark.plans.mql import query_mql
+
+    res = query_mql(triples_df(spark), {"in_region": "region/0", "name": None})
+    rows = [(d["id"], d["name"]) for d in res]
+    return spark.createDataFrame(rows, "id string, name string").orderBy("id")
+
+
+MQL_SQL = f"""{_CTE},
+subs AS (SELECT subj FROM triples WHERE pred = 'in_region' AND obj = 'region/0')
+SELECT s.subj AS id,
+       (SELECT MIN(obj) FROM triples t
+        WHERE t.subj = s.subj AND t.pred = 'name') AS name
+FROM subs s ORDER BY id
+"""
+
+
+def triple_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (the degdb node-sync shape,
+    bloom_test.go parity): build a bloom over nation/1's members, use it
+    to prefilter the triple scan, then exact semi-join — per-pred counts
+    of the members' triples. The bloom pass is plan-level (Arrow-batched
+    bitset OR, operators/bloom.py); the exact join makes the answer
+    independent of the filter's false-positive rate, so it is
+    SQL-replayable."""
+    register_all(spark, sf_dir)
+    from degdb_spark.operators.bloom import build_bloom, might_contain, optimal_params
+
+    t = triples_df(spark).localCheckpoint(eager=False)
+    members = (
+        t.filter((F.col("pred") == "in_nation") & (F.col("obj") == "nation/1"))
+        .select("subj")
+        .distinct()
+    )
+    member_orders = (
+        t.filter(F.col("pred") == "by_customer")
+        .join(members.withColumnRenamed("subj", "obj"), on="obj")
+        .select("subj")
+        .distinct()
+    )
+    keys = members.unionByName(member_orders).distinct()
+    m_bits, k = optimal_params(max(keys.count(), 1))
+    bloom = build_bloom(keys, ["subj"], m_bits, k)
+    cand = might_contain(t, bloom, ["subj"]).filter(F.col("_in_bloom")).drop("_in_bloom")
+    exact = cand.join(keys, on="subj", how="left_semi")
+    return (
+        exact.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
+BLOOM_SEMI_SQL = f"""{_CTE},
+members AS (SELECT DISTINCT subj FROM triples
+            WHERE pred = 'in_nation' AND obj = 'nation/1'),
+keys AS (
+  SELECT subj FROM members
+  UNION
+  SELECT t.subj FROM triples t JOIN members m ON t.obj = m.subj
+  WHERE t.pred = 'by_customer'
+)
+SELECT pred, COUNT(*) AS n
+FROM triples WHERE subj IN (SELECT subj FROM keys)
+GROUP BY pred ORDER BY pred
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "mql_region_nations": Query(mql_region_nations, MQL_SQL),
+    "triple_bloom_semijoin": Query(triple_bloom_semijoin, BLOOM_SEMI_SQL),
+}
