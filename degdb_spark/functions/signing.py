@@ -31,12 +31,14 @@ except Exception:  # pragma: no cover
     HAVE_ECDSA = False
 
 
-def fingerprint(subj: str, pred: str, obj: str) -> bytes:
-    """SHA-1 fingerprint of the canonical triple bytes
+def fingerprint(subj: str, pred: str, obj: str, algo: str = "sha1") -> bytes:
+    """Fingerprint of the canonical triple bytes
     (crypto/fingerprint.go:10-17 fingerprints the marshalled proto; we
-    canonicalise as tab-joined fields)."""
+    canonicalise as tab-joined fields). ``algo``: 'sha1' is the
+    reference's digest; 'sha256' is the portable profile (DuckDB has no
+    sha1, so cross-engine signature replay uses sha256)."""
     payload = "\t".join([subj or "", pred or "", obj or ""]).encode()
-    return hashlib.sha1(payload).digest()
+    return hashlib.new(algo, payload).digest()
 
 
 def author_id(key: bytes) -> str:
@@ -47,7 +49,21 @@ def author_id(key: bytes) -> str:
     return f"degdb:author_{h}"
 
 
-def sign_triples(df: DataFrame, key: bytes) -> DataFrame:
+def hex_hmac_sha256(key: bytes, msg_hex: str) -> str:
+    """HMAC-style keyed MAC in the *hex-string domain*: every operand
+    (ipad/opad, inner digest, message) is a lowercase hex string and the
+    concatenations are text. Same construction and key schedule as
+    RFC-2104, different domain encoding — used for the cross-engine
+    signature-parity profile because DuckDB v1.0.0 can only hash
+    VARCHAR, not BLOB. Do not mix with the byte-domain default."""
+    kp = key + b"\x00" * (64 - len(key))
+    ipad = bytes(b ^ 0x36 for b in kp).hex()
+    opad = bytes(b ^ 0x5C for b in kp).hex()
+    inner = hashlib.sha256((ipad + msg_hex).encode()).hexdigest()
+    return hashlib.sha256((opad + inner).encode()).hexdigest()
+
+
+def sign_triples(df: DataFrame, key: bytes, fp_algo: str = "sha1") -> DataFrame:
     """Set author + sig on every row (SignTriple, crypto/crypto.go:62-80).
 
     HMAC signatures are deterministic; like the reference's ECDSA ones they
@@ -60,8 +76,12 @@ def sign_triples(df: DataFrame, key: bytes) -> DataFrame:
     def _sig(subj: pd.Series, pred: pd.Series, obj: pd.Series) -> pd.Series:
         out = []
         for s, p, o in zip(subj, pred, obj):
-            fp = fingerprint(s, p, o)
-            out.append(hmac.new(key, fp, hashlib.sha256).hexdigest())
+            if fp_algo == "sha256-hex":  # portable hex-domain profile
+                payload = "\t".join([s or "", p or "", o or ""]).encode()
+                out.append(hex_hmac_sha256(key, hashlib.sha256(payload).hexdigest()))
+            else:
+                fp = fingerprint(s, p, o, fp_algo)
+                out.append(hmac.new(key, fp, hashlib.sha256).hexdigest())
         return pd.Series(out)
 
     return df.withColumn("author", F.lit(author)).withColumn(
@@ -69,13 +89,13 @@ def sign_triples(df: DataFrame, key: bytes) -> DataFrame:
     )
 
 
-def verify_triples(df: DataFrame, key: bytes) -> DataFrame:
+def verify_triples(df: DataFrame, key: bytes, fp_algo: str = "sha1") -> DataFrame:
     """Boolean ``sig_ok`` per row — verification counterpart."""
     @F.pandas_udf("boolean")
     def _ok(subj: pd.Series, pred: pd.Series, obj: pd.Series, sig: pd.Series) -> pd.Series:
         out = []
         for s, p, o, g in zip(subj, pred, obj, sig):
-            fp = fingerprint(s, p, o)
+            fp = fingerprint(s, p, o, fp_algo)
             out.append(hmac.new(key, fp, hashlib.sha256).hexdigest() == g)
         return pd.Series(out)
 

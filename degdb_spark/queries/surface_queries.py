@@ -95,7 +95,69 @@ GROUP BY pred ORDER BY pred
 """
 
 
+def triple_canonical_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (subj, pred, obj) ordered dump, first 100 — the A2
+    sort + F4 LIMIT surface (protocol/protocol.go:28-52 ordering).
+    Deterministic because inserted triples are unique on the key."""
+    register_all(spark, sf_dir)
+    return (
+        triples_df(spark)
+        .orderBy("subj", "pred", "obj")
+        .limit(100)
+    )
+
+
+CANONICAL_SQL = f"""{_CTE}
+SELECT subj, pred, obj FROM triples ORDER BY subj, pred, obj LIMIT 100
+"""
+
+
+#: fixed demo key for the signature-parity query (public test vector,
+#: not a secret — the signature scheme is keyed-integrity, and the
+#: oracle must hold the key to replay it).
+_SIG_KEY = b"degdb-contract-key"
+
+
+def _hmac_pads(key: bytes) -> tuple[str, str]:
+    kp = key + b"\x00" * (64 - len(key))
+    ipad = bytes(b ^ 0x36 for b in kp).hex()
+    opad = bytes(b ^ 0x5C for b in kp).hex()
+    return ipad, opad
+
+
+def triple_signature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 signing surface, cross-engine: the portable 'sha256-hex' MAC
+    profile (HMAC construction with hex-string operands — DuckDB v1.0.0
+    can only hash VARCHAR) over the canonical first 50 triples. The
+    oracle rebuilds the full keyed MAC (ipad/opad key schedule, inner +
+    outer digest) in SQL, so every signature is replayed outside
+    Spark."""
+    register_all(spark, sf_dir)
+    from degdb_spark.functions.signing import sign_triples
+
+    base = triples_df(spark).orderBy("subj", "pred", "obj").limit(50)
+    return sign_triples(base, _SIG_KEY, fp_algo="sha256-hex").select(
+        "subj", "pred", "obj", "author", "sig"
+    )
+
+
+def _signature_sql() -> str:
+    from degdb_spark.functions.signing import author_id
+
+    ipad, opad = _hmac_pads(_SIG_KEY)
+    author = author_id(_SIG_KEY)
+    fp = "sha256(subj || chr(9) || pred || chr(9) || obj)"
+    inner = f"sha256('{ipad}' || {fp})"
+    sig = f"sha256('{opad}' || {inner})"
+    return f"""{_CTE},
+base AS (SELECT subj, pred, obj FROM triples ORDER BY subj, pred, obj LIMIT 50)
+SELECT subj, pred, obj, '{author}' AS author, {sig} AS sig FROM base
+"""
+
+
 QUERIES: dict[str, Query] = {
     "mql_region_nations": Query(mql_region_nations, MQL_SQL),
     "triple_bloom_semijoin": Query(triple_bloom_semijoin, BLOOM_SEMI_SQL),
+    "triple_canonical_dump": Query(triple_canonical_dump, CANONICAL_SQL),
+    "triple_signature_parity": Query(triple_signature_parity, _signature_sql()),
 }
