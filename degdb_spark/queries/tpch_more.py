@@ -336,6 +336,131 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------- q15
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15: the supplier(s) with maximum revenue over one quarter — the
+    revenue view + scalar-max subquery, as a broadcast 1-row aggregate
+    joined back (no second scan of the view)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, out_dp=2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------------------- q12 (re-shaped)
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 re-shaped (no shipmode/commit/receipt columns): lineitems
+    shipped >90 days after their order date, counted by order priority
+    into the q12 high/low split."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        )
+        .orderBy("priority")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_late,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+# ------------------------------------------------------- q21 (re-shaped)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 re-shaped (no commit/receipt dates): for multi-supplier
+    orders, the supplier(s) whose shipment was the LAST one (the
+    order-blocking supplier), counted per supplier — top 20. Preserves
+    q21's exists/not-exists shape via in-plan window maxima, not
+    correlated subqueries."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_sups"),
+        F.max("l_shipdate").over(w).alias("last_ship"),
+    )
+    blockers = (
+        flagged.filter((F.col("n_sups") >= 2) & (F.col("l_shipdate") == F.col("last_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        blockers.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_sups,
+         MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS last_ship
+  FROM lineitem
+),
+blockers AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM flagged
+  WHERE n_sups >= 2 AND l_shipdate = last_ship
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM blockers JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q16_supplier_variety": Query(q16_supplier_variety, Q16_SQL),
     "q22_dormant_rich_customers": Query(q22_dormant_rich_customers, Q22_SQL),
@@ -346,4 +471,7 @@ QUERIES: dict[str, Query] = {
     "q17_small_quantity_revenue": Query(q17_small_quantity_revenue, Q17_SQL),
     "q18_large_orders": Query(q18_large_orders, Q18_SQL),
     "q19_discount_brackets": Query(q19_discount_brackets, Q19_SQL),
+    "q15_top_supplier": Query(q15_top_supplier, Q15_SQL),
+    "q12_late_shipping": Query(q12_late_shipping, Q12_SQL),
+    "q21_waiting_suppliers": Query(q21_waiting_suppliers, Q21_SQL),
 }
