@@ -461,6 +461,202 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------- q2/q9/q11/q20 (re-shaped)
+# The testdata has no partsupp table; lineitem IS the observed
+# part↔supplier relation, so these four re-shapes derive the partsupp
+# analogue from it (unit price / shipped quantity) and preserve the
+# original correlated-subquery / profit / share shapes exactly.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 re-shaped: for each SMALL-type part, the EUROPE supplier with
+    the minimum observed unit price (min-cost correlated subquery as a
+    broadcast-aggregate join). Ordering: s_acctbal desc, supplier,
+    part."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dround(
+            dsum(F.col("l_extendedprice"), 2) / dsum(F.col("l_quantity"), 2), 4
+        ).alias("unit_cost")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_sup), ps.l_suppkey == eu_sup.s_suppkey
+    ).join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_min_cost")
+    )
+    return (
+        eu_ps.join(
+            min_cost,
+            (eu_ps.l_partkey == min_cost._pk)
+            & (eu_ps.unit_cost == min_cost._min_cost),
+        )
+        .select("s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+eu_ps AS (
+  SELECT ps.*, e.s_name, e.s_acctbal, e.n_name
+  FROM ps JOIN eu_sup e ON ps.l_suppkey = e.s_suppkey
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  WHERE p.p_type = 'SMALL'
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+FROM eu_ps
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM eu_ps e2 WHERE e2.l_partkey = eu_ps.l_partkey)
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 re-shaped: profit per supplier nation per ship year for
+    'red %' parts, with supply cost proxied by p_retailprice (the
+    partsupp ps_supplycost analogue available in this schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .withColumn(
+            "amount",
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity"),
+        )
+    )
+    return (
+        profit.groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+        )
+        .agg(dsum(F.col("amount"), 4, out_dp=2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity) AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 re-shaped: per-part shipped value from NATION_1 suppliers,
+    keeping parts above 0.1% of the total (the scalar-threshold
+    subquery as a broadcast 1-row aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_li = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    )
+    per_part = nat_li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum(F.col("l_extendedprice"), 2).alias("part_value")
+    )
+    thresh = per_part.agg((F.sum("part_value") * 0.001).alias("_th"))
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("_th"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM per_part)
+ORDER BY part_value DESC, p_partkey
+LIMIT 20
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 re-shaped: suppliers who shipped more than 15% of some
+    Brand#1 part's total quantity (the availqty>half-demand correlated
+    shape, threshold adapted to this data's diffuse supplier shares, from the lineitem-derived supply relation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    b_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_ps = b_li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity"), 2).alias("sup_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("sup_qty").alias("part_qty"))
+    dominant = per_ps.join(per_part, on="l_partkey").filter(
+        F.col("sup_qty") > 0.15 * F.col("part_qty")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        dominant.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sup_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey, SUM(sup_qty) AS part_qty FROM per_ps GROUP BY l_partkey
+)
+SELECT DISTINCT s_name
+FROM per_ps JOIN per_part USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sup_qty > 0.15 * part_qty
+ORDER BY s_name
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q16_supplier_variety": Query(q16_supplier_variety, Q16_SQL),
     "q22_dormant_rich_customers": Query(q22_dormant_rich_customers, Q22_SQL),
@@ -474,4 +670,8 @@ QUERIES: dict[str, Query] = {
     "q15_top_supplier": Query(q15_top_supplier, Q15_SQL),
     "q12_late_shipping": Query(q12_late_shipping, Q12_SQL),
     "q21_waiting_suppliers": Query(q21_waiting_suppliers, Q21_SQL),
+    "q2_min_cost_supplier": Query(q2_min_cost_supplier, Q2_SQL),
+    "q9_product_profit": Query(q9_product_profit, Q9_SQL),
+    "q11_important_stock": Query(q11_important_stock, Q11_SQL),
+    "q20_excess_suppliers": Query(q20_excess_suppliers, Q20_SQL),
 }
