@@ -298,6 +298,69 @@ FROM e ORDER BY vec_id
 """
 
 
+def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-label centroid cosine matrix (upper triangle) — the
+    cluster-separation diagnostic for embedding QA. Bounded k×(k-1)/2
+    output; one posexplode reduction + a pos-keyed pair join (k·dim
+    rows, never touches the raw vectors twice).
+
+    Registered at the registry tail via surface_queries (window
+    policy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("label", "pos", (F.col("s") / F.col("n")).alias("m"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("norm")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(F.broadcast(na), on="label_a")
+        .join(F.broadcast(nb), on="label_b")
+        .select(
+            "label_a",
+            "label_b",
+            dround(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+SEPARATION_SQL = """
+WITH exploded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, SUM(val) / COUNT(*) AS m
+  FROM exploded GROUP BY label, pos
+), norms AS (
+  SELECT label, SQRT(SUM(m * m)) AS norm FROM cent GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       FLOOR((dot / (na.norm * nb.norm)) * 10000 + 0.5) / 10000 AS cos_sim
+FROM dots
+JOIN norms na ON dots.label_a = na.label
+JOIN norms nb ON dots.label_b = nb.label
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "emb_ivf_knn": Query(ivf_knn, None),
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),

@@ -155,9 +155,18 @@ SELECT subj, pred, obj, '{author}' AS author, {sig} AS sig FROM base
 """
 
 
+def _emb_separation() -> Query:
+    # defined with the other embeddings queries; registered here so it
+    # lands at the registry tail (window policy, module docstring)
+    from degdb_spark.queries import embeddings_queries as E
+
+    return Query(E.centroid_separation, E.SEPARATION_SQL)
+
+
 QUERIES: dict[str, Query] = {
     "mql_region_nations": Query(mql_region_nations, MQL_SQL),
     "triple_bloom_semijoin": Query(triple_bloom_semijoin, BLOOM_SEMI_SQL),
     "triple_canonical_dump": Query(triple_canonical_dump, CANONICAL_SQL),
     "triple_signature_parity": Query(triple_signature_parity, _signature_sql()),
+    "emb_centroid_separation": _emb_separation(),
 }
