@@ -98,3 +98,70 @@ def test_label_propagation_two_cliques(spark):
     got = {r.id: r.label for r in label_propagation(vertices, edges, max_iter=5).collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == got[5] == got[6]
+
+
+def test_sssp_random_graph_vs_reference(spark):
+    """Seeded random weighted digraph: Spark Bellman-Ford vs an
+    independent pure-Python relaxation."""
+    import random
+
+    from degdb_spark.graph.algorithms import sssp_weighted
+
+    rng = random.Random(7)
+    n, m, hops = 30, 120, 8
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randint(1, 10)) for _ in range(m)
+    ]
+    # python reference: d_i(v) = min cost over paths of <= hops edges
+    INF = float("inf")
+    dist = {0: 0}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, INF):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    got = {
+        r.id: r.dist
+        for r in sssp_weighted(
+            spark.createDataFrame(edges, ["src", "dst", "w"]), 0, max_hops=hops
+        ).collect()
+    }
+    assert got == dist
+
+
+def test_lpa_random_graph_vs_reference(spark):
+    """Seeded random undirected graph: Spark synchronous LPA vs an
+    independent pure-Python implementation (same mode/min tie-break)."""
+    import random
+    from collections import Counter
+
+    from degdb_spark.graph.algorithms import label_propagation
+
+    rng = random.Random(11)
+    n, m, iters = 25, 60, 4
+    und = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    und = {(a, b) for a, b in und if a != b}
+    both = list(und) + [(b, a) for a, b in und]
+    # python reference
+    labels = {v: v for v in range(n)}
+    nbrs: dict[int, list[int]] = {v: [] for v in range(n)}
+    for s, d in both:
+        nbrs[d].append(s)
+    for _ in range(iters):
+        new = {}
+        for v in range(n):
+            if not nbrs[v]:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    got = {
+        r.id: r.label
+        for r in label_propagation(vertices, edges, max_iter=iters).collect()
+    }
+    assert got == labels
