@@ -55,7 +55,13 @@ def hex_hmac_sha256(key: bytes, msg_hex: str) -> str:
     concatenations are text. Same construction and key schedule as
     RFC-2104, different domain encoding — used for the cross-engine
     signature-parity profile because DuckDB v1.0.0 can only hash
-    VARCHAR, not BLOB. Do not mix with the byte-domain default."""
+    VARCHAR, not BLOB. Do not mix with the byte-domain default.
+
+    Keys longer than the 64-byte block are pre-hashed to their sha256
+    digest, exactly as RFC-2104 prescribes (the SQL oracle's
+    ``_hmac_pads`` twin applies the same rule, so parity holds)."""
+    if len(key) > 64:
+        key = hashlib.sha256(key).digest()
     kp = key + b"\x00" * (64 - len(key))
     ipad = bytes(b ^ 0x36 for b in kp).hex()
     opad = bytes(b ^ 0x5C for b in kp).hex()
@@ -90,13 +96,20 @@ def sign_triples(df: DataFrame, key: bytes, fp_algo: str = "sha1") -> DataFrame:
 
 
 def verify_triples(df: DataFrame, key: bytes, fp_algo: str = "sha1") -> DataFrame:
-    """Boolean ``sig_ok`` per row — verification counterpart."""
+    """Boolean ``sig_ok`` per row — verification counterpart. Supports
+    every profile ``sign_triples`` can produce, including the portable
+    'sha256-hex' hex-domain MAC."""
     @F.pandas_udf("boolean")
     def _ok(subj: pd.Series, pred: pd.Series, obj: pd.Series, sig: pd.Series) -> pd.Series:
         out = []
         for s, p, o, g in zip(subj, pred, obj, sig):
-            fp = fingerprint(s, p, o, fp_algo)
-            out.append(hmac.new(key, fp, hashlib.sha256).hexdigest() == g)
+            if fp_algo == "sha256-hex":  # portable hex-domain profile
+                payload = "\t".join([s or "", p or "", o or ""]).encode()
+                expect = hex_hmac_sha256(key, hashlib.sha256(payload).hexdigest())
+            else:
+                fp = fingerprint(s, p, o, fp_algo)
+                expect = hmac.new(key, fp, hashlib.sha256).hexdigest()
+            out.append(expect == g)
         return pd.Series(out)
 
     return df.withColumn("sig_ok", _ok("subj", "pred", "obj", "sig"))

@@ -57,56 +57,106 @@ edges AS (
 """.strip()
 
 
+def _degrees(e: DataFrame) -> DataFrame:
+    """Undirected degree per vertex from the u<v canonical edge list."""
+    return (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _degree_oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower-rank endpoint to the
+    higher, rank = (degree, id) — the Ortmann/Brandes degree ordering.
+
+    This is the 100 TB skew bound for triangle enumeration: in the
+    resulting DAG every vertex's out-degree is O(sqrt(m)), so the
+    two-path join that keys on the mid vertex can never concentrate on
+    a bestseller hub the way id-orientation can (a hub of degree d
+    contributes d^2 two-paths when oriented by id, but at most O(m)
+    total across all vertices when oriented by degree). Rank is a
+    deterministic SQL aggregate, so the DuckDB oracle replays the same
+    orientation and the value hash survives.
+    """
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    # edges are canonical u<v, so on a degree tie u is already the
+    # lower (deg, id) rank
+    fwd = F.col("du") <= F.col("dv")
+    return e.join(du, "u").join(dv, "v").select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+
+
+_ORIENTED_CTE = f"""
+{_EDGES_CTE},
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT u AS id FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY id
+),
+oedges AS (
+  SELECT CASE WHEN du.deg <= dv.deg THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.deg <= dv.deg THEN e.v ELSE e.u END AS b
+  FROM edges e
+  JOIN deg du ON du.id = e.u
+  JOIN deg dv ON dv.id = e.v
+)
+""".strip()
+
+
 def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the co-purchase graph.
 
-    Edges are oriented u<v, so the two-path join (u,v)+(v,w) closed by
-    (u,w) counts each triangle exactly once — the standard oriented
-    triangle enumeration (at 100 TB one would orient by degree instead
-    of id to bound the heaviest join side; id-orientation keeps the
-    oracle portable).
+    Edges are degree-oriented (lower (deg, id) rank → higher), so the
+    two-path join (a,b)+(b,c) closed by (a,c) counts each triangle
+    exactly once AND the join key (the mid-rank vertex) has out-degree
+    bounded by O(sqrt(m)) — no hub-skew at scale (see
+    _degree_oriented_edges).
     """
     e = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    oe = _degree_oriented_edges(e, _degrees(e)).localCheckpoint(eager=False)
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+    return oe.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
 
 
 TRIANGLE_SQL = f"""
-WITH {_EDGES_CTE}
-SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+WITH {_ORIENTED_CTE}
+SELECT (SELECT COUNT(*) FROM oedges) AS n_edges,
        (SELECT COUNT(*)
-        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
-        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+        FROM oedges e1 JOIN oedges e2 ON e1.b = e2.a
+        JOIN oedges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
 """
 
 
 def basket_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per part: triangles_at(v) /
     C(deg(v), 2), top 20 by coefficient (part id tie-break). One edge
-    scan for degrees, the oriented triangle join for closures."""
+    scan for degrees, the degree-oriented triangle join for closures
+    (each triangle contributes once to each of its three vertices
+    regardless of orientation)."""
     e = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
-    deg = (
-        e.select(F.col("u").alias("id"))
-        .unionAll(e.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
-        e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v"))
+    deg = _degrees(e).localCheckpoint(eager=False)
+    oe = _degree_oriented_edges(e, deg).localCheckpoint(eager=False)
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
+        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b"))
     )
     tri_at = (
-        tri.select(F.col("e1.u").alias("id"))
-        .unionAll(tri.select(F.col("e1.v").alias("id")))
-        .unionAll(tri.select(F.col("e2.v").alias("id")))
+        tri.select(F.col("e1.a").alias("id"))
+        .unionAll(tri.select(F.col("e1.b").alias("id")))
+        .unionAll(tri.select(F.col("e2.b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
@@ -161,7 +211,11 @@ _CHUNK, _STRIDE = 200, 160
 def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = (
-        docs.withColumn(
+        # empty docs produce no chunks; the filter also keeps Spark's
+        # sequence() away from the (0, -1) bounds it raises on, matching
+        # DuckDB's naturally-empty generate_series(0, -1, stride)
+        docs.filter(F.length("text") > 0)
+        .withColumn(
             "start",
             F.explode(
                 F.sequence(F.lit(0), F.length("text") - 1, F.lit(_STRIDE))

@@ -24,19 +24,36 @@ from degdb_spark.queries.rounding import dround
 
 def _embedding_dim(default: int = 64) -> int:
     """Actual dim of the testdata embedding column (footer peek, no
-    Spark session needed); falls back to the historical 64."""
+    Spark session needed); falls back to the historical 64.
+
+    Probes the env-configured ``SPARK_GRAFT_SF_DIR`` (via
+    catalog.DEFAULT_SF_DIR) first, then its sibling sf dirs — so a
+    driver that relocates testdata still resolves the right dim. The
+    dim must be a single registry-build-time value (hyperplanes are
+    replicated into the oracle SQL literals), so all sf dirs are
+    assumed dim-consistent; the first readable footer wins."""
     import os
 
     import pyarrow.parquet as pq
 
-    for sf in ("sf0.01", "sf0.001", "sf0.1"):
-        path = f"/root/testdata/{sf}/embeddings.parquet"
+    from degdb_spark.catalog import DEFAULT_SF_DIR
+
+    root = os.path.dirname(DEFAULT_SF_DIR.rstrip("/"))
+    candidates = [DEFAULT_SF_DIR] + [
+        os.path.join(root, d) for d in ("sf0.01", "sf0.001", "sf0.1")
+    ]
+    seen: set[str] = set()
+    for sf_dir in candidates:
+        if sf_dir in seen:
+            continue
+        seen.add(sf_dir)
+        path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(path):
             try:
                 col = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
                 return len(col.column("embedding")[0].as_py())
             except Exception:
-                break
+                continue
     return default
 
 

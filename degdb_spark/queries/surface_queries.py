@@ -12,6 +12,8 @@ policy — see that module's docstring).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,6 +121,10 @@ _SIG_KEY = b"degdb-contract-key"
 
 
 def _hmac_pads(key: bytes) -> tuple[str, str]:
+    # RFC-2104 key schedule, mirrored from signing.hex_hmac_sha256:
+    # over-block keys are pre-hashed before padding.
+    if len(key) > 64:
+        key = hashlib.sha256(key).digest()
     kp = key + b"\x00" * (64 - len(key))
     ipad = bytes(b ^ 0x36 for b in kp).hex()
     opad = bytes(b ^ 0x5C for b in kp).hex()

@@ -26,6 +26,12 @@ def _update_user_profile(
     key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle past the horizon: drop the profile so state stays bounded
+        # (a later event re-creates it from scratch)
+        state.remove()
+        yield pd.DataFrame(columns=["user_id", "n_events", "total_value", "last_seen"])
+        return
     if state.exists:
         n, total, last_seen_us = state.get
     else:
@@ -74,13 +80,21 @@ _CAP = 3
 def _cap_per_user(
     key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Emit at most ``_CAP`` events per user over the stream's lifetime
+    """Emit at most ``_CAP`` events per user per activity horizon
     (first-arrival order within the micro-batch pinned by (ts,
     event_id) sort for determinism). State is one counter per user —
     the streaming twin of the batch per-key capping primitive
     (queries/coverage_queries.py::events_per_user_cap; batch uses a
     stable-hash order, streaming necessarily uses arrival order)."""
     (user_id,) = key
+    if state.hasTimedOut:
+        # evict the counter once the user has been idle past the
+        # horizon — the cap therefore applies per activity horizon, not
+        # per stream lifetime (bounded state is the point; a truly
+        # lifetime cap would grow state with the user universe forever)
+        state.remove()
+        yield pd.DataFrame(columns=["user_id", "event_id", "ts"])
+        return
     n = state.get[0] if state.exists else 0
     out = []
     for pdf in pdfs:
@@ -101,8 +115,10 @@ def _cap_per_user(
 
 
 def cap_per_user_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Keep the first ``_CAP`` events per user (append mode) — bounded
-    per-key state (one counter), evicted on event-time timeout."""
+    """Keep the first ``_CAP`` events per user *per activity horizon*
+    (append mode) — bounded per-key state (one counter), genuinely
+    removed on event-time timeout; a user idle past the horizon starts a
+    fresh cap on their next event."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
