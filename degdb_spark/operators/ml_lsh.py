@@ -31,10 +31,28 @@ SHINGLE_SPACE = 1 << 18
 
 
 def _shingle_vector_udf():
-    @F.udf(VectorUDT())
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    # Arrow-batched: VectorUDT's sqlType is a struct, so the pandas UDF
+    # returns a DataFrame shaped like that struct (sparse form: type=0)
+    # — ~10-100x less per-row overhead than a plain Python UDF on wide
+    # batches. Eval type passed explicitly: the module's string
+    # annotations (future import) defeat hint inference.
+    @F.pandas_udf(VectorUDT(), PandasUDFType.SCALAR)
     def to_vec(hashes):
-        idx = sorted({int(h) % SHINGLE_SPACE for h in (hashes or [])})
-        return Vectors.sparse(SHINGLE_SPACE, idx, [1.0] * len(idx))
+        rows = []
+        for hs in hashes:
+            idx = sorted({int(h) % SHINGLE_SPACE for h in (hs if hs is not None else [])})
+            rows.append(
+                {
+                    "type": 0,
+                    "size": SHINGLE_SPACE,
+                    "indices": idx,
+                    "values": [1.0] * len(idx),
+                }
+            )
+        return pd.DataFrame(rows)
 
     return to_vec
 
@@ -122,88 +140,61 @@ def ml_brp_neighbors(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    partitions the corpus into centroid cells; each query probes its
-    ``n_probe`` nearest cells and exact cosine re-ranks only those.
-
-    The scale path beyond SRP when the corpus is clusterable: cell
-    assignment is one fitted-model transform (a broadcast of k centroid
-    vectors), candidate generation an equi-join on cell id — identical
-    shuffle shape to the LSH paths, but data-adaptive. The training pass
-    is the price SRP avoids.
-    """
-    from pyspark.ml.clustering import KMeans
-
-    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        to_vec(F.col(vec_col)).alias("features"),
-    ).localCheckpoint(eager=True)
-    model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(c)
-    assigned = model.transform(c).select(
-        "neighbor_id", "cvec", F.col("prediction").alias("cell")
-    )
-
-    # Probe assignment stays IN-PLAN: the k centroid vectors (k·dim
-    # floats — tiny) are embedded as an array-of-structs literal, each
-    # query ranks them by squared distance with array_sort and keeps the
-    # n_probe nearest. No driver collect — the query side can be a
-    # full table.
-    cent_lit = F.array(
+def _centroid_struct_lit(centroids):
+    """The k centroid vectors (k·dim floats — tiny) as an
+    array-of-structs literal: (cv, c2=|cv|², cell). Riding centroids as
+    an in-plan literal keeps probe assignment fully distributed — no
+    driver collect, the query side can be a full table."""
+    return F.array(
         *[
             F.struct(
                 F.array(*[F.lit(float(x)) for x in ctr]).alias("cv"),
+                F.lit(float(sum(float(x) * float(x) for x in ctr))).alias("c2"),
                 F.lit(int(cell)).alias("cell"),
             )
-            for cell, ctr in enumerate(model.clusterCenters())
+            for cell, ctr in enumerate(centroids)
         ]
     )
 
-    def _d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
-        .withColumn(
-            "_near",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        cent_lit,
-                        lambda ctr: F.struct(
-                            _d2(F.col("qvec"), ctr["cv"]).alias("d2"),
-                            ctr["cell"].alias("cell"),
-                        ),
-                    )
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .select("query_id", "qvec", F.explode("_near.cell").alias("cell"))
+def _cell_scores(vec_col, cent_lit):
+    """Per-centroid ranking key as an array<struct<score, cell>>:
+    score = |c|² - 2·v·c, which orders cells identically to squared
+    Euclidean distance (the |v|² term is constant per row) while
+    keeping every arithmetic op in the double domain — so a DuckDB
+    oracle computing `c2 - 2*list_dot_product(v, cv)` reproduces the
+    exact ordering (same discipline as the SRP sign bits)."""
+    from degdb_spark.operators.similarity import _dot
+
+    return F.transform(
+        cent_lit,
+        lambda ctr: F.struct(
+            (ctr["c2"] - 2.0 * _dot(vec_col, ctr["cv"])).alias("score"),
+            ctr["cell"].alias("cell"),
+        ),
     )
 
+
+def _ivf_probe_rerank(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    broadcast_probes: bool,
+) -> DataFrame:
+    """Candidate generation (equi-join on cell) + exact cosine re-rank.
+
+    ``broadcast_probes=True`` is for genuinely small query sets; with a
+    corpus-sized query side it must be False so the join shuffles both
+    sides on cell instead of replicating n_probe× the query table to
+    every executor (same flag contract as similarity.lsh_topk's
+    ``broadcast_queries``).
+    """
     from degdb_spark.operators.similarity import cosine
     from degdb_spark.queries.rounding import dround
     from pyspark.sql import Window
 
-    cand = assigned.join(F.broadcast(probes), on="cell").filter(
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    cand = assigned.join(probe_side, on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn(
@@ -217,3 +208,86 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def _probes_from(queries: DataFrame, cent_lit, n_probe: int, id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, qvec, cell) — each query exploded to its n_probe
+    nearest cells, ranked in-plan via array_sort over the centroid
+    literal (ties broken by cell id, deterministically)."""
+    return (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn(
+            "_near",
+            F.slice(
+                F.array_sort(_cell_scores(F.col("qvec"), cent_lit)), 1, n_probe
+            ),
+        )
+        .select("query_id", "qvec", F.explode("_near.cell").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into centroid cells; each query probes its
+    ``n_probe`` nearest cells and exact cosine re-ranks only those.
+
+    The scale path beyond SRP when the corpus is clusterable: cell
+    assignment is one fitted-model transform (a broadcast of k centroid
+    vectors), candidate generation an equi-join on cell id — identical
+    shuffle shape to the LSH paths, but data-adaptive. The training pass
+    is the price SRP avoids. Set ``broadcast_probes=False`` when the
+    query side is a table rather than a handful of vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        to_vec(F.col(vec_col)).alias("features"),
+    ).localCheckpoint(eager=True)
+    model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    )
+    cent_lit = _centroid_struct_lit(model.clusterCenters())
+    probes = _probes_from(queries, cent_lit, n_probe, id_col, vec_col)
+    return _ivf_probe_rerank(assigned, probes, k, broadcast_probes)
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF probe/re-rank with externally supplied (pinned) centroids —
+    no training pass. Corpus cell assignment uses the same in-plan
+    nearest-centroid ranking as the probes, so the whole pipeline is a
+    deterministic function of (data, centroid literals) and can be
+    replayed exactly by a SQL oracle (embeddings_queries.IVF_FIXED_SQL).
+    Also the production shape for periodic re-clustering at 100 TB:
+    train centroids offline on a sample, pin them, assign + probe
+    in-plan everywhere else.
+    """
+    cent_lit = _centroid_struct_lit(centroids)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.array_sort(_cell_scores(F.col(vec_col), cent_lit))[0]["cell"].alias("cell"),
+    )
+    probes = _probes_from(queries, cent_lit, n_probe, id_col, vec_col)
+    return _ivf_probe_rerank(assigned, probes, k, broadcast_probes)

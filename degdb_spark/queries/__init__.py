@@ -8,6 +8,15 @@ Column-name discipline: every computed column is aliased identically in
 the Spark code and the oracle SQL, because the driver's comparator sorts
 columns by name before value-hashing. Float aggregates are ROUND()ed on
 both sides so double summation-order differences can't drift the hash.
+
+Window policy (standing): the driver's correctness gate checks the
+FIRST 50 entries in iteration order each round, and testdata can
+regenerate between rounds (so old green rows go stale). Each round's
+window is therefore {never-driver-checked} ∪ {changed-this-round} ∪
+{oldest-driver-checked}, expressed as the explicit ``_WINDOW`` list
+below; everything else follows in module order. Update ``_WINDOW``
+every round: drop what just got checked, promote whatever is now
+oldest or new.
 """
 
 from __future__ import annotations
@@ -20,6 +29,73 @@ from pyspark.sql import DataFrame, SparkSession
 class Query(NamedTuple):
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
+
+
+#: Round-3 window (see module docstring). Composition:
+#:  - 14 registry-tail queries that landed after the r2 window was set
+#:    and have never had a driver row;
+#:  - emb_ivf_fixed_knn (new this round) and the three queries whose
+#:    implementation changed this round (degree-oriented triangles,
+#:    empty-doc-guarded chunking);
+#:  - the oldest driver rows: the r1-checked relational/relational_adv/
+#:    triples families plus one events query (r1 rows predate a testdata
+#:    regeneration). Still-deferred r1 rows (4 events, 5 text, 9 tpch)
+#:    rotate in next round.
+_WINDOW = [
+    # never driver-checked
+    "basket_sssp_histogram",
+    "basket_communities",
+    "mql_region_nations",
+    "triple_bloom_semijoin",
+    "triple_canonical_dump",
+    "triple_signature_parity",
+    "emb_centroid_separation",
+    "q15_top_supplier",
+    "q12_late_shipping",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_suppliers",
+    # new / changed this round
+    "emb_ivf_fixed_knn",
+    "basket_triangle_count",
+    "basket_clustering_top",
+    "docs_chunking",
+    # oldest driver rows (r1) — refresh against current testdata
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "top_customers_per_nation",
+    "running_order_totals",
+    "rollup_revenue",
+    "cube_lineitem_status",
+    "customers_without_orders",
+    "nations_set_ops",
+    "scalar_function_gallery",
+    "date_function_gallery",
+    "left_join_order_stats",
+    "full_outer_nation_presence",
+    "price_percentiles",
+    "above_nation_average",
+    "orders_with_big_items",
+    "regexp_gallery",
+    "window_function_gallery",
+    "moving_average_revenue",
+    "conditional_aggregation",
+    "array_aggregation",
+    "triple_subject_lookup",
+    "triple_or_patterns",
+    "triple_and_not",
+    "triple_two_hop",
+    "triple_three_hop",
+    "triple_insert_dedup",
+    "triple_predicate_histogram",
+    "events_hourly_rollup",
+]
 
 
 def registry() -> dict[str, Query]:
@@ -41,13 +117,7 @@ def registry() -> dict[str, Query]:
         triples_queries,
     )
 
-    out: dict[str, Query] = {}
-    # Ordering is a verification-coverage decision: the driver's oracle
-    # gate checks the first 50 entries in iteration order, so the least-
-    # proven families (embeddings, graph, motif, sampling, sketch/
-    # timeseries, text-dedup) lead and the long-green relational/TPC-H
-    # queries trail. Round 1 verified the relational half; this order
-    # puts every other family inside the round-2 window.
+    full: dict[str, Query] = {}
     for mod in (
         embeddings_queries,
         graph_queries,
@@ -62,13 +132,16 @@ def registry() -> dict[str, Query]:
         relational,
         relational_adv,
         tpch_more,
-        # tail on purpose: next round these rotate into the driver's
-        # 50-query window; this round the window stays on the round-1-
-        # unverified families (see module docstring).
         graph_adv_queries,
         surface_queries,
     ):
-        overlap = set(out) & set(mod.QUERIES)
+        overlap = set(full) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
-        out.update(mod.QUERIES)
+        full.update(mod.QUERIES)
+
+    missing = [n for n in _WINDOW if n not in full]
+    assert not missing, f"_WINDOW names not in registry: {missing}"
+    assert len(_WINDOW) == len(set(_WINDOW)), "duplicate names in _WINDOW"
+    out: dict[str, Query] = {n: full[n] for n in _WINDOW}
+    out.update((n, q) for n, q in full.items() if n not in out)
     return out

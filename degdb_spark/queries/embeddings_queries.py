@@ -281,6 +281,80 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+#: Pinned IVF quantizer for the oracle-checked variant: deterministic
+#: seeded pseudo-Gaussian centroids (same generator as the SRP
+#: hyperplanes), so probe assignment + re-rank is a pure function of
+#: (data, literals) replayable in DuckDB. The trained emb_ivf_knn keeps
+#: its k-means quantizer (rows-only); this one hash-checks the exact
+#: probe/re-rank pipeline both share.
+_IVF_N_CENT, _IVF_N_PROBE = 8, 3
+_IVF_CENTROIDS = S.make_hyperplanes(EMB_DIM, _IVF_N_CENT, seed=777)
+
+
+def ivf_fixed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with pinned centroids — fully
+    oracle-checked (ml_lsh.ivf_topk_fixed): in-plan nearest-centroid
+    assignment for corpus and probes, equi-join on cell, exact cosine
+    re-rank."""
+    from degdb_spark.operators.ml_lsh import ivf_topk_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_fixed(
+        emb, queries, _IVF_CENTROIDS, k=5, n_probe=_IVF_N_PROBE
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_fixed_oracle_sql(centroids: list[list[float]], n_probe: int, k: int = 5) -> str:
+    """DuckDB replication of ivf_topk_fixed: the centroid literals ride
+    as a VALUES CTE; cell ranking uses the same |c|²-2·v·c double-domain
+    key (ties by cell id), so assignment matches Spark bit-for-bit."""
+
+    def vec_lit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    rows = ",\n  ".join(
+        f"({cell}, {vec_lit(c)}::DOUBLE[], {float(sum(float(x) * float(x) for x in c))!r})"
+        for cell, c in enumerate(centroids)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(cell, cv, c2) AS (VALUES
+  {rows}),
+cell_rank AS (
+  SELECT e.vec_id, cent.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY cent.c2 - 2 * list_dot_product(e.v, cent.cv), cent.cell) AS rn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM cell_rank WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cell_rank WHERE rn <= {n_probe} AND vec_id < 10),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         FLOOR((
+           list_dot_product(qe.v, ce.v) /
+           (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND a.neighbor_id <> p.query_id
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+IVF_FIXED_SQL = _ivf_fixed_oracle_sql(_IVF_CENTROIDS, _IVF_N_PROBE)
+
+
 def quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization reconstruction error (operators/
     quantize.py) — scale, MSE, max abs error per vector; decimal-summed
@@ -379,6 +453,7 @@ ORDER BY label_a, label_b
 
 
 QUERIES: dict[str, Query] = {
+    "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
     "emb_ivf_knn": Query(ivf_knn, None),
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),

@@ -288,3 +288,28 @@ def test_per_user_cap_one_window_shuffle(spark):
     plan = _plan(events_per_user_cap(spark, SF))
     assert plan.count("hashpartitioning(user_id") <= 2  # window + agg reuse
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_fixed_no_probe_broadcast_when_flagged(spark):
+    """ivf_topk_fixed(broadcast_probes=False) must shuffle-join the
+    probe side on cell — replicating an exploded corpus-sized query
+    table n_probe x to every executor is the 100 TB killer the flag
+    exists for (same contract as lsh_topk's broadcast_queries)."""
+    from degdb_spark.operators.ml_lsh import ivf_topk_fixed
+    from degdb_spark.operators.similarity import make_hyperplanes
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = make_hyperplanes(len(emb.first()["embedding"]), 4, seed=7)
+    q = emb.filter(F.col("vec_id") < 5)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(ivf_topk_fixed(emb, q, cents, k=3, broadcast_probes=False))
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # default small-query path keeps the shuffle-free broadcast join
+    plan = _plan(ivf_topk_fixed(emb, q, cents, k=3))
+    assert "BroadcastExchange" in plan
