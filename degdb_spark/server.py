@@ -12,6 +12,10 @@ user's first touch (`curl localhost:PORT/api/v1/...`) works unchanged:
     GET  /api/v1/peers    peer dump          (http.go:132-138; a Spark
                           deployment has no gossip ring → [])
     GET  /api/v1/myip     requester address  (http.go:145-152)
+    GET  /static/...      browser UI         (http.go:22-27; clean-room
+                          vanilla-JS pages in degdb_spark/static/ with
+                          the same behavior as the reference's
+                          triples/insert/keyspace pages)
 
 Deliberately stdlib-only (ThreadingHTTPServer): the shim is an edge
 adapter — every request body is parsed on the HTTP thread and handed to
@@ -25,11 +29,16 @@ anti-join MERGE (operators/triplestore.py).
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from degdb_spark.api import DegDB
+
+_STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+#: explicit whitelist — no directory traversal surface
+_STATIC_PAGES = {"triples.html", "insert.html", "keyspace.html"}
 
 
 class DegDBServer:
@@ -76,6 +85,15 @@ class DegDBServer:
                         self._send(200, "[]")
                     elif url.path == "/api/v1/myip":
                         self._send(200, self.client_address[0], "text/plain")
+                    elif url.path.startswith("/static/") or url.path == "/static":
+                        name = url.path.removeprefix("/static").lstrip("/")
+                        if name in ("", "index.html"):
+                            name = "triples.html"  # ring default, like a file index
+                        if name not in _STATIC_PAGES:
+                            self._send(404, "not found", "text/plain")
+                            return
+                        with open(os.path.join(_STATIC_DIR, name)) as f:
+                            self._send(200, f.read(), "text/html; charset=utf-8")
                     elif url.path == "/api/v1/insert":
                         self._send(400, "endpoint needs POST", "text/plain")
                     else:

@@ -98,3 +98,23 @@ def test_error_paths(server):
     # unknown route → 404
     code, body = _get(server, "/api/v1/nope")
     assert code == 404
+
+
+def test_static_pages_served(server):
+    """The browser UI (clean-room twin of the reference's static/) is
+    served under /static/ with the JSON API as its backend."""
+    for page, marker in [
+        ("triples.html", "/api/v1/query"),
+        ("insert.html", "/api/v1/insert"),
+        ("keyspace.html", "/api/v1/peers"),
+    ]:
+        code, body = _get(server, f"/static/{page}")
+        assert code == 200, page
+        assert marker in body, page
+    # index default → the triple browser
+    code, body = _get(server, "/static/")
+    assert code == 200 and "/api/v1/query" in body
+    # whitelist: no traversal, no surprise files
+    for bad in ("/static/../server.py", "/static/nope.html", "/static/%2e%2e/api.py"):
+        code, _ = _get(server, bad)
+        assert code == 404, bad
