@@ -34,13 +34,14 @@ class Query(NamedTuple):
 #: Round-3 window (see module docstring). Composition:
 #:  - 14 registry-tail queries that landed after the r2 window was set
 #:    and have never had a driver row;
-#:  - emb_ivf_fixed_knn (new this round) and the three queries whose
+#:  - new this round (emb_ivf_fixed_knn, docs_mixture_sample,
+#:    docs_leakage_safe_split) and the three queries whose
 #:    implementation changed this round (degree-oriented triangles,
 #:    empty-doc-guarded chunking);
 #:  - the oldest driver rows: the r1-checked relational/relational_adv/
-#:    triples families plus one events query (r1 rows predate a testdata
-#:    regeneration). Still-deferred r1 rows (4 events, 5 text, 9 tpch)
-#:    rotate in next round.
+#:    triples families (r1 rows predate a testdata regeneration).
+#:    Still-deferred r1 rows (5 events, 5 text, 9 tpch,
+#:    triple_predicate_histogram) rotate in next round.
 _WINDOW = [
     # never driver-checked
     "basket_sssp_histogram",
@@ -59,6 +60,8 @@ _WINDOW = [
     "q20_excess_suppliers",
     # new / changed this round
     "emb_ivf_fixed_knn",
+    "docs_mixture_sample",
+    "docs_leakage_safe_split",
     "basket_triangle_count",
     "basket_clustering_top",
     "docs_chunking",
@@ -93,8 +96,6 @@ _WINDOW = [
     "triple_two_hop",
     "triple_three_hop",
     "triple_insert_dedup",
-    "triple_predicate_histogram",
-    "events_hourly_rollup",
 ]
 
 

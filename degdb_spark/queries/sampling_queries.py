@@ -67,7 +67,64 @@ ORDER BY l_returnflag
 """
 
 
+#: Per-source keep rates (percent) for the mixture sampler; sources not
+#: listed fall back to the default. One dict drives BOTH the Spark CASE
+#: and the oracle CASE, so the mixture definition can't diverge.
+_MIX_RATES = {"src0": 90, "src1": 25, "src2": 70, "src3": 40, "src4": 100}
+_MIX_DEFAULT = 50
+
+
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: per-source keep rates applied through
+    the portable md5 bucket — the mixture-weighting primitive of
+    training-data assembly (upsample books, downsample web). Because
+    membership is a pure hash of doc_id, the mixture is reproducible in
+    any engine, stable under corpus growth, and rerunning with a higher
+    rate strictly grows the kept set (bucket < rate is monotone).
+    Reports total/kept docs and kept char mass per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = None
+    for s, r in _MIX_RATES.items():
+        cond = F.col("source") == s
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(_MIX_DEFAULT))
+    kept = md5_bucket("doc_id", 100) < rate
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT source, n_chars,
+         {_MIX_CASE} AS rate,
+         {_BUCKET_SQL.format(key='doc_id')} AS b
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN b < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_train_test_split": Query(docs_train_test_split, SPLIT_SQL),
     "lineitem_sample_revenue": Query(lineitem_sample_revenue, SAMPLE_SQL),
+    "docs_mixture_sample": Query(docs_mixture_sample, MIXTURE_SQL),
 }

@@ -284,6 +284,53 @@ FROM sized
 )
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split: the split key is the near-dup
+    CLUSTER id, not the doc id, so near-duplicates can never straddle
+    train and test — the leakage mode a doc-keyed split has (a test doc
+    whose near-copy sits in train). Composes the transitive-cluster
+    pass with the portable md5-bucket split (operators/sampling.py);
+    straddle-freedom holds by construction because every member of a
+    cluster hashes the same key. At 100 TB the split is one expression
+    over the cluster assignment — no extra shuffle beyond the
+    clustering itself. Reports per-split doc/cluster counts and how
+    many docs sit in multi-doc (near-dup) clusters."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.4)
+    clusters = D.dedup_clusters(docs, pairs)
+    from degdb_spark.operators.sampling import md5_bucket
+
+    split = F.when(md5_bucket("cluster_id", 100) < 20, "test").otherwise("train")
+    return (
+        clusters.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum((F.col("cluster_size") > 1).cast("long")).alias("n_neardup_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SPLIT_SQL = (
+    _CLUSTER_CTE
+    + """
+, sized AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM clusters
+)
+SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR(64))), 1, 8)) AS BIGINT) % 100 < 20
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs
+FROM sized GROUP BY split ORDER BY split
+"""
+)
+
+
 def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard. Fully
     oracle-checked: the md5 double-hash slots, band buckets, and verifier
@@ -693,6 +740,7 @@ QUERIES: dict[str, Query] = {
     "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),
     "docs_dedup_clusters": Query(dedup_clusters_query, DEDUP_CLUSTERS_SQL),
     "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),
+    "docs_leakage_safe_split": Query(leakage_safe_split, LEAKAGE_SPLIT_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
     "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
     # r1-driver-verified entries trail so the 50-query verification

@@ -179,3 +179,25 @@ def test_contamination_report(spark):
     assert rep[2] == (1, True)   # 'beta gamma delta'
     kept = sorted(r.doc_id for r in D.decontaminate(corpus, bench).collect())
     assert kept == [1]
+
+
+def test_leakage_safe_split_no_straddle(spark, docs):
+    """Near-dup cluster members must all land in the same split — the
+    property that distinguishes the cluster-keyed split from a
+    doc-keyed one."""
+    from degdb_spark.operators.sampling import md5_bucket
+
+    pairs = D.ngram_jaccard_pairs(docs.filter(F.length("text") > 0), threshold=0.4)
+    clusters = D.dedup_clusters(docs, pairs)
+    split = F.when(md5_bucket("cluster_id", 100) < 50, "test").otherwise("train")
+    straddlers = (
+        clusters.withColumn("split", split)
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and the multi-doc cluster (docs 0/1/2/3) really is one key
+    multi = clusters.filter(F.col("cluster_size") > 1).select("cluster_id").distinct()
+    assert multi.count() >= 1
