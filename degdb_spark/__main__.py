@@ -1,0 +1,99 @@
+"""`python -m degdb_spark` — the reference binary's surface as a CLI.
+
+The reference ships one binary whose flags boot a node (main.go:15-20:
+-port, -peers, -disk, -nodes). A Spark deployment has no gossip ring to
+join and no per-node disk quota to carve (the cluster manager owns
+placement and storage), so the CLI keeps the node-boot verb and adds
+the library's day-one verbs:
+
+    python -m degdb_spark serve  [--port 7946] [--host 127.0.0.1]
+                                 [--load-sf-dir DIR] [--signing-key HEX]
+        Boot a node: SparkSession + TripleStore + the HTTP/API surface
+        (/api/v1/* + /static/ UI). --load-sf-dir seeds the store with
+        the testdata-derived triples. Ctrl-C stops it.
+
+    python -m degdb_spark query '<json>' [--load-sf-dir DIR] [--limit N]
+        One-shot pattern query (same JSON the HTTP endpoint takes),
+        printed as JSON lines.
+
+    python -m degdb_spark bench
+        Run the headline benchmark suite (bench.py contract).
+
+-peers / -nodes / -disk have no analogue here by design: peer topology
+is SURVEY §2.6 infrastructure the Spark platform supplies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _db(args):
+    from degdb_spark.api import DegDB
+    from degdb_spark.session import get_spark
+
+    spark = get_spark(app_name="degdb_cli")
+    key = bytes.fromhex(args.signing_key) if getattr(args, "signing_key", None) else None
+    db = DegDB(spark, signing_key=key)
+    if getattr(args, "load_sf_dir", None):
+        from degdb_spark.catalog import register_all
+        from degdb_spark.sources.triples import triples_df
+
+        register_all(spark, args.load_sf_dir)
+        db.insert(triples_df(spark))
+    return db
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="degdb_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    serve = sub.add_parser("serve", help="boot a node (HTTP API + UI)")
+    serve.add_argument("--port", type=int, default=7946)  # reference default port
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--load-sf-dir", default=None)
+    serve.add_argument("--signing-key", default=None, help="hex key for W1 signing")
+
+    query = sub.add_parser("query", help="one-shot JSON pattern query")
+    query.add_argument("q")
+    query.add_argument("--load-sf-dir", default=None)
+    query.add_argument("--limit", type=int, default=-1)
+    query.add_argument("--signing-key", default=None)
+
+    sub.add_parser("bench", help="run the headline benchmark suite")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench  # repo-root module (driver contract)
+
+        bench.main()
+        return 0
+
+    if args.cmd == "query":
+        db = _db(args)
+        for row in db.query_json(args.q, limit=args.limit):
+            print(json.dumps(row, sort_keys=True))
+        return 0
+
+    # serve
+    from degdb_spark.server import DegDBServer
+
+    db = _db(args)
+    srv = DegDBServer(db, host=args.host, port=args.port).start()
+    print(f"degdb_spark serving on http://{srv.host}:{srv.port} "
+          f"(UI: /static/, API: /api/v1/)", flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

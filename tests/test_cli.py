@@ -1,0 +1,20 @@
+"""CLI surface (`python -m degdb_spark`) — the reference binary's verb
+set adapted to Spark (main.go:15-20 flags; peers/disk are platform
+concerns here)."""
+
+from __future__ import annotations
+
+import json
+
+from degdb_spark.__main__ import main
+
+
+def test_cli_query(spark, capsys):
+    # get_spark() inside main() reuses the active test session
+    rc = main(
+        ["query", '[{"subj": "nation/7"}]', "--load-sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert {r["pred"] for r in rows} >= {"name", "in_region"}
+    assert all(r["subj"] == "nation/7" for r in rows)
