@@ -62,6 +62,7 @@ _WINDOW = [
     "emb_ivf_fixed_knn",
     "docs_mixture_sample",
     "docs_leakage_safe_split",
+    "docs_unigram_logprob",
     "basket_triangle_count",
     "basket_clustering_top",
     "docs_chunking",
@@ -95,7 +96,6 @@ _WINDOW = [
     "triple_and_not",
     "triple_two_hop",
     "triple_three_hop",
-    "triple_insert_dedup",
 ]
 
 

@@ -13,7 +13,7 @@ from degdb_spark.catalog import load_table
 from degdb_spark.operators import dedup as D
 from degdb_spark.operators import text as X
 from degdb_spark.queries import Query
-from degdb_spark.queries.rounding import dround
+from degdb_spark.queries.rounding import dround, dsum, sql_dsum
 
 # DuckDB-side token expression mirroring operators/text.tokens
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -282,6 +282,62 @@ SELECT CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n
 FROM sized
 """
 )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score: per-doc mean unigram log-prob
+    under the corpus's own unigram distribution — the deterministic
+    stand-in for LM-perplexity filtering (CCNet ranks docs by LM score;
+    a unigram model is the order-0 version and needs no external
+    artifact, so it stays engine-replayable). Low avg_lp ≈ rare-token
+    soup (gibberish/boilerplate id strings), high ≈ stopword-heavy.
+
+    Shape at 100 TB: one token-count aggregation (map-side combined),
+    one token-keyed join of the exploded corpus against the count table
+    (AQE broadcasts it when the vocab is small), one per-doc
+    aggregation. Per-token log-probs are FLOOR-rounded to 6 dp before
+    the order-independent decimal sum (rounding.py discipline), so the
+    oracle matches bit-for-bit despite float summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = (
+        tok.join(counts, on="token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp", dround(F.log(F.col("n_t") / F.col("n_total")), 6))
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            dsum(F.col("lp"), 6, out_dp=6).alias("sum_lp"),
+        )
+        .withColumn("avg_lp", dround(F.col("sum_lp") / F.col("n_tokens"), 6))
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_t FROM tok GROUP BY token
+), total AS (
+  SELECT COUNT(*) AS n_total FROM tok
+), lp AS (
+  SELECT doc_id,
+         FLOOR(ln(n_t::DOUBLE / n_total) * 1000000 + 0.5) / 1000000 AS lp
+  FROM tok JOIN counts USING (token) CROSS JOIN total
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         {sql_dsum('lp', 6, out_dp=6)} AS sum_lp
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_lp,
+       FLOOR((sum_lp / n_tokens) * 1000000 + 0.5) / 1000000 AS avg_lp
+FROM agg ORDER BY doc_id
+"""
 
 
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +797,7 @@ QUERIES: dict[str, Query] = {
     "docs_dedup_clusters": Query(dedup_clusters_query, DEDUP_CLUSTERS_SQL),
     "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),
     "docs_leakage_safe_split": Query(leakage_safe_split, LEAKAGE_SPLIT_SQL),
+    "docs_unigram_logprob": Query(unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
     "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
     # r1-driver-verified entries trail so the 50-query verification
