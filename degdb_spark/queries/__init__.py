@@ -101,6 +101,7 @@ _WINDOW = [
 
 def registry() -> dict[str, Query]:
     from degdb_spark.queries import (
+        behavior_queries,
         coverage_queries,
         embeddings_queries,
         events_queries,
@@ -135,6 +136,7 @@ def registry() -> dict[str, Query]:
         tpch_more,
         graph_adv_queries,
         surface_queries,
+        behavior_queries,
     ):
         overlap = set(full) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"

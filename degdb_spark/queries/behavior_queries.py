@@ -1,0 +1,252 @@
+"""User-behavior analytics over the events table — funnel conversion,
+cohort retention, recency-decayed engagement scoring, and volume anomaly
+detection. These are the event-log curation primitives a training-data
+pipeline runs before sampling interaction data (e.g. recency-weighted
+user sampling, bot/anomaly exclusion).
+
+The reference has no analytics surface (SURVEY §2.4 — its only
+aggregate is COUNT, triplestore/triplestore.go:167); these extend the
+"not present in reference, required by the driver harness" family.
+
+Scale notes (100 TB): every query here shuffles once on user_id (the
+natural key); the stacked windows/aggregations after that first
+exchange reuse the same hash partitioning, so Catalyst plans no second
+exchange. Cohort/anomaly outputs are per-(day|hour) — thousands of
+groups, never data-sized. The decay score caps the per-user window at
+the 16 most recent events, so state is O(1) per user and the decimal
+accumulation stays exact (0.5^n is a terminating binary AND decimal
+fraction — both engines sum it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from degdb_spark.catalog import load_table
+from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround, dsum, sql_dround, sql_dsum
+
+#: funnel stage order: browse → engage → convert.
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase): a user counts
+    for stage k only if stage k's first qualifying event is strictly
+    after their stage k-1 time. Stacked windows on one user_id
+    partitioning — a single exchange end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v, c, p = _FUNNEL_STAGES
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == v, F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == c) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == p) & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_stage1"),
+        F.count("t2").alias("n_stage2"),
+        F.count("t3").alias("n_stage3"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH staged AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{_FUNNEL_STAGES[0]}' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1,
+         event_type, ts
+  FROM events
+), s2 AS (
+  SELECT user_id, t1,
+         MIN(CASE WHEN event_type = '{_FUNNEL_STAGES[1]}' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2,
+         event_type, ts
+  FROM staged
+), s3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = '{_FUNNEL_STAGES[2]}' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT COUNT(t1) AS n_stage1, COUNT(t2) AS n_stage2, COUNT(t3) AS n_stage3,
+       COUNT(*) AS n_users
+FROM per_user
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: cohort = a user's first active day;
+    for day offsets 0..7, how many of the cohort were active again.
+    Two aggregations, both keyed by user_id then cohort — the classic
+    two-shuffle retention shape (first-touch, then cohort rollup)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .withColumn(
+            "offset_days",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long"),
+        )
+        .filter(F.col("offset_days") <= 7)
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day FROM events
+), first_day AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT first_day.cohort_day::TIMESTAMP_NS AS cohort_day,
+       DATEDIFF('day', first_day.cohort_day, ev.day) AS offset_days,
+       COUNT(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN first_day ON ev.user_id = first_day.user_id
+WHERE DATEDIFF('day', first_day.cohort_day, ev.day) <= 7
+GROUP BY first_day.cohort_day, offset_days
+ORDER BY cohort_day, offset_days
+"""
+
+#: recency decay per step; 0.5 is a terminating fraction in binary AND
+#: decimal, so value·0.5^n is exact in DECIMAL(38,20) on both engines —
+#: summation is order-independent (see rounding.py discipline).
+_DECAY_DEPTH = 16
+
+
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score: Σ value·0.5^(age_rank) over a
+    user's 16 most recent events (rank 0 = most recent). The
+    recency-weighted user sampling weight for interaction-data curation.
+    One shuffle on user_id; the row_number window and the groupBy reuse
+    the same partitioning; per-user state is capped at 16 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _DECAY_DEPTH
+    )
+    weighted = ranked.withColumn(
+        "wv",
+        (F.col("value") * F.pow(F.lit(0.5), F.col("rn") - 1)).cast(
+            "decimal(38,20)"
+        ),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(F.sum("wv").cast("double").alias("decay_score"))
+        .withColumn("decay_score", dround(F.col("decay_score"), 6))
+        .orderBy(F.col("decay_score").desc(), F.col("user_id"))
+        .limit(50)
+    )
+
+
+DECAY_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), weighted AS (
+  SELECT user_id,
+         CAST(value * POW(0.5, rn - 1) AS DECIMAL(38,20)) AS wv
+  FROM ranked WHERE rn <= {_DECAY_DEPTH}
+)
+SELECT user_id,
+       {sql_dround("CAST(SUM(wv) AS DOUBLE)", 6)} AS decay_score
+FROM weighted GROUP BY user_id
+ORDER BY decay_score DESC, user_id
+LIMIT 50
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomaly detection: for each event_type, z-score of
+    each hour's event count against that type's own hourly distribution
+    (population moments); |z| > 2 flags the hour. Moments are computed
+    from exact integer sums (counts are ints → DECIMAL sums are exact),
+    so both engines derive identical doubles. Per-type moments are a
+    tiny broadcast aggregate, not a driver round-trip."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    moments = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("h"),
+    )
+    joined = hourly.join(F.broadcast(moments), "event_type")
+    mean = F.col("s1").cast("double") / F.col("h")
+    var = F.col("s2").cast("double") / F.col("h") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        # var == 0 (a type with perfectly uniform hours) would divide by
+        # zero — engines disagree on double x/0 (NULL vs inf), so gate it.
+        joined.filter(F.col("s2") * F.col("h") > F.col("s1") * F.col("s1"))
+        .withColumn("z", dround(z, 4))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("event_type", "hour", "n", "z")
+        .orderBy("event_type", "hour")
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+), moments AS (
+  SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2, COUNT(*) AS h
+  FROM hourly GROUP BY event_type
+), scored AS (
+  SELECT hourly.event_type, hourly.hour, hourly.n,
+         FLOOR(((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / h) /
+                SQRT(CAST(s2 AS DOUBLE) / h -
+                     (CAST(s1 AS DOUBLE) / h) * (CAST(s1 AS DOUBLE) / h)))
+               * 10000 + 0.5) / 10000 AS z
+  FROM hourly JOIN moments ON hourly.event_type = moments.event_type
+  WHERE s2 * h > s1 * s1
+)
+SELECT event_type, hour::TIMESTAMP_NS AS hour, n, z
+FROM scored WHERE ABS(z) > 2.0
+ORDER BY event_type, hour
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "events_funnel": Query(events_funnel, FUNNEL_SQL),
+    "events_retention": Query(events_retention, RETENTION_SQL),
+    "events_decay_score": Query(events_decay_score, DECAY_SQL),
+    "events_anomaly_zscore": Query(events_anomaly_zscore, ANOMALY_SQL),
+}
