@@ -257,6 +257,48 @@ def label_propagation(
     return labels
 
 
+def kcore_peel(
+    edges: DataFrame, k: int, max_rounds: int = 8
+) -> DataFrame:
+    """Synchronous k-core peeling: repeatedly delete every vertex whose
+    degree in the surviving subgraph is < k. Returns the surviving
+    vertices with their final in-core degree.
+
+    Fixed synchronous rounds (all sub-k vertices removed together) make
+    each intermediate state deterministic, so an unrolled SQL oracle
+    replays it exactly even if ``max_rounds`` stops short of the fixed
+    point. Per round: one semi-join per endpoint to restrict edges to
+    survivors + one groupBy-count — all shuffles on the vertex key, and
+    the surviving set only shrinks, so per-round cost is monotonically
+    decreasing. Early-exit when a round removes nothing (one count
+    action per round, same discipline as sssp_weighted). ``edges`` must
+    contain both directions for undirected graphs.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    alive = (
+        edges.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=False)
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        surviving = edges.join(
+            alive.withColumnRenamed("id", "src"), on="src", how="left_semi"
+        ).join(alive.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+        deg = surviving.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        alive = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=False)
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    final = edges.join(
+        alive.withColumnRenamed("id", "src"), on="src", how="left_semi"
+    ).join(alive.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+    return final.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
 def bfs_distances(
     triples: DataFrame, source: str, max_depth: int = 6, undirected: bool = False
 ) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from degdb_spark.catalog import load_table
 from degdb_spark.graph import algorithms as G
 from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround, sql_dround
 
 _SSSP_HOPS = 6
 _LPA_ITERS = 5
@@ -154,7 +155,126 @@ def _lpa_sql(iters: int) -> str:
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def basket_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the thresholded co-purchase graph: degree histogram of
+    the subgraph after synchronous sub-3-degree peeling (≤8 rounds —
+    past the fixed point, where extra rounds are identity, so the
+    unrolled oracle agrees whether Spark early-exited or not)."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    core = G.kcore_peel(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return (
+        core.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges2)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED ("
+            f"SELECT e.src AS id FROM edges2 e "
+            f"WHERE e.src IN (SELECT id FROM a{i-1}) "
+            f"  AND e.dst IN (SELECT id FROM a{i-1}) "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f""",
+final_deg AS (
+  SELECT e.src AS id, COUNT(*) AS deg FROM edges2 e
+  WHERE e.src IN (SELECT id FROM a{rounds})
+    AND e.dst IN (SELECT id FROM a{rounds})
+  GROUP BY e.src
+)
+SELECT deg, COUNT(*) AS n_nodes FROM final_deg GROUP BY deg ORDER BY deg"""
+    )
+
+
+def basket_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the thresholded co-purchase
+    graph: for non-adjacent part pairs at distance 2, Jaccard overlap of
+    their neighborhoods; top 20 candidate edges.
+
+    Wedge enumeration keys the self-join on the shared mid vertex — on
+    the w≥2 thresholded graph the degree tail is already clipped; at
+    100× apply the same low-degree orientation used by
+    basket_triangle_count (coverage_queries.py) or cap hub degree before
+    enumeration (candidate quality loss is the standard trade)."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    cn = (
+        e1.join(e2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    existing = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cand = cn.join(existing, ["u", "v"], how="left_anti")
+    scored = (
+        cand.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+        .withColumn(
+            "jaccard",
+            dround(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("u", "v", "cn", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+LINKPRED_SQL = f"""
+WITH {_WEDGES_CTE},
+deg AS (
+  SELECT src AS id, COUNT(*) AS deg FROM edges2 GROUP BY src
+),
+cn AS (
+  SELECT e1.src AS u, e2.dst AS v, COUNT(*) AS cn
+  FROM edges2 e1 JOIN edges2 e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+  GROUP BY e1.src, e2.dst
+),
+cand AS (
+  SELECT cn.u, cn.v, cn.cn FROM cn
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wedges w
+    WHERE w.u = cn.u AND w.v = cn.v
+  )
+)
+SELECT cand.u, cand.v, cand.cn,
+       {sql_dround("CAST(cand.cn AS DOUBLE) / CAST(du.deg + dv.deg - cand.cn AS DOUBLE)", 4)} AS jaccard
+FROM cand
+JOIN deg du ON du.id = cand.u
+JOIN deg dv ON dv.id = cand.v
+ORDER BY jaccard DESC, u, v
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "basket_sssp_histogram": Query(basket_sssp_histogram, _sssp_sql(_SSSP_HOPS)),
     "basket_communities": Query(basket_communities, _lpa_sql(_LPA_ITERS)),
+    "basket_kcore": Query(basket_kcore, _kcore_sql(_KCORE_K, _KCORE_ROUNDS)),
+    "basket_link_prediction": Query(basket_link_prediction, LINKPRED_SQL),
 }
