@@ -452,7 +452,52 @@ ORDER BY label_a, label_b
 """
 
 
+def filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: top-5 cosine neighbors restricted to a
+    label shard (label % 3 == 0) — the filtered-retrieval shape of RAG
+    / dedup-within-domain pipelines. The label predicate is applied
+    before the distance computation, so Catalyst pushes it into the
+    parquet scan and the Q·N loop only ever sees the shard (pre-filter
+    semantics — at 100 TB the selectivity multiplies directly into the
+    scan cost, unlike post-filter top-k which under-fills k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    shard = emb.filter(F.col("label") % 3 == 0)
+    out = S.brute_force_topk(shard, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+FILTERED_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE label % 3 = 0
+), scored AS (
+  SELECT query_id, neighbor_id,
+         FLOOR((
+           list_dot_product(qvec, cvec) /
+           (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
     "emb_ivf_knn": Query(ivf_knn, None),
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),

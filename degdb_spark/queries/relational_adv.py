@@ -320,7 +320,57 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+# -------------------------------------------------------- histogram
+_N_BUCKETS = 20
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram of l_extendedprice with data-
+    driven bounds. The min/max ride as a broadcast 1-row aggregate
+    (crossJoin(broadcast)), never a driver collect — at 100 TB that is
+    two scans (bounds + bucketing) with the second's groupBy keyed on
+    20 values, map-side combined to nothing."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_N_BUCKETS))
+    bucketed = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+            F.lit(_N_BUCKETS - 1),
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.min(F.col("lo") + F.col("bucket") * width), 4).alias("bucket_lo"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+), bucketed AS (
+  SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {float(_N_BUCKETS)})),
+                    {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+         l_extendedprice, lo, hi
+  FROM lineitem CROSS JOIN bounds
+)
+SELECT bucket, COUNT(*) AS n,
+       FLOOR(MIN(lo + bucket * ((hi - lo) / {float(_N_BUCKETS)})) * 10000 + 0.5) / 10000 AS bucket_lo,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "lineitem_price_histogram": Query(price_histogram, HISTOGRAM_SQL),
     "left_join_order_stats": Query(left_join_order_stats, LEFT_JOIN_SQL),
     "full_outer_nation_presence": Query(full_outer_nation_presence, FULL_OUTER_SQL),
     "price_percentiles": Query(price_percentiles, PERCENTILES_SQL),

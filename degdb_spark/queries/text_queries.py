@@ -785,7 +785,45 @@ ORDER BY doc_id
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge round of BPE tokenizer training: corpus-wide
+    adjacent character-pair frequencies over lowercased [a-z] words,
+    top 30. (Real BPE iterates merge→recount; each round is exactly
+    this aggregation over the re-segmented corpus, so the round IS the
+    distributed primitive.) All codegen built-ins — split/sequence/
+    transform/explode — one shuffle on the 26²-key pair groupBy,
+    map-side combined to a few hundred rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+BPE_PAIRS_SQL = """
+WITH words AS (
+  SELECT UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w FROM documents
+), pairs AS (
+  SELECT UNNEST(list_transform(range(1, LENGTH(w)), i -> substr(w, i, 2))) AS pair
+  FROM words WHERE LENGTH(w) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
