@@ -309,6 +309,47 @@ def image_pixel_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return images.select("media_id", "payload").mapInPandas(op, schema)
 
 
+def image_ahash(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL image decode → 64-bit average-hash (aHash), as four 16-bit
+    band integers (b0..b3, bit j of the 8×8 grid in band j//16 at
+    offset j%16).
+
+    The perceptual-dedup primitive: downsample to an 8×8 grid of block
+    sums (integer, no resampling filter → bit-exact across engines),
+    threshold each block against the global mean (compared as
+    block_sum·64 > total_sum — pure integer, no division), and emit the
+    bitstring banded for LSH-style candidate joins: near-identical
+    images collide on at least one unchanged 16-bit band. Requires
+    width/height divisible by 8 (BMP fixtures are multiples of 16);
+    mapInPandas with bounded batches, one decode per image.
+    """
+    images = media.filter(F.col("kind") == "image")
+    schema = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    px = codecs.decode_bmp(bytes(p))
+                    h, w = px.shape[0], px.shape[1]
+                    gs = px.sum(axis=2, dtype=np.int64)
+                    blocks = gs.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                    total = int(blocks.sum())
+                    bits = (blocks.reshape(64) * 64 > total).astype(np.int64)
+                    bands = [
+                        int(sum(int(b) << j for j, b in enumerate(bits[16 * k : 16 * k + 16])))
+                        for k in range(4)
+                    ]
+                    out.append((mid, *bands))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "b0", "b1", "b2", "b3"]
+                )
+
+    return images.select("media_id", "payload").mapInPandas(op, schema)
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, batch_rows: int = 64
 ) -> DataFrame:

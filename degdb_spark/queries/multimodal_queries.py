@@ -30,6 +30,7 @@ from degdb_spark.operators.multimodal import (
     audio_sample_stats,
     extract_features,
     extract_video_frames,
+    image_ahash,
     image_pixel_stats,
     resize_images,
     sample_video_frames,
@@ -231,7 +232,119 @@ FROM vids ORDER BY media_id
 """
 
 
+def media_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection over the REAL decode
+    path: 64-bit aHash per image (operators/multimodal.image_ahash),
+    LSH-banded into four 16-bit bands, candidate pairs = images sharing
+    ≥1 band, scored by full hamming distance (near_dup at ≤16 bits).
+
+    The image twin of docs_simhash_neardups: the banded self-join is
+    the scale path (no all-pairs — candidates only), and the hamming
+    re-rank touches only candidate pairs. The oracle replays the hash
+    from the generator's closed-form pixels in integer SQL, so a hash
+    match verifies the real BMP decode + the banding + the re-rank."""
+    media = synthetic_media(spark, _N_MEDIA)
+    hashes = image_ahash(media).localCheckpoint(eager=False)
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("val"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("id_a"), F.col("y.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming)
+        .withColumn("near_dup", (F.col("hamming") <= 16).cast("int"))
+        .select("id_a", "id_b", "hamming", "near_dup")
+        .orderBy("id_a", "id_b")
+    )
+
+
+PHASH_SQL = f"""
+WITH {_MEDIA_CTE},
+imgs AS (SELECT media_id AS i, w, h FROM media WHERE kind = 'image'),
+rows_y AS (
+  SELECT i, w, h, unnest(generate_series(0, h - 1)) AS y FROM imgs
+),
+rows_xy AS (
+  SELECT i, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM rows_y
+),
+px AS (
+  SELECT i, w, h, y, x,
+         ((7*x + 13*y + i) % 256)
+       + ((7*x + 13*y + 31 + i) % 256)
+       + ((7*x + 13*y + 62 + i) % 256) AS gs
+  FROM rows_xy
+),
+blocks AS (
+  SELECT i, (y // (h // 8)) * 8 + (x // (w // 8)) AS j, SUM(gs) AS bs
+  FROM px GROUP BY i, (y // (h // 8)) * 8 + (x // (w // 8))
+),
+totals AS (SELECT i, SUM(bs) AS tot FROM blocks GROUP BY i),
+bands AS (
+  SELECT b.i, CAST(j // 16 AS INT) AS band_idx,
+         CAST(SUM(CASE WHEN bs * 64 > tot THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS val
+  FROM blocks b JOIN totals t ON b.i = t.i
+  GROUP BY b.i, j // 16
+),
+h AS (
+  SELECT i,
+         MAX(CASE WHEN band_idx = 0 THEN val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN val END) AS b3
+  FROM bands GROUP BY i
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.i < b.i
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS BIGINT) AS hamming,
+       CASE WHEN bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+               + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 16
+            THEN 1 ELSE 0 END AS near_dup
+FROM cand
+JOIN h ha ON ha.i = cand.id_a
+JOIN h hb ON hb.i = cand.id_b
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "media_phash_neardups": Query(media_phash_neardups, PHASH_SQL),
     "media_frame_sample": Query(media_frame_sample, FRAME_SQL),
     "media_payload_stats": Query(media_payload_stats, PAYLOAD_SQL),
     "media_image_decode": Query(media_image_decode, IMAGE_DECODE_SQL),

@@ -120,3 +120,26 @@ def test_media_similarity_end_to_end(media):
     out = M.media_embedding_topk(media, k=3).collect()
     assert len(out) == 9  # 3 queries × top-3
     assert all(-1.0001 <= r.cosine_sim <= 1.0001 for r in out)
+
+
+def test_image_ahash_bands(media):
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.image_ahash(media).collect()}
+    # one hash per image, four 16-bit bands each
+    n_images = media.filter(media.kind == "image").count()
+    assert len(hashes) == n_images
+    assert all(0 <= b <= 0xFFFF for bands in hashes.values() for b in bands)
+    # aHash is computed from the REAL decoded payload: replay the
+    # generator arithmetic independently for one image and compare
+    import numpy as np
+
+    i = 0
+    w, h = M._image_dims(i)
+    px = M._image_pixels(i, w, h).astype(np.int64)
+    gs = px.sum(axis=2)
+    blocks = gs.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    bits = (blocks.reshape(64) * 64 > blocks.sum()).astype(int)
+    expect = tuple(
+        int(sum(int(b) << j for j, b in enumerate(bits[16 * k : 16 * k + 16])))
+        for k in range(4)
+    )
+    assert hashes[0] == expect
