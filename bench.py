@@ -55,6 +55,17 @@ HEADLINE = [
     "events_sliding_window",
     "events_per_user_cap",
     "basket_sssp_histogram",
+    # round 3
+    "events_funnel",
+    "events_retention",
+    "events_decay_score",
+    "events_anomaly_zscore",
+    "basket_kcore",
+    "basket_link_prediction",
+    "emb_filtered_knn",
+    "lineitem_price_histogram",
+    "docs_bpe_pair_counts",
+    "media_phash_neardups",
 ]
 
 

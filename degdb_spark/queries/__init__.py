@@ -33,17 +33,22 @@ class Query(NamedTuple):
 
 #: Round-3 window (see module docstring). Composition:
 #:  - 14 registry-tail queries that landed after the r2 window was set
-#:    and have never had a driver row;
-#:  - new this round (emb_ivf_fixed_knn, docs_mixture_sample,
-#:    docs_leakage_safe_split) and the three queries whose
-#:    implementation changed this round (degree-oriented triangles,
-#:    empty-doc-guarded chunking);
-#:  - the oldest driver rows: the r1-checked relational/relational_adv/
-#:    triples families (r1 rows predate a testdata regeneration).
-#:    Still-deferred r1 rows (5 events, 5 text, 9 tpch,
-#:    triple_predicate_histogram) rotate in next round.
+#:    and have never had a driver row (locally re-swept green at round-3
+#:    start against the current testdata);
+#:  - never-driver-checked round-2-tail additions (emb_ivf_fixed_knn,
+#:    docs_mixture_sample, docs_leakage_safe_split, docs_unigram_logprob,
+#:    docs_chunking);
+#:  - new round-3 queries (behavior analytics ×4, k-core, link
+#:    prediction, filtered ANN, price histogram, BPE pairs, phash
+#:    near-dups) and the two whose implementation changed this round
+#:    (adjacency-intersection triangles);
+#:  - remaining slots: the oldest driver rows (r1 relational family;
+#:    r1 rows predate a testdata regeneration). Still-deferred r1 rows
+#:    (5 triples, 5 events, 5 text, 9 tpch, function galleries,
+#:    cond/array aggregation, triple_predicate_histogram) rotate next
+#:    round — all were locally green in this round's full sweep.
 _WINDOW = [
-    # never driver-checked
+    # never driver-checked (r2 tail)
     "basket_sssp_histogram",
     "basket_communities",
     "mql_region_nations",
@@ -58,14 +63,25 @@ _WINDOW = [
     "q9_product_profit",
     "q11_important_stock",
     "q20_excess_suppliers",
-    # new / changed this round
     "emb_ivf_fixed_knn",
     "docs_mixture_sample",
     "docs_leakage_safe_split",
     "docs_unigram_logprob",
+    "docs_chunking",
+    # new round 3
+    "events_funnel",
+    "events_retention",
+    "events_decay_score",
+    "events_anomaly_zscore",
+    "basket_kcore",
+    "basket_link_prediction",
+    "emb_filtered_knn",
+    "lineitem_price_histogram",
+    "docs_bpe_pair_counts",
+    "media_phash_neardups",
+    # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
-    "docs_chunking",
     # oldest driver rows (r1) — refresh against current testdata
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -79,23 +95,13 @@ _WINDOW = [
     "cube_lineitem_status",
     "customers_without_orders",
     "nations_set_ops",
-    "scalar_function_gallery",
-    "date_function_gallery",
     "left_join_order_stats",
     "full_outer_nation_presence",
     "price_percentiles",
     "above_nation_average",
     "orders_with_big_items",
-    "regexp_gallery",
     "window_function_gallery",
     "moving_average_revenue",
-    "conditional_aggregation",
-    "array_aggregation",
-    "triple_subject_lookup",
-    "triple_or_patterns",
-    "triple_and_not",
-    "triple_two_hop",
-    "triple_three_hop",
 ]
 
 

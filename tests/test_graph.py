@@ -165,3 +165,27 @@ def test_lpa_random_graph_vs_reference(spark):
         for r in label_propagation(vertices, edges, max_iter=iters).collect()
     }
     assert got == labels
+
+
+def test_kcore_peel(spark):
+    # 4-clique {a,b,c,d} with a pendant path e-f hanging off d; both
+    # directions materialized. The 3-core is exactly the clique: f has
+    # deg 1 (gone round 1), e then has deg 1 (gone round 2), d keeps
+    # deg 3 inside the clique.
+    und = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    rows = und + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    core = {r.id: r.deg for r in G.kcore_peel(edges, k=3).collect()}
+    assert core == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=2: the path still peels (f then e), clique survives
+    core2 = {r.id: r.deg for r in G.kcore_peel(edges, k=2).collect()}
+    assert set(core2) == {"a", "b", "c", "d"}
+    # max_rounds short of the fixed point is still deterministic:
+    # one round removes only f (deg 1), leaving e with deg 1 counted
+    # against the surviving subgraph
+    core1 = {r.id: r.deg for r in G.kcore_peel(edges, k=2, max_rounds=1).collect()}
+    assert core1 == {"a": 3, "b": 3, "c": 3, "d": 4, "e": 1}

@@ -346,3 +346,43 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bktest")
         spark.sql("DROP TABLE IF EXISTS od_bktest")
+
+
+def test_filtered_knn_predicate_pushed(spark):
+    """Filtered ANN is PRE-filter: the label predicate must reach the
+    parquet scan (PushedFilters), so the Q·N distance loop only ever
+    sees the shard — at 100 TB selectivity multiplies into scan cost."""
+    from degdb_spark.queries.embeddings_queries import filtered_knn
+
+    plan = _formatted(filtered_knn(spark, SF))
+    assert "PushedFilters:" in plan
+    # the shard predicate label % 3 == 0 is not pushable as-is, but its
+    # IsNotNull guard must be, and the filter must sit scan-side (below
+    # the join), not after the top-k
+    assert "IsNotNull(label)" in plan
+    before_join = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "% 3) = 0" in plan
+
+
+def test_histogram_bounds_broadcast_not_collected(spark):
+    """The histogram's min/max bounds ride as a broadcast 1-row
+    aggregate inside one plan — a single job, no driver collect."""
+    from degdb_spark.queries.relational_adv import price_histogram
+
+    plan = _plan(price_histogram(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_semijoins_not_cartesian(spark):
+    """Every peeling round restricts edges via left-semi joins keyed on
+    the vertex — no broadcast of the (data-sized) survivor set both
+    ways, and never a cartesian."""
+    from degdb_spark.graph.algorithms import kcore_peel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], ["src", "dst"]
+    )
+    out = kcore_peel(edges, k=1, max_rounds=1)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
