@@ -369,7 +369,44 @@ FROM bucketed GROUP BY bucket ORDER BY bucket
 """
 
 
+# -------------------------------------------------------- profiling
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem (operators/profile.py):
+    nulls, exact cardinality, extremes — one wide aggregation, one scan.
+    Columns are pre-cast to cross-engine-stable string renderings
+    (double→DECIMAL(30,2), timestamp→DATE) before profiling."""
+    from degdb_spark.operators.profile import profile_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(30,2)").alias("l_quantity"),
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        "l_returnflag",
+    )
+    return profile_table(li)
+
+
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"]
+
+PROFILE_SQL = (
+    "WITH t AS (SELECT l_orderkey,"
+    " CAST(l_quantity AS DECIMAL(30,2)) AS l_quantity,"
+    " CAST(l_shipdate AS DATE) AS l_shipdate,"
+    " l_returnflag FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" COUNT(DISTINCT {c}) AS n_distinct,"
+        f" CAST(MIN({c}) AS VARCHAR(64)) AS min_str,"
+        f" CAST(MAX({c}) AS VARCHAR(64)) AS max_str FROM t"
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)
+
+
 QUERIES: dict[str, Query] = {
+    "lineitem_profile": Query(lineitem_profile, PROFILE_SQL),
     "lineitem_price_histogram": Query(price_histogram, HISTOGRAM_SQL),
     "left_join_order_stats": Query(left_join_order_stats, LEFT_JOIN_SQL),
     "full_outer_nation_presence": Query(full_outer_nation_presence, FULL_OUTER_SQL),

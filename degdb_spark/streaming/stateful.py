@@ -114,6 +114,87 @@ def _cap_per_user(
 
 
 
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, view_ts timestamp, click_ts timestamp, purchase_ts timestamp"
+)
+#: stage times as epoch micros, 0 = not reached; done flag stops
+#: re-emission after conversion
+FUNNEL_STATE_SCHEMA = "t1_us long, t2_us long, t3_us long, done long"
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_per_user(
+    key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel progression (view → click → purchase, strictly
+    increasing event time): emits ONE conversion row the moment the
+    final stage is hit — the CEP-style streaming twin of the batch
+    queries/behavior_queries.py::events_funnel (same strict-> stage
+    predicate; batch takes global minima, streaming the first
+    qualifying event in event-time order, which agree on in-order
+    data). State is three stage timestamps + a done flag per user,
+    evicted on event-time timeout (funnel abandonment)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        # abandonment: user idle past the horizon without converting
+        state.remove()
+        yield pd.DataFrame(
+            columns=["user_id", "view_ts", "click_ts", "purchase_ts"]
+        )
+        return
+    t1, t2, t3, done = state.get if state.exists else (0, 0, 0, 0)
+    converted = False
+    for pdf in pdfs:
+        if done:
+            break
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if etype == _FUNNEL_STAGES[0] and t1 == 0:
+                t1 = us
+            elif etype == _FUNNEL_STAGES[1] and t1 and us > t1 and t2 == 0:
+                t2 = us
+            elif etype == _FUNNEL_STAGES[2] and t2 and us > t2 and t3 == 0:
+                t3 = us
+                done, converted = 1, True
+                break
+    state.update((int(t1), int(t2), int(t3), int(done)))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+    if converted:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "view_ts": pd.Timestamp(t1 * 1000),
+                    "click_ts": pd.Timestamp(t2 * 1000),
+                    "purchase_ts": pd.Timestamp(t3 * 1000),
+                }
+            ]
+        )
+    else:
+        yield pd.DataFrame(
+            columns=["user_id", "view_ts", "click_ts", "purchase_ts"]
+        )
+
+
+def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming funnel conversions (append mode): one row per user at
+    the moment their purchase completes the strictly-ordered
+    view→click→purchase sequence. Bounded state: 4 longs per active
+    user, removed on timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_per_user,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def cap_per_user_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Keep the first ``_CAP`` events per user *per activity horizon*
     (append mode) — bounded per-key state (one counter), genuinely

@@ -360,7 +360,6 @@ def test_filtered_knn_predicate_pushed(spark):
     # IsNotNull guard must be, and the filter must sit scan-side (below
     # the join), not after the top-k
     assert "IsNotNull(label)" in plan
-    before_join = plan.split("BroadcastNestedLoopJoin")[0]
     assert "% 3) = 0" in plan
 
 

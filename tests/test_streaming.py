@@ -180,3 +180,53 @@ def test_stateful_cap_per_user(spark, stream_dir, ckpt):
         .collect()
     }
     assert got == exp
+
+
+def test_stateful_funnel_matches_batch(spark, stream_dir, ckpt):
+    """Streaming funnel conversions equal the batch per-user stage
+    times (single-file stream → in-order processing, so the streaming
+    first-qualifying-event semantics coincide with batch minima)."""
+    from pyspark.sql import Window
+    from degdb_spark.streaming.stateful import funnel_stream
+
+    s = funnel_stream(SE.stream_events(spark, stream_dir))
+    SE.run_available_now(s, "funnel_mem", ckpt, output_mode="append")
+    got = {
+        r.user_id: (r.view_ts, r.click_ts, r.purchase_ts)
+        for r in spark.sql("select * from funnel_mem").collect()
+    }
+    # batch twin: stacked window minima with strict stage ordering
+    ev = _batch_events(spark)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    exp = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in staged.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+        .filter(F.col("t3").isNotNull())
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 0  # the fixture must actually exercise conversions
