@@ -1,0 +1,68 @@
+"""Z-order layout tests: per-file min/max ranges must shrink on BOTH
+clustered columns (the whole point vs a linear sort)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.layout import zorder_key, zorder_write
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            out.append((min(los), max(his)))
+    return out
+
+
+def test_zorder_write_tiles_both_dimensions(spark, tmp_path):
+    # two independent pseudo-uniform dims derived from the id
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("x", (F.col("id") * 2654435761) % 100_000)
+        .withColumn("y", (F.col("id") * 40503) % 100_000)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
+
+    # linear sort baseline: tight on x, global-width on y
+    lpath = str(tmp_path / "linear")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    for col in ("x", "y"):
+        zr = _file_ranges(zpath, col)
+        assert len(zr) >= 8
+        avg_width = sum(hi - lo for lo, hi in zr) / len(zr)
+        # 16 files on a 2-D z-curve ⇒ 4×4 tiles ⇒ per-file width ≈ 1/4
+        # of the global range on each dim; assert well under half
+        assert avg_width < 0.5 * 100_000, (col, avg_width)
+
+    lr_y = _file_ranges(lpath, "y")
+    avg_linear_y = sum(hi - lo for lo, hi in lr_y) / len(lr_y)
+    zr_y = _file_ranges(zpath, "y")
+    avg_z_y = sum(hi - lo for lo, hi in zr_y) / len(zr_y)
+    # z-order must beat the linear layout on the non-sorted dimension
+    assert avg_z_y < 0.6 * avg_linear_y
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark):
+    df = spark.range(0, 1000).withColumn("x", F.col("id") % 97).withColumn(
+        "y", (F.col("id") * 7) % 89
+    )
+    z1 = [r._z for r in zorder_key(df, ["x", "y"]).orderBy("id").collect()]
+    z2 = [r._z for r in zorder_key(df, ["x", "y"]).orderBy("id").collect()]
+    assert z1 == z2
+    assert all(0 <= z < (1 << 32) for z in z1)
