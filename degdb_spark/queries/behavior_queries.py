@@ -244,7 +244,74 @@ ORDER BY event_type, hour
 """
 
 
+def events_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: collapse each user's event stream into
+    validity intervals of consecutive same-type runs (valid_from =
+    first ts of the run, valid_to = next run's start, NULL while
+    current). The change-data-capture shape for slowly-changing
+    attributes: one lag window to detect changes, one running-sum
+    window to number segments, one groupBy — all on the same user_id
+    partitioning, one exchange end-to-end. Output bounded to users
+    < 30 to keep the contract row count stable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            (
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "seg",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    runs = seg.groupBy("user_id", "seg", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select("user_id", "seg", "event_type", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "seg")
+    )
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type FROM events WHERE user_id < 30
+), seg AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM ev
+  )
+), runs AS (
+  SELECT user_id, CAST(seg AS BIGINT) AS seg, event_type,
+         MIN(ts)::TIMESTAMP_NS AS valid_from, COUNT(*) AS n_events
+  FROM seg GROUP BY user_id, seg, event_type
+)
+SELECT user_id, seg, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+         ::TIMESTAMP_NS AS valid_to,
+       n_events
+FROM runs ORDER BY user_id, seg
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_scd2_segments": Query(events_scd2_segments, SCD2_SQL),
     "events_funnel": Query(events_funnel, FUNNEL_SQL),
     "events_retention": Query(events_retention, RETENTION_SQL),
     "events_decay_score": Query(events_decay_score, DECAY_SQL),
