@@ -66,6 +66,8 @@ HEADLINE = [
     "lineitem_price_histogram",
     "docs_bpe_pair_counts",
     "media_phash_neardups",
+    "events_scd2_segments",
+    "lineitem_profile",
 ]
 
 

@@ -79,6 +79,8 @@ _WINDOW = [
     "lineitem_price_histogram",
     "docs_bpe_pair_counts",
     "media_phash_neardups",
+    "events_scd2_segments",
+    "lineitem_profile",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -100,8 +102,6 @@ _WINDOW = [
     "price_percentiles",
     "above_nation_average",
     "orders_with_big_items",
-    "window_function_gallery",
-    "moving_average_revenue",
 ]
 
 
