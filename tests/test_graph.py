@@ -189,3 +189,39 @@ def test_kcore_peel(spark):
     # against the surviving subgraph
     core1 = {r.id: r.deg for r in G.kcore_peel(edges, k=2, max_rounds=1).collect()}
     assert core1 == {"a": 3, "b": 3, "c": 3, "d": 4, "e": 1}
+
+
+def test_kcore_random_graph_vs_reference(spark):
+    """Seeded random undirected graph: Spark synchronous peeling vs an
+    independent pure-Python implementation (same all-at-once rounds)."""
+    import random
+
+    rng = random.Random(11)
+    n, m, k = 24, 70, 3
+    und = {(min(a, b), max(a, b)) for a, b in
+           ((rng.randrange(n), rng.randrange(n)) for _ in range(m)) if a != b}
+    both = list(und) + [(v, u) for u, v in und]
+
+    # python reference: synchronous peel to fixed point
+    alive = {u for u, _ in both}
+    while True:
+        deg = {}
+        for u, v in both:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+        nxt = {u for u, d in deg.items() if d >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    exp = {}
+    for u, v in both:
+        if u in alive and v in alive:
+            exp[u] = exp.get(u, 0) + 1
+
+    got = {
+        r.id: r.deg
+        for r in G.kcore_peel(
+            spark.createDataFrame(both, ["src", "dst"]), k=k, max_rounds=50
+        ).collect()
+    }
+    assert got == exp
