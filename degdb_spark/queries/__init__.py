@@ -81,6 +81,7 @@ _WINDOW = [
     "media_phash_neardups",
     "events_scd2_segments",
     "lineitem_profile",
+    "docs_bigram_logprob",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -101,7 +102,6 @@ _WINDOW = [
     "full_outer_nation_presence",
     "price_percentiles",
     "above_nation_average",
-    "orders_with_big_items",
 ]
 
 

@@ -340,6 +340,96 @@ FROM agg ORDER BY doc_id
 """
 
 
+_LAMBDA = 0.7
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 LM quality score: per-doc mean interpolated bigram
+    log-prob, lp(i) = ln(λ·c₂(w₋₁,w)/c₁(w₋₁) + (1−λ)·c₁(w)/N) with
+    λ=0.7 — the next rung above docs_unigram_logprob on the CCNet-style
+    perplexity-filter ladder, still entirely corpus-derived (no
+    external model artifact, so the oracle replays it).
+
+    Shape at 100 TB: positions via posexplode; bigrams form by joining
+    the token stream to itself on (doc_id, pos−1) — co-partitioned
+    after one doc_id-keyed exchange; count tables are token-keyed
+    aggregations AQE broadcasts when the vocab is small. Per-position
+    log-probs FLOOR-round to 6 dp before the order-independent decimal
+    sum (rounding.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "token")
+    )
+    c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    prev = tok.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("token").alias("prev")
+    )
+    big = tok.join(prev, on=["doc_id", "pos"])
+    c2 = big.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(c2, on=["prev", "token"])
+        .join(c1.withColumnRenamed("token", "prev").withColumnRenamed("c1", "c_prev"), on="prev")
+        .join(c1, on="token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            dround(
+                F.log(
+                    F.lit(_LAMBDA) * (F.col("c2") / F.col("c_prev"))
+                    + F.lit(1.0 - _LAMBDA) * (F.col("c1") / F.col("n_total"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            dsum(F.col("lp"), 6, out_dp=6).alias("sum_lp"),
+        )
+        .withColumn("avg_lp", dround(F.col("sum_lp") / F.col("n_bigrams"), 6))
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_TOKS}) AS token,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos
+  FROM documents
+), c1 AS (
+  SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token
+), total AS (
+  SELECT COUNT(*) AS n_total FROM tok
+), big AS (
+  SELECT t.doc_id, t.pos, p.token AS prev, t.token
+  FROM tok t JOIN tok p ON t.doc_id = p.doc_id AND t.pos = p.pos + 1
+), c2 AS (
+  SELECT prev, token, COUNT(*) AS c2 FROM big GROUP BY prev, token
+), scored AS (
+  SELECT big.doc_id,
+         FLOOR(ln({_LAMBDA} * (c2.c2::DOUBLE / cp.c1)
+                  + {1.0 - _LAMBDA} * (c1.c1::DOUBLE / total.n_total))
+               * 1000000 + 0.5) / 1000000 AS lp
+  FROM big
+  JOIN c2 ON big.prev = c2.prev AND big.token = c2.token
+  JOIN c1 cp ON big.prev = cp.token
+  JOIN c1 ON big.token = c1.token
+  CROSS JOIN total
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         {sql_dsum('lp', 6, out_dp=6)} AS sum_lp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_lp,
+       FLOOR((sum_lp / n_bigrams) * 1000000 + 0.5) / 1000000 AS avg_lp
+FROM agg ORDER BY doc_id
+"""
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/test split: the split key is the near-dup
     CLUSTER id, not the doc id, so near-duplicates can never straddle
@@ -836,6 +926,7 @@ QUERIES: dict[str, Query] = {
     "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),
     "docs_leakage_safe_split": Query(leakage_safe_split, LEAKAGE_SPLIT_SQL),
     "docs_unigram_logprob": Query(unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "docs_bigram_logprob": Query(bigram_logprob, BIGRAM_LOGPROB_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
     "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
     # r1-driver-verified entries trail so the 50-query verification
