@@ -385,3 +385,22 @@ def test_kcore_semijoins_not_cartesian(spark):
     out = kcore_peel(edges, k=1, max_rounds=1)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """The three stacked stage windows + the per-user collapse must all
+    reuse ONE hash exchange on user_id (the claim in
+    behavior_queries.events_funnel's docstring)."""
+    from degdb_spark.queries.behavior_queries import events_funnel
+
+    plan = _plan(events_funnel(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_scd2_single_user_exchange(spark):
+    """lag + running-sum + run-collapse + lead: four steps, one
+    user_id exchange."""
+    from degdb_spark.queries.behavior_queries import events_scd2_segments
+
+    plan = _plan(events_scd2_segments(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
