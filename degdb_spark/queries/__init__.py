@@ -82,6 +82,8 @@ _WINDOW = [
     "events_scd2_segments",
     "lineitem_profile",
     "docs_bigram_logprob",
+    "basket_modularity",
+    "basket_edge_churn",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -100,8 +102,6 @@ _WINDOW = [
     "nations_set_ops",
     "left_join_order_stats",
     "full_outer_nation_presence",
-    "price_percentiles",
-    "above_nation_average",
 ]
 
 

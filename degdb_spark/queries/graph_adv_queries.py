@@ -134,7 +134,7 @@ def basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_sql(iters: int) -> str:
+def _lpa_ctes(iters: int) -> str:
     ctes = [
         "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges2)",
     ]
@@ -152,9 +152,13 @@ def _lpa_sql(iters: int) -> str:
             f"  ) WHERE rn = 1"
             f") m ON l.id = m.id)"
         )
+    return ",\n".join(ctes)
+
+
+def _lpa_sql(iters: int) -> str:
     return (
         f"WITH {_WEDGES_CTE},\n"
-        + ",\n".join(ctes)
+        + _lpa_ctes(iters)
         + f"\nSELECT label, COUNT(*) AS n_members FROM l{iters} "
         f"GROUP BY label ORDER BY n_members DESC, label LIMIT 20"
     )
@@ -277,7 +281,168 @@ LIMIT 20
 """
 
 
+def basket_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 5-iteration LPA partition:
+    Q = E_in/m − Σ_c d_c² / (4m²). Both Σ terms are exact integer
+    aggregates (intra-community edge count; per-community degree sums,
+    squared then summed), so the only float arithmetic is the final
+    two-term expression — no order-dependent double summation, and the
+    oracle reproduces Q bit-for-bit. One labels join over the edge
+    list + two label-keyed aggregations beyond LPA itself."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = G.label_propagation(vertices, edges, max_iter=_LPA_ITERS)
+    und = edges.filter(F.col("src") < F.col("dst"))
+    lu = labels.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+    tagged = und.join(lu, "src").join(lv, "dst")
+    m, e_in = tagged.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("lu") == F.col("lv"), F.lit(1))),
+    ).collect()[0]
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    d2, n_comm = (
+        deg.join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+        .agg(F.sum(F.col("d_c") * F.col("d_c")), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    q = e_in / m - d2 / (4.0 * m * m)
+    import math
+
+    q = math.floor(q * 1_000_000 + 0.5) / 1_000_000
+    return spark.createDataFrame(
+        [(int(m), int(e_in), int(n_comm), float(q))],
+        "m_edges long, e_in long, n_communities long, modularity double",
+    )
+
+
+MODULARITY_SQL = (
+    f"WITH {_WEDGES_CTE},\n"
+    + _lpa_ctes(_LPA_ITERS)
+    + f""",
+und AS (SELECT u, v FROM wedges),
+tagged AS (
+  SELECT lu.label AS lu, lv.label AS lv
+  FROM und
+  JOIN l{_LPA_ITERS} lu ON und.u = lu.id
+  JOIN l{_LPA_ITERS} lv ON und.v = lv.id
+),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges2 GROUP BY src),
+dc AS (
+  SELECT l.label, SUM(d.deg) AS d_c
+  FROM deg d JOIN l{_LPA_ITERS} l ON d.id = l.id
+  GROUP BY l.label
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM und) AS m,
+         (SELECT COUNT(*) FROM tagged WHERE lu = lv) AS e_in,
+         (SELECT CAST(SUM(d_c * d_c) AS BIGINT) FROM dc) AS d2,
+         (SELECT COUNT(DISTINCT label) FROM l{_LPA_ITERS}) AS n_communities
+)
+SELECT CAST(m AS BIGINT) AS m_edges, CAST(e_in AS BIGINT) AS e_in,
+       CAST(n_communities AS BIGINT) AS n_communities,
+       FLOOR((CAST(e_in AS DOUBLE) / m - CAST(d2 AS DOUBLE) / (4.0 * m * m))
+             * 1000000 + 0.5) / 1000000 AS modularity
+FROM stats
+"""
+)
+
+_CHURN_SPLIT = "1998-07-01"
+
+
+def basket_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph diff: co-purchase edges (w≥2 within the period)
+    gained / lost / stable across the {_CHURN_SPLIT} shipdate split.
+    Each period's edge set is the linear bounded-fanout build; the diff
+    is one full-outer join on the canonical (u,v) key. The drift
+    monitor for relationship graphs (assortment/behavior shift) — at
+    100 TB each period build prunes on the shipdate partition column
+    before anything shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    )
+
+    def period_wedges(cond):
+        items = (
+            li.filter(cond)
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        )
+        pairs = items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
+        return (
+            pairs.groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= _W_MIN)
+            .select("u", "v")
+        )
+
+    split = F.lit(_CHURN_SPLIT).cast("timestamp")
+    a = period_wedges(F.col("l_shipdate") < split).withColumn("in_a", F.lit(1))
+    b = period_wedges(F.col("l_shipdate") >= split).withColumn("in_b", F.lit(1))
+    diff = a.join(b, ["u", "v"], how="full_outer")
+    cat = (
+        F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), "stable")
+        .when(F.col("in_a").isNotNull(), "lost")
+        .otherwise("gained")
+    )
+    return (
+        diff.withColumn("category", cat)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("category")
+    )
+
+
+CHURN_SQL = f"""
+WITH items_a AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{_CHURN_SPLIT}'
+), wedges_a AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items_a a JOIN items_a b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_W_MIN}
+), items_b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_CHURN_SPLIT}'
+), wedges_b AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items_b a JOIN items_b b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_W_MIN}
+), diff AS (
+  SELECT CASE WHEN wa.u IS NOT NULL AND wb.u IS NOT NULL THEN 'stable'
+              WHEN wa.u IS NOT NULL THEN 'lost'
+              ELSE 'gained' END AS category
+  FROM wedges_a wa FULL OUTER JOIN wedges_b wb
+    ON wa.u = wb.u AND wa.v = wb.v
+)
+SELECT category, COUNT(*) AS n_edges FROM diff
+GROUP BY category ORDER BY category
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "basket_modularity": Query(basket_modularity, MODULARITY_SQL),
+    "basket_edge_churn": Query(basket_edge_churn, CHURN_SQL),
     "basket_sssp_histogram": Query(basket_sssp_histogram, _sssp_sql(_SSSP_HOPS)),
     "basket_communities": Query(basket_communities, _lpa_sql(_LPA_ITERS)),
     "basket_kcore": Query(basket_kcore, _kcore_sql(_KCORE_K, _KCORE_ROUNDS)),
