@@ -116,6 +116,36 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def anomaly_stream(
+    events: DataFrame, baseline: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming volume-anomaly detection via a stream-static join: the
+    live hourly (type, hour) counts join per-type baseline moments
+    (mean/variance of historical hourly counts, a STATIC DataFrame
+    computed batch-side — e.g. by queries/behavior_queries.py's moment
+    aggregation over yesterday's data) and emit hours whose z-score
+    exceeds 2.
+
+    Stream-static joins need no state for the static side: Spark
+    broadcasts/rescans the baseline per micro-batch, so the only
+    streaming state is the windowed count aggregation bounded by the
+    watermark. ``baseline`` columns: event_type, mean, std (std > 0).
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n")
+    )
+    z = (F.col("n").cast("double") - F.col("mean")) / F.col("std")
+    return (
+        hourly.join(baseline, "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("event_type", "hour", "n", "z")
+    )
+
+
 def run_available_now(stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"):
     """Drain the stream with the availableNow trigger into an in-memory
     sink; returns after completion (test/dev harness; production sinks

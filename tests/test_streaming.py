@@ -230,3 +230,40 @@ def test_stateful_funnel_matches_batch(spark, stream_dir, ckpt):
     }
     assert got == exp
     assert len(got) > 0  # the fixture must actually exercise conversions
+
+
+def test_anomaly_stream_matches_batch(spark, stream_dir, ckpt):
+    """Stream-static anomaly join: streaming flagged hours equal the
+    batch z-score computation against the same baseline."""
+    from degdb_spark.streaming.events import anomaly_stream
+
+    ev = _batch_events(spark)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = (
+        hourly.groupBy("event_type")
+        .agg(
+            (F.sum("n") / F.count(F.lit(1))).alias("mean"),
+            F.sqrt(
+                F.sum(F.col("n") * F.col("n")) / F.count(F.lit(1))
+                - (F.sum("n") / F.count(F.lit(1))) * (F.sum("n") / F.count(F.lit(1)))
+            ).alias("std"),
+        )
+        .filter(F.col("std") > 0)
+    )
+    s = anomaly_stream(SE.stream_events(spark, stream_dir), baseline)
+    SE.run_available_now(s, "anom_mem", ckpt, output_mode="append")
+    got = {
+        (r.event_type, r.hour): r.n
+        for r in spark.sql("select * from anom_mem").collect()
+    }
+    exp = {
+        (r.event_type, r.hour): r.n
+        for r in hourly.join(baseline, "event_type")
+        .withColumn("z", (F.col("n").cast("double") - F.col("mean")) / F.col("std"))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 0
