@@ -64,7 +64,33 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark suite")
 
+    prof = sub.add_parser(
+        "profile", help="one-pass column profile of a testdata table"
+    )
+    prof.add_argument("table")
+    prof.add_argument("--sf-dir", default=None)
+    prof.add_argument("--columns", default=None, help="comma-separated subset")
+    prof.add_argument(
+        "--approx", action="store_true",
+        help="HLL distinct counts (the at-scale mode) instead of exact",
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "profile":
+        from degdb_spark.catalog import DEFAULT_SF_DIR, load_table
+        from degdb_spark.operators.profile import profile_table
+        from degdb_spark.session import get_spark
+
+        spark = get_spark(app_name="degdb_profile")
+        sf_dir = args.sf_dir or DEFAULT_SF_DIR
+        df = load_table(spark, sf_dir, args.table)
+        cols = args.columns.split(",") if args.columns else None
+        for row in profile_table(
+            df, columns=cols, exact_distinct=not args.approx
+        ).collect():
+            print(json.dumps(row.asDict(), sort_keys=True, default=str))
+        return 0
 
     if args.cmd == "bench":
         import bench  # repo-root module (driver contract)

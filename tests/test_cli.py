@@ -18,3 +18,16 @@ def test_cli_query(spark, capsys):
     rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
     assert {r["pred"] for r in rows} >= {"name", "in_region"}
     assert all(r["subj"] == "nation/7" for r in rows)
+
+
+def test_cli_profile(spark, capsys):
+    import json
+
+    from degdb_spark.__main__ import main
+
+    rc = main(["profile", "region", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_col = {r["col_name"]: r for r in rows}
+    assert by_col["r_regionkey"]["n_distinct"] == 5
+    assert by_col["r_regionkey"]["n_nulls"] == 0
