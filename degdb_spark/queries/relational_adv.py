@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.catalog import load_table
 from degdb_spark.queries import Query
-from degdb_spark.queries.rounding import dround, dsum
+from degdb_spark.queries.rounding import dround, dsum, sql_dround
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -405,7 +405,52 @@ PROFILE_SQL = (
 )
 
 
+# -------------------------------------------------------- unpivot/melt
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (stack) of the four lineitem measures, then a
+    per-measure rollup — the reshape primitive for metric tables. The
+    stack runs inside whole-stage codegen (4 output rows per input, no
+    shuffle until the 4-key groupBy, which combines map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"'{m}', {m}" for m in _MEASURES)
+            + ") AS (measure, value)"
+        )
+    )
+    return (
+        stacked.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+            dround(F.min("value"), 2).alias("min_value"),
+            dround(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("measure")
+    )
+
+
+UNPIVOT_SQL = (
+    "WITH stacked AS (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS measure, {m} AS value FROM lineitem" for m in _MEASURES
+    )
+    + f""")
+SELECT measure, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+       {sql_dround('MIN(value)', 2)} AS min_value,
+       {sql_dround('MAX(value)', 2)} AS max_value
+FROM stacked GROUP BY measure ORDER BY measure
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
+    "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
     "lineitem_profile": Query(lineitem_profile, PROFILE_SQL),
     "lineitem_price_histogram": Query(price_histogram, HISTOGRAM_SQL),
     "left_join_order_stats": Query(left_join_order_stats, LEFT_JOIN_SQL),
