@@ -73,6 +73,94 @@ def merge_parquet(
     return {"before": n_before, "after": spark.read.parquet(path).count()}
 
 
+class VersionedTable:
+    """Snapshot-versioned parquet table with time travel — the minimal
+    lakehouse-table contract (Delta/Iceberg shape) in plain files.
+
+    Layout: ``root/v=N/`` immutable snapshot dirs plus a ``_VERSION``
+    pointer file. Every write creates a NEW snapshot and then swings
+    the pointer via write-temp + os.replace — atomic on POSIX, so a
+    reader always resolves a complete snapshot (this closes the
+    non-atomic-swap seam merge_parquet documents; on object stores the
+    pointer becomes a conditional-put, which is exactly what Delta's
+    log commit is). Old snapshots stay readable (time travel) until
+    ``vacuum``. Writers are single-process here — multi-writer
+    coordination is the transaction-log feature this deliberately
+    leaves to the real formats.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- pointer ------------------------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_VERSION")
+
+    def current_version(self) -> int:
+        with open(self._pointer()) as f:
+            return int(f.read().strip())
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("v=")
+        )
+
+    def _commit(self, df: DataFrame) -> int:
+        os.makedirs(self.root, exist_ok=True)
+        v = (self.current_version() + 1) if os.path.exists(self._pointer()) else 1
+        df.write.mode("errorifexists").parquet(os.path.join(self.root, f"v={v}"))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer())  # atomic pointer swing
+        return v
+
+    # -- public surface ----------------------------------------------
+    def create(self, df: DataFrame) -> int:
+        return self._commit(df)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        path = os.path.join(self.root, f"v={v}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no snapshot v={v} under {self.root}")
+        return self.spark.read.parquet(path)
+
+    def merge(
+        self, updates: DataFrame, keys: list[str], when_matched: str = "update"
+    ) -> int:
+        """Same MERGE semantics as merge_parquet, committed as a new
+        snapshot (the old version remains readable)."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"when_matched must be update|delete, got {when_matched!r}"
+            )
+        dup = updates.groupBy(*keys).count().filter(F.col("count") > 1).count()
+        if dup:
+            raise ValueError(f"{dup} duplicate key groups in updates")
+        target = self.read()
+        survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+        if when_matched == "update":
+            merged = survivors.unionByName(updates.select(*target.columns))
+        else:
+            merged = survivors
+        return self._commit(merged)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Remove all but the newest ``keep_last`` snapshots (never the
+        current one). Returns the versions removed."""
+        keep_last = max(1, keep_last)
+        vs = self.versions()
+        cur = self.current_version()
+        drop = [v for v in vs[:-keep_last] if v != cur]
+        for v in drop:
+            shutil.rmtree(os.path.join(self.root, f"v={v}"))
+        return drop
+
+
 def maintain_rollup(
     spark: SparkSession,
     state_path: str,

@@ -61,3 +61,39 @@ def test_maintain_rollup_equals_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from degdb_spark.operators.merge import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    v1 = t.create(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"]))
+    assert v1 == 1 and t.current_version() == 1
+    v2 = t.merge(
+        spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "name"]), keys=["k"]
+    )
+    assert v2 == 2 and t.current_version() == 2
+    # latest sees the merge…
+    assert {r.k: r.name for r in t.read().collect()} == {1: "a", 2: "b2", 3: "c"}
+    # …while v1 is unchanged (time travel)
+    assert {r.k: r.name for r in t.read(version=1).collect()} == {1: "a", 2: "b"}
+    # delete commits a third snapshot
+    v3 = t.merge(spark.createDataFrame([(1,)], ["k"]), keys=["k"], when_matched="delete")
+    assert v3 == 3
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+    # vacuum drops old snapshots, keeps the current
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == [1, 2]
+    assert t.versions() == [3]
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
+def test_versioned_table_read_missing_version(spark, tmp_path):
+    import pytest as _pytest
+
+    from degdb_spark.operators.merge import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.create(spark.createDataFrame([(1,)], ["k"]))
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=99)
