@@ -75,7 +75,24 @@ def main(argv: list[str] | None = None) -> int:
         help="HLL distinct counts (the at-scale mode) instead of exact",
     )
 
+    sql = sub.add_parser(
+        "sql", help="run ANSI SQL over the registered testdata tables"
+    )
+    sql.add_argument("q")
+    sql.add_argument("--sf-dir", default=None)
+    sql.add_argument("--limit", type=int, default=100)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "sql":
+        from degdb_spark.catalog import DEFAULT_SF_DIR, register_all
+        from degdb_spark.session import get_spark
+
+        spark = get_spark(app_name="degdb_sql")
+        register_all(spark, args.sf_dir or DEFAULT_SF_DIR)
+        for row in spark.sql(args.q).limit(args.limit).collect():
+            print(json.dumps(row.asDict(), sort_keys=True, default=str))
+        return 0
 
     if args.cmd == "profile":
         from degdb_spark.catalog import DEFAULT_SF_DIR, load_table

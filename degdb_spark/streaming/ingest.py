@@ -60,3 +60,56 @@ def ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_stream_to_versioned(
+    stream: DataFrame,
+    table_root: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """Streaming CDC upsert with snapshot isolation: each micro-batch
+    MERGEs into a VersionedTable (operators/merge.py), so concurrent
+    readers always see a complete snapshot and every micro-batch commit
+    is a time-travelable version. Latest-wins within a batch is pinned
+    deterministically before the merge (max by key over the batch).
+
+    This is the streaming half of the lakehouse-sink story: foreachBatch
+    gives exactly-once *per epoch* via the checkpoint, and the atomic
+    pointer swing makes each epoch's commit all-or-nothing — together
+    the same contract a Delta streaming sink offers (minus multi-writer
+    arbitration, documented in VersionedTable).
+    """
+    from degdb_spark.operators.merge import VersionedTable
+
+    spark = stream.sparkSession
+    table = VersionedTable(spark, table_root)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        others = [c for c in batch.columns if c not in keys]
+        if others:
+            # deterministic winner per key: max over the non-key struct
+            # (put a version/ts column FIRST in the schema for true
+            # latest-wins ordering)
+            dedup = (
+                batch.groupBy(*keys)
+                .agg(F.max(F.struct(*others)).alias("_s"))
+                .select(*keys, *[F.col(f"_s.{c}").alias(c) for c in others])
+            )
+        else:
+            dedup = batch.dropDuplicates(keys)
+        import os
+
+        if os.path.exists(table._pointer()):
+            table.merge(dedup, keys=keys)
+        else:
+            table.create(dedup)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -31,3 +31,18 @@ def test_cli_profile(spark, capsys):
     by_col = {r["col_name"]: r for r in rows}
     assert by_col["r_regionkey"]["n_distinct"] == 5
     assert by_col["r_regionkey"]["n_nulls"] == 0
+
+
+def test_cli_sql(spark, capsys):
+    import json
+
+    from degdb_spark.__main__ import main
+
+    rc = main([
+        "sql",
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5 and all(r["n"] == 1 for r in rows)

@@ -97,3 +97,54 @@ def test_versioned_table_read_missing_version(spark, tmp_path):
     t.create(spark.createDataFrame([(1,)], ["k"]))
     with _pytest.raises(FileNotFoundError):
         t.read(version=99)
+
+
+def test_cdc_stream_to_versioned(spark, tmp_path):
+    """Two JSONL drops → two availableNow drains → two snapshot
+    versions; upserts apply with latest-wins and old versions remain
+    readable."""
+    import json
+    import os
+
+    from degdb_spark.operators.merge import VersionedTable
+    from degdb_spark.streaming.ingest import cdc_stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "table")
+
+    def drop(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("version long, k long, name string")
+            .json(str(src))
+        )
+        q = cdc_stream_to_versioned(
+            stream, root, keys=["k"], checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    drop("b1.jsonl", [
+        {"version": 1, "k": 1, "name": "a"},
+        {"version": 1, "k": 2, "name": "b"},
+        {"version": 2, "k": 2, "name": "b2"},  # same-batch: latest wins
+    ])
+    drain("ck1")
+    t = VersionedTable(spark, root)
+    assert t.current_version() == 1
+    assert {r.k: r.name for r in t.read().collect()} == {1: "a", 2: "b2"}
+
+    drop("b2.jsonl", [
+        {"version": 3, "k": 1, "name": "a3"},
+        {"version": 3, "k": 9, "name": "new"},
+    ])
+    drain("ck2")  # fresh checkpoint reprocesses all files; merge is idempotent by key
+    assert t.current_version() >= 2
+    latest = {r.k: r.name for r in t.read().collect()}
+    assert latest == {1: "a3", 2: "b2", 9: "new"}
+    # the first snapshot is still readable (time travel)
+    assert {r.k: r.name for r in t.read(version=1).collect()} == {1: "a", 2: "b2"}
