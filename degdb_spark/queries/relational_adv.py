@@ -449,7 +449,73 @@ FROM stacked GROUP BY measure ORDER BY measure
 )
 
 
+# -------------------------------------------------------- skew report
+def orders_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostics for orders.o_custkey: key count,
+    max/top-10 key share, and the Gini coefficient of the per-key load —
+    what you inspect before choosing a shuffle key (or deciding to salt,
+    functions/skew.py). The Gini numerator Σ(2i−n−1)·x₍ᵢ₎ is an exact
+    integer over the SORTED per-key counts, so no float summation; the
+    windowed sort runs over the key-count table (≪ data-sized)."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").alias("total"),
+        F.max("x").alias("max_x"),
+        F.sum(
+            (F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("x")
+        ).alias("gini_num"),
+    )
+    top10 = (
+        ranked.orderBy(F.col("x").desc(), "o_custkey")
+        .limit(10)
+        .agg(F.sum("x").alias("top10"))
+    )
+    out = stats.crossJoin(F.broadcast(top10))
+    return out.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("total"),
+        dround(F.col("max_x") / F.col("total"), 6).alias("max_share"),
+        dround(F.col("top10") / F.col("total"), 6).alias("top10_share"),
+        dround(
+            F.col("gini_num") / (F.col("n_keys").cast("double") * F.col("total")),
+            6,
+        ).alias("gini"),
+    )
+
+
+SKEW_SQL = """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, o_custkey,
+         ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM counts
+), stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(x) AS total, MAX(x) AS max_x,
+         SUM((2 * i - n - 1) * x) AS gini_num
+  FROM ranked
+), top10 AS (
+  SELECT SUM(x) AS top10 FROM (
+    SELECT x FROM counts ORDER BY x DESC, o_custkey LIMIT 10
+  )
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total,
+       FLOOR((CAST(max_x AS DOUBLE) / total) * 1000000 + 0.5) / 1000000 AS max_share,
+       FLOOR((CAST(top10 AS DOUBLE) / total) * 1000000 + 0.5) / 1000000 AS top10_share,
+       FLOOR((CAST(gini_num AS DOUBLE) / (CAST(n_keys AS DOUBLE) * total)) * 1000000 + 0.5) / 1000000 AS gini
+FROM stats CROSS JOIN top10
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
     "lineitem_profile": Query(lineitem_profile, PROFILE_SQL),
     "lineitem_price_histogram": Query(price_histogram, HISTOGRAM_SQL),
