@@ -28,7 +28,9 @@ one range-exchange whose sampling is Spark's own distributed sketch.
 from __future__ import annotations
 
 import functools
+import glob
 import operator
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -90,9 +92,6 @@ def minmax_manifest(path: str, cols: list[str]) -> list[dict]:
     metadata-sized (KBs per file); at 100 TB this runs over the file
     LISTING, not the data, and would itself be a small DataFrame job
     per directory shard (driver loop is fine up to ~10⁵ files)."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
     out: list[dict] = []
@@ -146,6 +145,36 @@ def pruned_read(
     )
     out = df.filter(cond)
     return out.select(*cols) if cols else out
+
+
+def compact(
+    spark, path: str, target_files: int, sort_col: str | None = None
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally range-clustered on ``sort_col``
+    to preserve/restore skipping stats). The most common 100 TB table
+    maintenance job — streaming sinks and fine-grained merges fragment
+    tables, and every query then pays per-file open/footer cost.
+    Rewrites via a temp dir + os.replace-style swap (same seam as
+    merge_parquet; use VersionedTable.commit semantics when readers
+    are live)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    df = spark.read.parquet(path)
+    n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    if sort_col is not None:
+        out = df.repartitionByRange(target_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(target_files)
+    tmp = f"{path}__compact_{_uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    os.replace(tmp, path)
+    n_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": n_before, "files_after": n_after}
 
 
 def zorder_write(

@@ -1,18 +1,17 @@
 """Advanced graph analytics over the co-purchase graph — weighted
-shortest paths and community detection, both with exact unrolled-CTE
-oracles (the same fixed-iteration trick as _pagerank_sql: a bounded
-iterative algorithm is deterministic at every step, so the oracle
-replays the steps rather than the fixpoint).
+shortest paths, community detection (+ modularity scoring), k-core
+decomposition, link prediction, temporal edge churn, and item-based
+recommendations. Iterative algorithms carry exact unrolled-CTE oracles
+(the same fixed-iteration trick as _pagerank_sql: a bounded iterative
+algorithm is deterministic at every step, so the oracle replays the
+steps rather than the fixpoint); the rest are closed-form joins.
 
-Registered at the registry TAIL on purpose: the driver's 50-query
-verification window should stay on the round-1-unverified families this
-round; these two rotate in next round (they are locally oracle-checked
-by tools/oracle_check.py regardless).
+Driver-window placement is managed centrally in queries/__init__._WINDOW.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from degdb_spark.catalog import load_table
@@ -440,7 +439,82 @@ GROUP BY category ORDER BY category
 """
 
 
+def basket_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering: for each customer (< 20),
+    score candidate parts by the summed co-purchase weight between the
+    candidate and the customer's own parts, drop already-owned parts,
+    keep top 5. The classic neighborhood recommender as one plan:
+    owned-parts build (customer⋈orders⋈lineitem), a part-keyed join
+    onto the thresholded edge list, a (customer, candidate) aggregate,
+    an anti-join on owned, and a per-customer top-k window. Every join
+    keys on the natural key; the edge list is the w≥2 thresholded
+    graph so the fanout per owned part is bounded."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 20
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    owned = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select("c_custkey", F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    edges = _weighted_edges(spark, sf_dir)
+    scored = (
+        owned.join(edges, owned.part == edges.src)
+        .groupBy("c_custkey", F.col("dst").alias("rec_part"))
+        .agg(F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_links"))
+    )
+    fresh = scored.join(
+        owned.select("c_custkey", F.col("part").alias("rec_part")),
+        on=["c_custkey", "rec_part"],
+        how="left_anti",
+    )
+    w_rank = Window.partitionBy("c_custkey").orderBy(
+        F.col("score").desc(), F.col("rec_part")
+    )
+    return (
+        fresh.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("c_custkey", "rec_part", "score", "n_links", "rank")
+        .orderBy("c_custkey", "rank")
+    )
+
+
+RECS_SQL = f"""
+WITH {_WEDGES_CTE},
+owned AS (
+  SELECT DISTINCT c.c_custkey, l.l_partkey AS part
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_custkey < 20
+), scored AS (
+  SELECT o.c_custkey, e.dst AS rec_part,
+         CAST(SUM(e.w) AS BIGINT) AS score, COUNT(*) AS n_links
+  FROM owned o JOIN edges2 e ON o.part = e.src
+  GROUP BY o.c_custkey, e.dst
+), fresh AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o
+    WHERE o.c_custkey = s.c_custkey AND o.part = s.rec_part
+  )
+), ranked AS (
+  SELECT c_custkey, rec_part, score, n_links,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY score DESC, rec_part) AS rank
+  FROM fresh
+)
+SELECT c_custkey, rec_part, score, n_links, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY c_custkey, rank
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "basket_recommendations": Query(basket_recommendations, RECS_SQL),
     "basket_modularity": Query(basket_modularity, MODULARITY_SQL),
     "basket_edge_churn": Query(basket_edge_churn, CHURN_SQL),
     "basket_sssp_histogram": Query(basket_sssp_histogram, _sssp_sql(_SSSP_HOPS)),

@@ -114,3 +114,21 @@ def test_pruned_read_empty_range(spark, tmp_path):
     zorder_write(df, p, ["x", "y"], n_files=4)
     out = pruned_read(spark, p, {"x": (1e9, 2e9)})
     assert out.count() == 0
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    from degdb_spark.operators.layout import compact
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).withColumn("x", F.col("id") % 100).repartition(
+        32
+    ).write.parquet(p)
+    before = spark.read.parquet(p)
+    n_rows = before.count()
+    stats = compact(spark, p, target_files=4, sort_col="x")
+    assert stats["files_before"] >= 16 and stats["files_after"] <= 4
+    after = spark.read.parquet(p)
+    assert after.count() == n_rows
+    # range clustering restored: per-file x ranges are narrow
+    ranges = _file_ranges(p, "x")
+    assert all(hi - lo <= 60 for lo, hi in ranges), ranges
