@@ -68,6 +68,9 @@ HEADLINE = [
     "media_phash_neardups",
     "events_scd2_segments",
     "lineitem_profile",
+    "basket_recommendations",
+    "lineitem_unpivot",
+    "orders_skew_report",
 ]
 
 

@@ -84,6 +84,9 @@ _WINDOW = [
     "docs_bigram_logprob",
     "basket_modularity",
     "basket_edge_churn",
+    "basket_recommendations",
+    "lineitem_unpivot",
+    "orders_skew_report",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -97,9 +100,6 @@ _WINDOW = [
     "top_customers_per_nation",
     "running_order_totals",
     "rollup_revenue",
-    "cube_lineitem_status",
-    "customers_without_orders",
-    "nations_set_ops",
     "left_join_order_stats",
     "full_outer_nation_presence",
 ]
