@@ -350,6 +350,45 @@ def image_ahash(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return images.select("media_id", "payload").mapInPandas(op, schema)
 
 
+def audio_ahash(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL audio decode → 64-bit energy-envelope fingerprint, banded
+    like image_ahash (four 16-bit bands).
+
+    The audio twin of perceptual image hashing: the clip is cut into 64
+    equal frames (trailing remainder dropped), each frame's integer
+    energy Σs² is thresholded against the global mean (energy·64 >
+    total — pure integer), and the 64 bits band into b0..b3 for the
+    LSH candidate join. No FFT and no floats, so the fingerprint is
+    bit-exact across engines and the oracle replays it from the
+    closed-form samples.
+    """
+    audio = media.filter(F.col("kind") == "audio")
+    schema = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    _rate, s = codecs.decode_wav(bytes(p))
+                    s = s.astype(np.int64)
+                    flen = s.size // 64
+                    en = (s[: flen * 64].reshape(64, flen) ** 2).sum(axis=1)
+                    total = int(en.sum())
+                    bits = (en * 64 > total).astype(np.int64)
+                    bands = [
+                        int(sum(int(b) << j for j, b in enumerate(bits[16 * k : 16 * k + 16])))
+                        for k in range(4)
+                    ]
+                    out.append((mid, *bands))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "b0", "b1", "b2", "b3"]
+                )
+
+    return audio.select("media_id", "payload").mapInPandas(op, schema)
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, batch_rows: int = 64
 ) -> DataFrame:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from degdb_spark.operators.multimodal import (
     audio_sample_stats,
     extract_features,
+    audio_ahash,
     extract_video_frames,
     image_ahash,
     image_pixel_stats,
@@ -232,19 +233,11 @@ FROM vids ORDER BY media_id
 """
 
 
-def media_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup detection over the REAL decode
-    path: 64-bit aHash per image (operators/multimodal.image_ahash),
-    LSH-banded into four 16-bit bands, candidate pairs = images sharing
-    ≥1 band, scored by full hamming distance (near_dup at ≤16 bits).
-
-    The image twin of docs_simhash_neardups: the banded self-join is
-    the scale path (no all-pairs — candidates only), and the hamming
-    re-rank touches only candidate pairs. The oracle replays the hash
-    from the generator's closed-form pixels in integer SQL, so a hash
-    match verifies the real BMP decode + the banding + the re-rank."""
-    media = synthetic_media(spark, _N_MEDIA)
-    hashes = image_ahash(media).localCheckpoint(eager=False)
+def _banded_neardup_pairs(hashes) -> DataFrame:
+    """Shared banded candidate join + hamming re-rank over a
+    (media_id, b0..b3) fingerprint table — used by both the image and
+    audio perceptual-hash near-dup queries."""
+    hashes = hashes.localCheckpoint(eager=False)
     bands = hashes.select(
         "media_id",
         F.explode(
@@ -288,6 +281,83 @@ def media_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming", "near_dup")
         .orderBy("id_a", "id_b")
     )
+
+
+def media_audio_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection over the REAL WAV decode path: 64-frame
+    energy-envelope fingerprint (operators/multimodal.audio_ahash),
+    LSH-banded candidates, hamming re-rank — the audio member of the
+    perceptual-dedup family (images: media_phash_neardups; text:
+    docs_simhash_neardups). Oracle replays the fingerprint from the
+    generator's closed-form PCM samples in integer SQL."""
+    media = synthetic_media(spark, _N_MEDIA)
+    return _banded_neardup_pairs(audio_ahash(media))
+
+
+AUDIO_NEARDUP_SQL = f"""
+WITH {_MEDIA_CTE},
+clips AS (
+  SELECT media_id AS i, 16 * duration_ms AS n,
+         (16 * duration_ms) // 64 AS flen
+  FROM media WHERE kind = 'audio'
+),
+ts AS (
+  SELECT i, flen, unnest(generate_series(0, flen * 64 - 1)) AS t FROM clips
+),
+sval AS (
+  SELECT i, t // flen AS frame,
+         ((t * (i + 3)) % 4096) - 2048 AS s
+  FROM ts
+),
+en AS (
+  SELECT i, frame, SUM(s * s) AS e FROM sval GROUP BY i, frame
+),
+tot AS (SELECT i, SUM(e) AS total FROM en GROUP BY i),
+bands AS (
+  SELECT en.i, CAST(frame // 16 AS INT) AS band_idx,
+         CAST(SUM(CASE WHEN e * 64 > total THEN 1 << CAST(frame % 16 AS INT) ELSE 0 END) AS BIGINT) AS val
+  FROM en JOIN tot ON en.i = tot.i
+  GROUP BY en.i, frame // 16
+),
+h AS (
+  SELECT i,
+         MAX(CASE WHEN band_idx = 0 THEN val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN val END) AS b3
+  FROM bands GROUP BY i
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.i < b.i
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS BIGINT) AS hamming,
+       CASE WHEN bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+               + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 16
+            THEN 1 ELSE 0 END AS near_dup
+FROM cand
+JOIN h ha ON ha.i = cand.id_a
+JOIN h hb ON hb.i = cand.id_b
+ORDER BY id_a, id_b
+"""
+
+
+def media_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection over the REAL decode
+    path: 64-bit aHash per image (operators/multimodal.image_ahash),
+    LSH-banded into four 16-bit bands, candidate pairs = images sharing
+    ≥1 band, scored by full hamming distance (near_dup at ≤16 bits).
+
+    The image twin of docs_simhash_neardups: the banded self-join is
+    the scale path (no all-pairs — candidates only), and the hamming
+    re-rank touches only candidate pairs. The oracle replays the hash
+    from the generator's closed-form pixels in integer SQL, so a hash
+    match verifies the real BMP decode + the banding + the re-rank."""
+    media = synthetic_media(spark, _N_MEDIA)
+    return _banded_neardup_pairs(image_ahash(media))
 
 
 PHASH_SQL = f"""
@@ -344,6 +414,7 @@ ORDER BY id_a, id_b
 
 
 QUERIES: dict[str, Query] = {
+    "media_audio_neardups": Query(media_audio_neardups, AUDIO_NEARDUP_SQL),
     "media_phash_neardups": Query(media_phash_neardups, PHASH_SQL),
     "media_frame_sample": Query(media_frame_sample, FRAME_SQL),
     "media_payload_stats": Query(media_payload_stats, PAYLOAD_SQL),

@@ -143,3 +143,23 @@ def test_image_ahash_bands(media):
         for k in range(4)
     )
     assert hashes[0] == expect
+
+
+def test_audio_ahash_bands(media):
+    import numpy as np
+
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.audio_ahash(media).collect()}
+    n_audio = media.filter(media.kind == "audio").count()
+    assert len(hashes) == n_audio
+    assert all(0 <= b <= 0xFFFF for bands in hashes.values() for b in bands)
+    # replay the generator arithmetic for one clip
+    i = 1
+    s = M._audio_samples(i, 1000 + 37 * i).astype(np.int64)
+    flen = s.size // 64
+    en = (s[: flen * 64].reshape(64, flen) ** 2).sum(axis=1)
+    bits = (en * 64 > en.sum()).astype(int)
+    expect = tuple(
+        int(sum(int(b) << j for j, b in enumerate(bits[16 * k : 16 * k + 16])))
+        for k in range(4)
+    )
+    assert hashes[i] == expect
