@@ -87,6 +87,7 @@ _WINDOW = [
     "basket_recommendations",
     "lineitem_unpivot",
     "orders_skew_report",
+    "media_audio_neardups",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -101,7 +102,6 @@ _WINDOW = [
     "running_order_totals",
     "rollup_revenue",
     "left_join_order_stats",
-    "full_outer_nation_presence",
 ]
 
 
