@@ -88,6 +88,7 @@ _WINDOW = [
     "lineitem_unpivot",
     "orders_skew_report",
     "media_audio_neardups",
+    "basket_embedding_power",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -101,7 +102,6 @@ _WINDOW = [
     "top_customers_per_nation",
     "running_order_totals",
     "rollup_revenue",
-    "left_join_order_stats",
 ]
 
 

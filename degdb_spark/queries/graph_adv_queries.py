@@ -513,7 +513,104 @@ ORDER BY c_custkey, rank
 """
 
 
+_EMB_DIMS = 4
+_EMB_ITERS = 3
+_EMB_SCALE = 1000
+
+
+def basket_embedding_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graph embeddings by INTEGER power iteration:
+    4-dim node features initialized from a portable md5 bucket of
+    (id, dim), smoothed 3 rounds by neighborhood mean with
+    floor-division — x₊(v,d) = Σ_{u→v} x(u,d) div deg(v). All-integer
+    arithmetic (no float summation anywhere), so the unrolled oracle
+    replays it exactly; structurally similar nodes converge to similar
+    vectors, the cheap stand-in for spectral/node2vec features in a
+    feature-engineering pipeline. One message shuffle per (iteration);
+    dims ride as rows of one long table, not separate jobs. Output:
+    the 20 lowest part ids with their final vectors."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dims = spark.range(_EMB_DIMS).select(F.col("id").cast("int").alias("d"))
+    x = (
+        deg.select("id")
+        .crossJoin(F.broadcast(dims))
+        .withColumn(
+            "x",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("id").cast("string"),
+                                F.lit(":"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _EMB_SCALE
+            ),
+        )
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(_EMB_ITERS):
+        msg = (
+            edges.join(x.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"), "d")
+            .agg(F.sum("x").alias("s"))
+        )
+        x = (
+            msg.join(deg, "id")
+            .withColumn("x", F.expr("s div deg"))
+            .select("id", "d", "x")
+            .localCheckpoint(eager=False)
+        )
+    wide = x.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("d") == k, F.col("x"))).alias(f"e{k}")
+            for k in range(_EMB_DIMS)
+        ]
+    )
+    return wide.orderBy("id").limit(20)
+
+
+def _emb_power_sql(iters: int, dims: int, scale: int) -> str:
+    ctes = [
+        "deg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS deg FROM edges2 GROUP BY dst)",
+        f"dims AS (SELECT unnest(generate_series(0, {dims - 1})) AS d)",
+        f"x0 AS MATERIALIZED (SELECT id, d, CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % {scale} AS x "
+        "FROM deg CROSS JOIN dims)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"x{i} AS MATERIALIZED ("
+            f"SELECT m.id, m.d, m.s // deg.deg AS x FROM ("
+            f"SELECT e.dst AS id, x.d, SUM(x.x) AS s "
+            f"FROM edges2 e JOIN x{i-1} x ON e.src = x.id "
+            f"GROUP BY e.dst, x.d) m JOIN deg ON m.id = deg.id)"
+        )
+    emax = ", ".join(
+        f"CAST(MAX(CASE WHEN d = {k} THEN x END) AS BIGINT) AS e{k}"
+        for k in range(dims)
+    )
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, {emax} FROM x{iters} GROUP BY id ORDER BY id LIMIT 20"
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "basket_embedding_power": Query(
+        basket_embedding_power, _emb_power_sql(_EMB_ITERS, _EMB_DIMS, _EMB_SCALE)
+    ),
     "basket_recommendations": Query(basket_recommendations, RECS_SQL),
     "basket_modularity": Query(basket_modularity, MODULARITY_SQL),
     "basket_edge_churn": Query(basket_edge_churn, CHURN_SQL),
