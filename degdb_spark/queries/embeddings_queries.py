@@ -278,6 +278,10 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    if emb.isEmpty():  # k-means can't fit on an empty corpus
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     return ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 

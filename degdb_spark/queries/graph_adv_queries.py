@@ -86,6 +86,8 @@ def basket_sssp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 6 edges)."""
     edges = _weighted_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).collect()[0][0]
+    if source is None:  # empty graph → empty histogram, matching the oracle
+        return spark.createDataFrame([], "dist long, n_nodes long")
     dist = G.sssp_weighted(edges, source, max_hops=_SSSP_HOPS)
     return (
         dist.groupBy("dist")
@@ -299,6 +301,9 @@ def basket_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lu = labels.select(F.col("id").alias("src"), F.col("label").alias("lu"))
     lv = labels.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
     tagged = und.join(lu, "src").join(lv, "dst")
+    empty = spark.createDataFrame(
+        [], "m_edges long, e_in long, n_communities long, modularity double"
+    )
     m, e_in = tagged.agg(
         F.count(F.lit(1)),
         F.count(F.when(F.col("lu") == F.col("lv"), F.lit(1))),
@@ -313,6 +318,8 @@ def basket_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("d_c") * F.col("d_c")), F.count(F.lit(1)))
         .collect()[0]
     )
+    if not m:  # empty graph → modularity undefined, empty result
+        return empty
     q = e_in / m - d2 / (4.0 * m * m)
     import math
 

@@ -81,3 +81,37 @@ def test_sliding_window_triples_events(spark, testdata):
         .s
     )
     assert total == 3 * ev_n
+
+
+def test_registry_queries_tolerate_empty_tables(spark, tmp_path):
+    """Degenerate-input guard: a representative slice of the registry
+    (the families that historically crashed on empty/regenerated data:
+    sequence/explode, iterative graph, trained ANN, scalar collects)
+    must return empty results — not raise — on schema-only tables."""
+    import glob
+    import os
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "empty_sf")
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        con.execute(
+            f"COPY (SELECT * FROM '{f}' LIMIT 0) TO"
+            f" '{dst}/{os.path.basename(f)}' (FORMAT PARQUET)"
+        )
+    from degdb_spark.queries import registry
+
+    reg = registry()
+    probe = [
+        "docs_chunking", "docs_bigrams", "docs_packing", "docs_bpe_pair_counts",
+        "basket_sssp_histogram", "basket_modularity", "basket_kcore",
+        "basket_triangle_count", "emb_ivf_knn", "emb_knn_topk",
+        "events_anomaly_zscore", "events_decay_score", "lineitem_price_histogram",
+        "orders_skew_report", "lineitem_profile",
+    ]
+    for name in probe:
+        n = reg[name].spark(spark, dst).count()  # must not raise
+        assert n >= 0, name
