@@ -38,15 +38,19 @@ class Query(NamedTuple):
 #:  - never-driver-checked round-2-tail additions (emb_ivf_fixed_knn,
 #:    docs_mixture_sample, docs_leakage_safe_split, docs_unigram_logprob,
 #:    docs_chunking);
-#:  - new round-3 queries (behavior analytics ×4, k-core, link
-#:    prediction, filtered ANN, price histogram, BPE pairs, phash
-#:    near-dups) and the two whose implementation changed this round
-#:    (adjacency-intersection triangles);
+#:  - the 20 new round-3 queries (behavior analytics ×5, graph
+#:    k-core/link-prediction/modularity/churn/recommendations/embedding,
+#:    filtered ANN, histogram/profile/unpivot/skew, BPE pairs, bigram
+#:    LM, image+audio perceptual near-dups) and the two whose
+#:    implementation changed this round (adjacency-intersection
+#:    triangles);
 #:  - remaining slots: the oldest driver rows (r1 relational family;
 #:    r1 rows predate a testdata regeneration). Still-deferred r1 rows
-#:    (5 triples, 5 events, 5 text, 9 tpch, function galleries,
-#:    cond/array aggregation, triple_predicate_histogram) rotate next
-#:    round — all were locally green in this round's full sweep.
+#:    (triples ×5, events ×5, text ×5, tpch ×9, function galleries,
+#:    cond/array aggregation, set ops, outer joins, percentiles,
+#:    subqueries, cube, triple_predicate_histogram) rotate next round —
+#:    all were locally green in BOTH of this round's full sweeps
+#:    (sf0.01 and sf0.1).
 _WINDOW = [
     # never driver-checked (r2 tail)
     "basket_sssp_histogram",
