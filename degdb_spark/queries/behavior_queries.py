@@ -310,7 +310,53 @@ FROM runs ORDER BY user_id, seg
 """
 
 
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature build: per event, the previous three
+    values (lag1..lag3) and the 5-row rolling decimal mean of value —
+    the standard time-series feature matrix before model training. All
+    four features share ONE user_id window partitioning (single
+    exchange); the rolling mean uses the decimal-sum discipline so the
+    oracle hash-matches. Output bounded to users < 10."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wroll = w.rowsBetween(-4, 0)
+    roll = (
+        F.sum(F.col("value").cast("decimal(30,2)")).over(wroll).cast("double")
+        / F.count(F.lit(1)).over(wroll)
+    )
+    return (
+        ev.withColumn("lag1", F.lag("value", 1).over(w))
+        .withColumn("lag2", F.lag("value", 2).over(w))
+        .withColumn("lag3", F.lag("value", 3).over(w))
+        .withColumn("roll5_mean", dround(roll, 4))
+        .select(
+            "user_id", "event_id", "ts", "value",
+            "lag1", "lag2", "lag3", "roll5_mean",
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+LAG_FEATURES_SQL = """
+SELECT user_id, event_id, ts::TIMESTAMP_NS AS ts, value,
+       LAG(value, 1) OVER w AS lag1,
+       LAG(value, 2) OVER w AS lag2,
+       LAG(value, 3) OVER w AS lag3,
+       FLOOR((CAST(SUM(CAST(value AS DECIMAL(30,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+             * 10000 + 0.5) / 10000 AS roll5_mean
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_lag_features": Query(events_lag_features, LAG_FEATURES_SQL),
     "events_scd2_segments": Query(events_scd2_segments, SCD2_SQL),
     "events_funnel": Query(events_funnel, FUNNEL_SQL),
     "events_retention": Query(events_retention, RETENTION_SQL),

@@ -267,3 +267,68 @@ def test_anomaly_stream_matches_batch(spark, stream_dir, ckpt):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_hourly_rollup_drops_late_data(spark, tmp_path):
+    """Watermark semantics: once a window has closed (watermark passed
+    its end) and been emitted, a late event for it is DROPPED — the
+    window is never re-emitted, even across a checkpointed restart."""
+    import datetime as dt
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: supports checkpoint recovery (memory sink does
+        # not) and accumulates emissions, so a late re-emission would
+        # show up as a duplicate window row
+        s = SE.hourly_rollup_stream(
+            spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        counts: dict = {}
+        for r in rows:
+            counts.setdefault((r.hour, r.event_type), []).append(r.n_events)
+        return counts
+
+    # batch 1: events in hours 0..5 → watermark = h5:30 − 2h, windows
+    # h0..h2 close and emit
+    write("b1", [
+        (i, t0 + dt.timedelta(hours=i), 1, "click", 1.0, "{}") for i in range(6)
+    ])
+    first = drain()
+    h0 = dt.datetime(2024, 1, 1, 0, 0)
+    assert first.get((h0, "click")) == [1]
+
+    # batch 2: one LATE event back in hour 0 plus a fresh one in hour 6
+    write("b2", [
+        (100, t0, 1, "click", 1.0, "{}"),               # late → dropped
+        (101, t0 + dt.timedelta(hours=6), 1, "click", 1.0, "{}"),
+    ])
+    second = drain()
+    # the late row is discarded: the h0 window is neither re-emitted
+    # (no duplicate row) nor re-counted
+    assert second.get((h0, "click")) == [1]
