@@ -132,3 +132,22 @@ def test_compact_reduces_files(spark, tmp_path):
     # range clustering restored: per-file x ranges are narrow
     ranges = _file_ranges(p, "x")
     assert all(hi - lo <= 60 for lo, hi in ranges), ranges
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """Property: the Morton code decodes back to the exact rank pair —
+    bit interleaving loses nothing."""
+    from degdb_spark.operators.layout import _interleave
+
+    df = spark.range(0, 512).select(
+        (F.col("id") % 23 * 2897 % 65536).alias("rx"),
+        (F.col("id") * 7919 % 65536).alias("ry"),
+    )
+    z = df.select(
+        "rx", "ry", _interleave([F.col("rx"), F.col("ry")]).alias("z")
+    )
+    rows = z.collect()
+    for r in rows:
+        dx = sum(((r.z >> (2 * j)) & 1) << j for j in range(16))
+        dy = sum(((r.z >> (2 * j + 1)) & 1) << j for j in range(16))
+        assert (dx, dy) == (r.rx, r.ry)

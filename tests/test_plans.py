@@ -404,3 +404,21 @@ def test_scd2_single_user_exchange(spark):
 
     plan = _plan(events_scd2_segments(spark, SF))
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_decay_score_single_user_exchange(spark):
+    """row_number window + per-user aggregate share one user_id
+    exchange (plus only the final top-50 sort)."""
+    from degdb_spark.queries.behavior_queries import events_decay_score
+
+    plan = _plan(events_decay_score(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_bpe_pairs_single_aggregation_exchange(spark):
+    """The pair stream collapses map-side: exactly one hash exchange
+    (the ≤26²-key pair groupBy) in the whole plan."""
+    from degdb_spark.queries.text_queries import bpe_pair_counts
+
+    plan = _plan(bpe_pair_counts(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
