@@ -19,7 +19,7 @@ groupBy-sum over the cell table (CMS is a linear sketch).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -170,3 +170,67 @@ SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE
        CAST(COUNT(*) AS INT) AS k_used
 FROM topk
 """
+
+
+# ---------------------------------------------------------------- quantiles
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram sketch — the
+    scalable alternative to exact percentiles (which need a global
+    sort): two scans (bounds, then bin counts), a bin table of
+    ``n_bins`` rows regardless of data size, and linear interpolation
+    inside the target bin. Bin counts are integers and the bin table is
+    trivially MERGEABLE across partitions/streams (sum by bin) — the
+    same contract approx_percentile's GK sketch offers, but
+    engine-portable so a DuckDB oracle replays it bit-for-bit.
+
+    Error bound: ±(hi−lo)/n_bins on the value axis. Returns one row per
+    requested q: (q, est) with est floor-rounded to 4 dp.
+    """
+    from degdb_spark.queries.rounding import dround
+
+    bounds = df.agg(
+        F.min(col).cast("double").alias("lo"), F.max(col).cast("double").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.greatest(
+                    F.floor((F.col(col).cast("double") - F.col("lo")) / width),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    w = Window.orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0))
+    )
+    total = binned.agg(F.sum("c").alias("n"))
+    out = None
+    for q in qs:
+        rank = F.col("n") * F.lit(float(q))
+        hit = (
+            cum.crossJoin(F.broadcast(total))
+            .filter((F.col("cum") >= rank) & (F.col("prev_cum") < rank))
+            .orderBy("bin")
+            .limit(1)
+        )
+        wdt = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+        frac = (rank - F.col("prev_cum")) / F.col("c")
+        est = F.col("lo") + (F.col("bin").cast("double") + frac) * wdt
+        row = hit.select(
+            F.lit(float(q)).alias("q"), dround(est, 4).alias("est")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("q")

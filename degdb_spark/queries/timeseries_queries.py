@@ -233,7 +233,61 @@ ORDER BY probe_key
 )
 
 
+_QS = [0.5, 0.9, 0.99]
+_QBINS = 1000
+
+
+def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of l_extendedprice (p50/p90/p99) —
+    the mergeable, two-scan, no-global-sort quantile path
+    (operators/sketch.py::histogram_quantiles). Error ≤ one bin width;
+    the sketch (1000 integer bin counts) replays exactly in SQL."""
+    from degdb_spark.operators.sketch import histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", _QS, n_bins=_QBINS)
+
+
+def _quantile_sketch_sql(qs: list[float], n_bins: int) -> str:
+    one = []
+    for q in qs:
+        one.append(f"""
+SELECT {float(q)} AS q,
+       FLOOR((lo + (CAST(bin AS DOUBLE) + ((n * {float(q)}) - prev_cum) / c)
+              * ((hi - lo) / {float(n_bins)})) * 10000 + 0.5) / 10000 AS est
+FROM (
+  SELECT * FROM cum CROSS JOIN total
+  WHERE cum >= n * {float(q)} AND prev_cum < n * {float(q)}
+  ORDER BY bin LIMIT 1
+)""".strip())
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem
+), binned AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                                   / ((hi - lo) / {float(n_bins)})), 0),
+                    {n_bins - 1}) AS BIGINT) AS bin,
+         COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi
+  FROM lineitem CROSS JOIN bounds
+  GROUP BY 1
+), cum0 AS (
+  SELECT bin, c, lo, hi, SUM(c) OVER (ORDER BY bin) AS cum FROM binned
+), cum AS (
+  SELECT bin, c, lo, hi, cum,
+         COALESCE(LAG(cum) OVER (ORDER BY bin), 0) AS prev_cum
+  FROM cum0
+), total AS (SELECT SUM(c) AS n FROM binned)
+{chr(10) + 'UNION ALL' + chr(10)}{(chr(10) + 'UNION ALL' + chr(10)).join(one)}
+ORDER BY q
+""".replace(f"{chr(10)}UNION ALL{chr(10)}", "", 1)
+
+
 QUERIES: dict[str, Query] = {
+    "lineitem_quantile_sketch": Query(
+        lineitem_quantile_sketch, _quantile_sketch_sql(_QS, _QBINS)
+    ),
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_asof_join": Query(events_asof, ASOF_SQL),
