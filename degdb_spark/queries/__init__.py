@@ -94,6 +94,7 @@ _WINDOW = [
     "media_audio_neardups",
     "basket_embedding_power",
     "events_lag_features",
+    "lineitem_quantile_sketch",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -105,7 +106,6 @@ _WINDOW = [
     "q6_revenue_change",
     "q10_returned_items",
     "top_customers_per_nation",
-    "running_order_totals",
 ]
 
 
