@@ -195,6 +195,56 @@ def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+DECAY_OUTPUT_SCHEMA = "user_id long, decay_score double, n_events long"
+DECAY_STATE_SCHEMA = "score double, n long"
+_DECAY = 0.5
+
+
+def _decay_per_user(
+    key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Recency-decayed engagement score maintained incrementally:
+    score ← score·0.5 + value per event in event-time order — the
+    O(1)-state streaming twin of the batch
+    queries/behavior_queries.py::events_decay_score (which ranks by
+    recency; on in-order data both equal Σ value·0.5^age). 0.5 is a
+    terminating binary fraction, so the update is exact float
+    arithmetic and replayable. State: one (score, count) per user,
+    evicted on event-time timeout."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(columns=["user_id", "decay_score", "n_events"])
+        return
+    score, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            score = score * _DECAY + float(v)
+            n += 1
+    state.update((float(score), int(n)))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+    yield pd.DataFrame(
+        [{"user_id": user_id, "decay_score": score, "n_events": n}]
+    )
+
+
+def decay_score_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running decayed engagement (update mode) — O(1) state
+    per user, the incremental form of the batch decay score."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _decay_per_user,
+            outputStructType=DECAY_OUTPUT_SCHEMA,
+            stateStructType=DECAY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def cap_per_user_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Keep the first ``_CAP`` events per user *per activity horizon*
     (append mode) — bounded per-key state (one counter), genuinely

@@ -332,3 +332,36 @@ def test_hourly_rollup_drops_late_data(spark, tmp_path):
     # the late row is discarded: the h0 window is neither re-emitted
     # (no duplicate row) nor re-counted
     assert second.get((h0, "click")) == [1]
+
+
+def test_stateful_decay_score_matches_batch(spark, stream_dir, ckpt):
+    """Streaming incremental decay equals the batch full-depth decayed
+    sum (single in-order drop): score = Σ value·0.5^age_rank."""
+    from pyspark.sql import Window
+    from degdb_spark.streaming.stateful import decay_score_stream
+
+    s = decay_score_stream(SE.stream_events(spark, stream_dir))
+    SE.run_available_now(s, "decay_mem", ckpt, output_mode="update")
+    # update mode: last emission per user is the final score
+    got = {
+        r.user_id: (round(r.decay_score, 6), r.n_events)
+        for r in spark.sql("select * from decay_mem").collect()
+    }
+    ev = _batch_events(spark)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    exp = {
+        r.user_id: (round(r.s, 6), r.n)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * F.pow(F.lit(0.5), F.col("rn") - 1)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u in got:
+        assert got[u][1] == exp[u][1]
+        assert abs(got[u][0] - exp[u][0]) < 1e-6, (u, got[u], exp[u])
