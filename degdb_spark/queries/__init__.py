@@ -95,6 +95,7 @@ _WINDOW = [
     "basket_embedding_power",
     "events_lag_features",
     "lineitem_quantile_sketch",
+    "lineitem_contract_checks",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -105,7 +106,6 @@ _WINDOW = [
     "q5_local_supplier_volume",
     "q6_revenue_change",
     "q10_returned_items",
-    "top_customers_per_nation",
 ]
 
 

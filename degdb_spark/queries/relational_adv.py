@@ -514,7 +514,61 @@ FROM stats CROSS JOIN top10
 """
 
 
+# -------------------------------------------------------- contracts
+def lineitem_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over lineitem (operators/quality.py): range,
+    non-null, cross-column, and FK-integrity expectations, reported as
+    (rule, n_rows, n_violations) — the pre-promotion validation a
+    pipeline runs on every new drop. Row rules share one scan; the FK
+    check is a broadcastable anti-join."""
+    from degdb_spark.operators.quality import check_contract
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        ("qty_in_range", (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("discount_unit", (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)),
+        ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ("flag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return check_contract(
+        li, rules, fk_checks=[("orderkey_fk", "l_orderkey", orders, "o_orderkey")]
+    )
+
+
+CONTRACT_SQL = """
+WITH row_rules AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS qty_in_range,
+         SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS price_positive,
+         SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS discount_unit,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS shipdate_not_null,
+         SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS flag_domain
+  FROM lineitem
+), fk AS (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+         COUNT(*) AS n_violations
+  FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations
+FROM (
+  SELECT 'discount_unit' AS rule, n_rows, discount_unit AS n_violations FROM row_rules
+  UNION ALL SELECT 'flag_domain', n_rows, flag_domain FROM row_rules
+  UNION ALL SELECT 'orderkey_fk', n_rows, n_violations FROM fk
+  UNION ALL SELECT 'price_positive', n_rows, price_positive FROM row_rules
+  UNION ALL SELECT 'qty_in_range', n_rows, qty_in_range FROM row_rules
+  UNION ALL SELECT 'shipdate_not_null', n_rows, shipdate_not_null FROM row_rules
+)
+ORDER BY rule
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
     "lineitem_profile": Query(lineitem_profile, PROFILE_SQL),

@@ -1,0 +1,42 @@
+"""Data-contract operator tests with planted violations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.quality import check_contract
+
+
+def test_check_contract_counts_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "B"),      # price violation + flag violation
+            (3, None, "A"),      # NULL condition counts as violation
+            (9, 1.0, "A"),       # orphan fk
+        ],
+        ["k", "price", "flag"],
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    out = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in check_contract(
+            df,
+            [
+                ("price_positive", F.col("price") > 0),
+                ("flag_domain", F.col("flag").isin("A")),
+            ],
+            fk_checks=[("k_fk", "k", parent, "pk")],
+        ).collect()
+    }
+    assert out == {
+        "price_positive": (4, 2),  # -5.0 and NULL
+        "flag_domain": (4, 1),
+        "k_fk": (4, 1),
+    }
+
+
+def test_check_contract_clean_table(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["k", "v"])
+    out = check_contract(df, [("v_pos", F.col("v") > 0)]).collect()
+    assert out[0].n_violations == 0
