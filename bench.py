@@ -71,6 +71,9 @@ HEADLINE = [
     "basket_recommendations",
     "lineitem_unpivot",
     "orders_skew_report",
+    "events_lag_features",
+    "lineitem_quantile_sketch",
+    "lineitem_contract_checks",
 ]
 
 
