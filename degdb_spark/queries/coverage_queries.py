@@ -172,9 +172,9 @@ SELECT (SELECT COUNT(*) FROM oedges) AS n_edges,
 def basket_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per part: triangles_at(v) /
     C(deg(v), 2), top 20 by coefficient (part id tie-break). One edge
-    scan for degrees, the degree-oriented triangle join for closures
-    (each triangle contributes once to each of its three vertices
-    regardless of orientation)."""
+    scan for degrees; closures come from the degree-oriented adjacency
+    intersection (each triangle contributes once to each of its three
+    vertices regardless of orientation)."""
     e = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = _degrees(e).localCheckpoint(eager=True)
     oe = _degree_oriented_edges(e, deg).localCheckpoint(eager=True)
