@@ -355,7 +355,57 @@ ORDER BY user_id, ts, event_id
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    (prev_type → type) pair, its count and row-normalized probability —
+    the behavioral-model fit that powers next-action prediction and
+    bot detection. One lag window on the user_id exchange, then a
+    25-key aggregate; the normalizing row totals ride as a broadcast
+    per-prev aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .withColumn(
+            "p", dround(F.col("n").cast("double") / F.col("row_total"), 6)
+        )
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+MARKOV_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), totals AS (
+  SELECT prev_type, SUM(n) AS row_total FROM pairs GROUP BY prev_type
+)
+SELECT pairs.prev_type, next_type, n,
+       FLOOR((CAST(n AS DOUBLE) / row_total) * 1000000 + 0.5) / 1000000 AS p
+FROM pairs JOIN totals ON pairs.prev_type = totals.prev_type
+ORDER BY pairs.prev_type, next_type
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_markov_transitions": Query(
+        events_markov_transitions, MARKOV_SQL
+    ),
     "events_lag_features": Query(events_lag_features, LAG_FEATURES_SQL),
     "events_scd2_segments": Query(events_scd2_segments, SCD2_SQL),
     "events_funnel": Query(events_funnel, FUNNEL_SQL),

@@ -567,7 +567,54 @@ ORDER BY rule
 """
 
 
+# -------------------------------------------------- grouping sets
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit non-hierarchical GROUPING SETS — ((region), (priority),
+    ()) — the aggregation shape ROLLUP/CUBE can't express (independent
+    axes + grand total in one pass). One shuffle; the Expand operator
+    replicates each row once per set, all combined map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "o_orderpriority", "o_totalprice")
+    )
+    gs = joined.groupingSets(
+        [["r_name"], ["o_orderpriority"], []],
+        F.col("r_name"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+    return gs.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "revenue",
+    ).orderBy("region", "priority")
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+ORDER BY region, priority
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
