@@ -74,6 +74,8 @@ HEADLINE = [
     "events_lag_features",
     "lineitem_quantile_sketch",
     "lineitem_contract_checks",
+    "events_markov_transitions",
+    "grouping_sets_revenue",
 ]
 
 
