@@ -369,6 +369,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # materialize the (k²-row) matrix once: without this, the
+        # totals branch re-runs the whole window+aggregate pipeline —
+        # a second full scan of events at scale
+        .localCheckpoint(eager=True)
     )
     totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
     return (

@@ -422,3 +422,26 @@ def test_bpe_pairs_single_aggregation_exchange(spark):
 
     plan = _plan(bpe_pair_counts(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_grouping_sets_expand_single_pass(spark):
+    """GROUPING SETS compiles to one Expand + one aggregation pass —
+    three sets must NOT mean three scans of the joined input."""
+    from degdb_spark.queries.relational_adv import grouping_sets_revenue
+
+    plan = _plan(grouping_sets_revenue(spark, SF))
+    assert "Expand" in plan
+    # one scan of each base table only
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_markov_totals_reuse_checkpointed_matrix(spark):
+    """The transition matrix materializes once (eager checkpoint): the
+    normalization branch must read the checkpointed k²-row RDD, never
+    re-scan events, and join totals back as a broadcast."""
+    from degdb_spark.queries.behavior_queries import events_markov_transitions
+
+    plan = _plan(events_markov_transitions(spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan, plan  # no second events scan
+    assert "BroadcastHashJoin" in plan
