@@ -123,8 +123,82 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+_TEMP_FRACTION = 0.5  # target sample = half the corpus
+_TEMP_BUCKETS = 1_000_000
+
+
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (T = 2): per-source keep
+    probability ∝ (n_s)^(1/T) — the standard multilingual/rare-source
+    upweighting rule (sampling shares flatten toward uniform as T
+    grows). With T = 2 the weight is sqrt(n_s), an IEEE-exact function
+    of the exact integer counts, so the data-dependent keep thresholds
+    reproduce bit-for-bit in the oracle. Membership stays the portable
+    md5 bucket of doc_id (deterministic, monotone under rate changes).
+    Shares and thresholds ride as a broadcast per-source aggregate —
+    one scan for counts, one for the gated aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.withColumn("w", F.sqrt(F.col("n_s").cast("double")))
+    sums = w.agg(
+        F.sum("n_s").alias("n_total_all"), F.sum("w").alias("w_sum")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(sums))
+        .withColumn(
+            "thr",
+            F.least(
+                F.floor(
+                    F.lit(float(_TEMP_FRACTION))
+                    * F.col("n_total_all")
+                    * F.col("w")
+                    / (F.col("w_sum") * F.col("n_s"))
+                    * F.lit(float(_TEMP_BUCKETS))
+                ),
+                F.lit(_TEMP_BUCKETS),
+            ).cast("long"),
+        )
+        .select("source", "thr")
+    )
+    kept = md5_bucket("doc_id", _TEMP_BUCKETS).cast("long") < F.col("thr")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.max("thr").alias("keep_threshold"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_s, SQRT(CAST(n_s AS DOUBLE)) AS w FROM counts
+), sums AS (
+  SELECT SUM(n_s) AS n_total_all, SUM(w) AS w_sum FROM w
+), rates AS (
+  SELECT source,
+         CAST(LEAST(FLOOR({_TEMP_FRACTION} * n_total_all * w / (w_sum * n_s)
+                          * {float(_TEMP_BUCKETS)}), {_TEMP_BUCKETS}) AS BIGINT)
+           AS thr
+  FROM w CROSS JOIN sums
+)
+SELECT d.source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR(64))), 1, 8)) AS BIGINT)
+                     % {_TEMP_BUCKETS} < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MAX(r.thr) AS keep_threshold
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_train_test_split": Query(docs_train_test_split, SPLIT_SQL),
     "lineitem_sample_revenue": Query(lineitem_sample_revenue, SAMPLE_SQL),
     "docs_mixture_sample": Query(docs_mixture_sample, MIXTURE_SQL),
+    "docs_temperature_mixture": Query(docs_temperature_mixture, TEMPERATURE_SQL),
 }
