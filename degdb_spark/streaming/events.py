@@ -146,6 +146,44 @@ def anomaly_stream(
     )
 
 
+def click_to_purchase_join(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STREAM inner join: every click matched to the same user's
+    purchases within ``within`` afterward — conversion attribution as a
+    continuous join. Both sides carry watermarks and the join condition
+    bounds purchase_ts ∈ [click_ts, click_ts + within], which is what
+    lets Spark expire join state: a buffered click can be dropped once
+    the purchase-side watermark passes click_ts + within (state is
+    bounded by watermark + tolerance, not by stream length — the thing
+    that makes stream-stream joins viable at all)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
 def run_available_now(stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"):
     """Drain the stream with the availableNow trigger into an in-memory
     sink; returns after completion (test/dev harness; production sinks

@@ -365,3 +365,37 @@ def test_stateful_decay_score_matches_batch(spark, stream_dir, ckpt):
     for u in got:
         assert got[u][1] == exp[u][1]
         assert abs(got[u][0] - exp[u][0]) < 1e-6, (u, got[u], exp[u])
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir, ckpt):
+    """Stream-stream click→purchase attribution equals the equivalent
+    batch time-range join."""
+    from degdb_spark.streaming.events import click_to_purchase_join
+
+    ev_stream = SE.stream_events(spark, stream_dir)
+    s = click_to_purchase_join(ev_stream)
+    SE.run_available_now(s, "ss_join_mem", ckpt, output_mode="append")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("select * from ss_join_mem").collect()
+    }
+    ev = _batch_events(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    exp = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
