@@ -544,6 +544,113 @@ ORDER BY id_a, id_b
 """
 
 
+def lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality monitoring: confusion counts of the banded
+    MinHash candidate generator against exact token-set Jaccard ≥ 0.4
+    ground truth (bounded doc_id < 80 slice) — tp/fp/fn plus
+    precision/recall. This is the recurring health check a production
+    dedup pipeline runs after any shingle/band parameter change: recall
+    must hold (banding theory gives the s-curve) while fp stays
+    join-affordable. One full-outer join of two already-bounded pair
+    sets; both inputs replay in SQL, so the whole calibration does."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    cands = D.minhash_lsh_candidates(docs).withColumn("c", F.lit(1))
+    truth = (
+        D.ngram_jaccard_pairs(docs, threshold=0.4)
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+    )
+    j = cands.join(truth, ["id_a", "id_b"], how="full_outer")
+    agg = j.agg(
+        F.count("c").alias("n_candidates"),
+        F.count("t").alias("n_truth"),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1)).alias("tp"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_truth",
+        "tp",
+        (F.col("n_candidates") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        dround(
+            F.col("tp") / F.when(F.col("n_candidates") > 0, F.col("n_candidates")), 4
+        ).alias("precision"),
+        dround(F.col("tp") / F.when(F.col("n_truth") > 0, F.col("n_truth")), 4).alias(
+            "recall"
+        ),
+    )
+
+
+LSH_CALIBRATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 80
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_transform(range(1, len(t) - 5 + 2),
+                                  i -> array_to_string(t[i:i+4], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(s), 17, 14)) AS BIGINT) AS h2
+  FROM ex
+), slotmin AS (
+  SELECT doc_id, r.i AS i, MIN(h1 + r.i * h2) AS mh
+  FROM hp CROSS JOIN range(32) AS r(i)
+  GROUP BY doc_id, r.i
+), sig AS (
+  SELECT d.doc_id, r.i AS i, COALESCE(sm.mh, 9223372036854775807) AS mh
+  FROM (SELECT doc_id FROM toks) d
+  CROSS JOIN range(32) AS r(i)
+  LEFT JOIN slotmin sm ON sm.doc_id = d.doc_id AND sm.i = r.i
+), bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), tsets AS (
+  SELECT doc_id, list_distinct(t) AS tokset FROM toks
+), truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
+  WHERE FLOOR((CASE WHEN len(list_distinct(list_concat(a.tokset, b.tokset))) = 0
+                    THEN 0.0
+                    ELSE len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                         / len(list_distinct(list_concat(a.tokset, b.tokset))) END)
+              * 10000 + 0.5) / 10000 >= 0.4
+), j AS (
+  SELECT COALESCE(c.id_a, t.id_a) AS id_a,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 END AS c,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 END AS t
+  FROM cand c FULL OUTER JOIN truth t
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+), agg AS (
+  SELECT COUNT(c) AS n_candidates, COUNT(t) AS n_truth,
+         COUNT(CASE WHEN c IS NOT NULL AND t IS NOT NULL THEN 1 END) AS tp
+  FROM j
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(n_candidates - tp AS BIGINT) AS fp,
+       CAST(n_truth - tp AS BIGINT) AS fn,
+       CASE WHEN n_candidates = 0 THEN NULL
+            ELSE FLOOR((CAST(tp AS DOUBLE) / n_candidates) * 10000 + 0.5) / 10000
+       END AS precision,
+       CASE WHEN n_truth = 0 THEN NULL
+            ELSE FLOOR((CAST(tp AS DOUBLE) / n_truth) * 10000 + 0.5) / 10000
+       END AS recall
+FROM agg
+"""
+
+
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 near-dup pairs. Fully oracle-checked: the
     60-bit md5 token hashes, bit votes, 4×15-bit block banding, and
@@ -928,6 +1035,7 @@ QUERIES: dict[str, Query] = {
     "docs_unigram_logprob": Query(unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "docs_bigram_logprob": Query(bigram_logprob, BIGRAM_LOGPROB_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
+    "docs_lsh_calibration": Query(lsh_calibration, LSH_CALIBRATION_SQL),
     "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
     # r1-driver-verified entries trail so the 50-query verification
     # window stays on the least-proven queries (see __init__.registry).
