@@ -76,6 +76,7 @@ HEADLINE = [
     "lineitem_contract_checks",
     "events_markov_transitions",
     "grouping_sets_revenue",
+    "docs_bm25_search",
 ]
 
 

@@ -1,0 +1,174 @@
+"""BM25 full-text search over a document corpus.
+
+The reference engine answers point lookups over its triple store
+(``core/http.go`` query endpoint); a training-data pipeline additionally
+needs *ranked* retrieval — find the documents most relevant to a term
+query (for decontamination audits, eval-set mining, targeted sampling).
+This module provides the relational form of an inverted index plus BM25
+(Robertson/Lucene variant) top-k scoring, all in codegen built-ins.
+
+Scale design (100 TB corpus):
+
+- ``postings`` is one explode + one (doc_id, token) aggregation — a
+  single linear shuffle; at warehouse scale you'd write it out bucketed
+  by ``token`` so repeated queries skip the build.
+- Scoring FILTERS the postings to the query's terms before anything
+  else (`token IN (...)` — pushes into the scan when postings are a
+  stored table), so the join graph only ever touches the candidate set
+  (docs sharing ≥1 term with the query), never the full corpus.
+- Per-term document frequencies and the corpus constants (N, avgdl)
+  are 1-row / |terms|-row aggregates that ride as broadcasts.
+- The candidate→doc-length join keys on doc_id; the candidate side is
+  query-sized, so AQE picks a broadcast join at runtime.
+
+Determinism: idf = ln(1 + (N - df + .5)/(df + .5)) is FLOOR-rounded to
+6 dp, per-term contributions are FLOOR-rounded to 6 dp, and the final
+per-doc sum accumulates in DECIMAL — order-independent and replayable
+bit-for-bit in the DuckDB oracle (same pattern as docs_unigram_logprob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.text import tokens
+from degdb_spark.queries.rounding import dround
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted index in relational form: (token, doc_id, tf, dl).
+
+    ``dl`` (document length in tokens) is carried on every posting row
+    so scoring never has to rejoin the corpus for normalization.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(text_col)).alias("token"),
+        F.size(tokens(text_col)).alias("dl"),
+    ).filter(F.col("token") != "")
+    return tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    Returns (doc_id, score, n_terms_hit, rank) — rank 1 = best; ties
+    break on doc_id for cross-engine stable ordering.
+    """
+    post = postings(docs, text_col)
+    # Corpus constants: exact integer sums -> one double division.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(
+            F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+                F.size(tokens(text_col))
+            )
+        ).alias("_total_dl"),
+    ).withColumn("_avgdl", F.col("_total_dl") / F.col("_n_docs"))
+
+    cand = post.filter(F.col("token").isin(query_terms))
+    dfreq = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    contrib = (
+        cand.join(F.broadcast(dfreq), on="token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            dround(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "w",
+            dround(
+                F.col("idf")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum(F.col("w").cast("decimal(30,6)")).cast("double").alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", "n_terms_hit", "rank")
+        .orderBy("rank")
+    )
+
+
+def bm25_sql(
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB oracle replaying bm25_topk bit-for-bit."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token, len({toks}) AS dl
+  FROM documents WHERE trim(text) <> ''
+), post AS (
+  SELECT doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END) AS total_dl
+  FROM documents
+), cand AS (
+  SELECT * FROM post WHERE token IN ({terms})
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM cand GROUP BY token
+), contrib AS (
+  SELECT cand.doc_id,
+    FLOOR(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * 1000000 + 0.5) / 1000000 AS idf,
+    cand.tf, cand.dl,
+    stats.total_dl::DOUBLE / stats.n_docs AS avgdl
+  FROM cand JOIN dfreq ON cand.token = dfreq.token CROSS JOIN stats
+), weighted AS (
+  SELECT doc_id,
+    FLOOR((idf * tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) * 1000000 + 0.5) / 1000000 AS w
+  FROM contrib
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS score,
+         COUNT(*) AS n_terms_hit
+  FROM weighted GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, score, n_terms_hit,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, score, n_terms_hit, rank FROM ranked
+WHERE rank <= {k} ORDER BY rank
+"""

@@ -96,6 +96,7 @@ _WINDOW = [
     "events_lag_features",
     "lineitem_quantile_sketch",
     "lineitem_contract_checks",
+    "docs_bm25_search",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -105,7 +106,6 @@ _WINDOW = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_revenue_change",
-    "q10_returned_items",
 ]
 
 
@@ -122,6 +122,7 @@ def registry() -> dict[str, Query]:
         relational,
         relational_adv,
         sampling_queries,
+        search_queries,
         surface_queries,
         text_queries,
         timeseries_queries,
@@ -147,6 +148,7 @@ def registry() -> dict[str, Query]:
         graph_adv_queries,
         surface_queries,
         behavior_queries,
+        search_queries,
     ):
         overlap = set(full) & set(mod.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"

@@ -1,0 +1,52 @@
+"""BM25 ranked retrieval (operators/search.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from degdb_spark.operators import search as S
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_postings_tf_and_dl(spark):
+    docs = _docs(spark, [(1, "a b a"), (2, "b"), (3, "  ")])
+    post = {
+        (r.doc_id, r.token): (r.tf, r.dl)
+        for r in S.postings(docs).collect()
+    }
+    assert post[(1, "a")] == (2, 3)
+    assert post[(1, "b")] == (1, 3)
+    assert post[(2, "b")] == (1, 1)
+    # blank doc contributes no postings
+    assert not any(d == 3 for d, _ in post)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 20 docs share 'common'; only doc 0 has 'rare'. A query for both
+    # must rank doc 0 first (idf of 'rare' dominates).
+    rows = [(0, "rare common")] + [(i, "common filler words here") for i in range(1, 20)]
+    out = S.bm25_topk(_docs(spark, rows), ["rare", "common"], k=5).collect()
+    assert out[0].doc_id == 0
+    assert out[0].rank == 1
+    assert out[0].n_terms_hit == 2
+    # scores are non-increasing with rank
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_candidate_pruning(spark):
+    # docs with no query term never appear, regardless of k
+    rows = [(1, "x y"), (2, "y z"), (3, "q")]
+    out = S.bm25_topk(_docs(spark, rows), ["x"], k=10).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for the term, but the shorter doc scores higher (b > 0)
+    rows = [(1, "t " + "pad " * 50), (2, "t")]
+    out = S.bm25_topk(_docs(spark, rows), ["t"], k=2).collect()
+    assert out[0].doc_id == 2
