@@ -77,6 +77,7 @@ HEADLINE = [
     "events_markov_transitions",
     "grouping_sets_revenue",
     "docs_bm25_search",
+    "events_hll_distinct",
 ]
 
 

@@ -234,3 +234,111 @@ def histogram_quantiles(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("q")
+
+
+# ---------------------------------------------------------------- hyperloglog
+#: Hash width in bits (15 md5 hex chars — fits a signed BIGINT exactly).
+_HLL_BITS = 60
+
+
+def _hash60(key: Column) -> Column:
+    """Portable 60-bit hash: md5 first 15 hex chars as a non-negative
+    BIGINT — identical in DuckDB via CAST('0x'||substr(md5(..),1,15))."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, key: Column | str, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """HyperLogLog register table: one row per (group, register index)
+    with the max rank rho. This IS the sketch, in relational form — a
+    fixed 2^p rows per group no matter the data size, MERGEABLE by
+    elementwise MAX (register union == sketch of the set union), so it
+    composes across partitions, days, or streams without rescanning.
+
+    rho = (#trailing zeros of the remaining 60-p hash bits) + 1,
+    computed with pure bit ops — bit_count(w XOR (w-1)) — because
+    both engines' float log2 would be boundary-unstable.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1  # rho for w == 0
+    h = _hash60(kcol)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(
+        F.bit_count(w.bitwiseXOR(w - F.lit(1)))
+    )
+    return (
+        df.filter(kcol.isNotNull())
+        .select(*group_cols, h.bitwiseAND(F.lit(m - 1)).alias("reg_idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Distinct-count estimate from a register table (standard HLL with
+    the small-range linear-counting correction).
+
+    Determinism: Z accumulates as an INTEGER sum of 2^(rmax-reg)
+    (every term exact, order-free), divided once by 2^rmax; empty
+    registers contribute 2^rmax each via (m - count). The only
+    transcendental — ln(m/V) on the linear-counting branch — is
+    FLOOR-rounded at 6 dp; the result at 2 dp.
+    """
+    from degdb_spark.queries.rounding import dround
+
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        # shiftleft's bit-count arg must be a literal in the DSL — use
+        # the SQL form for the per-row (rmax - reg) shift
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {rmax} - reg)")).alias("_s"),
+        F.count(F.lit(1)).alias("_nreg"),
+    )
+    z = (F.col("_s") + (F.lit(m) - F.col("_nreg")) * F.lit(1 << rmax).cast("long")) / F.lit(
+        float(1 << rmax)
+    )
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("_nreg")  # zero registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * dround(F.log(F.lit(float(m)) / v), 6),
+    ).otherwise(raw)
+    return agg.select(*group_cols, dround(est, 2).alias("est_distinct"))
+
+
+def hll_sql(source_expr: str, group_expr: str, p: int = 8) -> str:
+    """DuckDB replay of hll_registers + hll_estimate over
+    ``source_expr`` → (grp, key); returns (grp, est_distinct)."""
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH src AS (
+  SELECT {group_expr} AS grp,
+         CAST(('0x' || substr(md5(CAST(key AS VARCHAR(64))), 1, 15)) AS BIGINT) AS h
+  FROM ({source_expr}) WHERE key IS NOT NULL
+), regs AS (
+  SELECT grp, h & {m - 1} AS reg_idx,
+         MAX(CASE WHEN (h >> {p}) = 0 THEN {rmax}
+                  ELSE bit_count(xor(h >> {p}, (h >> {p}) - 1)) END) AS reg
+  FROM src GROUP BY grp, reg_idx
+), agg AS (
+  SELECT grp,
+         SUM((CAST(1 AS BIGINT) << ({rmax} - reg))) AS s,
+         COUNT(*) AS nreg
+  FROM regs GROUP BY grp
+), est AS (
+  SELECT grp,
+    (s + ({m} - nreg) * (CAST(1 AS BIGINT) << {rmax}))::DOUBLE / {float(1 << rmax)!r} AS z,
+    {m} - nreg AS v
+  FROM agg
+)
+SELECT grp,
+  FLOOR((CASE WHEN ({alpha * m * m!r} / z) <= {2.5 * m!r} AND v > 0
+              THEN {float(m)!r} * (FLOOR(ln({float(m)!r} / v) * 1000000 + 0.5) / 1000000)
+              ELSE {alpha * m * m!r} / z END) * 100 + 0.5) / 100 AS est_distinct
+FROM est
+"""

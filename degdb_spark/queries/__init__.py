@@ -97,6 +97,7 @@ _WINDOW = [
     "lineitem_quantile_sketch",
     "lineitem_contract_checks",
     "docs_bm25_search",
+    "events_hll_distinct",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -105,7 +106,6 @@ _WINDOW = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_change",
 ]
 
 

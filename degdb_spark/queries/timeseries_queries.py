@@ -7,7 +7,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from degdb_spark.catalog import load_table
-from degdb_spark.operators.sketch import cms_build, cms_estimate, cms_sql, kmv_distinct_estimate, kmv_sql
+from degdb_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_sql,
+    hll_estimate,
+    hll_registers,
+    hll_sql,
+    kmv_distinct_estimate,
+    kmv_sql,
+)
 from degdb_spark.operators.timeseries import asof_join, hypertable_rollup, range_join_count
 from degdb_spark.queries import Query
 
@@ -176,6 +185,58 @@ FROM kmv CROSS JOIN exact
 )
 
 
+def events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type + an 'ALL' scope built by
+    MERGING the per-type register tables (elementwise MAX) — while the
+    oracle sketches the full stream directly. The two agree only
+    because HLL register-merge is exact sketch union, so the hash
+    check verifies mergeability itself, not just the estimate. At
+    100 TB this is the pattern for cross-partition / cross-day
+    distincts: persist 2^p-row register tables, merge with a MAX."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_registers(ev, "user_id", ["event_type"], p=8)
+    merged = (
+        regs.groupBy("reg_idx")
+        .agg(F.max("reg").alias("reg"))
+        .withColumn("event_type", F.lit("ALL"))
+    )
+    est = hll_estimate(regs.unionByName(merged), ["event_type"], p=8)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_distinct")).withColumn(
+                "event_type", F.lit("ALL")
+            )
+        )
+    )
+    return (
+        est.join(exact, on="event_type")
+        .select(F.col("event_type").alias("scope"), "est_distinct", "exact_distinct")
+        .orderBy("scope")
+    )
+
+
+HLL_SQL = (
+    "WITH typed AS ("
+    + hll_sql("SELECT event_type, user_id AS key FROM events", "event_type", p=8)
+    + "), allscope AS ("
+    + hll_sql("SELECT event_type, user_id AS key FROM events", "'ALL'", p=8)
+    + """),
+est AS (SELECT * FROM typed UNION ALL SELECT * FROM allscope),
+exact AS (
+  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+)
+SELECT est.grp AS scope, est.est_distinct, exact.exact_distinct
+FROM est JOIN exact ON est.grp = exact.grp
+ORDER BY scope
+"""
+)
+
+
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS heavy hitters: users whose estimated frequency exceeds 1.1×
     the mean (the SpaceSaving-style candidate set from a linear sketch),
@@ -290,6 +351,7 @@ QUERIES: dict[str, Query] = {
     ),
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
+    "events_hll_distinct": Query(events_hll, HLL_SQL),
     "events_asof_join": Query(events_asof, ASOF_SQL),
     "events_range_join": Query(events_range_join, RANGE_SQL),
     "events_hypertable_rollup": Query(events_hypertable_rollup, ROLLUP_HT_SQL),

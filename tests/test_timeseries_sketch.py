@@ -99,3 +99,41 @@ def test_cms_overestimates_only(spark):
     # with 20 users in 64 buckets the error should be modest
     rel_err = sum(est[u] - exact[u] for u in exact) / sum(exact.values())
     assert rel_err < 0.5
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Register max-merge of two halves == sketch of the whole (exact law)."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).cast("string").alias("half"), F.col("id").alias("k")
+    )
+    per_half = hll_registers(df, "k", ["half"], p=8)
+    merged = (
+        per_half.groupBy("reg_idx")
+        .agg(F.max("reg").alias("reg"))
+        .withColumn("half", F.lit("ALL"))
+    )
+    direct = hll_registers(
+        df.withColumn("half", F.lit("ALL")), "k", ["half"], p=8
+    )
+    got = {(r.reg_idx, r.reg) for r in merged.select("reg_idx", "reg").collect()}
+    want = {(r.reg_idx, r.reg) for r in direct.select("reg_idx", "reg").collect()}
+    assert got == want
+    # and register table size is bounded by 2^p regardless of n
+    assert merged.count() <= 256
+    est = hll_estimate(merged, ["half"], p=8).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.15  # ~6.5% RSE at p=8; 15% is >2 sigma
+
+
+def test_hll_small_range_exactish(spark):
+    """Linear-counting branch: tiny cardinalities stay near-exact."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(0, 30).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    est = hll_estimate(hll_registers(df, "k", ["g"], p=8), ["g"], p=8).collect()[0]
+    assert abs(est.est_distinct - 30) <= 3
