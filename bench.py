@@ -78,6 +78,7 @@ HEADLINE = [
     "grouping_sets_revenue",
     "docs_bm25_search",
     "events_hll_distinct",
+    "emb_pq_knn",
 ]
 
 

@@ -1,0 +1,229 @@
+"""Product-quantization (PQ) approximate nearest neighbor.
+
+The third ANN family next to SRP-LSH (similarity.py) and IVF
+(ml_lsh.py): split each d-dim vector into M subvectors, quantize each
+against a K-entry per-subspace codebook, and answer queries with
+asymmetric distance computation (ADC) — a per-query lookup table of
+M·K precomputed subspace distances, so scoring a vector is M integer
+lookups + a sum, never a d-dim float op.
+
+Scale design (100 TB corpus):
+
+- Encoding is one explode (M rows/vector, each carrying only the d/M
+  subvector) joined to a broadcast M·K-row codebook, then a
+  min-struct aggregation — linear, shuffle keyed by vec_id, no window.
+- The code table the query path scans is M small ints per vector
+  (~32× smaller than raw float vectors); the ADC LUT is |queries|·M·K
+  rows and rides as a broadcast. In production you'd also prune cells
+  with the IVF coarse quantizer in front (IVF-PQ); here the families
+  stay separable so each is oracle-checked in isolation.
+- Exact re-rank touches only the top `rerank` candidates per query
+  (a semi-join back to raw vectors), so full-precision floats are
+  read for a constant number of rows per query.
+
+Determinism: codebooks are seeded literals (similarity.make_hyperplanes)
+shared with the DuckDB oracle; per-subspace distance keys use the
+|c|² − 2·v·c form with sequential-fold dot products (identical in both
+engines); ADC terms are FLOOR-rounded at 6 dp and summed in DECIMAL so
+the cross-subspace sum is order-free; final cosine re-rank at 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.similarity import cosine, make_hyperplanes
+from degdb_spark.queries.rounding import dround
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace
+
+
+def make_codebook(
+    dim: int, m: int = PQ_M, k: int = PQ_K, seed: int = 4242, scale: float = 0.12
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic (subspace, code, centroid) triples; centroids are
+    seeded pseudo-Gaussians scaled to the data's typical magnitude."""
+    sub = dim // m
+    flat = make_hyperplanes(sub, m * k, seed=seed)
+    return [
+        (s, c, [x * scale for x in flat[s * k + c]])
+        for s in range(m)
+        for c in range(k)
+    ]
+
+
+def _codebook_df(spark, codebook):
+    sub = len(codebook[0][2])
+    rows = [
+        (s, c, [float(x) for x in cv], float(sum(x * x for x in cv)))
+        for s, c, cv in codebook
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, cv array<double>, c2 double"
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub: int):
+    """(id, subspace, subv) — one row per subspace, carrying d/m dims."""
+    slices = F.array(
+        *[F.expr(f"slice(cast({vec_col} as array<double>), {s * sub + 1}, {sub})") for s in range(m)]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("subspace", "subv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Code table: (vec_id, subspace, code) — nearest centroid per
+    subspace under the |c|²−2·v·c key, ties to the lowest code id."""
+    spark = corpus.sparkSession
+    m = max(s for s, _, _ in codebook) + 1
+    sub = len(codebook[0][2])
+    cb = F.broadcast(_codebook_df(spark, codebook))
+    keyed = _subvectors(corpus, id_col, vec_col, m, sub).join(cb, on="subspace")
+    key = F.col("c2") - 2.0 * F.aggregate(
+        F.zip_with("subv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        keyed.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(key.alias("k"), F.col("code"))).alias("best"))
+        .select(id_col, "subspace", F.col("best.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k + exact cosine re-rank of the top ``rerank``
+    candidates. Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    spark = corpus.sparkSession
+    m = max(s for s, _, _ in codebook) + 1
+    sub = len(codebook[0][2])
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    cb = F.broadcast(_codebook_df(spark, codebook))
+
+    # per-query LUT: distance contribution of every (subspace, code)
+    lut = (
+        _subvectors(queries, id_col, vec_col, m, sub)
+        .withColumnRenamed(id_col, "query_id")
+        .join(cb, on="subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            dround(
+                F.col("c2")
+                - 2.0
+                * F.aggregate(
+                    F.zip_with("subv", "cv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("term"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(lut), on=["subspace", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("term").cast("decimal(30,6)")).cast("double").alias("approx_d2"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
+    cand = (
+        approx.withColumn("crank", F.row_number().over(wa))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .withColumn("cosine_sim", dround(cosine(F.col("qvec"), F.col("cvec")), 4))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def pq_sql(
+    codebook: list[tuple[int, int, list[float]]],
+    query_filter: str,
+    k: int = 5,
+    rerank: int = 20,
+) -> str:
+    """DuckDB replay of pq_encode + pq_adc_topk over `embeddings`."""
+    sub = len(codebook[0][2])
+    rows = ",\n  ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r})".format(
+            s, c, ",".join(repr(float(x)) for x in cv),
+            float(sum(float(x) * float(x) for x in cv)),
+        )
+        for s, c, cv in codebook
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb(subspace, code, cv, c2) AS (VALUES
+  {rows}),
+subv AS (
+  SELECT vec_id, subspace, v[(subspace*{sub}+1):(subspace*{sub}+{sub})] AS sv
+  FROM e CROSS JOIN (SELECT DISTINCT subspace FROM cb) s
+), enc_keys AS (
+  SELECT subv.vec_id, subv.subspace, cb.code,
+         ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.subspace
+                            ORDER BY cb.c2 - 2 * list_dot_product(subv.sv, cb.cv), cb.code) AS rn
+  FROM subv JOIN cb ON subv.subspace = cb.subspace
+), codes AS (
+  SELECT vec_id, subspace, code FROM enc_keys WHERE rn = 1
+), lut AS (
+  SELECT subv.vec_id AS query_id, subv.subspace, cb.code,
+         FLOOR((cb.c2 - 2 * list_dot_product(subv.sv, cb.cv)) * 1000000 + 0.5) / 1000000 AS term
+  FROM subv JOIN cb ON subv.subspace = cb.subspace
+  WHERE subv.vec_id {query_filter}
+), approx AS (
+  SELECT lut.query_id, codes.vec_id,
+         CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE) AS approx_d2
+  FROM codes JOIN lut ON codes.subspace = lut.subspace AND codes.code = lut.code
+  WHERE lut.query_id <> codes.vec_id
+  GROUP BY lut.query_id, codes.vec_id
+), cand AS (
+  SELECT query_id, vec_id AS neighbor_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS crank
+        FROM approx)
+  WHERE crank <= {rerank}
+), ranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         FLOOR((
+           list_dot_product(qe.v, ce.v) /
+           (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.neighbor_id
+), final AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM ranked
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM final
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

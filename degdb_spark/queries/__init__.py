@@ -98,6 +98,7 @@ _WINDOW = [
     "lineitem_contract_checks",
     "docs_bm25_search",
     "events_hll_distinct",
+    "emb_pq_knn",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
@@ -105,7 +106,6 @@ _WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier_volume",
 ]
 
 

@@ -500,7 +500,39 @@ ORDER BY query_id, rank
 """
 
 
+def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-rank (operators/
+    pq.py) — the third oracle-checked ANN family next to SRP-LSH and
+    fixed-centroid IVF; codebook literals are shared with the oracle."""
+    from degdb_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.pq_adc_topk(emb, queries, _PQ_CODEBOOK, k=5, rerank=20).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _pq_codebook():
+    from degdb_spark.operators import pq as PQ
+
+    return PQ.make_codebook(EMB_DIM)
+
+
+_PQ_CODEBOOK = _pq_codebook()
+
+
+def _pq_sql() -> str:
+    from degdb_spark.operators import pq as PQ
+
+    return PQ.pq_sql(_PQ_CODEBOOK, "< 5", k=5, rerank=20)
+
+
+PQ_KNN_SQL = _pq_sql()
+
+
 QUERIES: dict[str, Query] = {
+    "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
     "emb_ivf_knn": Query(ivf_knn, None),
