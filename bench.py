@@ -79,6 +79,7 @@ HEADLINE = [
     "docs_bm25_search",
     "events_hll_distinct",
     "emb_pq_knn",
+    "parts_fuzzy_match",
 ]
 
 

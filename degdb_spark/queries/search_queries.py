@@ -25,6 +25,50 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bm25_topk(docs, BM25_TERMS, k=25)
 
 
+def parts_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: canonicalize identical
+    strings first (the test table repeats each name ~31x), then q-gram
+    blocking + levenshtein <= 3 on the canonical rows only
+    (operators/fuzzy.py)."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.fuzzy import fuzzy_match
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
+    out = fuzzy_match(
+        names.select("id", F.col("p_name").alias("name")), "id", "name", max_dist=3
+    )
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            F.col("text_a").alias("name_a"),
+            F.col("text_b").alias("name_b"),
+            "dist",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH names AS (
+  SELECT p_name AS name, MIN(p_partkey) AS id FROM part GROUP BY p_name
+), grams AS (
+  SELECT id, name,
+         unnest(list_distinct([substr(name, i, 3) for i in range(1, GREATEST(length(name)-1, 1))])) AS g
+  FROM names
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+)
+SELECT id_a, id_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_bm25_search": Query(bm25_search, S.bm25_sql(BM25_TERMS, k=25)),
+    "parts_fuzzy_match": Query(parts_fuzzy_match, FUZZY_MATCH_SQL),
 }
