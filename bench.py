@@ -80,6 +80,7 @@ HEADLINE = [
     "events_hll_distinct",
     "emb_pq_knn",
     "parts_fuzzy_match",
+    "orders_salted_join",
 ]
 
 

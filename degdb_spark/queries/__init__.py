@@ -100,12 +100,12 @@ _WINDOW = [
     "events_hll_distinct",
     "emb_pq_knn",
     "parts_fuzzy_match",
+    "orders_salted_join",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
     # oldest driver rows (r1) — refresh against current testdata
     "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.catalog import load_table
 from degdb_spark.queries import Query
-from degdb_spark.queries.rounding import dround, dsum, sql_dround
+from degdb_spark.queries.rounding import dround, dsum, sql_dround, sql_dsum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -613,8 +613,72 @@ ORDER BY region, priority
 """
 
 
+
+
+def salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-fact join: lineitem salted-joined to orders
+    (operators/skewjoin.py — right side replicated 8x, left salted by
+    row-content hash), then revenue per order priority with the
+    distinct-customer count computed by the two-phase SALTED form.
+    Both transformations are result-identities, so the oracle runs the
+    plain unsalted SQL: a hash match proves the salted plans return
+    exactly the plain plans' answer."""
+    from degdb_spark.operators.skewjoin import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_custkey"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", n_salt=8)
+    # single linear pipeline — join, then THREE aggregation rungs that
+    # successively narrow: (priority, cust) -> (priority, salt) ->
+    # priority. Rung 2/3 is the two-phase salted aggregation: each
+    # distinct customer lands in exactly one hash salt bucket, so the
+    # merged per-bucket row counts ARE the distinct count, and the
+    # heavy phases run at group x salt parallelism (no single hot
+    # reducer, no branch re-computation).
+    per_cust = joined.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,4)"
+            )
+        ).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    per_salt = per_cust.groupBy(
+        "o_orderpriority",
+        F.pmod(F.xxhash64("o_custkey"), F.lit(16)).alias("_salt"),
+    ).agg(
+        F.sum("_rev").alias("_rev"),
+        F.sum("_n").alias("_n"),
+        F.count(F.lit(1)).alias("_ncust"),
+    )
+    return (
+        per_salt.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+            F.sum("_n").alias("n_items"),
+            F.sum("_ncust").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT o.o_orderpriority,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", scale=4, out_dp=2)} AS revenue,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
+    "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
