@@ -81,6 +81,7 @@ HEADLINE = [
     "emb_pq_knn",
     "parts_fuzzy_match",
     "orders_salted_join",
+    "docs_bpe_encode",
 ]
 
 

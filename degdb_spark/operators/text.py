@@ -315,3 +315,32 @@ def pii_counts(col: Column | str) -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"pii_{name}")
         for name, pat, _ in PII_RULES
     ]
+
+
+#: Fixed BPE merge table (rank-ordered) for the encoder: learned
+#: offline from this corpus's pair statistics (docs_bpe_pair_counts is
+#: the training primitive); pinned as literals so encoding is a pure
+#: function replayable in the oracle.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("b", "l"), ("h", "a"), ("s", "h"),
+    ("j", "o"), ("i", "n"), ("jo", "in"), ("e", "r"),
+    ("o", "w"), ("a", "r"), ("ta", "bl"), ("tabl", "e"),
+]
+
+_BPE_SEP = "·"  # middle dot: never appears in [a-z] words
+
+
+def bpe_encode(col: Column | str, merges: list[tuple[str, str]] | None = None) -> Column:
+    """BPE inference: split a word to characters, then apply the merge
+    table in rank order as global pair-joins (the standard fast BPE
+    encoder — each rank merges every current occurrence of its pair).
+    Chained codegen `replace` calls, no UDF. Returns array<string> of
+    subword tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    # char-separate: every char gets a trailing sep, then strip the last
+    sep = _BPE_SEP
+    x = F.regexp_replace(F.lower(c), "(.)", f"$1{sep}")
+    x = F.call_function("rtrim", F.lit(sep), x)
+    for a, b in merges if merges is not None else BPE_MERGES:
+        x = F.replace(x, F.lit(f"{a}{sep}{b}"), F.lit(a + b))
+    return F.split(x, sep)

@@ -101,10 +101,11 @@ _WINDOW = [
     "emb_pq_knn",
     "parts_fuzzy_match",
     "orders_salted_join",
+    "docs_bpe_encode",
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
-    # oldest driver rows (r1) — refresh against current testdata
+    # oldest driver row (r1) — refresh against current testdata
     "q1_pricing_summary",
 ]
 

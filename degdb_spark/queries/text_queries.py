@@ -1019,8 +1019,48 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 30
 """
 
 
+
+
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference over the corpus with the pinned merge table
+    (operators/text.bpe_encode — chained codegen replaces, no UDF):
+    top-30 subword tokens by frequency. The round-trip complement of
+    docs_bpe_pair_counts (training side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    toks = words.select(F.explode(X.bpe_encode("w")).alias("subword"))
+    return (
+        toks.groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "subword")
+        .limit(30)
+    )
+
+
+def _bpe_encode_sql() -> str:
+    expr = "rtrim(regexp_replace(w, '(.)', '\\1\u00b7', 'g'), '\u00b7')"
+    for a, b in X.BPE_MERGES:
+        expr = f"replace({expr}, '{a}\u00b7{b}', '{a}{b}')"
+    return f"""
+WITH words AS (
+  SELECT UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w FROM documents
+), enc AS (
+  SELECT UNNEST(string_split({expr}, '\u00b7')) AS subword
+  FROM words WHERE LENGTH(w) >= 1
+)
+SELECT subword, COUNT(*) AS n FROM enc
+GROUP BY subword ORDER BY n DESC, subword LIMIT 30
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
+    "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),

@@ -201,3 +201,20 @@ def test_leakage_safe_split_no_straddle(spark, docs):
     # and the multi-doc cluster (docs 0/1/2/3) really is one key
     multi = clusters.filter(F.col("cluster_size") > 1).select("cluster_id").distinct()
     assert multi.count() >= 1
+
+
+def test_bpe_encode_merge_order(spark):
+    """Rank-ordered merges: 'table' collapses fully via ta+bl->tabl->table;
+    unknown chars stay single; empty-adjacent splits handled upstream."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [("table",), ("hash",), ("spark",), ("zzz",)], "w string"
+    )
+    out = {r.w: r.t for r in df.select("w", bpe_encode("w").alias("t")).collect()}
+    assert out["table"] == ["table"]
+    assert out["hash"] == ["ha", "sh"]
+    assert out["spark"] == ["s", "p", "ar", "k"]
+    assert out["zzz"] == ["z", "z", "z"]
