@@ -82,6 +82,7 @@ HEADLINE = [
     "parts_fuzzy_match",
     "orders_salted_join",
     "docs_bpe_encode",
+    "lineitem_correlations",
 ]
 
 

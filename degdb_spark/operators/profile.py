@@ -66,3 +66,76 @@ def profile_table(
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], scale: int = 2, out_dp: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass over exact
+    decimal moments: sums, squared sums, and cross-products accumulate
+    as DECIMAL (order-free integers under the hood), and only the final
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    drops to double — a correctly-rounded conversion both engines
+    share, unlike the native corr() aggregate whose float partials are
+    merge-order-dependent. One shuffle of a single row regardless of
+    data size; k columns cost k + k(k+1)/2 accumulators, all map-side
+    combined.
+
+    Returns (col_a, col_b, corr) for a < b in `cols` order.
+    """
+    from degdb_spark.queries.rounding import dround
+
+    s2 = f"decimal(38,{scale})"
+    s4 = f"decimal(38,{scale * 2})"
+    aggs = [F.count(F.lit(1)).cast("decimal(20,0)").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(s2)).alias(f"_s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast(s4)).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum((F.col(a) * F.col(b)).cast(s4)).alias(f"_sp_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = (F.col("_n") * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast("double")
+            da = (F.col("_n") * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast("double")
+            db = (F.col("_n") * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast("double")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    dround(num / F.sqrt(da * db), out_dp).alias("corr"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def correlation_matrix_sql(
+    table: str, cols: list[str], scale: int = 2, out_dp: int = 6
+) -> str:
+    """DuckDB replay of correlation_matrix."""
+    s2 = f"DECIMAL(38,{scale})"
+    s4 = f"DECIMAL(38,{scale * 2})"
+    sel = ["CAST(COUNT(*) AS DECIMAL(20,0)) AS _n"]
+    for c in cols:
+        sel.append(f"SUM(CAST({c} AS {s2})) AS _s_{c}")
+        sel.append(f"SUM(CAST({c} * {c} AS {s4})) AS _ss_{c}")
+    arms = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sel.append(f"SUM(CAST({a} * {b} AS {s4})) AS _sp_{a}_{b}")
+            f10 = 10 ** out_dp
+            expr = (
+                f"FLOOR(CAST(_n * _sp_{a}_{b} - _s_{a} * _s_{b} AS DOUBLE) / "
+                f"sqrt(CAST(_n * _ss_{a} - _s_{a} * _s_{a} AS DOUBLE) * "
+                f"CAST(_n * _ss_{b} - _s_{b} * _s_{b} AS DOUBLE)) * {f10} + 0.5) / {f10}"
+            )
+            arms.append(f"SELECT '{a}' AS col_a, '{b}' AS col_b, {expr} AS corr FROM m")
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH m AS (SELECT {', '.join(sel)} FROM {table})\n{body}\nORDER BY col_a, col_b"

@@ -676,9 +676,35 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures from ONE
+    exact-decimal moment pass (operators/profile.correlation_matrix) —
+    the reproducible replacement for float-partial corr()."""
+    from degdb_spark.operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _correlations_sql() -> str:
+    from degdb_spark.operators.profile import correlation_matrix_sql
+
+    return correlation_matrix_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+CORRELATIONS_SQL = _correlations_sql()
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
+    "lineitem_correlations": Query(lineitem_correlations, CORRELATIONS_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),

@@ -50,3 +50,20 @@ def test_salted_count_distinct_matches_exact(spark):
         for r in df.groupBy("g").agg(F.countDistinct("x").alias("n")).collect()
     }
     assert got == want
+
+
+def test_correlation_matrix_matches_native_corr(spark):
+    """Exact-decimal corr agrees with Spark's native corr to 1e-5."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.profile import correlation_matrix
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 100 / 7.0).alias("x"),
+        ((F.col("id") % 100) * 0.5 + (F.col("id") % 7)).alias("y"),
+    )
+    # decimal path needs fixed-scale inputs: round to 2dp like money cols
+    df = df.select(F.round("x", 2).alias("x"), F.round("y", 2).alias("y"))
+    got = correlation_matrix(df, ["x", "y"]).collect()[0]
+    want = df.agg(F.corr("x", "y")).collect()[0][0]
+    assert abs(got.corr - want) < 1e-5
