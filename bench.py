@@ -83,6 +83,7 @@ HEADLINE = [
     "orders_salted_join",
     "docs_bpe_encode",
     "lineitem_correlations",
+    "docs_phrase_search",
 ]
 
 

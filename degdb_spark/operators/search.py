@@ -172,3 +172,48 @@ WITH tok AS (
 SELECT doc_id, score, n_terms_hit, rank FROM ranked
 WHERE rank <= {k} ORDER BY rank
 """
+
+
+def phrase_count(text_col, terms: list[str]):
+    """Occurrences of an exact consecutive-token phrase, as a codegen
+    column expression — a shuffle-free scan, no positional-index join:
+    at 100 TB phrase counting rides the same document scan as every
+    other per-doc feature (Catalyst prunes to the text column), and
+    only documents with a hit survive the subsequent filter."""
+    from degdb_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    n = len(terms)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    hit = lambda i: _all_match(toks, i, terms)
+    return F.when(F.size(toks) < n, F.lit(0)).otherwise(
+        F.size(F.filter(starts, hit))
+    ).cast("long")
+
+
+def _all_match(toks, i, terms):
+    cond = F.lit(True)
+    for j, t in enumerate(terms):
+        cond = cond & (F.element_at(toks, i + F.lit(j)) == F.lit(t))
+    return cond
+
+
+def phrase_sql(terms: list[str], k: int = 25) -> str:
+    """DuckDB oracle for a top-k phrase-count query over documents."""
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    n = len(terms)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), counted AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {n} THEN 0
+              ELSE len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) END AS n_hits
+  FROM base
+)
+SELECT doc_id, n_hits FROM counted WHERE n_hits > 0
+ORDER BY n_hits DESC, doc_id LIMIT {k}
+"""

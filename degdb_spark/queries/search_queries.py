@@ -68,7 +68,28 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+#: Fixed phrase for the positional-search benchmark query.
+PHRASE = ["hash", "join"]
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase counting as a shuffle-free scan
+    (operators/search.phrase_count): top-25 docs by occurrences."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", S.phrase_count("text", PHRASE).alias("n_hits"))
+    return (
+        out.filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(25)
+    )
+
+
 QUERIES: dict[str, Query] = {
     "docs_bm25_search": Query(bm25_search, S.bm25_sql(BM25_TERMS, k=25)),
     "parts_fuzzy_match": Query(parts_fuzzy_match, FUZZY_MATCH_SQL),
+    "docs_phrase_search": Query(phrase_search, S.phrase_sql(PHRASE, k=25)),
 }

@@ -50,3 +50,25 @@ def test_bm25_length_normalization(spark):
     rows = [(1, "t " + "pad " * 50), (2, "t")]
     out = S.bm25_topk(_docs(spark, rows), ["t"], k=2).collect()
     assert out[0].doc_id == 2
+
+
+def test_phrase_count(spark):
+    from degdb_spark.operators.search import phrase_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash join x"),
+            (2, "hash x join"),
+            (3, "join hash"),
+            (4, "hash"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", phrase_count("text", ["hash", "join"]).alias("n")
+        ).collect()
+    }
+    assert out == {1: 2, 2: 0, 3: 0, 4: 0, 5: 0}
