@@ -1,0 +1,74 @@
+"""Streaming cardinality sketches: HyperLogLog over an unbounded stream.
+
+The streaming twin of operators/sketch.hll_registers: a stateful
+aggregation whose ENTIRE state is the 2^p-row register table — max
+rho per register index — so state is bounded by construction (no
+watermark needed for the global sketch; the per-window variant bounds
+state by horizon x 2^p). Because register merge is exact sketch union
+(max is idempotent/commutative/associative), the streamed registers
+are bit-identical to the batch sketch over the same data — asserted in
+tests/test_streaming.py — and the same hll_estimate() reads both.
+
+This is the 100 TB pattern for "distinct users today, live": the
+stream maintains registers in update mode; any consumer merges the
+latest register rows with historical daily register tables by MAX.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.sketch import _HLL_BITS, _hash60
+
+
+def hll_register_stream(
+    events: DataFrame, key: str = "user_id", p: int = 8
+) -> DataFrame:
+    """Global register table over the whole stream (update mode):
+    one row per register index, 2^p rows of state total."""
+    kcol = F.col(key)
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    h = _hash60(kcol)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(
+        F.bit_count(w.bitwiseXOR(w - F.lit(1)))
+    )
+    return (
+        events.filter(kcol.isNotNull())
+        .select(h.bitwiseAND(F.lit(m - 1)).alias("reg_idx"), rho.alias("rho"))
+        .groupBy("reg_idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_register_window_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+) -> DataFrame:
+    """Per-window register tables (append mode once the watermark
+    passes): the persisted form that merges with MAX across windows."""
+    kcol = F.col(key)
+    m = 1 << p
+    rmax = _HLL_BITS - p + 1
+    h = _hash60(kcol)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(
+        F.bit_count(w.bitwiseXOR(w - F.lit(1)))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(kcol.isNotNull())
+        .select(
+            "ts",
+            h.bitwiseAND(F.lit(m - 1)).alias("reg_idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(F.window("ts", window).alias("win"), F.col("reg_idx"))
+        .agg(F.max("rho").alias("reg"))
+        .select(F.col("win.start").alias("window_start"), "reg_idx", "reg")
+    )

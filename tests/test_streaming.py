@@ -399,3 +399,44 @@ def test_stream_stream_join_matches_batch(spark, stream_dir, ckpt):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_hll_register_stream_matches_batch(spark, stream_dir, ckpt):
+    """Streamed HLL registers == batch sketch (merge law end-to-end),
+    and the shared estimator reads both identically."""
+    from degdb_spark.operators.sketch import hll_estimate, hll_registers
+    from degdb_spark.streaming.sketch import hll_register_stream
+
+    s = hll_register_stream(SE.stream_events(spark, stream_dir), key="user_id")
+    SE.run_available_now(s, "hll_mem", ckpt, output_mode="update")
+    # update-mode memory sink may emit a register more than once; the
+    # LAST value per register is the state — max() equals it (monotone)
+    got = {
+        r.reg_idx: r.reg
+        for r in spark.sql(
+            "select reg_idx, max(reg) as reg from hll_mem group by reg_idx"
+        ).collect()
+    }
+    batch = hll_registers(
+        _batch_events(spark).withColumn("g", F.lit(1)), "user_id", ["g"]
+    )
+    exp = {r.reg_idx: r.reg for r in batch.collect()}
+    assert got == exp
+    streamed_regs = spark.sql(
+        "select 1 as g, reg_idx, max(reg) as reg from hll_mem group by reg_idx"
+    )
+    est_s = hll_estimate(streamed_regs, ["g"]).collect()[0].est_distinct
+    est_b = hll_estimate(batch, ["g"]).collect()[0].est_distinct
+    assert est_s == est_b
+
+
+def test_hll_register_window_stream_bounded_rows(spark, stream_dir, ckpt):
+    from degdb_spark.streaming.sketch import hll_register_window_stream
+
+    s = hll_register_window_stream(SE.stream_events(spark, stream_dir))
+    SE.run_available_now(s, "hllw_mem", ckpt, output_mode="append")
+    rows = spark.sql(
+        "select window_start, count(*) as n from hllw_mem group by window_start"
+    ).collect()
+    assert rows
+    assert all(r.n <= 256 for r in rows)  # 2^p bound per window
