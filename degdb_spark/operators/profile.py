@@ -72,36 +72,68 @@ def correlation_matrix(
     df: DataFrame, cols: list[str], scale: int = 2, out_dp: int = 6
 ) -> DataFrame:
     """Pairwise Pearson correlations in ONE aggregation pass over exact
-    decimal moments: sums, squared sums, and cross-products accumulate
-    as DECIMAL (order-free integers under the hood), and only the final
-    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
-    drops to double — a correctly-rounded conversion both engines
-    share, unlike the native corr() aggregate whose float partials are
-    merge-order-dependent. One shuffle of a single row regardless of
-    data size; k columns cost k + k(k+1)/2 accumulators, all map-side
-    combined.
+    INTEGER moments. Inputs are fixed-scale (``scale`` dp, non-negative
+    money-style measures); each value becomes a scaled long
+    xi = floor(x*10^scale + .5), and because Pearson is scale-invariant
+    the correlation of the scaled ints IS the correlation of the
+    doubles — no rescaling ever happens.
+
+    The second-moment sums (x*x, x*y) would overflow a long at
+    warehouse row counts, and decimal(38) accumulation is the
+    BigDecimal slow path (~6x wall on this suite). Instead each product
+    splits into (hi, lo) = (p div 2^31, p mod 2^31); both parts sum as
+    plain codegen longs (map-side combined), and the exact total
+    2^31*Shi + Slo is reassembled in DECIMAL on the final 1-row
+    projection. Headroom: lo-sums stay < 2^31 * n_rows — at 10^12 rows
+    add one more split level. The DuckDB oracle sums the products
+    directly into HUGEINT; both sides then round the exact integer to
+    the nearest double, identically.
 
     Returns (col_a, col_b, corr) for a < b in `cols` order.
     """
     from degdb_spark.queries.rounding import dround
 
-    s2 = f"decimal(38,{scale})"
-    s4 = f"decimal(38,{scale * 2})"
-    aggs = [F.count(F.lit(1)).cast("decimal(20,0)").alias("_n")]
+    f = 10 ** scale
+    two31 = 2147483648  # 2^31
+
+    def scaled(c: str):
+        return F.floor(F.col(c) * f + F.lit(0.5)).cast("long")
+
+    proj = [scaled(c).alias(f"_x_{c}") for c in cols]
+    base = df.select(*proj)
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).cast(s2)).alias(f"_s_{c}"))
-        aggs.append(F.sum((F.col(c) * F.col(c)).cast(s4)).alias(f"_ss_{c}"))
+        x = F.col(f"_x_{c}")
+        aggs.append(F.sum(x).alias(f"_s_{c}"))
+        p = x * x
+        # p / 2^31 is a power-of-two division: exact in a double (only
+        # the exponent shifts, p < 2^53), so the long cast floors it
+        aggs.append(F.sum((p / F.lit(two31)).cast("long")).alias(f"_ss_hi_{c}"))
+        aggs.append(F.sum(p % F.lit(two31)).alias(f"_ss_lo_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            aggs.append(F.sum((F.col(a) * F.col(b)).cast(s4)).alias(f"_sp_{a}_{b}"))
-    one = df.agg(*aggs)
+            p = F.col(f"_x_{a}") * F.col(f"_x_{b}")
+            aggs.append(F.sum((p / F.lit(two31)).cast("long")).alias(f"_sp_hi_{a}_{b}"))
+            aggs.append(F.sum(p % F.lit(two31)).alias(f"_sp_lo_{a}_{b}"))
+    one = base.agg(*aggs)
+
+    dec = "decimal(38,0)"
+
+    def reassemble(hi: str, lo: str):
+        return (
+            F.col(hi).cast(dec) * F.lit(two31).cast(dec) + F.col(lo).cast(dec)
+        )
 
     pairs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            num = (F.col("_n") * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast("double")
-            da = (F.col("_n") * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast("double")
-            db = (F.col("_n") * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast("double")
+            n = F.col("_n").cast(dec)
+            sa = F.col(f"_s_{a}").cast(dec)
+            sb = F.col(f"_s_{b}").cast(dec)
+            num = (n * reassemble(f"_sp_hi_{a}_{b}", f"_sp_lo_{a}_{b}") - sa * sb).cast("double")
+            da = (n * reassemble(f"_ss_hi_{a}", f"_ss_lo_{a}") - sa * sa).cast("double")
+            db = (n * reassemble(f"_ss_hi_{b}", f"_ss_lo_{b}") - sb * sb).cast("double")
             pairs.append(
                 F.struct(
                     F.lit(a).alias("col_a"),
@@ -119,17 +151,19 @@ def correlation_matrix(
 def correlation_matrix_sql(
     table: str, cols: list[str], scale: int = 2, out_dp: int = 6
 ) -> str:
-    """DuckDB replay of correlation_matrix."""
-    s2 = f"DECIMAL(38,{scale})"
-    s4 = f"DECIMAL(38,{scale * 2})"
-    sel = ["CAST(COUNT(*) AS DECIMAL(20,0)) AS _n"]
+    """DuckDB replay of correlation_matrix: same scaled-long values,
+    but products sum straight into HUGEINT (no split needed) — the
+    exact integers agree, so the double conversions agree."""
+    f = 10 ** scale
+    sel = ["COUNT(*) AS _n"]
+    scl = lambda c: f"CAST(FLOOR({c} * {f} + 0.5) AS BIGINT)"
     for c in cols:
-        sel.append(f"SUM(CAST({c} AS {s2})) AS _s_{c}")
-        sel.append(f"SUM(CAST({c} * {c} AS {s4})) AS _ss_{c}")
+        sel.append(f"SUM({scl(c)}) AS _s_{c}")
+        sel.append(f"SUM({scl(c)} * {scl(c)}) AS _ss_{c}")
     arms = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            sel.append(f"SUM(CAST({a} * {b} AS {s4})) AS _sp_{a}_{b}")
+            sel.append(f"SUM({scl(a)} * {scl(b)}) AS _sp_{a}_{b}")
             f10 = 10 ** out_dp
             expr = (
                 f"FLOOR(CAST(_n * _sp_{a}_{b} - _s_{a} * _s_{b} AS DOUBLE) / "
