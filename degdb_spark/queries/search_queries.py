@@ -79,8 +79,14 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/search.phrase_count): top-25 docs by occurrences."""
     from pyspark.sql import functions as F
 
+    from degdb_spark.operators.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.select("doc_id", S.phrase_count("text", PHRASE).alias("n_hits"))
+    # tokenize ONCE in a lower projection (see phrase_count docstring)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    out = toks.select(
+        "doc_id", S.phrase_count_tokens(F.col("toks"), PHRASE).alias("n_hits")
+    )
     return (
         out.filter(F.col("n_hits") > 0)
         .orderBy(F.col("n_hits").desc(), "doc_id")
