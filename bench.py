@@ -84,6 +84,7 @@ HEADLINE = [
     "docs_bpe_encode",
     "lineitem_correlations",
     "docs_phrase_search",
+    "docs_setsim_join",
 ]
 
 

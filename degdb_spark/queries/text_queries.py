@@ -1058,9 +1058,35 @@ GROUP BY subword ORDER BY n DESC, subword LIMIT 30
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+
+
+def setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.95 self-join via rarest-first prefix
+    filtering (operators/setsim.py) — lossless candidate generation,
+    the exact complement of the banded MinHash approximation."""
+    from degdb_spark.operators.setsim import setsim_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # fixed 1000-doc slice: this synthetic corpus draws from a 31-token
+    # vocabulary, so corpus-wide J>=0.95 pairs grow quadratically with
+    # sf (190k pairs at sf0.1) — a data pathology, not an operator
+    # property; the slice keeps the contract result sf-invariant
+    return setsim_join(docs, threshold=0.95).orderBy("id_a", "id_b")
+
+
+def _setsim_sql() -> str:
+    from degdb_spark.operators.setsim import setsim_sql
+
+    return setsim_sql(0.95)
+
+
+SETSIM_SQL = _setsim_sql()
+
+
 QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
+    "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),

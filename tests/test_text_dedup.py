@@ -218,3 +218,38 @@ def test_bpe_encode_merge_order(spark):
     assert out["hash"] == ["ha", "sh"]
     assert out["spark"] == ["s", "p", "ar", "k"]
     assert out["zzz"] == ["z", "z", "z"]
+
+
+def test_setsim_join_lossless_vs_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the brute-force J>=t pairs —
+    the lossless-recall guarantee banding doesn't give."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from degdb_spark.operators.setsim import setsim_join
+
+    corpus = {
+        1: "a b c d e",
+        2: "a b c d e f",   # J(1,2)=5/6≈0.833
+        3: "a b c d e",     # J(1,3)=1.0
+        4: "q r s t",
+        5: "q r s t u v w", # J(4,5)=4/7≈0.571
+        6: "a q z",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in corpus.items()]
+    )
+    t = 0.8
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in setsim_join(docs, threshold=t).collect()
+    }
+    sets = {i: set(v.split()) for i, v in corpus.items()}
+    want = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if round(jac, 4) >= t:
+            want[(i, j)] = round(jac, 4)
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
