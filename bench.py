@@ -85,6 +85,7 @@ HEADLINE = [
     "lineitem_correlations",
     "docs_phrase_search",
     "docs_setsim_join",
+    "emb_ivfpq_knn",
 ]
 
 

@@ -227,3 +227,201 @@ subv AS (
 SELECT query_id, neighbor_id, cosine_sim, rank FROM final
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def _cells_df(spark, centroids: list[list[float]]):
+    rows = [
+        (i, [float(x) for x in cv], float(sum(float(x) * float(x) for x in cv)))
+        for i, cv in enumerate(centroids)
+    ]
+    return spark.createDataFrame(rows, "cell int, ccv array<double>, cc2 double")
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    n_probe: int = 3,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two oracle-checked families composed the way a
+    production ANN index is laid out — the coarse quantizer prunes to
+    ``n_probe`` cells, ADC scores ONLY the code rows of vectors in
+    probed cells, and full-precision floats are read for the top
+    ``rerank`` candidates alone. At 100 TB the code table is written
+    partitioned by cell, so the probe join becomes partition pruning.
+
+    Same determinism contract as pq_adc_topk + ivf_topk_fixed; returns
+    (query_id, neighbor_id, cosine_sim, rank)."""
+    spark = corpus.sparkSession
+    m = max(s for s, _, _ in codebook) + 1
+    sub = len(codebook[0][2])
+    cells = F.broadcast(_cells_df(spark, centroids))
+
+    vd = F.expr(f"cast({vec_col} as array<double>)")
+    cell_key = F.col("cc2") - 2.0 * F.aggregate(
+        F.zip_with(vd, F.col("ccv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # corpus: single nearest cell via min-struct (no corpus-wide window)
+    assign = (
+        corpus.crossJoin(cells)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(cell_key.alias("k"), F.col("cell"))).alias("best"))
+        .select(id_col, F.col("best.cell").alias("cell"))
+    )
+    # queries: top n_probe cells (query set is small — window is fine)
+    wq = Window.partitionBy("query_id").orderBy(F.col("_k"), F.col("cell"))
+    probes = (
+        queries.crossJoin(cells)
+        .select(F.col(id_col).alias("query_id"), "cell", cell_key.alias("_k"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    cb = F.broadcast(_codebook_df(spark, codebook))
+    lut = (
+        _subvectors(queries, id_col, vec_col, m, sub)
+        .withColumnRenamed(id_col, "query_id")
+        .join(cb, on="subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            dround(
+                F.col("c2")
+                - 2.0
+                * F.aggregate(
+                    F.zip_with("subv", "cv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("term"),
+        )
+    )
+    cand_docs = (
+        F.broadcast(probes)
+        .join(assign, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
+    approx = (
+        cand_docs.join(codes, on=id_col)
+        .join(F.broadcast(lut), on=["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("term").cast("decimal(30,6)")).cast("double").alias("approx_d2"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
+    top = (
+        approx.withColumn("crank", F.row_number().over(wa))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (
+        top.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .withColumn("cosine_sim", dround(cosine(F.col("qvec"), F.col("cvec")), 4))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_pq_sql(
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    query_filter: str,
+    k: int = 5,
+    n_probe: int = 3,
+    rerank: int = 20,
+) -> str:
+    """DuckDB replay of ivf_pq_topk over `embeddings`."""
+    sub = len(codebook[0][2])
+
+    def vec_lit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    cent_rows = ",\n  ".join(
+        f"({i}, {vec_lit(c)}::DOUBLE[], {float(sum(float(x) * float(x) for x in c))!r})"
+        for i, c in enumerate(centroids)
+    )
+    cb_rows = ",\n  ".join(
+        "({}, {}, {}::DOUBLE[], {!r})".format(
+            s, c, vec_lit(cv), float(sum(float(x) * float(x) for x in cv))
+        )
+        for s, c, cv in codebook
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(cell, ccv, cc2) AS (VALUES
+  {cent_rows}),
+cb(subspace, code, cv, c2) AS (VALUES
+  {cb_rows}),
+cell_rank AS (
+  SELECT e.vec_id, cent.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY cent.cc2 - 2 * list_dot_product(e.v, cent.ccv), cent.cell) AS rn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cell FROM cell_rank WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cell_rank WHERE rn <= {n_probe} AND vec_id {query_filter}),
+subv AS (
+  SELECT vec_id, subspace, v[(subspace*{sub}+1):(subspace*{sub}+{sub})] AS sv
+  FROM e CROSS JOIN (SELECT DISTINCT subspace FROM cb) s
+), enc_keys AS (
+  SELECT subv.vec_id, subv.subspace, cb.code,
+         ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.subspace
+                            ORDER BY cb.c2 - 2 * list_dot_product(subv.sv, cb.cv), cb.code) AS rn
+  FROM subv JOIN cb ON subv.subspace = cb.subspace
+), codes AS (
+  SELECT vec_id, subspace, code FROM enc_keys WHERE rn = 1
+), lut AS (
+  SELECT subv.vec_id AS query_id, subv.subspace, cb.code,
+         FLOOR((cb.c2 - 2 * list_dot_product(subv.sv, cb.cv)) * 1000000 + 0.5) / 1000000 AS term
+  FROM subv JOIN cb ON subv.subspace = cb.subspace
+  WHERE subv.vec_id {query_filter}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+), approx AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(SUM(CAST(l.term AS DECIMAL(30,6))) AS DOUBLE) AS approx_d2
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.subspace = k.subspace AND l.code = k.code
+  GROUP BY c.query_id, c.vec_id
+), top AS (
+  SELECT query_id, vec_id AS neighbor_id
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS crank
+        FROM approx)
+  WHERE crank <= {rerank}
+), ranked AS (
+  SELECT t.query_id, t.neighbor_id,
+         FLOOR((
+           list_dot_product(qe.v, ce.v) /
+           (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM top t
+  JOIN e qe ON qe.vec_id = t.query_id
+  JOIN e ce ON ce.vec_id = t.neighbor_id
+), final AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM ranked
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM final
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -531,8 +531,35 @@ def _pq_sql() -> str:
 PQ_KNN_SQL = _pq_sql()
 
 
+
+
+def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/pq.ivf_pq_topk): fixed coarse
+    centroids prune to 3 cells, PQ ADC scores only probed-cell code
+    rows, exact cosine re-ranks the survivors — fully oracle-checked."""
+    from degdb_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.ivf_pq_topk(
+        emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK, k=5, n_probe=_IVF_N_PROBE, rerank=20
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_pq_sql() -> str:
+    from degdb_spark.operators import pq as PQ
+
+    return PQ.ivf_pq_sql(
+        _IVF_CENTROIDS, _PQ_CODEBOOK, "< 5", k=5, n_probe=_IVF_N_PROBE, rerank=20
+    )
+
+
+IVF_PQ_SQL = _ivf_pq_sql()
+
+
 QUERIES: dict[str, Query] = {
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
+    "emb_ivfpq_knn": Query(ivf_pq_knn, IVF_PQ_SQL),
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
     "emb_ivf_knn": Query(ivf_knn, None),

@@ -62,3 +62,26 @@ def test_adc_topk_self_retrieval(spark):
         # vec q+4 and q+8 share q's code pattern (codes cycle mod 4) —
         # identical vectors, cosine 1.0 at rank 1
         assert rs[0].cosine_sim == 1.0
+
+
+def test_ivf_pq_candidates_subset_of_probed_cells(spark):
+    """IVF-PQ neighbors must come only from the query's probed cells,
+    and agree with plain PQ when every cell is probed."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.similarity import make_hyperplanes
+
+    cb = _cb()
+    cents = [[x * 0.1 for x in v] for v in make_hyperplanes(16, 4, seed=5)]
+    df = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=11) * 0.2 - 0.1) for _ in range(16)]).alias("embedding"),
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    full = PQ.ivf_pq_topk(df, q, cents, cb, k=3, n_probe=4, rerank=10)
+    plain = PQ.pq_adc_topk(df, q, cb, k=3, rerank=10)
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rank) for r in plain.collect())
+    assert got == want  # probing ALL cells == no cell pruning
+    pruned = PQ.ivf_pq_topk(df, q, cents, cb, k=3, n_probe=1, rerank=10).collect()
+    assert pruned  # still returns neighbors from the single probed cell
