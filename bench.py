@@ -86,6 +86,7 @@ HEADLINE = [
     "docs_phrase_search",
     "docs_setsim_join",
     "emb_ivfpq_knn",
+    "lineitem_ols",
 ]
 
 

@@ -173,3 +173,91 @@ def correlation_matrix_sql(
             arms.append(f"SELECT '{a}' AS col_a, '{b}' AS col_b, {expr} AS corr FROM m")
     body = "\nUNION ALL\n".join(arms)
     return f"WITH m AS (SELECT {', '.join(sel)} FROM {table})\n{body}\nORDER BY col_a, col_b"
+
+
+def ols_fit(
+    df: DataFrame, x_col: str, y_col: str, scale: int = 2, out_dp: int = 6
+) -> DataFrame:
+    """Simple linear regression y = a + b*x in one aggregation pass
+    over the same split-long exact moments as correlation_matrix
+    (codegen long sums, no BigDecimal). Slope is invariant under the
+    common 10^scale input scaling; the intercept is descaled once at
+    the end. Returns one row (n, slope, intercept, r2), all
+    FLOOR-rounded — deterministic cross-engine.
+    """
+    from degdb_spark.queries.rounding import dround
+
+    f = 10 ** scale
+    two31 = 2147483648
+
+    def scaled(c: str):
+        return F.floor(F.col(c) * f + F.lit(0.5)).cast("long")
+
+    base = df.select(scaled(x_col).alias("_x"), scaled(y_col).alias("_y"))
+    px = F.col("_x") * F.col("_x")
+    py = F.col("_y") * F.col("_y")
+    pxy = F.col("_x") * F.col("_y")
+    agg = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum((px / F.lit(two31)).cast("long")).alias("_sxx_hi"),
+        F.sum(px % F.lit(two31)).alias("_sxx_lo"),
+        F.sum((py / F.lit(two31)).cast("long")).alias("_syy_hi"),
+        F.sum(py % F.lit(two31)).alias("_syy_lo"),
+        F.sum((pxy / F.lit(two31)).cast("long")).alias("_sxy_hi"),
+        F.sum(pxy % F.lit(two31)).alias("_sxy_lo"),
+    )
+    dec = "decimal(38,0)"
+
+    def re(hi, lo):
+        return F.col(hi).cast(dec) * F.lit(two31).cast(dec) + F.col(lo).cast(dec)
+
+    n = F.col("_n").cast(dec)
+    sx, sy = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    cov = (n * re("_sxy_hi", "_sxy_lo") - sx * sy).cast("double")
+    varx = (n * re("_sxx_hi", "_sxx_lo") - sx * sx).cast("double")
+    vary = (n * re("_syy_hi", "_syy_lo") - sy * sy).cast("double")
+    slope = cov / varx
+    intercept = (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")) / F.col("_n") / f
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select(
+        F.col("_n").alias("n"),
+        dround(slope, out_dp).alias("slope"),
+        dround(intercept, out_dp).alias("intercept"),
+        dround(r2, out_dp).alias("r2"),
+    )
+
+
+def ols_sql(
+    table: str, x_col: str, y_col: str, scale: int = 2, out_dp: int = 6,
+    where: str = "",
+) -> str:
+    """DuckDB replay of ols_fit (HUGEINT moments, same exact integers)."""
+    f = 10 ** scale
+    f10 = 10 ** out_dp
+    sx = f"CAST(FLOOR({x_col} * {f} + 0.5) AS BIGINT)"
+    sy = f"CAST(FLOOR({y_col} * {f} + 0.5) AS BIGINT)"
+    w = f"WHERE {where}" if where else ""
+    def r(e):
+        return f"FLOOR(({e}) * {f10} + 0.5) / {f10}"
+    return f"""
+WITH m AS (
+  SELECT COUNT(*) AS n, SUM({sx}) AS sx, SUM({sy}) AS sy,
+         SUM({sx} * {sx}) AS sxx, SUM({sy} * {sy}) AS syy,
+         SUM({sx} * {sy}) AS sxy
+  FROM {table} {w}
+), d AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT n,
+       {r("cov / varx")} AS slope,
+       {r("(syd - (cov / varx) * sxd) / n / " + str(f))} AS intercept,
+       {r("(cov * cov) / (varx * vary)")} AS r2
+FROM d
+"""

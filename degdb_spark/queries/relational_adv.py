@@ -701,10 +701,31 @@ def _correlations_sql() -> str:
 CORRELATIONS_SQL = _correlations_sql()
 
 
+
+
+def lineitem_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit extendedprice ~ quantity from one exact-moment pass
+    (operators/profile.ols_fit — split-long accumulators, codegen-only)."""
+    from degdb_spark.operators.profile import ols_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols_fit(li, "l_quantity", "l_extendedprice")
+
+
+def _ols_sql() -> str:
+    from degdb_spark.operators.profile import ols_sql
+
+    return ols_sql("lineitem", "l_quantity", "l_extendedprice")
+
+
+OLS_SQL = _ols_sql()
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
     "lineitem_correlations": Query(lineitem_correlations, CORRELATIONS_SQL),
+    "lineitem_ols": Query(lineitem_ols, OLS_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),

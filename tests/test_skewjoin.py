@@ -67,3 +67,18 @@ def test_correlation_matrix_matches_native_corr(spark):
     got = correlation_matrix(df, ["x", "y"]).collect()[0]
     want = df.agg(F.corr("x", "y")).collect()[0][0]
     assert abs(got.corr - want) < 1e-5
+
+
+def test_ols_fit_recovers_known_line(spark):
+    """y = 3 + 2x exactly -> slope 2, intercept 3, r2 1."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.profile import ols_fit
+
+    df = spark.range(1, 500).select(
+        (F.col("id") / 4.0).alias("x"), (F.lit(3.0) + 2 * F.col("id") / 4.0).alias("y")
+    )
+    r = ols_fit(df, "x", "y").collect()[0]
+    assert abs(r.slope - 2.0) < 1e-6
+    assert abs(r.intercept - 3.0) < 1e-4
+    assert abs(r.r2 - 1.0) < 1e-6
