@@ -1083,10 +1083,68 @@ def _setsim_sql() -> str:
 SETSIM_SQL = _setsim_sql()
 
 
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: OLS of ln(freq)
+    on ln(rank) over the vocabulary (operators/profile.ols_fit at
+    scale=6 on FLOOR-rounded logs — fully deterministic). The
+    vocabulary table is tiny regardless of corpus size, so the fit is
+    a constant-cost epilogue to one token aggregation."""
+    from degdb_spark.operators.profile import ols_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(X.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    pts = ranked.select(
+        dround(F.log(F.col("rank").cast("double")), 6).alias("lx"),
+        dround(F.log(F.col("n").cast("double")), 6).alias("ly"),
+    )
+    return ols_fit(pts, "lx", "ly", scale=6)
+
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM freq
+), pts AS (
+  SELECT CAST(FLOOR((FLOOR(ln(rank::DOUBLE) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR((FLOOR(ln(n::DOUBLE) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts
+), d AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT n,
+       FLOOR((cov / varx) * 1000000 + 0.5) / 1000000 AS slope,
+       FLOOR(((syd - (cov / varx) * sxd) / n / 1000000) * 1000000 + 0.5) / 1000000 AS intercept,
+       FLOOR(((cov * cov) / (varx * vary)) * 1000000 + 0.5) / 1000000 AS r2
+FROM d
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
+    "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
