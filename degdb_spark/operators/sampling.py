@@ -58,3 +58,44 @@ def stratified_counts(df: DataFrame, key_col: str, strata_col: str, test_pct: in
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(strata_col, "split")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows
+    (Efraimidis-Spirakis A-ES): each row gets priority u^(1/w) with u a
+    deterministic unit hash of its id; the k largest priorities are a
+    correct weighted sample. We order by the monotone-equivalent
+    ln(u)/w (FLOOR-rounded at 9 dp for cross-engine identity; ties by
+    id). At 100 TB this is a top-k — takeOrdered shape, no full sort —
+    and re-runs/retries pick the SAME sample (u is a content hash, not
+    rand()), which is what makes the sample auditable.
+
+    Returns the sampled rows + (priority_key, sample_rank).
+    """
+    from degdb_spark.queries.rounding import dround
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        / float(1 << 48)
+    )
+    # guard u=0 (ln undefined): the 48-bit hash is never exactly 0 for
+    # real ids, but clamp anyway; w<=0 rows are excluded (zero weight
+    # can never be sampled under A-ES)
+    key = dround(F.log(F.greatest(u, F.lit(1e-15))) / wcol, 9)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("priority_key").desc(), id_col)
+    return (
+        df.filter(wcol > 0)
+        .withColumn("priority_key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -196,7 +196,44 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (without replacement,
+    exact k=100) with weight = document length — deterministic content-
+    hash priorities, so the sample is reproducible and auditable."""
+    from degdb_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_topk(docs, F.col("n_chars").cast("double"), k=100)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        "priority_key",
+        "sample_rank",
+    ).orderBy("sample_rank")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         FLOOR((ln(GREATEST(
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR(64))), 1, 12)) AS BIGINT)::DOUBLE
+               / 281474976710656.0, 1e-15)) / CAST(n_chars AS DOUBLE)) * 1000000000 + 0.5)
+           / 1000000000 AS priority_key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, n_chars, priority_key,
+         ROW_NUMBER() OVER (ORDER BY priority_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, priority_key, sample_rank
+FROM ranked WHERE sample_rank <= 100 ORDER BY sample_rank
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_weighted_sample": Query(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "docs_train_test_split": Query(docs_train_test_split, SPLIT_SQL),
     "lineitem_sample_revenue": Query(lineitem_sample_revenue, SAMPLE_SQL),
     "docs_mixture_sample": Query(docs_mixture_sample, MIXTURE_SQL),

@@ -102,3 +102,27 @@ def test_streaming_triple_ingest(spark, tmp_path):
     # and queryable through the TripleStore surface
     ts = TripleStore(spark, df=spark.read.parquet(store))
     assert ts.query({"subj": "a"}).count() == 1
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES: a row with overwhelming weight is (deterministically)
+    sampled; sample is exactly k and reproducible."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(1e9)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    out = weighted_sample_topk(df, "w", k=5).collect()
+    assert len(out) == 5
+    assert any(r.doc_id == 7 for r in out)
+    again = weighted_sample_topk(df, "w", k=5).collect()
+    assert [(r.doc_id, r.sample_rank) for r in out] == [
+        (r.doc_id, r.sample_rank) for r in again
+    ]
+    # zero-weight rows can never appear
+    df0 = df.withColumn("w", F.when(F.col("doc_id") < 100, 0.0).otherwise(F.col("w")))
+    out0 = weighted_sample_topk(df0, "w", k=5).collect()
+    assert all(r.doc_id >= 100 for r in out0)
