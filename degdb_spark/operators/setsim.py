@@ -69,25 +69,29 @@ def setsim_join(
             F.count(F.lit(1)).alias("sz"),
         )
     )
-    # prefix length |x| - ceil(t|x|) + 1
+    # prefix length |x| - ceil(t|x|) + 1; candidate generation carries
+    # ONLY ids — deduping (id_a, id_b) before attaching token arrays
+    # keeps the candidate shuffle rows ~2 longs wide instead of
+    # dragging both arrays through the distinct (the candidate count
+    # dwarfs the corpus, so array width there dominates the shuffle)
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     pref = sets.select(
-        "id", "toks", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
+        "id", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
     )
-    a = pref.select(
-        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
-        F.col("sz").alias("sz_a"), "ptok",
-    )
-    b = pref.select(
-        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
-        F.col("sz").alias("sz_b"), "ptok",
-    )
-    cand = (
-        a.join(b, on="ptok")
+    cand_ids = (
+        pref.select(F.col("id").alias("id_a"), "ptok")
+        .join(pref.select(F.col("id").alias("id_b"), "ptok"), on="ptok")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "toks_a", "toks_b", "sz_a", "sz_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    cand = cand_ids.join(sa, on="id_a").join(sb, on="id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
