@@ -342,3 +342,62 @@ SELECT grp,
               ELSE {alpha * m * m!r} / z END) * 100 + 0.5) / 100 AS est_distinct
 FROM est
 """
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: Column | str,
+    key_b: Column | str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Equi-join cardinality estimation from CMS inner products: for
+    each hash row, sum(cA[row,w] * cB[row,w]) over the width; the
+    estimate is the MIN over rows (each row only over-counts). This is
+    the optimizer-statistics primitive for planning joins you haven't
+    run: |A join B on k| = sum_k fA(k)*fB(k), estimated from two
+    depth*width sketches that never see each other's raw rows — sketch
+    once per table, answer any join-size question later by multiplying
+    sketches. Returns one row (est_join_size long).
+    """
+    sa = cms_build(a, key_a, depth, width)
+    sb = cms_build(b, key_b, depth, width)
+    prod = (
+        sa.alias("a")
+        .join(sb.alias("b"), on=["row", "bucket"], how="inner")
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return prod.agg(F.min("ip").alias("est_join_size"))
+
+
+def cms_join_size_sql(
+    source_a: str, source_b: str, depth: int = 4, width: int = 64
+) -> str:
+    """DuckDB replay of cms_join_size_estimate."""
+
+    def cell(row: int) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5('{row}:' || CAST(key AS VARCHAR(64))), 1, 8)) AS BIGINT) "
+            f"% {width} AS INT)"
+        )
+
+    cells_a = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell(r)} AS bucket FROM sa" for r in range(depth)
+    )
+    cells_b = " UNION ALL ".join(
+        f"SELECT {r} AS row, {cell(r)} AS bucket FROM sb" for r in range(depth)
+    )
+    return f"""
+WITH sa AS MATERIALIZED (SELECT key FROM ({source_a}) WHERE key IS NOT NULL),
+sb AS MATERIALIZED (SELECT key FROM ({source_b}) WHERE key IS NOT NULL),
+ska AS (SELECT row, bucket, COUNT(*) AS cnt FROM ({cells_a}) GROUP BY row, bucket),
+skb AS (SELECT row, bucket, COUNT(*) AS cnt FROM ({cells_b}) GROUP BY row, bucket),
+prod AS (
+  SELECT ska.row, SUM(ska.cnt * skb.cnt) AS ip
+  FROM ska JOIN skb ON ska.row = skb.row AND ska.bucket = skb.bucket
+  GROUP BY ska.row
+)
+SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM prod
+"""

@@ -11,6 +11,8 @@ from degdb_spark.operators.sketch import (
     cms_build,
     cms_estimate,
     cms_sql,
+    cms_join_size_estimate,
+    cms_join_size_sql,
     hll_estimate,
     hll_registers,
     hll_sql,
@@ -345,6 +347,48 @@ ORDER BY q
 """.replace(f"{chr(10)}UNION ALL{chr(10)}", "", 1)
 
 
+
+
+def events_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from CMS inner products
+    (operators/sketch.cms_join_size_estimate): predicted size of
+    click-events x purchase-events on user_id from two sketches that
+    never see each other's rows, next to the exact answer — the
+    optimizer-statistics primitive for joins you haven't run yet."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    est = cms_join_size_estimate(clicks, purchases, "user_id", "user_id")
+    exact = (
+        clicks.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")),
+            on="user_id",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)
+
+
+JOIN_SIZE_SQL = (
+    "WITH est AS ("
+    + cms_join_size_sql(
+        "SELECT user_id AS key FROM events WHERE event_type = 'click'",
+        "SELECT user_id AS key FROM events WHERE event_type = 'purchase'",
+    )
+    + """),
+exact AS (
+  SELECT CAST(SUM(a.na * b.nb) AS BIGINT) AS exact_join_size
+  FROM (SELECT user_id, COUNT(*) AS na FROM events WHERE event_type = 'click' GROUP BY user_id) a
+  JOIN (SELECT user_id, COUNT(*) AS nb FROM events WHERE event_type = 'purchase' GROUP BY user_id) b
+  USING (user_id)
+)
+SELECT est.est_join_size, exact.exact_join_size FROM est CROSS JOIN exact
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
     "lineitem_quantile_sketch": Query(
         lineitem_quantile_sketch, _quantile_sketch_sql(_QS, _QBINS)
@@ -352,6 +396,7 @@ QUERIES: dict[str, Query] = {
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_hll_distinct": Query(events_hll, HLL_SQL),
+    "events_join_size_estimate": Query(events_join_size, JOIN_SIZE_SQL),
     "events_asof_join": Query(events_asof, ASOF_SQL),
     "events_range_join": Query(events_range_join, RANGE_SQL),
     "events_hypertable_rollup": Query(events_hypertable_rollup, ROLLUP_HT_SQL),

@@ -137,3 +137,24 @@ def test_hll_small_range_exactish(spark):
     df = spark.range(0, 30).select(F.lit("g").alias("g"), F.col("id").alias("k"))
     est = hll_estimate(hll_registers(df, "k", ["g"], p=8), ["g"], p=8).collect()[0]
     assert abs(est.est_distinct - 30) <= 3
+
+
+def test_cms_join_size_overestimates_only(spark):
+    """Inner-product estimate >= exact join size (CMS never
+    undercounts), and is exact when sketches have no collisions."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.sketch import cms_join_size_estimate
+
+    a = spark.range(0, 300).select((F.col("id") % 50).alias("k"))
+    b = spark.range(0, 200).select((F.col("id") % 40).alias("k"))
+    est = cms_join_size_estimate(a, b, "k", "k").collect()[0].est_join_size
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "na")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "nb"), on="k")
+        .agg(F.sum(F.col("na") * F.col("nb"))).collect()[0][0]
+    )
+    assert est >= exact
+    # with width >> keys, collisions are unlikely per row and the MIN
+    # over 4 rows should be close; sanity-bound the overestimate
+    assert est <= exact * 2
