@@ -401,3 +401,72 @@ prod AS (
 )
 SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM prod
 """
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: Column | str,
+    key_b: Column | str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-set algebra from KMV sketches (theta-sketch style):
+    the k smallest hashes of A union B form the union sketch; the
+    fraction of those present in BOTH input sketches estimates
+    Jaccard, and |A intersect B| = J * |A union B|. Sketch each table
+    once, answer union/intersection/overlap questions later without
+    rescanning — the same md5 unit-hash domain as kmv_distinct_estimate,
+    so every number here is deterministic and oracle-checkable.
+
+    Returns one row (est_union double, est_intersection double).
+    """
+    ka = F.col(key_a) if isinstance(key_a, str) else key_a
+    kb = F.col(key_b) if isinstance(key_b, str) else key_b
+    ha = a.filter(ka.isNotNull()).select(_unit_hash(ka).alias("h")).distinct()
+    hb = b.filter(kb.isNotNull()).select(_unit_hash(kb).alias("h")).distinct()
+    union_sketch = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    in_both = union_sketch.join(ha, on="h", how="left_semi").join(
+        hb, on="h", how="left_semi"
+    )
+    u = union_sketch.agg(
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.max("h"))
+        .alias("est_union"),
+        F.count(F.lit(1)).alias("_ku"),
+    )
+    i = in_both.agg(F.count(F.lit(1)).alias("_shared"))
+    return u.crossJoin(i).select(
+        (F.floor(F.col("est_union") * 100 + F.lit(0.5)) / 100).alias("est_union"),
+        (
+            F.floor(
+                (F.col("_shared") / F.col("_ku") * F.col("est_union")) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("est_intersection"),
+    )
+
+
+def kmv_set_ops_sql(source_a: str, source_b: str, k: int = 256) -> str:
+    """DuckDB replay of kmv_set_ops."""
+    h = (
+        "CAST(('0x' || substr(md5(CAST(key AS VARCHAR(64))), 1, 12)) AS BIGINT)::DOUBLE"
+        f" / {float(1 << 48)}"
+    )
+    return f"""
+WITH ha AS (SELECT DISTINCT {h} AS h FROM ({source_a}) WHERE key IS NOT NULL),
+hb AS (SELECT DISTINCT {h} AS h FROM ({source_b}) WHERE key IS NOT NULL),
+us AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT {k}),
+u AS (
+  SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE
+              ELSE {float(k - 1)} / MAX(h) END AS est_union,
+         COUNT(*) AS ku
+  FROM us
+), i AS (
+  SELECT COUNT(*) AS shared FROM us
+  WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+)
+SELECT FLOOR(u.est_union * 100 + 0.5) / 100 AS est_union,
+       FLOOR((i.shared::DOUBLE / u.ku * u.est_union) * 100 + 0.5) / 100 AS est_intersection
+FROM u CROSS JOIN i
+"""

@@ -17,6 +17,8 @@ from degdb_spark.operators.sketch import (
     hll_registers,
     hll_sql,
     kmv_distinct_estimate,
+    kmv_set_ops,
+    kmv_set_ops_sql,
     kmv_sql,
 )
 from degdb_spark.operators.timeseries import asof_join, hypertable_rollup, range_join_count
@@ -389,6 +391,56 @@ SELECT est.est_join_size, exact.exact_join_size FROM est CROSS JOIN exact
 )
 
 
+
+
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra from sketches (operators/sketch.kmv_set_ops):
+    estimated union/intersection of clicking vs purchasing users,
+    next to the exact answers."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    est = kmv_set_ops(clicks, purchases, "user_id", "user_id", k=128)
+    ca = clicks.select("user_id").distinct()
+    cb = purchases.select("user_id").distinct()
+    exact = (
+        ca.unionByName(cb)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            ca.join(cb, on="user_id", how="left_semi").agg(
+                F.count(F.lit(1)).alias("exact_intersection")
+            )
+        )
+    )
+    return est.crossJoin(exact)
+
+
+KMV_SETOPS_SQL = (
+    "WITH est AS ("
+    + kmv_set_ops_sql(
+        "SELECT user_id AS key FROM events WHERE event_type = 'click'",
+        "SELECT user_id AS key FROM events WHERE event_type = 'purchase'",
+        k=128,
+    )
+    + """),
+exact AS (
+  SELECT
+    (SELECT COUNT(*) FROM (
+       SELECT DISTINCT user_id FROM events WHERE event_type IN ('click','purchase')
+     )) AS exact_union,
+    (SELECT COUNT(*) FROM (
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+     )) AS exact_intersection
+)
+SELECT est.est_union, est.est_intersection, exact.exact_union, exact.exact_intersection
+FROM est CROSS JOIN exact
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
     "lineitem_quantile_sketch": Query(
         lineitem_quantile_sketch, _quantile_sketch_sql(_QS, _QBINS)
@@ -397,6 +449,7 @@ QUERIES: dict[str, Query] = {
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_hll_distinct": Query(events_hll, HLL_SQL),
     "events_join_size_estimate": Query(events_join_size, JOIN_SIZE_SQL),
+    "events_kmv_setops": Query(events_kmv_setops, KMV_SETOPS_SQL),
     "events_asof_join": Query(events_asof, ASOF_SQL),
     "events_range_join": Query(events_range_join, RANGE_SQL),
     "events_hypertable_rollup": Query(events_hypertable_rollup, ROLLUP_HT_SQL),

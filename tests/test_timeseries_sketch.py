@@ -158,3 +158,17 @@ def test_cms_join_size_overestimates_only(spark):
     # with width >> keys, collisions are unlikely per row and the MIN
     # over 4 rows should be close; sanity-bound the overestimate
     assert est <= exact * 2
+
+
+def test_kmv_set_ops_accuracy(spark):
+    """Union/intersection estimates within KMV error bounds on known
+    overlap (A=0..999, B=500..1499: union 1500, intersection 500)."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.sketch import kmv_set_ops
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    r = kmv_set_ops(a, b, "k", "k", k=256).collect()[0]
+    assert abs(r.est_union - 1500) / 1500 < 0.2
+    assert abs(r.est_intersection - 500) / 500 < 0.35
