@@ -721,11 +721,74 @@ def _ols_sql() -> str:
 OLS_SQL = _ols_sql()
 
 
+
+
+#: Benford first-digit expectation log10(1+1/d), pinned as literals so
+#: both engines use the identical doubles.
+_BENFORD = [(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)]
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the fraud/corruption smoke
+    test for any money column: observed first-significant-digit shares
+    vs log10(1+1/d). Digit extraction goes through exact integer cents
+    (floor(x*100+.5) -> string), never float log10, so the digit is
+    boundary-stable cross-engine. One groupBy on 9 keys; the expected
+    table is a 9-row literal."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    exp = spark.createDataFrame(_BENFORD, "digit int, expected_share double")
+    total = obs.agg(F.sum("n_obs").alias("_total"))
+    return (
+        obs.join(F.broadcast(exp), on="digit")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            dround(F.col("n_obs") / F.col("_total"), 6).alias("obs_share"),
+            dround(F.col("expected_share"), 6).alias("expected_share"),
+            dround(
+                (F.col("n_obs") / F.col("_total")) / F.col("expected_share"), 4
+            ).alias("lift"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_VALUES = ", ".join("({}, {!r}::DOUBLE)".format(d, p) for d, p in _BENFORD)
+
+BENFORD_SQL = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR(32)), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+), exp(digit, expected_share) AS (VALUES {_BENFORD_VALUES}),
+total AS (SELECT SUM(n_obs) AS t FROM obs)
+SELECT obs.digit, obs.n_obs,
+       FLOOR((obs.n_obs::DOUBLE / total.t) * 1000000 + 0.5) / 1000000 AS obs_share,
+       FLOOR(exp.expected_share * 1000000 + 0.5) / 1000000 AS expected_share,
+       FLOOR(((obs.n_obs::DOUBLE / total.t) / exp.expected_share) * 10000 + 0.5) / 10000 AS lift
+FROM obs JOIN exp USING (digit) CROSS JOIN total
+ORDER BY digit
+"""
+BENFORD_SQL = BENFORD_SQL.replace("{_BENFORD_VALUES}", _BENFORD_VALUES)
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
     "lineitem_correlations": Query(lineitem_correlations, CORRELATIONS_SQL),
     "lineitem_ols": Query(lineitem_ols, OLS_SQL),
+    "orders_benford_audit": Query(orders_benford_audit, BENFORD_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
