@@ -783,12 +783,65 @@ ORDER BY digit
 BENFORD_SQL = BENFORD_SQL.replace("{_BENFORD_VALUES}", _BENFORD_VALUES)
 
 
+
+
+def lineitem_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff audit (operators/diff.py): old = items shipped
+    before 1997-07; new = shipped before 1998-01 with a simulated
+    restatement (returned items re-priced at 90%). Classifies every
+    (orderkey, linenumber) as added/changed/unchanged and counts —
+    the "what did yesterday's run change" report."""
+    from degdb_spark.operators.diff import diff_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_shipdate") < "1997-07-01").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    new = (
+        li.filter(F.col("l_shipdate") < "1998-01-01")
+        .withColumn(
+            "l_extendedprice",
+            F.when(
+                F.col("l_returnflag") == "R",
+                (F.floor(F.col("l_extendedprice") * 0.9 * 100 + F.lit(0.5)) / 100),
+            ).otherwise(F.col("l_extendedprice")),
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    return diff_summary(old, new, ["l_orderkey", "l_linenumber"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-07-01'
+), new AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_returnflag = 'R'
+              THEN FLOOR(l_extendedprice * 0.9 * 100 + 0.5) / 100
+              ELSE l_extendedprice END AS l_extendedprice
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+), j AS (
+  SELECT COALESCE(o.l_orderkey, n.l_orderkey) AS k1,
+         CASE WHEN o.l_orderkey IS NULL THEN 'added'
+              WHEN n.l_orderkey IS NULL THEN 'removed'
+              WHEN o.l_quantity IS NOT DISTINCT FROM n.l_quantity
+               AND o.l_extendedprice IS NOT DISTINCT FROM n.l_extendedprice
+              THEN 'unchanged' ELSE 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n
+    ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber
+)
+SELECT change_type, COUNT(*) AS n FROM j GROUP BY change_type ORDER BY change_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
     "lineitem_correlations": Query(lineitem_correlations, CORRELATIONS_SQL),
     "lineitem_ols": Query(lineitem_ols, OLS_SQL),
     "orders_benford_audit": Query(orders_benford_audit, BENFORD_SQL),
+    "lineitem_snapshot_diff": Query(lineitem_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),

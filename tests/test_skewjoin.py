@@ -82,3 +82,22 @@ def test_ols_fit_recovers_known_line(spark):
     assert abs(r.slope - 2.0) < 1e-6
     assert abs(r.intercept - 3.0) < 1e-4
     assert abs(r.r2 - 1.0) < 1e-6
+
+
+def test_table_diff_classification(spark):
+    from pyspark.sql import Row
+
+    from degdb_spark.operators.diff import table_diff
+
+    a = spark.createDataFrame(
+        [Row(k=1, v=10, w=None), Row(k=2, v=20, w="x"), Row(k=3, v=30, w="y")]
+    )
+    b = spark.createDataFrame(
+        [Row(k=2, v=20, w="x"), Row(k=3, v=31, w="y"), Row(k=4, v=40, w=None)]
+    )
+    got = {r.k: r.change_type for r in table_diff(a, b, ["k"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # null-safe: NULL == NULL is unchanged
+    a2 = spark.createDataFrame([Row(k=1, v=None)], "k long, v string")
+    b2 = spark.createDataFrame([Row(k=1, v=None)], "k long, v string")
+    assert table_diff(a2, b2, ["k"]).collect()[0].change_type == "unchanged"
