@@ -31,26 +31,20 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-3 window (see module docstring). Composition:
-#:  - 14 registry-tail queries that landed after the r2 window was set
-#:    and have never had a driver row (locally re-swept green at round-3
-#:    start against the current testdata);
-#:  - never-driver-checked round-2-tail additions (emb_ivf_fixed_knn,
-#:    docs_mixture_sample, docs_leakage_safe_split, docs_unigram_logprob,
-#:    docs_chunking);
-#:  - the 20 new round-3 queries (behavior analytics ×5, graph
-#:    k-core/link-prediction/modularity/churn/recommendations/embedding,
-#:    filtered ANN, histogram/profile/unpivot/skew, BPE pairs, bigram
-#:    LM, image+audio perceptual near-dups) and the two whose
-#:    implementation changed this round (adjacency-intersection
-#:    triangles);
-#:  - remaining slots: the oldest driver rows (r1 relational family;
-#:    r1 rows predate a testdata regeneration). Still-deferred r1 rows
-#:    (triples ×5, events ×5, text ×5, tpch ×9, function galleries,
-#:    cond/array aggregation, set ops, outer joins, percentiles,
-#:    subqueries, cube, triple_predicate_histogram) rotate next round —
-#:    all were locally green in BOTH of this round's full sweeps
-#:    (sf0.01 and sf0.1).
+#: Round-3 window (see module docstring). Composition (50 checked
+#: slots): 19 never-driver-checked r2-tail queries; 23 round-3 first-
+#: pass additions; 6 of this round's second-pass additions
+#: (docs_bm25_search, events_hll_distinct, emb_pq_knn,
+#: parts_fuzzy_match, orders_salted_join, docs_bpe_encode); the 2
+#: triangle queries whose implementation changed. Deferred to the next
+#: rotation (never-driver-checked, all green in this round's local
+#: sweeps): the remaining second-pass additions (lineitem_correlations,
+#: docs_phrase_search, docs_setsim_join, emb_ivfpq_knn, lineitem_ols,
+#: docs_zipf_fit, docs_weighted_sample, events_join_size_estimate,
+#: events_kmv_setops, orders_benford_audit, lineitem_snapshot_diff)
+#: plus the r1 rows awaiting refresh (relational family, triples x5,
+#: events x5, text x5, tpch x9, galleries, set ops, percentiles,
+#: subqueries, cube).
 _WINDOW = [
     # never driver-checked (r2 tail)
     "basket_sssp_histogram",
@@ -105,7 +99,7 @@ _WINDOW = [
     # implementation changed round 3 (adjacency-intersection triangles)
     "basket_triangle_count",
     "basket_clustering_top",
-    # oldest driver row (r1) — refresh against current testdata
+    # 51st: not checked this round; rotates next with the deferred list
     "q1_pricing_summary",
 ]
 
