@@ -445,3 +445,46 @@ def test_markov_totals_reuse_checkpointed_matrix(spark):
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan, plan  # no second events scan
     assert "BroadcastHashJoin" in plan
+
+
+def test_setsim_candidates_equijoin_not_cartesian(spark):
+    """Prefix-filter candidate generation is an equi-join on the prefix
+    token; the verify stage attaches arrays per pair — never a
+    cartesian or nested-loop join anywhere in the plan."""
+    from degdb_spark.operators.setsim import setsim_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(setsim_join(docs, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codebook_broadcast_corpus_not(spark):
+    """PQ encoding joins the corpus to a BROADCAST codebook — the
+    corpus side must never appear under a BroadcastExchange."""
+    from degdb_spark.operators import pq as PQ
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = PQ.make_codebook(64)
+    plan = _plan(PQ.pq_encode(emb, cb))
+    assert "BroadcastExchange" in plan  # the codebook
+    # corpus scan must feed the probe (streamed) side, not the build
+    # side: no broadcast subtree containing the parquet scan
+    import re
+
+    for m in re.finditer(r"BroadcastExchange", plan):
+        window = plan[m.start() : m.start() + 2000]
+        assert "embeddings.parquet" not in window.split("Exchange", 2)[0]
+
+
+def test_bm25_candidate_filter_below_scoring_joins(spark):
+    """The query-term filter must prune postings BEFORE the df/stats
+    joins (filter appears under the aggregation, not above the final
+    join), and no cartesian appears (the stats cross-join is a 1-row
+    broadcast)."""
+    from degdb_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["dup", "spark"], k=5))
+    assert "CartesianProduct" not in plan
+    assert plan.count("token") > 0 and ("dup" in plan)
