@@ -87,6 +87,13 @@ HEADLINE = [
     "docs_setsim_join",
     "emb_ivfpq_knn",
     "lineitem_ols",
+    "docs_zipf_fit",
+    "docs_weighted_sample",
+    "events_join_size_estimate",
+    "events_kmv_setops",
+    "orders_benford_audit",
+    "lineitem_snapshot_diff",
+    "orders_kanonymity",
 ]
 
 

@@ -72,3 +72,38 @@ def check_contract(
         )
         report = report.unionByName(row)
     return report.orderBy("rule")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit for a release candidate: group rows by the
+    quasi-identifier tuple and report, per equivalence-class size
+    bucket, how many classes/rows would violate k-anonymity, plus the
+    minimum l-diversity (distinct sensitive values) among them. One
+    aggregation to the class level (the only shuffle), then a 2-key
+    rollup; at 100 TB the class table is the cardinality of the
+    quasi-identifier space, not the data.
+
+    Returns (violates_k, n_classes, n_rows, min_l_diversity,
+    max_class_size) with violates_k in {0,1}.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(F.col(sensitive_col)).alias("_l"),
+    )
+    return (
+        classes.groupBy(
+            (F.col("_n") < k).cast("int").alias("violates_k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("_n").alias("n_rows"),
+            F.min("_l").alias("min_l_diversity"),
+            F.max("_n").alias("max_class_size"),
+        )
+        .orderBy("violates_k")
+    )

@@ -835,6 +835,54 @@ SELECT change_type, COUNT(*) AS n FROM j GROUP BY change_type ORDER BY change_ty
 """
 
 
+
+
+def orders_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators/quality.
+    k_anonymity_report): quasi-identifiers = (customer nation, order
+    year, priority), sensitive = total price band; classes smaller than
+    k=5 are re-identification risks."""
+    from degdb_spark.operators.quality import k_anonymity_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = orders.join(cust, on="o_custkey").select(
+        "c_nationkey",
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+        (F.floor(F.col("o_totalprice") / 50000)).cast("int").alias("price_band"),
+    )
+    return k_anonymity_report(
+        joined,
+        ["c_nationkey", "order_year", "o_orderpriority"],
+        "price_band",
+        k=5,
+    )
+
+
+KANONYMITY_SQL = """
+WITH joined AS (
+  SELECT c.c_nationkey,
+         EXTRACT(year FROM o.o_orderdate) AS order_year,
+         o.o_orderpriority,
+         CAST(FLOOR(o.o_totalprice / 50000) AS INT) AS price_band
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), classes AS (
+  SELECT c_nationkey, order_year, o_orderpriority,
+         COUNT(*) AS n, COUNT(DISTINCT price_band) AS l
+  FROM joined GROUP BY 1, 2, 3
+)
+SELECT CAST(n < 5 AS INT) AS violates_k,
+       COUNT(*) AS n_classes,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MIN(l) AS min_l_diversity,
+       MAX(n) AS max_class_size
+FROM classes GROUP BY 1 ORDER BY violates_k
+"""
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
@@ -842,6 +890,7 @@ QUERIES: dict[str, Query] = {
     "lineitem_ols": Query(lineitem_ols, OLS_SQL),
     "orders_benford_audit": Query(orders_benford_audit, BENFORD_SQL),
     "lineitem_snapshot_diff": Query(lineitem_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "orders_kanonymity": Query(orders_kanonymity, KANONYMITY_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),

@@ -40,3 +40,19 @@ def test_check_contract_clean_table(spark):
     df = spark.createDataFrame([(1, 2.0)], ["k", "v"])
     out = check_contract(df, [("v_pos", F.col("v") > 0)]).collect()
     assert out[0].n_violations == 0
+
+
+def test_k_anonymity_report_flags_small_classes(spark):
+    from pyspark.sql import Row
+
+    from degdb_spark.operators.quality import k_anonymity_report
+
+    rows = [Row(qi="a", s=i % 3) for i in range(10)] + [Row(qi="b", s=0)]
+    out = {
+        r.violates_k: (r.n_classes, r.n_rows, r.min_l_diversity)
+        for r in k_anonymity_report(
+            spark.createDataFrame(rows), ["qi"], "s", k=5
+        ).collect()
+    }
+    assert out[0] == (1, 10, 3)  # class 'a': 10 rows, 3 sensitive values
+    assert out[1] == (1, 1, 1)   # class 'b': singleton -> violation
