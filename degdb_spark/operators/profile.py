@@ -261,3 +261,67 @@ SELECT n,
        {r("(cov * cov) / (varx * vary)")} AS r2
 FROM d
 """
+
+
+def ols_fit_by(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression — ols_fit's moments keyed by
+    ``group_cols`` (one shuffle to group granularity, the model math on
+    the tiny per-group row). The distributed form of 'fit a model per
+    segment' that needs no UDF and no per-group driver loop.
+
+    Returns group_cols + (n, slope, intercept, r2).
+    """
+    from degdb_spark.queries.rounding import dround
+
+    f = 10 ** scale
+    two31 = 2147483648
+
+    def scaled(c: str):
+        return F.floor(F.col(c) * f + F.lit(0.5)).cast("long")
+
+    base = df.select(*group_cols, scaled(x_col).alias("_x"), scaled(y_col).alias("_y"))
+    px = F.col("_x") * F.col("_x")
+    py = F.col("_y") * F.col("_y")
+    pxy = F.col("_x") * F.col("_y")
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum((px / F.lit(two31)).cast("long")).alias("_sxx_hi"),
+        F.sum(px % F.lit(two31)).alias("_sxx_lo"),
+        F.sum((py / F.lit(two31)).cast("long")).alias("_syy_hi"),
+        F.sum(py % F.lit(two31)).alias("_syy_lo"),
+        F.sum((pxy / F.lit(two31)).cast("long")).alias("_sxy_hi"),
+        F.sum(pxy % F.lit(two31)).alias("_sxy_lo"),
+    )
+    dec = "decimal(38,0)"
+
+    def re(hi, lo):
+        return F.col(hi).cast(dec) * F.lit(two31).cast(dec) + F.col(lo).cast(dec)
+
+    n = F.col("_n").cast(dec)
+    sx, sy = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    cov = (n * re("_sxy_hi", "_sxy_lo") - sx * sy).cast("double")
+    varx = (n * re("_sxx_hi", "_sxx_lo") - sx * sx).cast("double")
+    vary = (n * re("_syy_hi", "_syy_lo") - sy * sy).cast("double")
+    slope = cov / varx
+    intercept = (
+        (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+        / F.col("_n")
+        / f
+    )
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select(
+        *group_cols,
+        F.col("_n").alias("n"),
+        dround(slope, out_dp).alias("slope"),
+        dround(intercept, out_dp).alias("intercept"),
+        dround(r2, out_dp).alias("r2"),
+    )

@@ -883,6 +883,45 @@ FROM classes GROUP BY 1 ORDER BY violates_k
 """
 
 
+
+
+def lineitem_ols_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model fit: price ~ quantity regression per return
+    flag (operators/profile.ols_fit_by — one shuffle to group
+    granularity, no UDF, no per-group driver loop)."""
+    from degdb_spark.operators.profile import ols_fit_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols_fit_by(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+OLS_BY_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT l_returnflag, n,
+       FLOOR((cov / varx) * 1000000 + 0.5) / 1000000 AS slope,
+       FLOOR(((syd - (cov / varx) * sxd) / n / 100) * 1000000 + 0.5) / 1000000 AS intercept,
+       FLOOR(((cov * cov) / (varx * vary)) * 1000000 + 0.5) / 1000000 AS r2
+FROM d ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
@@ -891,6 +930,7 @@ QUERIES: dict[str, Query] = {
     "orders_benford_audit": Query(orders_benford_audit, BENFORD_SQL),
     "lineitem_snapshot_diff": Query(lineitem_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "orders_kanonymity": Query(orders_kanonymity, KANONYMITY_SQL),
+    "lineitem_ols_by_flag": Query(lineitem_ols_by_flag, OLS_BY_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
