@@ -72,3 +72,30 @@ def hll_register_window_stream(
         .agg(F.max("rho").alias("reg"))
         .select(F.col("win.start").alias("window_start"), "reg_idx", "reg")
     )
+
+
+def cms_cell_stream(
+    events: DataFrame, key: str = "user_id", depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Streaming Count-Min sketch: the cell table (row, bucket, cnt)
+    maintained incrementally — state is depth*width rows by
+    construction, never proportional to keys or events. Counts are
+    additive, so the streamed cells equal the batch cms_build over the
+    same data (asserted in tests), and any consumer can run point
+    lookups / heavy-hitter thresholds / join-size inner products
+    against the live cells with operators/sketch.py unchanged.
+    """
+    from degdb_spark.operators.sketch import _cell
+
+    kcol = F.col(key)
+    cells = events.filter(kcol.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), _cell(kcol, r, width).alias("bucket"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

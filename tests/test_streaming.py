@@ -440,3 +440,25 @@ def test_hll_register_window_stream_bounded_rows(spark, stream_dir, ckpt):
     ).collect()
     assert rows
     assert all(r.n <= 256 for r in rows)  # 2^p bound per window
+
+
+def test_cms_cell_stream_matches_batch(spark, stream_dir, ckpt):
+    """Streamed CMS cells == batch sketch (additive counts), state
+    bounded at depth*width rows."""
+    from degdb_spark.operators.sketch import cms_build
+    from degdb_spark.streaming.sketch import cms_cell_stream
+
+    s = cms_cell_stream(SE.stream_events(spark, stream_dir), key="user_id")
+    SE.run_available_now(s, "cms_mem", ckpt, output_mode="update")
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.sql(
+            "select row, bucket, max(cnt) as cnt from cms_mem group by row, bucket"
+        ).collect()
+    }
+    exp = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(_batch_events(spark), "user_id").collect()
+    }
+    assert got == exp
+    assert len(got) <= 4 * 64
