@@ -922,6 +922,103 @@ FROM d ORDER BY l_returnflag
 """
 
 
+
+
+def lineitem_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test returnflag x linestatus: observed
+    vs expected cell counts and the per-cell contribution, all from ONE
+    contingency aggregation (expected = row_total*col_total/n computed
+    from broadcast marginals — exact integers until the final
+    division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    row_m = obs.groupBy("l_returnflag").agg(F.sum("n_obs").alias("_rt"))
+    col_m = obs.groupBy("l_linestatus").agg(F.sum("n_obs").alias("_ct"))
+    tot = obs.agg(F.sum("n_obs").alias("_t"))
+    return (
+        obs.join(F.broadcast(row_m), on="l_returnflag")
+        .join(F.broadcast(col_m), on="l_linestatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_obs",
+            dround(F.col("_rt") * F.col("_ct") / F.col("_t"), 4).alias("expected"),
+            dround(
+                (F.col("n_obs") - F.col("_rt") * F.col("_ct") / F.col("_t"))
+                * (F.col("n_obs") - F.col("_rt") * F.col("_ct") / F.col("_t"))
+                / (F.col("_rt") * F.col("_ct") / F.col("_t")),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH obs AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_obs
+  FROM lineitem GROUP BY 1, 2
+), rm AS (SELECT l_returnflag, SUM(n_obs) AS rt FROM obs GROUP BY 1),
+cm AS (SELECT l_linestatus, SUM(n_obs) AS ct FROM obs GROUP BY 1),
+t AS (SELECT SUM(n_obs) AS t FROM obs)
+SELECT obs.l_returnflag, obs.l_linestatus, obs.n_obs,
+       FLOOR((rm.rt::DOUBLE * cm.ct / t.t) * 10000 + 0.5) / 10000 AS expected,
+       FLOOR(((obs.n_obs - rm.rt::DOUBLE * cm.ct / t.t)
+              * (obs.n_obs - rm.rt::DOUBLE * cm.ct / t.t)
+              / (rm.rt::DOUBLE * cm.ct / t.t)) * 10000 + 0.5) / 10000 AS chi2_term
+FROM obs JOIN rm USING (l_returnflag) JOIN cm USING (l_linestatus) CROSS JOIN t
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def lineitem_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning for feature engineering: decile boundaries of
+    extendedprice via exact interpolated percentiles (broadcast 1-row
+    aggregate), then a single scan assigns bins — per-bin counts come
+    out near-equal by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = li.agg(
+        *[
+            dround(F.expr(f"percentile(l_extendedprice, {q})"), 2).alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    joined = li.select("l_extendedprice").crossJoin(F.broadcast(bounds))
+    bin_expr = sum(
+        (F.col("l_extendedprice") > F.col(f"_b{i}")).cast("int") for i in range(9)
+    )
+    return (
+        joined.select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+EQUIDEPTH_SQL = """
+WITH bounds AS (
+  SELECT FLOOR(quantile_cont(l_extendedprice, 0.1) * 100 + 0.5) / 100 AS b0,
+         FLOOR(quantile_cont(l_extendedprice, 0.2) * 100 + 0.5) / 100 AS b1,
+         FLOOR(quantile_cont(l_extendedprice, 0.3) * 100 + 0.5) / 100 AS b2,
+         FLOOR(quantile_cont(l_extendedprice, 0.4) * 100 + 0.5) / 100 AS b3,
+         FLOOR(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS b4,
+         FLOOR(quantile_cont(l_extendedprice, 0.6) * 100 + 0.5) / 100 AS b5,
+         FLOOR(quantile_cont(l_extendedprice, 0.7) * 100 + 0.5) / 100 AS b6,
+         FLOOR(quantile_cont(l_extendedprice, 0.8) * 100 + 0.5) / 100 AS b7,
+         FLOOR(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS b8
+  FROM lineitem
+)
+SELECT (CASE WHEN l_extendedprice > b0 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b8 THEN 1 ELSE 0 END) AS bin,
+       COUNT(*) AS n
+FROM lineitem CROSS JOIN bounds
+GROUP BY 1 ORDER BY bin
+"""
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
@@ -931,6 +1028,8 @@ QUERIES: dict[str, Query] = {
     "lineitem_snapshot_diff": Query(lineitem_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "orders_kanonymity": Query(orders_kanonymity, KANONYMITY_SQL),
     "lineitem_ols_by_flag": Query(lineitem_ols_by_flag, OLS_BY_SQL),
+    "lineitem_chi_square": Query(lineitem_chi_square, CHI_SQUARE_SQL),
+    "lineitem_equidepth_bins": Query(lineitem_equidepth_bins, EQUIDEPTH_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),
