@@ -108,14 +108,33 @@ class VersionedTable:
             if d.startswith("v=")
         )
 
-    def _commit(self, df: DataFrame) -> int:
+    def _next_version(self) -> int:
+        # max over existing snapshot DIRS, not the pointer: staged but
+        # never-published snapshots must not collide with the next write
+        vs = self.versions()
+        return (vs[-1] + 1) if vs else 1
+
+    def stage(self, df: DataFrame) -> int:
+        """Write a snapshot WITHOUT publishing it: the dir exists (and
+        is readable via read(version=v) for auditing) but the pointer
+        — what every plain reader resolves — does not move."""
         os.makedirs(self.root, exist_ok=True)
-        v = (self.current_version() + 1) if os.path.exists(self._pointer()) else 1
+        v = self._next_version()
         df.write.mode("errorifexists").parquet(os.path.join(self.root, f"v={v}"))
+        return v
+
+    def publish(self, v: int) -> None:
+        """Swing the pointer to an already-staged snapshot (atomic)."""
+        if not os.path.isdir(os.path.join(self.root, f"v={v}")):
+            raise FileNotFoundError(f"no staged snapshot v={v} under {self.root}")
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer())  # atomic pointer swing
+
+    def _commit(self, df: DataFrame) -> int:
+        v = self.stage(df)
+        self.publish(v)
         return v
 
     # -- public surface ----------------------------------------------
@@ -197,3 +216,34 @@ def maintain_rollup(
         merged = partial
     _swap_write(merged, state_path)
     return spark.read.parquet(state_path)
+
+
+def write_audit_publish(
+    table: VersionedTable,
+    df: DataFrame,
+    rules,
+    fk_checks=None,
+):
+    """Write-Audit-Publish: stage ``df`` as an unpublished snapshot,
+    run the data contract (operators/quality.check_contract) against
+    the STAGED FILES — what readers would actually see, not the input
+    plan — and swing the pointer only if every rule passes. On
+    violation the pointer never moves (readers keep the last good
+    version) and the staged snapshot stays on disk for debugging.
+
+    Returns (published: bool, version: int, report: DataFrame).
+    This is the pipeline-gating pattern that keeps a 100 TB table
+    always-consistent: the audit cost is one scan of the new snapshot,
+    and publish is a pointer swap, so a failed audit costs nothing to
+    roll back.
+    """
+    from degdb_spark.operators.quality import check_contract
+
+    v = table.stage(df)
+    staged = table.read(version=v)
+    report = check_contract(staged, rules, fk_checks)
+    n_bad = report.filter(F.col("n_violations") > 0).count()
+    if n_bad == 0:
+        table.publish(v)
+        return True, v, report
+    return False, v, report

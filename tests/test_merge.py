@@ -148,3 +148,29 @@ def test_cdc_stream_to_versioned(spark, tmp_path):
     assert latest == {1: "a3", 2: "b2", 9: "new"}
     # the first snapshot is still readable (time travel)
     assert {r.k: r.name for r in t.read(version=1).collect()} == {1: "a", 2: "b2"}
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: clean batch publishes; dirty batch leaves the pointer on
+    the last good version with the staged snapshot kept for debugging."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.merge import VersionedTable, write_audit_publish
+
+    vt = VersionedTable(spark, str(tmp_path / "wap"))
+    rules = [("qty_positive", F.col("qty") > 0)]
+
+    ok, v1, rep = write_audit_publish(
+        vt, spark.createDataFrame([Row(k=1, qty=5), Row(k=2, qty=3)]), rules
+    )
+    assert ok and vt.current_version() == v1
+    assert rep.filter(F.col("n_violations") > 0).count() == 0
+
+    ok2, v2, rep2 = write_audit_publish(
+        vt, spark.createDataFrame([Row(k=3, qty=-1)]), rules
+    )
+    assert not ok2
+    assert vt.current_version() == v1  # pointer never moved
+    assert v2 in vt.versions()  # staged snapshot kept for debugging
+    assert {r.k for r in vt.read().collect()} == {1, 2}  # readers see last good
