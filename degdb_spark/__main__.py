@@ -82,7 +82,35 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--sf-dir", default=None)
     sql.add_argument("--limit", type=int, default=100)
 
+    search = sub.add_parser(
+        "search", help="BM25 ranked retrieval over the documents table"
+    )
+    search.add_argument("terms", help="space-separated query terms")
+    search.add_argument("--sf-dir", default=None)
+    search.add_argument("-k", type=int, default=10)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "search":
+        from degdb_spark.catalog import DEFAULT_SF_DIR, load_table
+        from degdb_spark.operators.search import bm25_topk
+        from degdb_spark.session import get_spark
+
+        spark = get_spark(app_name="degdb_search")
+        docs = load_table(spark, args.sf_dir or DEFAULT_SF_DIR, "documents")
+        hits = bm25_topk(docs, args.terms.split(), k=args.k).collect()
+        snippets = {
+            r.doc_id: r.text[:80]
+            for r in docs.filter(
+                docs.doc_id.isin([h.doc_id for h in hits])
+            ).collect()
+        }
+        for h in hits:
+            print(json.dumps({
+                "rank": h.rank, "doc_id": h.doc_id, "score": h.score,
+                "n_terms_hit": h.n_terms_hit, "snippet": snippets.get(h.doc_id, ""),
+            }, sort_keys=True))
+        return 0
 
     if args.cmd == "sql":
         from degdb_spark.catalog import DEFAULT_SF_DIR, register_all

@@ -46,3 +46,17 @@ def test_cli_sql(spark, capsys):
     assert rc == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 5 and all(r["n"] == 1 for r in rows)
+
+
+def test_cli_search(capsys, spark):
+    import json as _json
+
+    from degdb_spark.__main__ import main
+
+    rc = main(["search", "dup spark", "--sf-dir", "/root/testdata/sf0.001", "-k", "3"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    assert len(rows) == 3
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert all("snippet" in r and r["score"] > 0 for r in rows)
