@@ -94,6 +94,7 @@ HEADLINE = [
     "orders_benford_audit",
     "lineitem_snapshot_diff",
     "orders_kanonymity",
+    "docs_incremental_neardups",
 ]
 
 

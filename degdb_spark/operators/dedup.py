@@ -473,3 +473,69 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(clean, on=id_col, how="left_semi")
+
+
+def band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, band_hash) — the PERSISTABLE LSH index. At scale
+    this is what you write out (bucketed by band_hash) after each
+    ingest: 3 narrow values per doc-band, so tomorrow's increment never
+    rescans today's text."""
+    arr = minhash_band_hashes(text_col, shingle_k, num_hashes, bands)
+    return df.select(F.col(id_col), F.posexplode(arr).alias("band", "band_hash"))
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    existing_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup candidates for an INCREMENT: new-vs-corpus pairs via an
+    equi-join of the new batch's band table against the persisted one,
+    plus new-vs-new via self-join — the old corpus TEXT is never read,
+    only its band index. Equals the full-corpus candidate set
+    restricted to pairs touching a new doc (asserted in tests).
+
+    Cost model at 100 TB: the increment's sketch build is linear in the
+    increment; the probe join is keyed by band_hash against a bucketed
+    index; nothing touches historical text or re-pairs old-vs-old.
+    """
+    nb = band_table(
+        new_docs, text_col, id_col, shingle_k, num_hashes, bands
+    ).localCheckpoint(eager=False)
+    old_new = (
+        existing_bands.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    new_new = (
+        nb.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+    )
+    return old_new.unionByName(new_new).distinct()

@@ -1140,6 +1140,29 @@ FROM d
 """
 
 
+
+
+def incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (operators/dedup.
+    incremental_lsh_candidates): docs >= 800 arrive as today's batch;
+    candidates come from the increment's band table probed against the
+    persisted corpus index (old text never re-read), then exact Jaccard
+    verification. Must equal the full recompute restricted to pairs
+    touching a new doc — which is exactly what the oracle computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 800)
+    new = docs.filter(F.col("doc_id") >= 800)
+    cands = D.incremental_lsh_candidates(new, D.band_table(old))
+    return D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+INCREMENTAL_MINHASH_SQL = (
+    "SELECT * FROM (\n" + MINHASH_SQL + "\n) WHERE id_a >= 800 OR id_b >= 800 ORDER BY id_a, id_b"
+)
+
+
 QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
@@ -1159,6 +1182,7 @@ QUERIES: dict[str, Query] = {
     "docs_unigram_logprob": Query(unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "docs_bigram_logprob": Query(bigram_logprob, BIGRAM_LOGPROB_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
+    "docs_incremental_neardups": Query(incremental_neardups, INCREMENTAL_MINHASH_SQL),
     "docs_lsh_calibration": Query(lsh_calibration, LSH_CALIBRATION_SQL),
     "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
     # r1-driver-verified entries trail so the 50-query verification

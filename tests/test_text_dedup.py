@@ -253,3 +253,31 @@ def test_setsim_join_lossless_vs_bruteforce(spark):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_incremental_candidates_equal_full_restricted(spark):
+    """Incremental candidates == full-corpus candidates restricted to
+    pairs touching a new doc (old-vs-old never re-paired)."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.dedup import (
+        band_table,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = 80
+    old = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_candidates(new, band_table(old)).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs).collect()
+        if r.id_a >= split or r.id_b >= split
+    }
+    assert inc == full
+    assert all(a >= split or b >= split for a, b in inc)
