@@ -87,3 +87,46 @@ def fuzzy_match(
     return cand.withColumn(
         "dist", F.levenshtein("text_a", "text_b").cast("long")
     ).filter(F.col("dist") <= max_dist)
+
+
+#: Fellegi-Sunter agreement weights: per field, (m, u) = P(agree |
+#: match), P(agree | non-match). Pinned literals — in production these
+#: come from EM over labeled pairs; pinning keeps scoring a pure
+#: function the oracle replays.
+FS_FIELDS: list[tuple[str, float, float]] = [
+    ("name_close", 0.95, 0.05),
+    ("brand_eq", 0.90, 0.10),
+    ("type_eq", 0.85, 0.20),
+]
+
+
+def linkage_scores(
+    pairs: DataFrame,
+    agreements: dict[str, "Column"],
+    fields: list[tuple[str, float, float]] | None = None,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Fellegi-Sunter match weights over candidate pairs: for each
+    field, agreement contributes log2(m/u) and disagreement
+    log2((1-m)/(1-u)); the total weight ranks pairs for link / review /
+    non-link decisions. The probabilistic layer on top of blocking
+    (blocked_pairs) and edit-distance verification (fuzzy_match) —
+    pure codegen arithmetic on the candidate set only.
+
+    ``agreements``: field name -> boolean Column over `pairs`.
+    """
+    import math
+
+    from degdb_spark.queries.rounding import dround
+
+    fs = fields if fields is not None else FS_FIELDS
+    total = F.lit(0.0)
+    out = pairs
+    for name, m, u in fs:
+        agree_w = math.log2(m / u)
+        disagree_w = math.log2((1 - m) / (1 - u))
+        out = out.withColumn(f"agree_{name}", agreements[name].cast("int"))
+        total = total + F.when(
+            F.col(f"agree_{name}") == 1, F.lit(agree_w)
+        ).otherwise(F.lit(disagree_w))
+    return out.withColumn("match_weight", dround(total, out_dp))

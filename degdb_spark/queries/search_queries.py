@@ -94,8 +94,88 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def parts_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter) on blocked
+    candidates: q-gram blocking over canonical names, agreement vector
+    (name edit distance <= 2, brand equal, type equal), pinned (m, u)
+    weights -> match_weight ranking pairs for link/review decisions."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.fuzzy import blocked_pairs, linkage_scores
+
+    part = load_table(spark, sf_dir, "part")
+    canon = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("id"))
+        .join(
+            part.select(
+                F.col("p_partkey").alias("id"), "p_brand", "p_type"
+            ),
+            on="id",
+        )
+        .select("id", F.col("p_name").alias("name"), "p_brand", "p_type")
+    )
+    cand = blocked_pairs(canon, "id", "name")
+    attrs_a = canon.select(
+        F.col("id").alias("id_a"), F.col("p_brand").alias("brand_a"), F.col("p_type").alias("type_a")
+    )
+    attrs_b = canon.select(
+        F.col("id").alias("id_b"), F.col("p_brand").alias("brand_b"), F.col("p_type").alias("type_b")
+    )
+    pairs = cand.join(attrs_a, on="id_a").join(attrs_b, on="id_b")
+    scored = linkage_scores(
+        pairs,
+        {
+            "name_close": F.levenshtein("text_a", "text_b") <= 2,
+            "brand_eq": F.col("brand_a") == F.col("brand_b"),
+            "type_eq": F.col("type_a") == F.col("type_b"),
+        },
+    )
+    return (
+        scored.filter(F.col("match_weight") > 0)
+        .select(
+            "id_a", "id_b",
+            "agree_name_close", "agree_brand_eq", "agree_type_eq",
+            "match_weight",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+PARTS_LINKAGE_SQL = """
+WITH canon AS (
+  SELECT n.id, n.p_name AS name, p.p_brand, p.p_type
+  FROM (SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name) n
+  JOIN part p ON p.p_partkey = n.id
+), grams AS (
+  SELECT id, name, p_brand, p_type,
+         unnest(list_distinct([substr(name, i, 3) for i in range(1, GREATEST(length(name)-1, 1))])) AS g
+  FROM canon
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+                  a.p_brand AS brand_a, b.p_brand AS brand_b,
+                  a.p_type AS type_a, b.p_type AS type_b
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+), flags AS (
+  SELECT id_a, id_b,
+         CAST(levenshtein(name_a, name_b) <= 2 AS INT) AS agree_name_close,
+         CAST(brand_a = brand_b AS INT) AS agree_brand_eq,
+         CAST(type_a = type_b AS INT) AS agree_type_eq
+  FROM cand
+)
+SELECT id_a, id_b, agree_name_close, agree_brand_eq, agree_type_eq,
+       FLOOR((CASE WHEN agree_name_close = 1 THEN 4.247927513443585::DOUBLE ELSE -4.247927513443584::DOUBLE END + CASE WHEN agree_brand_eq = 1 THEN 3.169925001442312::DOUBLE ELSE -3.1699250014423126::DOUBLE END + CASE WHEN agree_type_eq = 1 THEN 2.0874628412503395::DOUBLE ELSE -2.4150374992788435::DOUBLE END) * 10000 + 0.5) / 10000 AS match_weight
+FROM flags
+WHERE FLOOR((CASE WHEN agree_name_close = 1 THEN 4.247927513443585::DOUBLE ELSE -4.247927513443584::DOUBLE END + CASE WHEN agree_brand_eq = 1 THEN 3.169925001442312::DOUBLE ELSE -3.1699250014423126::DOUBLE END + CASE WHEN agree_type_eq = 1 THEN 2.0874628412503395::DOUBLE ELSE -2.4150374992788435::DOUBLE END) * 10000 + 0.5) / 10000 > 0
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_bm25_search": Query(bm25_search, S.bm25_sql(BM25_TERMS, k=25)),
     "parts_fuzzy_match": Query(parts_fuzzy_match, FUZZY_MATCH_SQL),
     "docs_phrase_search": Query(phrase_search, S.phrase_sql(PHRASE, k=25)),
+    "parts_linkage_scores": Query(parts_linkage_scores, PARTS_LINKAGE_SQL),
 }

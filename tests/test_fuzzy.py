@@ -40,3 +40,27 @@ def test_blocked_pairs_deduped(spark):
     rows = [Row(id=1, name="abcd"), Row(id=2, name="abcd")]
     out = blocked_pairs(spark.createDataFrame(rows), "id", "name").collect()
     assert len(out) == 1
+
+
+def test_linkage_scores_weights(spark):
+    """Full agreement gets the max weight; full disagreement the min;
+    weights are the pinned log2(m/u) sums."""
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.fuzzy import FS_FIELDS, linkage_scores
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2, all_agree=True), Row(id_a=3, id_b=4, all_agree=False)]
+    )
+    out = linkage_scores(
+        pairs,
+        {n: F.col("all_agree") for n, _, _ in FS_FIELDS},
+    ).collect()
+    w = {r.id_a: r.match_weight for r in out}
+    hi = sum(math.log2(m / u) for _, m, u in FS_FIELDS)
+    lo = sum(math.log2((1 - m) / (1 - u)) for _, m, u in FS_FIELDS)
+    assert abs(w[1] - hi) < 1e-3
+    assert abs(w[3] - lo) < 1e-3
