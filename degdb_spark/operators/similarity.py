@@ -311,3 +311,86 @@ def embedding_near_dups(
         )
         .distinct()
     )
+
+
+def srp_bucket_table(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(vec_id, tbl, bucket) — the persistable SRP index (the embedding
+    twin of dedup.band_table): write it out after each ingest so the
+    next increment probes buckets instead of re-sketching the corpus."""
+    tables = [make_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    return _sketched(corpus, "c", tables, dim, id_col, vec_col).select(
+        F.col("c_id").alias(id_col), "tbl", "bucket"
+    )
+
+
+def incremental_embedding_neardups(
+    new_vecs: DataFrame,
+    existing_buckets: DataFrame,
+    all_vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Near-dup pairs for an embedding INCREMENT: the new batch's
+    bucket rows probe the persisted index (old vectors are never
+    re-sketched; old-vs-old is never re-paired), plus a new-vs-new
+    self-join; exact cosine verifies candidates only. Candidates are
+    ALL bucket collisions (no per-query rank cut — the increment is
+    the bounded side, so the collision set stays proportional to it).
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b, each pair
+    touching at least one new vector.
+    """
+    nb = srp_bucket_table(
+        new_vecs, id_col, vec_col, dim, n_tables, n_planes
+    ).localCheckpoint(eager=False)
+    probe = (
+        existing_buckets.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    new_new = (
+        nb.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+    )
+    cand = probe.unionByName(new_new).distinct()
+    va = all_vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = all_vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine_sim", dround(cosine(F.col("_va"), F.col("_vb")), round_dp))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -75,3 +75,53 @@ def test_ivf_recall_on_testdata(spark):
     approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_incremental_embedding_neardups_matches_full_collisions(spark):
+    """Incremental pairs == all-bucket-collision pairs of the full
+    corpus, restricted to pairs touching a new vector."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.similarity import (
+        incremental_embedding_neardups,
+        srp_bucket_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    split = 60
+    old = emb.filter(F.col("vec_id") < split)
+    new = emb.filter(F.col("vec_id") >= split)
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_embedding_neardups(
+            new, srp_bucket_table(old), emb, threshold=0.2
+        ).collect()
+    }
+    # ground truth: full bucket-collision candidates + cosine, restricted
+    full_b = srp_bucket_table(emb)
+    pairs = (
+        full_b.alias("l")
+        .join(
+            full_b.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+        .distinct()
+    )
+    from degdb_spark.operators.similarity import cosine
+    from degdb_spark.queries.rounding import dround
+
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in pairs.join(va, on="id_a").join(vb, on="id_b")
+        .withColumn("c", dround(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("c") >= 0.2)
+        .collect()
+        if r.id_a >= split or r.id_b >= split
+    }
+    assert got == want
+    assert all(a >= split or b >= split for a, b in got)
