@@ -41,7 +41,10 @@ class Query(NamedTuple):
 #: sweeps): the remaining second-pass additions (lineitem_correlations,
 #: docs_phrase_search, docs_setsim_join, emb_ivfpq_knn, lineitem_ols,
 #: docs_zipf_fit, docs_weighted_sample, events_join_size_estimate,
-#: events_kmv_setops, orders_benford_audit, lineitem_snapshot_diff)
+#: events_kmv_setops, orders_benford_audit, lineitem_snapshot_diff,
+#: orders_kanonymity, lineitem_ols_by_flag, lineitem_chi_square,
+#: lineitem_equidepth_bins, docs_incremental_neardups,
+#: parts_linkage_scores)
 #: plus the r1 rows awaiting refresh (relational family, triples x5,
 #: events x5, text x5, tpch x9, galleries, set ops, percentiles,
 #: subqueries, cube).
