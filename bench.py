@@ -95,6 +95,7 @@ HEADLINE = [
     "lineitem_snapshot_diff",
     "orders_kanonymity",
     "docs_incremental_neardups",
+    "lineitem_psi",
 ]
 
 

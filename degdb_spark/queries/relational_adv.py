@@ -1019,6 +1019,57 @@ GROUP BY 1 ORDER BY bin
 """
 
 
+
+
+def lineitem_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor (operators/drift.psi_bins): PSI of
+    extendedprice between pre-1997 (reference) and 1997+ shipments,
+    over the reference's decile bins."""
+    from degdb_spark.operators.drift import psi_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return psi_bins(
+        li.filter(F.col("l_shipdate") < "1997-01-01"),
+        li.filter(F.col("l_shipdate") >= "1997-01-01"),
+        "l_extendedprice",
+    )
+
+
+PSI_SQL = """
+WITH refd AS (SELECT l_extendedprice FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+curd AS (SELECT l_extendedprice FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'),
+bounds AS (
+  SELECT FLOOR(quantile_cont(l_extendedprice, 0.1) * 100 + 0.5) / 100 AS b0,
+         FLOOR(quantile_cont(l_extendedprice, 0.2) * 100 + 0.5) / 100 AS b1,
+         FLOOR(quantile_cont(l_extendedprice, 0.3) * 100 + 0.5) / 100 AS b2,
+         FLOOR(quantile_cont(l_extendedprice, 0.4) * 100 + 0.5) / 100 AS b3,
+         FLOOR(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS b4,
+         FLOOR(quantile_cont(l_extendedprice, 0.6) * 100 + 0.5) / 100 AS b5,
+         FLOOR(quantile_cont(l_extendedprice, 0.7) * 100 + 0.5) / 100 AS b6,
+         FLOOR(quantile_cont(l_extendedprice, 0.8) * 100 + 0.5) / 100 AS b7,
+         FLOOR(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS b8
+  FROM refd
+),
+rb AS (SELECT (CASE WHEN l_extendedprice > b0 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b8 THEN 1 ELSE 0 END) AS bin, COUNT(*) AS n_ref FROM refd CROSS JOIN bounds GROUP BY 1),
+cb AS (SELECT (CASE WHEN l_extendedprice > b0 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END + CASE WHEN l_extendedprice > b8 THEN 1 ELSE 0 END) AS bin, COUNT(*) AS n_cur FROM curd CROSS JOIN bounds GROUP BY 1),
+jd AS (
+  SELECT COALESCE(rb.bin, cb.bin) AS bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+), tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM jd),
+shares AS (
+  SELECT bin,
+         GREATEST(n_ref::DOUBLE / tr, 1e-6) AS rs,
+         GREATEST(n_cur::DOUBLE / tc, 1e-6) AS cs
+  FROM jd CROSS JOIN tot
+)
+SELECT bin,
+       FLOOR(rs * 1000000 + 0.5) / 1000000 AS ref_share,
+       FLOOR(cs * 1000000 + 0.5) / 1000000 AS cur_share,
+       FLOOR(((cs - rs) * (FLOOR(ln(cs / rs) * 1000000 + 0.5) / 1000000)) * 1000000 + 0.5) / 1000000 AS psi_term
+FROM shares ORDER BY bin
+"""
+
+
 QUERIES: dict[str, Query] = {
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
@@ -1030,6 +1081,7 @@ QUERIES: dict[str, Query] = {
     "lineitem_ols_by_flag": Query(lineitem_ols_by_flag, OLS_BY_SQL),
     "lineitem_chi_square": Query(lineitem_chi_square, CHI_SQUARE_SQL),
     "lineitem_equidepth_bins": Query(lineitem_equidepth_bins, EQUIDEPTH_SQL),
+    "lineitem_psi": Query(lineitem_psi, PSI_SQL),
     "lineitem_contract_checks": Query(lineitem_contract_checks, CONTRACT_SQL),
     "orders_skew_report": Query(orders_skew_report, SKEW_SQL),
     "lineitem_unpivot": Query(lineitem_unpivot, UNPIVOT_SQL),

@@ -1163,6 +1163,50 @@ INCREMENTAL_MINHASH_SQL = (
 )
 
 
+
+
+def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor (operators/drift.vocab_kl_drift):
+    which tokens drove KL(current || reference) between the doc_id<800
+    reference slice and the >=800 'new batch'."""
+    from degdb_spark.operators.drift import vocab_kl_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_kl_drift(
+        docs.filter(F.col("doc_id") < 800),
+        docs.filter(F.col("doc_id") >= 800),
+        top_n=20,
+    )
+
+
+VOCAB_DRIFT_SQL = f"""
+WITH rtok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents WHERE doc_id < 800
+), ctok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents WHERE doc_id >= 800
+), ref AS (SELECT token, COUNT(*) AS n_ref FROM rtok WHERE token <> '' GROUP BY token),
+cur AS (SELECT token, COUNT(*) AS n_cur FROM ctok WHERE token <> '' GROUP BY token),
+vocab AS (
+  SELECT COALESCE(ref.token, cur.token) AS token,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM ref FULL OUTER JOIN cur ON ref.token = cur.token
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS v FROM vocab
+), terms AS (
+  SELECT token,
+    FLOOR(((n_ref + 1)::DOUBLE / (tr + v)) * 1000000 + 0.5) / 1000000 AS p_ref,
+    FLOOR(((n_cur + 1)::DOUBLE / (tc + v)) * 1000000 + 0.5) / 1000000 AS p_cur,
+    FLOOR((
+      ((n_cur + 1)::DOUBLE / (tc + v))
+      * (FLOOR(ln(((n_cur + 1)::DOUBLE / (tc + v)) / ((n_ref + 1)::DOUBLE / (tr + v))) * 1000000 + 0.5) / 1000000)
+    ) * 1000000 + 0.5) / 1000000 AS kl_term
+  FROM vocab CROSS JOIN tot
+)
+SELECT token, p_ref, p_cur, kl_term FROM terms
+ORDER BY ABS(kl_term) DESC, token LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
@@ -1183,6 +1227,7 @@ QUERIES: dict[str, Query] = {
     "docs_bigram_logprob": Query(bigram_logprob, BIGRAM_LOGPROB_SQL),
     "docs_minhash_neardups": Query(minhash_neardups, MINHASH_SQL),
     "docs_incremental_neardups": Query(incremental_neardups, INCREMENTAL_MINHASH_SQL),
+    "docs_vocab_drift": Query(vocab_drift, VOCAB_DRIFT_SQL),
     "docs_lsh_calibration": Query(lsh_calibration, LSH_CALIBRATION_SQL),
     "docs_simhash_neardups": Query(simhash_neardups, SIMHASH_SQL),
     # r1-driver-verified entries trail so the 50-query verification

@@ -56,3 +56,38 @@ def test_k_anonymity_report_flags_small_classes(spark):
     }
     assert out[0] == (1, 10, 3)  # class 'a': 10 rows, 3 sensitive values
     assert out[1] == (1, 1, 1)   # class 'b': singleton -> violation
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.drift import psi_bins
+
+    df = spark.range(0, 2000).select((F.col("id") % 97 / 3.0).alias("x"))
+    out = psi_bins(df, df, "x").collect()
+    assert sum(abs(r.psi_term) for r in out) < 1e-9
+    assert len(out) == 10
+
+
+def test_psi_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.drift import psi_bins
+
+    ref = spark.range(0, 2000).select((F.col("id") % 97 / 3.0).alias("x"))
+    cur = ref.select((F.col("x") + 20.0).alias("x"))  # hard shift
+    psi = sum(r.psi_term for r in psi_bins(ref, cur, "x").collect())
+    assert psi > 0.2  # conventional 'investigate' threshold
+
+
+def test_vocab_kl_drift_flags_new_token(spark):
+    from pyspark.sql import Row
+
+    from degdb_spark.operators.drift import vocab_kl_drift
+
+    ref = spark.createDataFrame([Row(text="a b c")] * 50)
+    cur = spark.createDataFrame([Row(text="a b zz")] * 50)
+    top = vocab_kl_drift(ref, cur, top_n=2).collect()
+    assert top[0].token in ("zz", "c")
+    zz = [r for r in top if r.token == "zz"]
+    assert zz and zz[0].kl_term > 0  # new token contributes positively
