@@ -85,10 +85,13 @@ def psi_bins(
     from exact interpolated percentiles of the REFERENCE (broadcast
     1-row), so both sides bin identically."""
     qs = [i / n_bins for i in range(1, n_bins)]
+    # ONE array-argument percentile aggregate (a single sort-based pass)
+    # instead of n_bins-1 separate ones
+    arr = F.expr(f"percentile({col}, array({', '.join(str(q) for q in qs)}))")
     bounds = reference.agg(
         *[
-            dround(F.expr(f"percentile({col}, {q})"), 2).alias(f"_b{i}")
-            for i, q in enumerate(qs)
+            dround(F.element_at(arr, i + 1), 2).alias(f"_b{i}")
+            for i in range(len(qs))
         ]
     )
 

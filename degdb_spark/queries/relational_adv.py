@@ -981,10 +981,12 @@ def lineitem_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     out near-equal by construction."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = [i / 10.0 for i in range(1, 10)]
+    # one array-argument percentile pass, not nine sort-based aggregates
+    arr = F.expr(f"percentile(l_extendedprice, array({', '.join(str(q) for q in qs)}))")
     bounds = li.agg(
         *[
-            dround(F.expr(f"percentile(l_extendedprice, {q})"), 2).alias(f"_b{i}")
-            for i, q in enumerate(qs)
+            dround(F.element_at(arr, i + 1), 2).alias(f"_b{i}")
+            for i in range(len(qs))
         ]
     )
     joined = li.select("l_extendedprice").crossJoin(F.broadcast(bounds))
