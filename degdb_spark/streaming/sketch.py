@@ -99,3 +99,26 @@ def cms_cell_stream(
         ).alias("c")
     ).select("c.row", "c.bucket")
     return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def psi_bin_stream(
+    events: DataFrame,
+    reference_bounds,
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Streaming half of the PSI drift monitor: bin the live stream
+    against STATIC reference decile bounds (a broadcast 1-row frame
+    from operators/drift.psi_bins' boundary aggregate) and maintain
+    per-bin counts — state is n_bins rows, bounded by construction.
+    A consumer joins these counts with the reference shares to get a
+    live PSI; counts are additive, so the streamed bins equal the
+    batch binning over the same data (asserted in tests).
+    """
+    j = events.select(value_col).crossJoin(F.broadcast(reference_bounds))
+    b = sum(
+        (F.col(value_col) > F.col(f"_b{i}")).cast("int") for i in range(n_bins - 1)
+    )
+    return j.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )

@@ -462,3 +462,38 @@ def test_cms_cell_stream_matches_batch(spark, stream_dir, ckpt):
     }
     assert got == exp
     assert len(got) <= 4 * 64
+
+
+def test_psi_bin_stream_matches_batch(spark, stream_dir, ckpt):
+    """Streamed PSI bin counts == batch binning over the same data."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.queries.rounding import dround
+    from degdb_spark.streaming.sketch import psi_bin_stream
+
+    batch = _batch_events(spark)
+    qs = [i / 10 for i in range(1, 10)]
+    arr = F.expr(f"percentile(value, array({', '.join(str(q) for q in qs)}))")
+    bounds = batch.agg(
+        *[dround(F.element_at(arr, i + 1), 2).alias(f"_b{i}") for i in range(9)]
+    )
+    s = psi_bin_stream(SE.stream_events(spark, stream_dir), bounds)
+    SE.run_available_now(s, "psi_mem", ckpt, output_mode="update")
+    got = {
+        r.bin: r.n
+        for r in spark.sql(
+            "select bin, max(n_cur) as n from psi_mem group by bin"
+        ).collect()
+    }
+    b = sum((F.col("value") > F.col(f"_b{i}")).cast("int") for i in range(9))
+    exp = {
+        r.bin: r.n
+        for r in batch.select("value")
+        .crossJoin(F.broadcast(bounds))
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+    assert len(got) <= 10
