@@ -1,0 +1,62 @@
+"""Distributed global row_number without a single-task window.
+
+``row_number().over(Window.orderBy(...))`` with no partition spec moves
+every row to ONE task (Spark logs `WindowExec: No Partition Defined`) —
+the classic scale-killer for any rank over a data-sized frame. This is
+the two-phase scan from operators/packing.py generalized to ranking:
+
+1. range-partition by the order key (contiguous key ranges per
+   partition, so partition id order == global sort order), rank
+   *within* each partition via a window partitioned by
+   ``spark_partition_id()``;
+2. per-partition row counts (a ``num_partitions``-row aggregate) are
+   prefix-summed — the only unpartitioned window runs over that tiny
+   totals frame, O(num_partitions) not O(rows) — and each partition's
+   offset is added back through a broadcast join.
+
+The result is identical to the naive global row_number for any TOTAL
+order (ties must be broken by a unique column, as every caller here
+does), independent of where the range partitioner draws boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_name: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append ``rank_name`` = 1-based global row_number under the total
+    order given by ``order_cols`` (Column sort expressions, e.g.
+    ``[F.col("n").desc(), F.col("token")]``).
+
+    The frame is materialized once (eager localCheckpoint): it feeds
+    both the local-rank branch and the totals aggregate, and the range
+    partitioner's sampled boundaries are not guaranteed stable across
+    re-evaluations — divergent boundaries would desync ``_pid``
+    between the branches.
+    """
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = parted.withColumn("_local_rank", F.row_number().over(w_local))
+    totals = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_prefix), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(prefixes), on="_pid")
+        .withColumn(
+            rank_name, (F.col("_local_rank") + F.col("_offset")).cast("long")
+        )
+        .drop("_pid", "_local_rank", "_offset")
+    )

@@ -71,9 +71,15 @@ def weighted_sample_topk(
     deterministic unit hash of its id; the k largest priorities are a
     correct weighted sample. We order by the monotone-equivalent
     ln(u)/w (FLOOR-rounded at 9 dp for cross-engine identity; ties by
-    id). At 100 TB this is a top-k — takeOrdered shape, no full sort —
-    and re-runs/retries pick the SAME sample (u is a content hash, not
+    id). Re-runs/retries pick the SAME sample (u is a content hash, not
     rand()), which is what makes the sample auditable.
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps a k-row heap and only
+    p*k rows ever meet — then ``sample_rank`` is attached to the <=k
+    survivors by sorting a single collected array (posexplode gives the
+    1-based rank). No WindowExec anywhere in the plan, so no
+    single-partition global sort at any corpus size.
 
     Returns the sampled rows + (priority_key, sample_rank).
     """
@@ -90,12 +96,25 @@ def weighted_sample_topk(
     # real ids, but clamp anyway; w<=0 rows are excluded (zero weight
     # can never be sampled under A-ES)
     key = dround(F.log(F.greatest(u, F.lit(1e-15))) / wcol, 9)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("priority_key").desc(), id_col)
-    return (
-        df.filter(wcol > 0)
-        .withColumn("priority_key", key)
-        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("sample_rank") <= k)
+    keyed = df.filter(wcol > 0).withColumn("priority_key", key)
+    topk = keyed.orderBy(F.col("priority_key").desc(), F.col(id_col)).limit(k)
+    # Rank attach without a window: pack the <=k survivors into one
+    # sorted array (sort key: -priority, then id — id is unique, so the
+    # trailing payload struct never participates in comparison).
+    cols = keyed.columns
+    packed = topk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("priority_key")).alias("_negkey"),
+                    F.col(id_col).alias("_id"),
+                    F.struct(*[F.col(c) for c in cols]).alias("_row"),
+                )
+            )
+        ).alias("arr")
+    )
+    exploded = packed.select(F.posexplode("arr").alias("pos", "s"))
+    return exploded.select(
+        *[F.col("s._row." + c).alias(c) for c in cols],
+        (F.col("pos") + 1).cast("long").alias("sample_rank"),
     )

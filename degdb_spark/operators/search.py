@@ -114,14 +114,29 @@ def bm25_topk(
         F.sum(F.col("w").cast("decimal(30,6)")).cast("double").alias("score"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "score", "n_terms_hit", "rank")
-        .orderBy("rank")
+    # Top-k without a global window: a query containing one common term
+    # makes `scored` corpus-sized, so ranking it through an
+    # unpartitioned row_number() would sort the whole candidate set on
+    # ONE task. orderBy().limit(k) compiles to TakeOrderedAndProject
+    # (per-task k-row heaps); rank is then attached to the <=k
+    # survivors via one sorted array + posexplode — no WindowExec.
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    packed = topk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("_negscore"),
+                    F.col("doc_id").alias("_id"),
+                    F.col("n_terms_hit").alias("_hits"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "s")).select(
+        F.col("s._id").alias("doc_id"),
+        (-F.col("s._negscore")).alias("score"),
+        F.col("s._hits").alias("n_terms_hit"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
     )
 
 

@@ -10,9 +10,14 @@ blocks small: frequent tokens never enter short prefixes.
 
 Scale design (100 TB corpus):
 
-- The global token order is (document frequency asc, token) — an
-  aggregation the size of the VOCABULARY, broadcast to order each
-  document's token array; no shuffle of the corpus for ordering.
+- The global token order is (document frequency asc, token) — a TOTAL
+  order, so each document sorts its own (df, token) structs locally and
+  gets the identical rarest-first sequence with no vocabulary-wide rank
+  window (shingled vocabularies run to billions of tokens — ranking
+  them through an unpartitioned row_number() would sort the whole
+  vocabulary on one task) and no vocabulary broadcast: df rides a
+  token-keyed equi-join that reuses the partitioning the df
+  aggregation just produced.
 - Candidate generation explodes only prefix tokens (a ~(1-t) fraction
   of each set) and equi-joins on token — the same banded-join family
   as MinHash/q-grams, one shuffle keyed by token.
@@ -52,22 +57,25 @@ def setsim_join(
         .distinct()
     )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
 
-    rank_w = Window.orderBy("df", "token")
-    ranked = dfreq.withColumn("rnk", F.row_number().over(rank_w))
-
-    # per-doc token array sorted rarest-first (struct sort on (rnk, token))
+    # per-doc token array sorted rarest-first. (df, token) is already a
+    # total order, so sorting each doc's (df, token) structs locally
+    # yields exactly the sequence a global row_number() rank would —
+    # without the vocabulary-sized single-task window or broadcasting
+    # the vocabulary. The localCheckpoint matters: `sets` feeds pref,
+    # sa AND sb below, and without it the tokenize→dfreq→aggregate
+    # pipeline executes three times.
     sets = (
-        tok.join(F.broadcast(ranked.select("token", "rnk")), on="token")
+        tok.join(dfreq, on="token")
         .groupBy("id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rnk", "token"))),
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
                 lambda s: s["token"],
             ).alias("toks"),
             F.count(F.lit(1)).alias("sz"),
         )
+        .localCheckpoint(eager=False)
     )
     # prefix length |x| - ceil(t|x|) + 1; candidate generation carries
     # ONLY ids — deduping (id_a, id_b) before attaching token arrays

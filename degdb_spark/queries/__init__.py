@@ -31,79 +31,82 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-3 window (see module docstring). Composition (50 checked
-#: slots): 19 never-driver-checked r2-tail queries; 23 round-3 first-
-#: pass additions; 6 of this round's second-pass additions
-#: (docs_bm25_search, events_hll_distinct, emb_pq_knn,
-#: parts_fuzzy_match, orders_salted_join, docs_bpe_encode); the 2
-#: triangle queries whose implementation changed. Deferred to the next
-#: rotation (never-driver-checked, all green in this round's local
-#: sweeps): the remaining second-pass additions (lineitem_correlations,
-#: docs_phrase_search, docs_setsim_join, emb_ivfpq_knn, lineitem_ols,
-#: docs_zipf_fit, docs_weighted_sample, events_join_size_estimate,
-#: events_kmv_setops, orders_benford_audit, lineitem_snapshot_diff,
-#: orders_kanonymity, lineitem_ols_by_flag, lineitem_chi_square,
-#: lineitem_equidepth_bins, docs_incremental_neardups,
-#: parts_linkage_scores)
-#: plus the r1 rows awaiting refresh (relational family, triples x5,
-#: events x5, text x5, tpch x9, galleries, set ops, percentiles,
-#: subqueries, cube).
+#: Round-4 window (see module docstring). Composition (50 checked
+#: slots): the 23 queries that have NEVER had a driver row (all green
+#: in local sweeps since they landed); 2 queries whose implementation
+#: changed this round (docs_bm25_search — window-free top-k;
+#: orders_skew_report — two-phase Gini rank; docs_weighted_sample /
+#: docs_setsim_join / docs_zipf_fit also changed but are already in
+#: the never-checked set); 25 of the 50 r1-era rows that are two
+#: testdata-regenerations stale (TPC-H family + galleries + the
+#: ordered/rollup relational core).
+#:
+#: Round-5 window, planned now so the standing policy stays
+#: executable: the remaining 25 r1-era rows —
+#: above_nation_average, array_aggregation, conditional_aggregation,
+#: cube_lineitem_status, customers_without_orders, docs_exact_dedup,
+#: docs_fingerprints, docs_language_id, docs_quality_scores,
+#: docs_token_stats, events_dedup_first, events_hourly_rollup,
+#: events_json_props, events_sessionization, events_type_pivot,
+#: full_outer_nation_presence, left_join_order_stats,
+#: orders_with_big_items, triple_and_not, triple_insert_dedup,
+#: triple_or_patterns, triple_predicate_histogram,
+#: triple_subject_lookup, triple_three_hop, triple_two_hop —
+#: plus anything added or changed in round 4, then oldest r2 rows.
 _WINDOW = [
-    # never driver-checked (r2 tail)
-    "basket_sssp_histogram",
-    "basket_communities",
-    "mql_region_nations",
-    "triple_bloom_semijoin",
-    "triple_canonical_dump",
-    "triple_signature_parity",
-    "emb_centroid_separation",
-    "q15_top_supplier",
-    "q12_late_shipping",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_excess_suppliers",
-    "emb_ivf_fixed_knn",
-    "docs_mixture_sample",
-    "docs_leakage_safe_split",
-    "docs_unigram_logprob",
-    "docs_chunking",
-    # new round 3
-    "events_funnel",
-    "events_retention",
-    "events_decay_score",
-    "events_anomaly_zscore",
-    "basket_kcore",
-    "basket_link_prediction",
-    "emb_filtered_knn",
-    "lineitem_price_histogram",
-    "docs_bpe_pair_counts",
-    "media_phash_neardups",
-    "events_scd2_segments",
-    "lineitem_profile",
-    "docs_bigram_logprob",
-    "basket_modularity",
-    "basket_edge_churn",
-    "basket_recommendations",
-    "lineitem_unpivot",
-    "orders_skew_report",
-    "media_audio_neardups",
-    "basket_embedding_power",
-    "events_lag_features",
-    "lineitem_quantile_sketch",
-    "lineitem_contract_checks",
+    # never driver-checked (r2/r3 second-pass additions)
+    "docs_setsim_join",
+    "docs_incremental_neardups",
+    "emb_ivfpq_knn",
+    "docs_phrase_search",
+    "lineitem_correlations",
+    "lineitem_ols",
+    "lineitem_ols_by_flag",
+    "lineitem_chi_square",
+    "lineitem_equidepth_bins",
+    "lineitem_psi",
+    "lineitem_snapshot_diff",
+    "orders_benford_audit",
+    "orders_kanonymity",
+    "docs_vocab_drift",
+    "docs_zipf_fit",
+    "docs_weighted_sample",
+    "docs_temperature_mixture",
+    "docs_lsh_calibration",
+    "events_join_size_estimate",
+    "events_kmv_setops",
+    "events_markov_transitions",
+    "grouping_sets_revenue",
+    "parts_linkage_scores",
+    # implementation changed round 4 (window-free top-k; two-phase rank)
     "docs_bm25_search",
-    "events_hll_distinct",
-    "emb_pq_knn",
-    "parts_fuzzy_match",
-    "orders_salted_join",
-    "docs_bpe_encode",
-    # implementation changed round 3 (adjacency-intersection triangles)
-    "basket_triangle_count",
-    "basket_clustering_top",
-    # 51st: not checked this round; rotates next with the deferred list
+    "orders_skew_report",
+    # oldest driver rows: r1-era relational core on twice-regenerated data
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discount_brackets",
+    "q22_dormant_rich_customers",
+    "date_function_gallery",
+    "regexp_gallery",
+    "scalar_function_gallery",
+    "window_function_gallery",
+    "nations_set_ops",
+    "price_percentiles",
+    "rollup_revenue",
+    "running_order_totals",
+    "top_customers_per_nation",
+    "moving_average_revenue",
 ]
 
 

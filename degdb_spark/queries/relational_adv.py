@@ -456,20 +456,28 @@ def orders_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     what you inspect before choosing a shuffle key (or deciding to salt,
     functions/skew.py). The Gini numerator Σ(2i−n−1)·x₍ᵢ₎ is an exact
     integer over the SORTED per-key counts, so no float summation; the
-    windowed sort runs over the key-count table (≪ data-sized)."""
+    sort rank i comes from the two-phase distributed row_number
+    (operators/ranking.py — key cardinality can grow with the data, so
+    even the key-count table shouldn't funnel through one task), and
+    the scalar n folds out algebraically: Σ(2i−n−1)x = 2Σ(i·x) −
+    (n+1)·Σx, removing the global COUNT(*) OVER () window too."""
+    from degdb_spark.operators.ranking import global_row_number
+
     orders = _t(spark, sf_dir, "orders")
     counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("x", "o_custkey")
-    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = global_row_number(
+        counts, [F.col("x"), F.col("o_custkey")], rank_name="i"
     )
     stats = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("x").alias("total"),
         F.max("x").alias("max_x"),
-        F.sum(
-            (F.lit(2) * F.col("i") - F.col("n") - 1) * F.col("x")
-        ).alias("gini_num"),
+        (
+            F.lit(2) * F.sum(F.col("i") * F.col("x"))
+        ).alias("_two_six"),
+    ).withColumn(
+        "gini_num",
+        F.col("_two_six") - (F.col("n_keys") + 1) * F.col("total"),
     )
     top10 = (
         ranked.orderBy(F.col("x").desc(), "o_custkey")

@@ -1088,20 +1088,21 @@ SETSIM_SQL = _setsim_sql()
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus token distribution: OLS of ln(freq)
     on ln(rank) over the vocabulary (operators/profile.ols_fit at
-    scale=6 on FLOOR-rounded logs — fully deterministic). The
-    vocabulary table is tiny regardless of corpus size, so the fit is
-    a constant-cost epilogue to one token aggregation."""
+    scale=6 on FLOOR-rounded logs — fully deterministic). Ranks come
+    from the two-phase distributed row_number (operators/ranking.py):
+    shingled/BPE vocabularies grow with the corpus, so an unpartitioned
+    rank window would sort the whole vocabulary on one task."""
     from degdb_spark.operators.profile import ols_fit
+    from degdb_spark.operators.ranking import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(X.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("n").desc(), "token")
-    ranked = freq.withColumn("rank", F.row_number().over(w))
+    ranked = global_row_number(
+        freq, [F.col("n").desc(), F.col("token")], rank_name="rank"
+    )
     pts = ranked.select(
         dround(F.log(F.col("rank").cast("double")), 6).alias("lx"),
         dround(F.log(F.col("n").cast("double")), 6).alias("ly"),

@@ -488,3 +488,58 @@ def test_bm25_candidate_filter_below_scoring_joins(spark):
     plan = _plan(bm25_topk(docs, ["dup", "spark"], k=5))
     assert "CartesianProduct" not in plan
     assert plan.count("token") > 0 and ("dup" in plan)
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count logical Window nodes with an EMPTY partition spec — the
+    'move every row to one task' shape (WindowExec: No Partition
+    Defined)."""
+    n = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n += 1
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return n
+
+
+# Queries allowed to carry an unpartitioned Window, with the max node
+# count and the bounded input that justifies it. Anything else in the
+# registry must have ZERO — a global rank/row_number over a data-sized
+# frame funnels the whole frame through ONE task at 100 TB.
+_GLOBAL_WINDOW_WHITELIST = {
+    # two-phase prefix sums: the window runs over the num_partitions-row
+    # per-partition totals frame (operators/packing.py,
+    # operators/ranking.py), O(num_partitions) not O(rows)
+    "docs_packing": 1,
+    "docs_zipf_fit": 1,
+    "orders_skew_report": 1,
+    # day-grain moving average: one row per calendar day
+    "moving_average_revenue": 1,
+    # histogram-sketch quantiles: cum/lag windows over the fixed
+    # 1000-bin sketch, size-invariant in the data
+    "lineitem_quantile_sketch": 6,
+}
+
+
+def test_no_data_sized_unpartitioned_window_registry_wide(spark):
+    """CI invariant (VERDICT r3 ask #5): walk every registry query's
+    optimized plan; any Window without a partition spec must be on the
+    whitelist above (aggregate-sized inputs only). Catches the
+    single-partition-global-sort class the same way the no-cartesian
+    gates catch join explosions."""
+    from degdb_spark.queries import registry
+
+    offenders = {}
+    for name, q in registry().items():
+        try:
+            n = _unpartitioned_windows(q.spark(spark, SF))
+        except Exception as e:  # plan construction itself must work
+            offenders[name] = f"build error: {type(e).__name__}: {e}"
+            continue
+        if n > _GLOBAL_WINDOW_WHITELIST.get(name, 0):
+            offenders[name] = f"{n} unpartitioned Window node(s)"
+    assert not offenders, offenders
