@@ -96,6 +96,12 @@ HEADLINE = [
     "orders_kanonymity",
     "docs_incremental_neardups",
     "lineitem_psi",
+    # round 4
+    "docs_token_budget_selection",
+    "docs_stratified_sample",
+    "basket_harmonic_centrality",
+    "events_cusum_changepoints",
+    "lineitem_quantiles_by_flag",
 ]
 
 

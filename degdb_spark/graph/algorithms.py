@@ -332,3 +332,34 @@ def bfs_distances(
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Hop distances from EVERY source in one synchronized frontier:
+    state is keyed by (source, id), so k sources cost one BFS's worth
+    of supersteps, not k BFS runs — the standard trick behind sampled
+    closeness/harmonic centrality (Eppstein-Wang style estimators).
+
+    ``edges`` is (src, dst), both directions for undirected graphs;
+    ``sources`` is a 1-column (source) frame. Returns (source, id,
+    dist) with dist = min hops <= max_hops. Fixed iterations, no
+    convergence action — every superstep is deterministic, which is
+    what the unrolled-CTE oracle replays.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    dist = sources.select(
+        F.col("source"), F.col("source").alias("id"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(max_hops):
+        cand = edges.join(dist.withColumnRenamed("id", "src"), on="src").select(
+            "source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -60,3 +60,40 @@ def global_row_number(
         )
         .drop("_pid", "_local_rank", "_offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    sum_name: str = "running_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append ``sum_name`` = INCLUSIVE running SUM(value_col) under the
+    global total order given by ``order_cols`` — the cumulative-sum
+    twin of global_row_number, same two-phase scan (range partition →
+    local cumsum → broadcast prefix offsets). ``value_col`` must be
+    integral (long) so partial sums are exact and order-free."""
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_local_sum", F.sum(value_col).over(w_local))
+    totals = parted.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_t").over(w_prefix), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(prefixes), on="_pid")
+        .withColumn(
+            sum_name, (F.col("_local_sum") + F.col("_offset")).cast("long")
+        )
+        .drop("_pid", "_local_sum", "_offset")
+    )

@@ -60,6 +60,55 @@ def stratified_counts(df: DataFrame, key_col: str, strata_col: str, test_pct: in
     )
 
 
+def aes_priority_key(
+    weight_col: Column | str, id_col: str = "doc_id"
+) -> Column:
+    """Efraimidis-Spirakis priority: the monotone-equivalent ln(u)/w
+    with u a deterministic 48-bit md5 unit hash of the id,
+    FLOOR-rounded at 9 dp for cross-engine identity (larger = keep)."""
+    from degdb_spark.queries.rounding import dround
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        / float(1 << 48)
+    )
+    return dround(F.log(F.greatest(u, F.lit(1e-15))) / wcol, 9)
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of exactly k rows PER
+    STRATUM (A-ES priorities per stratum): the balanced-mixture
+    counterpart of the global weighted_sample_topk. The ranking window
+    is PARTITIONED by the stratum, so each stratum's rows shuffle to
+    their own tasks — no single-task funnel at any corpus size (strata
+    are sources/languages/shards: bounded cardinality, bounded skew).
+
+    Returns the sampled rows + (priority_key, sample_rank) with
+    sample_rank 1..k within each stratum.
+    """
+    from pyspark.sql import Window
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("priority_key").desc(), id_col
+    )
+    return (
+        df.filter(wcol > 0)
+        .withColumn("priority_key", aes_priority_key(wcol, id_col))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: Column | str,
@@ -83,20 +132,12 @@ def weighted_sample_topk(
 
     Returns the sampled rows + (priority_key, sample_rank).
     """
-    from degdb_spark.queries.rounding import dround
-
+    # w<=0 rows are excluded (zero weight can never be sampled under
+    # A-ES); the unit hash in aes_priority_key is clamped against u=0
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
-            "double"
-        )
-        / float(1 << 48)
+    keyed = df.filter(wcol > 0).withColumn(
+        "priority_key", aes_priority_key(wcol, id_col)
     )
-    # guard u=0 (ln undefined): the 48-bit hash is never exactly 0 for
-    # real ids, but clamp anyway; w<=0 rows are excluded (zero weight
-    # can never be sampled under A-ES)
-    key = dround(F.log(F.greatest(u, F.lit(1e-15))) / wcol, 9)
-    keyed = df.filter(wcol > 0).withColumn("priority_key", key)
     topk = keyed.orderBy(F.col("priority_key").desc(), F.col(id_col)).limit(k)
     # Rank attach without a window: pack the <=k survivors into one
     # sorted array (sort key: -priority, then id — id is unique, so the

@@ -236,6 +236,71 @@ def histogram_quantiles(
     return out.orderBy("q")
 
 
+def histogram_quantiles_by(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    qs: list[float],
+    n_bins: int = 200,
+) -> DataFrame:
+    """histogram_quantiles per group — the mergeability of the bin
+    sketch is what makes the group-wise form cheap: the bin table is
+    groups × n_bins rows, the cum/lag windows are PARTITIONED by the
+    group (each group's bins sort in their own task), and the bounds
+    join broadcasts one row per group. Returns (group_col, q, est)."""
+    from degdb_spark.queries.rounding import dround
+
+    bounds = df.groupBy(group_col).agg(
+        F.min(col).cast("double").alias("lo"),
+        F.max(col).cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    binned = (
+        df.join(F.broadcast(bounds), on=group_col)
+        .withColumn(
+            "bin",
+            F.least(
+                F.greatest(
+                    F.floor((F.col(col).cast("double") - F.col("lo")) / width),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).cast("long"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0))
+    )
+    total = binned.groupBy(group_col).agg(F.sum("c").alias("n"))
+    out = None
+    for q in qs:
+        rank = F.col("n") * F.lit(float(q))
+        pick = Window.partitionBy(group_col).orderBy("bin")
+        hit = (
+            cum.join(F.broadcast(total), on=group_col)
+            .filter((F.col("cum") >= rank) & (F.col("prev_cum") < rank))
+            .withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+        )
+        wdt = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+        frac = (rank - F.col("prev_cum")) / F.col("c")
+        est = F.col("lo") + (F.col("bin").cast("double") + frac) * wdt
+        row = hit.select(
+            F.col(group_col),
+            F.lit(float(q)).alias("q"),
+            dround(est, 4).alias("est"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(group_col, "q")
+
+
 # ---------------------------------------------------------------- hyperloglog
 #: Hash width in bits (15 md5 hex chars — fits a signed BIGINT exactly).
 _HLL_BITS = 60

@@ -406,7 +406,94 @@ ORDER BY pairs.prev_type, next_type
 """
 
 
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: hourly volumes,
+    cumulative deviation from the type's mean rate, and the hour where
+    |CUSUM| peaks — where the volume regime shifted (Page's cumulative
+    sum test, the batch twin of a monitoring alert).
+
+    Determinism without float accumulation: CUSUM_i = cum_n_i − i·μ
+    where cum_n and i are exact integers from PARTITIONED windows (the
+    window input is the hourly rollup — hours × types, never
+    data-sized — and each type's series sorts in its own task), and μ
+    enters once per row as a single double expression, bit-identical
+    across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nh")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_i = Window.partitionBy("event_type").orderBy("hour")
+    scored = (
+        hourly.join(F.broadcast(stats), on="event_type")
+        .withColumn("cum_n", F.sum("n").over(w_cum))
+        .withColumn("i", F.row_number().over(w_i))
+        .withColumn(
+            "cusum",
+            dround(
+                F.col("cum_n")
+                - (F.col("i") * F.col("total")).cast("double") / F.col("nh"),
+                4,
+            ),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("hour")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("change_hour"),
+            "cusum",
+            F.col("nh").cast("long").alias("n_hours"),
+            F.col("total").cast("long").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+), stats AS (
+  SELECT event_type, SUM(n) AS total, COUNT(*) AS nh
+  FROM hourly GROUP BY event_type
+), cum AS (
+  SELECT h.event_type, h.hour,
+         SUM(h.n) OVER (PARTITION BY h.event_type ORDER BY h.hour
+                        ROWS UNBOUNDED PRECEDING) AS cum_n,
+         ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS i,
+         s.total, s.nh
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+), scored AS (
+  SELECT event_type, hour,
+         FLOOR((cum_n - CAST(i * total AS DOUBLE) / nh) * 10000 + 0.5) / 10000 AS cusum,
+         nh, total
+  FROM cum
+), picked AS (
+  SELECT event_type, hour, cusum, nh, total,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, hour) AS rk
+  FROM scored
+)
+SELECT event_type, hour::TIMESTAMP_NS AS change_hour, cusum,
+       CAST(nh AS BIGINT) AS n_hours, CAST(total AS BIGINT) AS total_events
+FROM picked WHERE rk = 1 ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_cusum_changepoints": Query(events_cusum_changepoints, CUSUM_SQL),
     "events_markov_transitions": Query(
         events_markov_transitions, MARKOV_SQL
     ),

@@ -614,7 +614,72 @@ def _emb_power_sql(iters: int, dims: int, scale: int) -> str:
     )
 
 
+_BFS_SOURCES = 4
+_BFS_HOPS = 4
+
+
+def basket_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (Eppstein-Wang estimator shape):
+    hop distances from the 4 lowest part ids via ONE multi-source BFS
+    (state keyed by (source, id) — k sources cost one BFS's supersteps,
+    not k runs), then h(v) = Σ_s 1/dist(s,v) over reached pairs.
+    Per-pair contributions are FLOOR-rounded at 6 dp and summed in
+    DECIMAL, so the ≤4-addend float sum can't drift vs the oracle.
+    Top-20 via orderBy().limit() — no global window."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    sources = (
+        edges.select(F.col("src").alias("source"))
+        .distinct()
+        .orderBy("source")
+        .limit(_BFS_SOURCES)
+    )
+    dist = G.multi_source_bfs(edges, sources, max_hops=_BFS_HOPS)
+    contrib = F.floor(F.lit(1000000.0) / F.col("dist") + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(contrib.cast("decimal(30,6)")).cast("double").alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic").desc(), "id")
+        .limit(20)
+    )
+
+
+def _harmonic_sql(n_sources: int, hops: int, top: int = 20) -> str:
+    ctes = [
+        f"srcs AS MATERIALIZED (SELECT src AS source FROM "
+        f"(SELECT DISTINCT src FROM edges2) ORDER BY src LIMIT {n_sources})",
+        "h0 AS MATERIALIZED (SELECT source, source AS id, "
+        "CAST(0 AS BIGINT) AS dist FROM srcs)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM h{i-1} "
+            f"UNION ALL "
+            f"SELECT d.source, e.dst AS id, d.dist + 1 AS dist "
+            f"FROM h{i-1} d JOIN edges2 e ON e.src = d.id"
+            f") GROUP BY source, id)"
+        )
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, COUNT(*) AS n_reached,
+       CAST(SUM(CAST(FLOOR(1000000.0 / dist + 0.5) / 1000000 AS DECIMAL(30,6))) AS DOUBLE) AS harmonic
+FROM h{hops} WHERE dist > 0 GROUP BY id
+ORDER BY harmonic DESC, id LIMIT {top}"""
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "basket_harmonic_centrality": Query(
+        basket_harmonic_centrality, _harmonic_sql(_BFS_SOURCES, _BFS_HOPS)
+    ),
     "basket_embedding_power": Query(
         basket_embedding_power, _emb_power_sql(_EMB_ITERS, _EMB_DIMS, _EMB_SCALE)
     ),

@@ -232,8 +232,131 @@ FROM ranked WHERE sample_rank <= 100 ORDER BY sample_rank
 """
 
 
+def docs_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered data selection under a global token budget — the
+    curation primitive behind 'take the best 25% of the corpus by
+    tokens': rank documents by composite quality score (operators/
+    text.quality_features), take the maximal quality-first prefix whose
+    cumulative token count fits budget = total_tokens div 4.
+
+    The cumulative sum runs through operators/ranking.
+    global_running_sum (two-phase scan) — NO corpus-sized
+    unpartitioned window — and the budget rides as a broadcast 1-row
+    aggregate, never a driver round-trip. Reports the selected set per
+    source: how the budget redistributes the mixture is exactly what a
+    curation run needs to audit."""
+    from degdb_spark.operators.ranking import global_running_sum
+    from degdb_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+    )
+    cum = global_running_sum(
+        feats,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        "n_tokens",
+        sum_name="cum_tokens",
+    )
+    total = feats.agg(F.sum("n_tokens").alias("_total"))
+    sel = cum.crossJoin(F.broadcast(total)).filter(
+        F.col("cum_tokens") <= F.expr("_total DIV 4")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("quality_score").alias("min_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKS_ALL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_EN_ALL = "['the','and','of','to','a','in','is','that']"
+TOKEN_BUDGET_SQL = f"""
+WITH feats0 AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_ALL}) END AS n_tokens,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS alpha_ratio,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS digit_ratio,
+    len(list_filter({_TOKS_ALL}, t -> list_contains({_EN_ALL}, t))) AS en_hits
+  FROM documents
+), feats AS (
+  SELECT doc_id, source, n_tokens,
+    FLOOR((
+      LEAST(n_tokens / 50.0, 1.0) * 0.3
+      + alpha_ratio * 0.3
+      + (1 - digit_ratio) * 0.2
+      + LEAST((CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((en_hits::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END) * 5.0, 1.0) * 0.2
+    ) * 10000 + 0.5) / 10000 AS quality_score
+  FROM feats0
+), tot AS (SELECT SUM(n_tokens) AS total FROM feats),
+cum AS (
+  SELECT source, n_tokens, quality_score,
+         SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM feats
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(quality_score) AS min_quality
+FROM cum CROSS JOIN tot
+WHERE cum_tokens <= total // 4
+GROUP BY source ORDER BY source
+"""
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-source weighted sample (A-ES priorities, weight =
+    n_chars) — the balanced-mixture sampler. The rank window is
+    partitioned by source, so no single-task funnel."""
+    from degdb_spark.operators.sampling import stratified_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_weighted_sample(
+        docs, F.col("n_chars").cast("double"), k=20, stratum_col="source"
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        "priority_key",
+        "sample_rank",
+    ).orderBy("source", "sample_rank")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         FLOOR((ln(GREATEST(
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR(64))), 1, 12)) AS BIGINT)::DOUBLE
+               / 281474976710656.0, 1e-15)) / CAST(n_chars AS DOUBLE)) * 1000000000 + 0.5)
+           / 1000000000 AS priority_key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT source, doc_id, n_chars, priority_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY priority_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, priority_key, sample_rank
+FROM ranked WHERE sample_rank <= 20 ORDER BY source, sample_rank
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_weighted_sample": Query(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "docs_token_budget_selection": Query(
+        docs_token_budget_selection, TOKEN_BUDGET_SQL
+    ),
+    "docs_stratified_sample": Query(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_train_test_split": Query(docs_train_test_split, SPLIT_SQL),
     "lineitem_sample_revenue": Query(lineitem_sample_revenue, SAMPLE_SQL),
     "docs_mixture_sample": Query(docs_mixture_sample, MIXTURE_SQL),

@@ -351,6 +351,60 @@ ORDER BY q
 
 
 
+def lineitem_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise histogram-sketch quantiles (p50/p90/p99 of
+    l_extendedprice per returnflag) — the mergeable sketch from
+    lineitem_quantile_sketch, partitioned: groups × n_bins bin rows,
+    PARTITIONED cum/lag windows, broadcast per-group bounds."""
+    from degdb_spark.operators.sketch import histogram_quantiles_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles_by(
+        li, "l_extendedprice", "l_returnflag", _QS, n_bins=_QBINS
+    )
+
+
+def _quantiles_by_sql(qs: list[float], n_bins: int) -> str:
+    one = []
+    for q in qs:
+        one.append(f"""
+SELECT g AS l_returnflag, {float(q)} AS q,
+       FLOOR((lo + (CAST(bin AS DOUBLE) + ((n * {float(q)}) - prev_cum) / c)
+              * ((hi - lo) / {float(n_bins)})) * 10000 + 0.5) / 10000 AS est
+FROM (
+  SELECT cum.*, total.n,
+         ROW_NUMBER() OVER (PARTITION BY cum.g ORDER BY bin) AS rk
+  FROM cum JOIN total USING (g)
+  WHERE cum >= n * {float(q)} AND prev_cum < n * {float(q)}
+) WHERE rk = 1""".strip())
+    return f"""
+WITH bounds AS (
+  SELECT l_returnflag AS g,
+         CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem GROUP BY l_returnflag
+), binned AS (
+  SELECT b.g,
+         CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                                   / ((hi - lo) / {float(n_bins)})), 0),
+                    {n_bins - 1}) AS BIGINT) AS bin,
+         COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi
+  FROM lineitem l JOIN bounds b ON l.l_returnflag = b.g
+  GROUP BY 1, 2
+), cum0 AS (
+  SELECT g, bin, c, lo, hi,
+         SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum
+  FROM binned
+), cum AS (
+  SELECT g, bin, c, lo, hi, cum,
+         COALESCE(LAG(cum) OVER (PARTITION BY g ORDER BY bin), 0) AS prev_cum
+  FROM cum0
+), total AS (SELECT g, SUM(c) AS n FROM binned GROUP BY g)
+{(chr(10) + 'UNION ALL' + chr(10)).join(one)}
+ORDER BY l_returnflag, q
+"""
+
+
 def events_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from CMS inner products
     (operators/sketch.cms_join_size_estimate): predicted size of
@@ -444,6 +498,9 @@ FROM est CROSS JOIN exact
 QUERIES: dict[str, Query] = {
     "lineitem_quantile_sketch": Query(
         lineitem_quantile_sketch, _quantile_sketch_sql(_QS, _QBINS)
+    ),
+    "lineitem_quantiles_by_flag": Query(
+        lineitem_quantiles_by_flag, _quantiles_by_sql(_QS, _QBINS)
     ),
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
