@@ -102,6 +102,7 @@ HEADLINE = [
     "basket_harmonic_centrality",
     "events_cusum_changepoints",
     "lineitem_quantiles_by_flag",
+    "docs_heaps_law",
 ]
 
 

@@ -1143,6 +1143,102 @@ FROM d
 
 
 
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: OLS of ln(types) on
+    ln(tokens) over ten corpus prefixes (slope = Heaps β). The "type"
+    unit is the word 3-GRAM: this synthetic corpus draws from a
+    ~31-word lexicon, so unigram vocabulary saturates in the first
+    prefix (zero variance — no fit), while 3-gram types keep growing
+    the way a real tokenizer vocabulary does. Prefix type counts
+    WITHOUT any prefix distinct-count: bucket docs into deciles of the
+    doc_id range, reduce the gram stream once to (bucket, gram)
+    counts, then a gram's FIRST bucket marks where it entered the
+    vocabulary — cumulative new-type counts over the 10 bucket rows
+    ARE the prefix vocabulary sizes. One corpus-sized shuffle;
+    everything downstream is vocabulary-sized or 10 rows."""
+    from degdb_spark.operators.profile import ols_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    maxid = docs.agg(F.max("doc_id").alias("_max"))
+    tb = (
+        docs.crossJoin(F.broadcast(maxid))
+        .select(
+            F.expr("doc_id * 10 DIV (_max + 1)").alias("bucket"),
+            F.explode(X.ngrams("text", 3)).alias("token"),
+        )
+        .groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # vocab x 10 rows, feeds 2 aggs
+    )
+    occ = tb.groupBy("bucket").agg(F.sum("c").alias("n_occ"))
+    nova = (
+        tb.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        occ.join(nova, on="bucket", how="left")
+        .withColumn("cum_tokens", F.sum("n_occ").over(w))
+        .withColumn("cum_vocab", F.sum(F.coalesce("n_new", F.lit(0))).over(w))
+    )
+    pts = cum.select(
+        dround(F.log(F.col("cum_tokens").cast("double")), 6).alias("lx"),
+        dround(F.log(F.col("cum_vocab").cast("double")), 6).alias("ly"),
+    )
+    return ols_fit(pts, "lx", "ly", scale=6)
+
+
+HEAPS_SQL = f"""
+WITH maxid AS (SELECT MAX(doc_id) AS m FROM documents),
+toks0 AS (
+  SELECT (doc_id * 10) // (m + 1) AS bucket, {_TOKS} AS t
+  FROM documents CROSS JOIN maxid
+), tok AS (
+  SELECT bucket,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 3 + 2),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS token
+  FROM toks0
+), tb AS (
+  SELECT bucket, token, COUNT(*) AS c FROM tok
+  GROUP BY bucket, token
+), occ AS (SELECT bucket, SUM(c) AS n_occ FROM tb GROUP BY bucket),
+firstb AS (SELECT token, MIN(bucket) AS bucket FROM tb GROUP BY token),
+nova AS (SELECT bucket, COUNT(*) AS n_new FROM firstb GROUP BY bucket),
+cum AS (
+  SELECT o.bucket,
+         SUM(o.n_occ) OVER (ORDER BY o.bucket) AS cum_tokens,
+         SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY o.bucket) AS cum_vocab
+  FROM occ o LEFT JOIN nova v USING (bucket)
+), pts AS (
+  SELECT CAST(FLOOR((FLOOR(ln(cum_tokens::DOUBLE) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR((FLOOR(ln(cum_vocab::DOUBLE) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM cum
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts
+), d AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT n,
+       FLOOR((cov / varx) * 1000000 + 0.5) / 1000000 AS slope,
+       FLOOR(((syd - (cov / varx) * sxd) / n / 1000000) * 1000000 + 0.5) / 1000000 AS intercept,
+       FLOOR(((cov * cov) / (varx * vary)) * 1000000 + 0.5) / 1000000 AS r2
+FROM d
+"""
+
+
 def incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup maintenance (operators/dedup.
     incremental_lsh_candidates): docs >= 800 arrive as today's batch;
@@ -1213,6 +1309,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
+    "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),

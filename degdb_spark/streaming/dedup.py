@@ -65,3 +65,59 @@ def neardup_dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["minhash_sig"])
     )
+
+
+def neardup_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+):
+    """The third dedup tier: banded-LSH candidate generation as a
+    STREAM, via foreachBatch against a persisted band index — the
+    streaming twin of operators/dedup.incremental_lsh_candidates.
+
+    Each micro-batch (1) probes the index for new-vs-corpus candidate
+    pairs plus new-vs-new within the batch, (2) appends the pairs to
+    ``pairs_path``, and (3) appends its OWN band table to the index —
+    so the index is always exactly "everything that streamed before
+    this batch", historical text is never re-read, and old-vs-old is
+    never re-paired. The union of all batches' emissions equals the
+    full-corpus banded candidate set (asserted in tests) — recall the
+    in-flight signature-equality tier above cannot provide.
+
+    State lives in the PERSISTED index, not stream state: per-batch
+    cost is the increment's sketch build + one band_hash-keyed probe
+    join (bucket the index by band_hash at scale). Returns the started
+    StreamingQuery (availableNow-triggered)."""
+    from degdb_spark.operators.dedup import band_table, incremental_lsh_candidates
+
+    spark = docs.sparkSession
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # feeds probe + index append
+        try:
+            existing = spark.read.parquet(index_path)
+        except Exception:  # first batch: empty index with the right schema
+            existing = band_table(
+                batch, text_col, id_col, shingle_k, num_hashes, bands
+            ).limit(0)
+        cands = incremental_lsh_candidates(
+            batch, existing, text_col, id_col, shingle_k, num_hashes, bands
+        )
+        cands.write.mode("append").parquet(pairs_path)
+        band_table(batch, text_col, id_col, shingle_k, num_hashes, bands).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -497,3 +497,48 @@ def test_psi_bin_stream_matches_batch(spark, stream_dir, ckpt):
     }
     assert got == exp
     assert len(got) <= 10
+
+
+def test_neardup_index_stream_equals_full_candidates(spark, tmp_path):
+    """Union of per-micro-batch candidate emissions == the full-corpus
+    banded candidate set: every pair lands exactly once, in the batch
+    where its LATER member streamed in; old-vs-old never re-pairs."""
+    from degdb_spark.operators.dedup import minhash_lsh_candidates
+    from degdb_spark.streaming.dedup import neardup_index_stream
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # two separate files -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 80).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    docs.filter(F.col("doc_id") >= 80).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = neardup_index_stream(
+        stream,
+        index_path=str(tmp_path / "band_index"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    # two batches must have run (index appended twice)
+    assert q.lastProgress is not None
+    emitted = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    full = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert emitted == full and len(full) > 0
+    # the persisted index covers the whole corpus once
+    idx = spark.read.parquet(str(tmp_path / "band_index"))
+    assert idx.select("doc_id").distinct().count() == docs.count()
