@@ -103,6 +103,8 @@ HEADLINE = [
     "events_cusum_changepoints",
     "lineitem_quantiles_by_flag",
     "docs_heaps_law",
+    "events_ab_test",
+    "events_ohlc_bars",
 ]
 
 

@@ -325,3 +325,75 @@ def ols_fit_by(
         dround(intercept, out_dp).alias("intercept"),
         dround(r2, out_dp).alias("r2"),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Welch t-test (unequal variances) between two groups,
+    in ONE aggregation pass: conditional split-long moments per group
+    (same exact-integer machinery as correlation_matrix — codegen long
+    sums, no float accumulation), then t and the Welch-Satterthwaite
+    df as a fixed sequence of double ops on the 1-row aggregate —
+    bit-replayable in SQL. Returns (n_a, n_b, mean_a, mean_b, t_stat,
+    df_welch)."""
+    from degdb_spark.queries.rounding import dround
+
+    f = 10 ** scale
+    two31 = 2147483648
+    x = F.floor(F.col(value_col) * f + F.lit(0.5)).cast("long")
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b])).select(
+        g.alias("_g"), x.alias("_x")
+    )
+    px = F.col("_x") * F.col("_x")
+
+    def side(tag: str, name: str):
+        cond = F.col("_g") == name
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"_n_{tag}"),
+            F.sum(F.when(cond, F.col("_x"))).alias(f"_sx_{tag}"),
+            F.sum(F.when(cond, (px / F.lit(two31)).cast("long"))).alias(
+                f"_sxx_hi_{tag}"
+            ),
+            F.sum(F.when(cond, px % F.lit(two31))).alias(f"_sxx_lo_{tag}"),
+        ]
+
+    agg = base.agg(*side("a", group_a), *side("b", group_b))
+    dec = "decimal(38,0)"
+
+    def q(tag: str):
+        n = F.col(f"_n_{tag}").cast(dec)
+        sx = F.col(f"_sx_{tag}").cast(dec)
+        sxx = (
+            F.col(f"_sxx_hi_{tag}").cast(dec) * F.lit(two31).cast(dec)
+            + F.col(f"_sxx_lo_{tag}").cast(dec)
+        )
+        var_num = (n * sxx - sx * sx).cast("double")  # n*(n-1)*s² (scaled²)
+        nn = F.col(f"_n_{tag}").cast("double")
+        # s²/n descaled: var_num / (n*(n-1)) / n / f²
+        return var_num / (nn * (nn - F.lit(1.0))) / nn / F.lit(float(f * f))
+
+    qa, qb = q("a"), q("b")
+    se2 = qa + qb
+    mean_a = F.col("_sx_a").cast("double") / F.col("_n_a") / f
+    mean_b = F.col("_sx_b").cast("double") / F.col("_n_b") / f
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        qa * qa / (F.col("_n_a").cast("double") - F.lit(1.0))
+        + qb * qb / (F.col("_n_b").cast("double") - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("_n_a").alias("n_a"),
+        F.col("_n_b").alias("n_b"),
+        dround(mean_a, out_dp).alias("mean_a"),
+        dround(mean_b, out_dp).alias("mean_b"),
+        dround(t, out_dp).alias("t_stat"),
+        dround(dfw, out_dp).alias("df_welch"),
+    )

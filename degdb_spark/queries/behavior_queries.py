@@ -492,7 +492,57 @@ FROM picked WHERE rk = 1 ORDER BY event_type
 """
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of event value, click vs purchase
+    (operators/profile.welch_t_test): one conditional-moments
+    aggregation pass, exact integer sums, t + Welch-Satterthwaite df
+    as a fixed double expression on the 1-row aggregate — the A/B
+    significance primitive next to chi-square and OLS."""
+    from degdb_spark.operators.profile import welch_t_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_t_test(ev, "event_type", "value", "click", "purchase")
+
+
+AB_TEST_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT
+    COUNT(CASE WHEN g = 'click' THEN 1 END) AS n_a,
+    SUM(CASE WHEN g = 'click' THEN x END) AS sx_a,
+    SUM(CASE WHEN g = 'click' THEN x * x END) AS sxx_a,
+    COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS n_b,
+    SUM(CASE WHEN g = 'purchase' THEN x END) AS sx_b,
+    SUM(CASE WHEN g = 'purchase' THEN x * x END) AS sxx_b
+  FROM base
+), d AS (
+  SELECT n_a, n_b,
+    CAST(sx_a AS DOUBLE) / n_a / 100 AS mean_a,
+    CAST(sx_b AS DOUBLE) / n_b / 100 AS mean_b,
+    CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+      / CAST(n_a AS DOUBLE) / 10000.0 AS qa,
+    CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+      / CAST(n_b AS DOUBLE) / 10000.0 AS qb
+  FROM m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  FLOOR(mean_a * 1000000 + 0.5) / 1000000 AS mean_a,
+  FLOOR(mean_b * 1000000 + 0.5) / 1000000 AS mean_b,
+  FLOOR(((mean_a - mean_b) / SQRT(qa + qb)) * 1000000 + 0.5) / 1000000 AS t_stat,
+  FLOOR((((qa + qb) * (qa + qb))
+         / (qa * qa / (CAST(n_a AS DOUBLE) - 1.0)
+            + qb * qb / (CAST(n_b AS DOUBLE) - 1.0))) * 1000000 + 0.5) / 1000000
+    AS df_welch
+FROM d
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
     "events_cusum_changepoints": Query(events_cusum_changepoints, CUSUM_SQL),
     "events_markov_transitions": Query(
         events_markov_transitions, MARKOV_SQL

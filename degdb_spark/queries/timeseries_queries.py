@@ -23,6 +23,7 @@ from degdb_spark.operators.sketch import (
 )
 from degdb_spark.operators.timeseries import asof_join, hypertable_rollup, range_join_count
 from degdb_spark.queries import Query
+from degdb_spark.queries.rounding import dround, dsum
 
 
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +406,47 @@ ORDER BY l_returnflag, q
 """
 
 
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars of event value — the
+    candle aggregation every metrics store needs. First/last per bar
+    via struct MIN/MAX over (ts, event_id, value) — ONE aggregation,
+    no window at all: (ts, event_id) is a total order, so the struct
+    minimum IS the first event and `value` rides along (same
+    order-by-the-key-itself trick as setsim's rarest-first sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "ts", "event_id", "value"
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        keyed.groupBy("hour")
+        .agg(
+            dround(first["value"], 2).alias("open"),
+            dround(F.max("value"), 2).alias("high"),
+            dround(F.min("value"), 2).alias("low"),
+            dround(last["value"], 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("volume"),
+        )
+        .orderBy("hour")
+    )
+
+
+OHLC_SQL = """
+SELECT DATE_TRUNC('hour', ts)::TIMESTAMP_NS AS hour,
+  FLOOR((MIN({'ts': ts, 'event_id': event_id, 'value': value})).value * 100 + 0.5) / 100 AS open,
+  FLOOR(MAX(value) * 100 + 0.5) / 100 AS high,
+  FLOOR(MIN(value) * 100 + 0.5) / 100 AS low,
+  FLOOR((MAX({'ts': ts, 'event_id': event_id, 'value': value})).value * 100 + 0.5) / 100 AS close,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS volume
+FROM events
+GROUP BY DATE_TRUNC('hour', ts)
+ORDER BY hour
+"""
+
+
 def events_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from CMS inner products
     (operators/sketch.cms_join_size_estimate): predicted size of
@@ -502,6 +544,7 @@ QUERIES: dict[str, Query] = {
     "lineitem_quantiles_by_flag": Query(
         lineitem_quantiles_by_flag, _quantiles_by_sql(_QS, _QBINS)
     ),
+    "events_ohlc_bars": Query(events_ohlc_bars, OHLC_SQL),
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_hll_distinct": Query(events_hll, HLL_SQL),
