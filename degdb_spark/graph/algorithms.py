@@ -352,7 +352,7 @@ def multi_source_bfs(
     dist = sources.select(
         F.col("source"), F.col("source").alias("id"), F.lit(0).cast("long").alias("dist")
     )
-    for _ in range(max_hops):
+    for i in range(max_hops):
         cand = edges.join(dist.withColumnRenamed("id", "src"), on="src").select(
             "source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
         )
@@ -360,6 +360,10 @@ def multi_source_bfs(
             dist.unionByName(cand)
             .groupBy("source", "id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
+        # each intermediate state feeds the NEXT superstep twice
+        # (frontier join + union) — checkpoint those; the final state
+        # feeds only the caller's single aggregation, so skip it there
+        if i < max_hops - 1:
+            dist = dist.localCheckpoint(eager=False)
     return dist
