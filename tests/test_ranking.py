@@ -160,3 +160,113 @@ def test_histogram_quantiles_by_matches_global_on_single_group(spark):
         for r in histogram_quantiles_by(df, "x", "g", qs, 100).collect()
     }
     assert glob == pytest.approx(by)
+
+
+def test_welch_t_test_matches_numpy(spark):
+    """Welch t and df against the straightforward numpy computation."""
+    import numpy as np
+
+    from degdb_spark.operators.profile import welch_t_test
+
+    a = [round(x, 2) for x in (1.10, 2.35, 3.50, 2.20, 4.05, 1.95, 2.80)]
+    b = [round(x, 2) for x in (5.45, 6.10, 4.90, 7.25, 5.85)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    xa, xb = np.array(a), np.array(b)
+    qa = xa.var(ddof=1) / len(xa)
+    qb = xb.var(ddof=1) / len(xb)
+    t = (xa.mean() - xb.mean()) / np.sqrt(qa + qb)
+    dfw = (qa + qb) ** 2 / (qa**2 / (len(xa) - 1) + qb**2 / (len(xb) - 1))
+    assert got["n_a"] == 7 and got["n_b"] == 5
+    assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert got["df_welch"] == pytest.approx(dfw, abs=1e-5)
+    assert got["mean_a"] == pytest.approx(xa.mean(), abs=1e-5)
+
+
+def test_ohlc_struct_minmax_first_last(spark):
+    """OHLC open/close pick the earliest/latest event per bar even when
+    the extreme values sit mid-bar."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (event_id, ts_second, value) — one hour bar
+        (1, 10, 5.0),   # first -> open
+        (2, 20, 99.0),  # high
+        (3, 30, 1.0),   # low
+        (4, 40, 7.0),   # last -> close
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "s", "value"]).withColumn(
+        "ts", F.expr("timestamp_seconds(1700000000 + s)")
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    got = df.groupBy().agg(
+        first["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last["value"].alias("close"),
+    ).collect()[0]
+    assert (got["open"], got["high"], got["low"], got["close"]) == (5.0, 99.0, 1.0, 7.0)
+
+
+def test_token_budget_selection_is_quality_prefix(spark):
+    """The selected set must be exactly the maximal quality-first
+    prefix whose cumulative tokens fit the budget."""
+    from degdb_spark.operators.ranking import global_running_sum
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(200)
+        .withColumn("q", (F.pmod(F.col("id") * 131, F.lit(100)) / 100.0))
+        .withColumn("toks", F.pmod(F.col("id") * 17, F.lit(40)) + 1)
+    )
+    cum = global_running_sum(
+        df, [F.col("q").desc(), F.col("id")], "toks", sum_name="cum"
+    )
+    total = df.agg(F.sum("toks").alias("t")).collect()[0]["t"]
+    budget = total // 4
+    sel = {r["id"] for r in cum.filter(F.col("cum") <= budget).collect()}
+    # replay on the driver
+    rows = sorted(df.collect(), key=lambda r: (-r["q"], r["id"]))
+    acc, expect = 0, set()
+    for r in rows:
+        acc += r["toks"]
+        if acc > budget:
+            break
+        expect.add(r["id"])
+    assert sel == expect and len(sel) > 0
+    # selected tokens within budget; adding the next doc would overflow
+    assert sum(r["toks"] for r in rows if r["id"] in sel) <= budget
+
+
+def test_cusum_finds_planted_changepoint(spark):
+    """A volume regime shift mid-series puts the |CUSUM| peak at the
+    shift hour."""
+    from pyspark.sql import functions as F
+    from degdb_spark.queries.behavior_queries import events_cusum_changepoints
+    import os
+
+    # synthesize: 10 hours at rate 2, then 10 hours at rate 10
+    rows = []
+    eid = 0
+    for h in range(20):
+        rate = 2 if h < 10 else 10
+        for i in range(rate):
+            eid += 1
+            rows.append((eid, h, "x", 1.0, 7))
+    df = spark.createDataFrame(
+        rows, ["event_id", "h", "event_type", "value", "user_id"]
+    ).withColumn("ts", F.expr("timestamp_seconds(1704067200 + h * 3600)"))  # 2024-01-01 00:00 UTC
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.select("event_id", "ts", "user_id", "event_type", "value").withColumn(
+            "props", F.lit("{}")
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = events_cusum_changepoints(spark, d).collect()
+    assert len(out) == 1
+    # CUSUM of (count - mean) is most negative just before the shift:
+    # the peak |cusum| lands at hour 9 (mean 6, deficit 4/hour for 10h)
+    assert out[0]["change_hour"].hour == 9
+    assert out[0]["n_hours"] == 20 and out[0]["total_events"] == 120
