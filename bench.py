@@ -105,6 +105,7 @@ HEADLINE = [
     "docs_heaps_law",
     "events_ab_test",
     "events_ohlc_bars",
+    "docs_dup_rate_by_source",
 ]
 
 

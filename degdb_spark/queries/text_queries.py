@@ -492,8 +492,10 @@ def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 halves (h1: hex 1-15, h2: hex 17-30), same slot family
 # h1 + i*h2, same maxlong default for shingle-less docs, same
 # md5-of-joined-minima band key, same Jaccard verification.
-MINHASH_SQL = f"""
-WITH toks AS (
+#: Shared CTE chain for the banded-LSH pipeline (toks -> shingles ->
+#: md5 double-hash slots -> band buckets -> candidate pairs -> exact
+#: Jaccard) — consumed by MINHASH_SQL and DUP_RATE_SQL.
+_MINHASH_CTES = f"""toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -535,12 +537,59 @@ WITH toks AS (
   FROM cand
   JOIN tsets x ON x.doc_id = cand.id_a
   JOIN tsets y ON y.doc_id = cand.id_b
+), verified AS (
+  SELECT id_a, id_b,
+         FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 AS jaccard
+  FROM pairs
+  WHERE FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 >= 0.4
+)"""
+
+MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
+"""
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate per source — the curation dashboard number
+    that decides which crawl gets re-filtered first. Runs the full
+    verified MinHash pipeline, flags every doc touching a >=0.4 pair,
+    and rolls the flag up by source (one broadcast-sized dup-id set
+    joined back to the corpus attributes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs)
+    pairs = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    flagged = docs.select("doc_id", "source").join(dup_ids, on="doc_id", how="left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_neardup_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            dround(F.col("n_neardup_docs") / F.col("n_docs"), 4),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_RATE_SQL = f"""
+WITH {_MINHASH_CTES},
+dup_ids AS (
+  SELECT id_a AS doc_id FROM verified UNION SELECT id_b FROM verified
 )
-SELECT id_a, id_b,
-       FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 AS jaccard
-FROM pairs
-WHERE FLOOR((CASE WHEN n_union = 0 THEN 0.0 ELSE n_inter::DOUBLE / n_union END) * 10000 + 0.5) / 10000 >= 0.4
-ORDER BY id_a, id_b
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN di.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs,
+       FLOOR((SUM(CASE WHEN di.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS dup_rate
+FROM documents d LEFT JOIN dup_ids di ON d.doc_id = di.doc_id
+GROUP BY d.source ORDER BY d.source
 """
 
 
@@ -1310,6 +1359,7 @@ QUERIES: dict[str, Query] = {
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),
+    "docs_dup_rate_by_source": Query(dup_rate_by_source, DUP_RATE_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
