@@ -78,6 +78,34 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming hourly OHLC bars — the twin of events_ohlc_bars.
+    Open/close via struct MIN/MAX over (ts, event_id, value): both are
+    ordinary aggregates, so they fold incrementally inside the
+    watermarked window state like any min/max — no ordering or
+    arrival-order dependence (the struct minimum is the same whichever
+    micro-batch carried it)."""
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    two = F.lit(100.0)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            (F.floor(first["value"] * two + F.lit(0.5)) / two).alias("open"),
+            (F.floor(F.max("value") * two + F.lit(0.5)) / two).alias("high"),
+            (F.floor(F.min("value") * two + F.lit(0.5)) / two).alias("low"),
+            (F.floor(last["value"] * two + F.lit(0.5)) / two).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+    )
+
+
 def sliding_rate_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Sliding windows (1 h window, 15 min slide) — rate monitoring."""
     return (

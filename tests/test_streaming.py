@@ -542,3 +542,25 @@ def test_neardup_index_stream_equals_full_candidates(spark, tmp_path):
     # the persisted index covers the whole corpus once
     idx = spark.read.parquet(str(tmp_path / "band_index"))
     assert idx.select("doc_id").distinct().count() == docs.count()
+
+
+def test_ohlc_stream_matches_batch(spark, stream_dir, ckpt):
+    """Streaming hourly OHLC == the batch query on the same events:
+    struct-min/max aggregates fold incrementally in window state."""
+    from degdb_spark.queries.timeseries_queries import events_ohlc_bars
+
+    s = SE.ohlc_stream(SE.stream_events(spark, stream_dir))
+    SE.run_available_now(s, "ohlc_mem", ckpt, output_mode="append")
+    got = {
+        r.hour: (r.open, r.high, r.low, r.close, r.n_events, r.volume)
+        for r in spark.sql("select * from ohlc_mem").collect()
+    }
+    want = {
+        r.hour: (r.open, r.high, r.low, r.close, r.n_events, r.volume)
+        for r in events_ohlc_bars(spark, SF).collect()
+    }
+    # append mode holds back windows still inside the watermark horizon;
+    # every emitted bar must equal its batch twin and cover the rest
+    assert got
+    assert all(want[h] == v for h, v in got.items())
+    assert len(got) >= len(want) - 4
