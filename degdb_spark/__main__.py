@@ -89,7 +89,23 @@ def main(argv: list[str] | None = None) -> int:
     search.add_argument("--sf-dir", default=None)
     search.add_argument("-k", type=int, default=10)
 
+    dedup = sub.add_parser(
+        "dedup-report",
+        help="near-duplicate rate per source (verified MinHash pipeline)",
+    )
+    dedup.add_argument("--sf-dir", default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "dedup-report":
+        from degdb_spark.catalog import DEFAULT_SF_DIR
+        from degdb_spark.queries.text_queries import dup_rate_by_source
+        from degdb_spark.session import get_spark
+
+        spark = get_spark(app_name="degdb_dedup_report")
+        for row in dup_rate_by_source(spark, args.sf_dir or DEFAULT_SF_DIR).collect():
+            print(json.dumps(row.asDict(), sort_keys=True, default=str))
+        return 0
 
     if args.cmd == "search":
         from degdb_spark.catalog import DEFAULT_SF_DIR, load_table

@@ -60,3 +60,18 @@ def test_cli_search(capsys, spark):
     assert len(rows) == 3
     assert [r["rank"] for r in rows] == [1, 2, 3]
     assert all("snippet" in r and r["score"] > 0 for r in rows)
+
+
+def test_cli_dedup_report(capsys, spark):
+    import json as _json
+
+    from degdb_spark.__main__ import main
+
+    rc = main(["dedup-report", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    assert rows and all(
+        set(r) == {"source", "n_docs", "n_neardup_docs", "dup_rate"} for r in rows
+    )
+    assert all(0.0 <= r["dup_rate"] <= 1.0 for r in rows)
