@@ -55,6 +55,20 @@ def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (_n_docs, _total_dl, _avgdl) — counts ALL docs including
+    token-less ones, which postings alone can't recover (that's why an
+    index build persists this row next to the postings table)."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(
+            F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+                F.size(tokens(text_col))
+            )
+        ).alias("_total_dl"),
+    ).withColumn("_avgdl", F.col("_total_dl") / F.col("_n_docs"))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -68,17 +82,58 @@ def bm25_topk(
     Returns (doc_id, score, n_terms_hit, rank) — rank 1 = best; ties
     break on doc_id for cross-engine stable ordering.
     """
-    post = postings(docs, text_col)
-    # Corpus constants: exact integer sums -> one double division.
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.sum(
-            F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
-                F.size(tokens(text_col))
-            )
-        ).alias("_total_dl"),
-    ).withColumn("_avgdl", F.col("_total_dl") / F.col("_n_docs"))
+    return _bm25_score(
+        postings(docs, text_col), corpus_stats(docs, text_col), query_terms, k, k1, b
+    )
 
+
+def build_postings_index(
+    docs: DataFrame, table: str, text_col: str = "text", buckets: int = 16
+) -> None:
+    """Materialize the inverted index as a TABLE bucketed by token —
+    what a 100 TB deployment does once per corpus version so that every
+    subsequent query skips the corpus scan entirely: the query path
+    reads only the probed token buckets (no explode, no tokenize, no
+    shuffle for the token filter). The 1-row corpus stats persist
+    alongside as ``<table>_stats`` because token-less documents are
+    invisible to postings but count toward N/avgdl."""
+    spark = docs.sparkSession
+    (
+        postings(docs, text_col)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "token")
+        .sortBy("token")
+        .saveAsTable(table)
+    )
+    corpus_stats(docs, text_col).write.mode("overwrite").saveAsTable(
+        f"{table}_stats"
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    table: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """bm25_topk against a build_postings_index table: identical
+    results (tested), corpus never rescanned — the plan starts at the
+    postings table with the term filter pushed into the scan."""
+    return _bm25_score(
+        spark.table(table), spark.table(f"{table}_stats"), query_terms, k, k1, b
+    )
+
+
+def _bm25_score(
+    post: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
     cand = post.filter(F.col("token").isin(query_terms))
     dfreq = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 

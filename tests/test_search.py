@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -72,3 +74,43 @@ def test_phrase_count(spark):
         ).collect()
     }
     assert out == {1: 2, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_bm25_from_index_equals_direct(spark, tmp_path):
+    """Query-from-materialized-index == query-from-corpus, and the
+    index plan never touches the documents scan (no tokenize/explode)."""
+    from degdb_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+    )
+
+    import shutil
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bm25_idx_test", "bm25_idx_test_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    build_postings_index(docs, "bm25_idx_test")
+    terms = ["dup", "spark", "the"]
+    direct = bm25_topk(docs, terms, k=10).collect()
+    indexed = bm25_topk_from_index(spark, "bm25_idx_test", terms, k=10).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+    # plan: no Generate (explode) and the term filter reaches the scan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk_from_index(spark, "bm25_idx_test", terms, k=10).explain("formatted")
+    plan = buf.getvalue()
+    assert "documents.parquet" not in plan  # corpus never rescanned
+    # the term filter reaches the postings-table scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "token" in l]
+    assert pushed, plan
+    # no tokenizer in the plan: the only Generate is the k-row rank
+    # posexplode, never a corpus-wide token explode (the split regex
+    # marks the tokenizer)
+    assert "split(" not in plan.lower()
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_test_stats")
