@@ -110,6 +110,35 @@ def build_postings_index(
     )
 
 
+def refresh_postings_index(
+    new_docs: DataFrame, table: str, text_col: str = "text"
+) -> None:
+    """Incremental index maintenance: append the INCREMENT's postings
+    into the bucketed table (insertInto respects the bucket spec, so
+    new rows land in the right token buckets) and roll the increment's
+    exact deltas into the 1-row stats table. Historical text is never
+    re-read — the same contract as the incremental band index. Doc ids
+    in ``new_docs`` must be new (append-only corpora; upserts go
+    through a MERGE + rebuild of the affected buckets)."""
+    spark = new_docs.sparkSession
+    postings(new_docs, text_col).write.mode("append").insertInto(table)
+    inc = corpus_stats(new_docs, text_col)
+    old = spark.table(f"{table}_stats")
+    merged = (
+        old.select("_n_docs", "_total_dl")
+        .unionByName(inc.select("_n_docs", "_total_dl"))
+        .agg(
+            F.sum("_n_docs").alias("_n_docs"),
+            F.sum("_total_dl").alias("_total_dl"),
+        )
+        .withColumn("_avgdl", F.col("_total_dl") / F.col("_n_docs"))
+        .localCheckpoint(eager=True)  # materialize before overwriting source
+    )
+    merged.write.mode("overwrite").saveAsTable(f"{table}_stats_new")
+    spark.sql(f"DROP TABLE {table}_stats")
+    spark.sql(f"ALTER TABLE {table}_stats_new RENAME TO {table}_stats")
+
+
 def bm25_topk_from_index(
     spark,
     table: str,

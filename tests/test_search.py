@@ -114,3 +114,40 @@ def test_bm25_from_index_equals_direct(spark, tmp_path):
     assert "split(" not in plan.lower()
     spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
     spark.sql("DROP TABLE IF EXISTS bm25_idx_test_stats")
+
+
+def test_postings_index_incremental_refresh(spark, tmp_path):
+    """Build on 80% + refresh with 20% == build on 100%: query results
+    identical, historical text never re-read."""
+    import shutil
+
+    from degdb_spark.operators.search import (
+        bm25_topk_from_index,
+        build_postings_index,
+        refresh_postings_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bm25_inc_test", "bm25_inc_test_stats", "bm25_inc_test_stats_new",
+              "bm25_full_test", "bm25_full_test_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    old = docs.filter(F.col("doc_id") < 160)
+    new = docs.filter(F.col("doc_id") >= 160)
+    build_postings_index(old, "bm25_inc_test")
+    refresh_postings_index(new, "bm25_inc_test")
+    build_postings_index(docs, "bm25_full_test")
+    terms = ["dup", "spark", "the"]
+    inc = bm25_topk_from_index(spark, "bm25_inc_test", terms, k=10).collect()
+    full = bm25_topk_from_index(spark, "bm25_full_test", terms, k=10).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full] and len(full) > 0
+    # stats rolled forward exactly
+    s_inc = spark.table("bm25_inc_test_stats").collect()[0]
+    s_full = spark.table("bm25_full_test_stats").collect()[0]
+    assert (s_inc["_n_docs"], s_inc["_total_dl"]) == (
+        s_full["_n_docs"], s_full["_total_dl"]
+    )
+    for t in ("bm25_inc_test", "bm25_inc_test_stats",
+              "bm25_full_test", "bm25_full_test_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
