@@ -106,6 +106,7 @@ HEADLINE = [
     "events_ab_test",
     "events_ohlc_bars",
     "docs_dup_rate_by_source",
+    "docs_packing_efficiency",
 ]
 
 

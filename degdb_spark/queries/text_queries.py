@@ -942,6 +942,59 @@ FROM c ORDER BY doc_id
 """
 
 
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report for the 256-token concat-and-chunk
+    run: window count, fill ratio (tokens / window capacity), and how
+    many documents straddle a boundary (the truncation/continuation
+    workload). The number a data-engineering team watches when picking
+    the packing budget; pure aggregation over the packing placements."""
+    from degdb_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    packed = pack_documents(docs, budget=256)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("crosses_boundary").cast("int"))
+        .cast("long")
+        .alias("n_crossing_docs"),
+    )
+    return agg.withColumn(
+        "n_windows", F.expr("(total_tokens + 255) DIV 256")
+    ).select(
+        "n_docs",
+        "total_tokens",
+        "n_windows",
+        "n_crossing_docs",
+        dround(
+            F.col("total_tokens") / (F.col("n_windows") * F.lit(256.0)), 6
+        ).alias("fill_ratio"),
+    )
+
+
+PACKING_EFF_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < 300
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM t
+), s AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+         SUM(CASE WHEN n_tokens > 0 AND (start_offset // 256) <> ((start_offset + GREATEST(n_tokens - 1, 0)) // 256)
+                  THEN 1 ELSE 0 END) AS n_crossing_docs
+  FROM c
+)
+SELECT n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST((total_tokens + 255) // 256 AS BIGINT) AS n_windows,
+       CAST(n_crossing_docs AS BIGINT) AS n_crossing_docs,
+       FLOOR((total_tokens::DOUBLE / (((total_tokens + 255) // 256) * 256)) * 1000000 + 0.5) / 1000000 AS fill_ratio
+FROM s
+"""
+
+
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 25th doc is the held-out 'eval
     set'; report 3-gram overlap for the rest of the corpus."""
@@ -1367,6 +1420,7 @@ QUERIES: dict[str, Query] = {
     "docs_vocab_topk": Query(vocab_topk, VOCAB_SQL),
     "docs_tfidf_terms": Query(tfidf_top_terms, TFIDF_SQL),
     "docs_packing": Query(packing_query, PACKING_SQL),
+    "docs_packing_efficiency": Query(packing_efficiency, PACKING_EFF_SQL),
     "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),
     "docs_dedup_clusters": Query(dedup_clusters_query, DEDUP_CLUSTERS_SQL),
     "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),

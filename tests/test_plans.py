@@ -515,6 +515,7 @@ _GLOBAL_WINDOW_WHITELIST = {
     # per-partition totals frame (operators/packing.py,
     # operators/ranking.py), O(num_partitions) not O(rows)
     "docs_packing": 1,
+    "docs_packing_efficiency": 1,
     "docs_zipf_fit": 1,
     "orders_skew_report": 1,
     "docs_token_budget_selection": 1,
