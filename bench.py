@@ -107,6 +107,7 @@ HEADLINE = [
     "events_ohlc_bars",
     "docs_dup_rate_by_source",
     "docs_packing_efficiency",
+    "docs_collocations",
 ]
 
 

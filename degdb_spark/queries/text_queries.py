@@ -995,6 +995,96 @@ FROM s
 """
 
 
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information, PMI = ln((c_ab/N2) / ((c_a/N1)(c_b/N1))), minimum
+    count 5 — the phrase-detection pass (word2vec-style preprocessing)
+    that decides which token pairs merge before tokenizer training.
+    Two linear aggregations (unigram + bigram counts), totals ride as
+    broadcast 1-row aggregates, top-k via orderBy().limit()."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    n2 = docs.select(F.explode(X.ngrams("text", 2)).alias("b")).agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    parts = bi.withColumn("tok_a", F.split("bigram", " ")[0]).withColumn(
+        "tok_b", F.split("bigram", " ")[1]
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    joined = (
+        parts.join(F.broadcast(ua), on="tok_a")
+        .join(F.broadcast(ub), on="tok_b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = dround(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n2"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n1"))
+                * (F.col("c_b").cast("double") / F.col("n1"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
+
+
+COLLOCATIONS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), uni AS (
+  SELECT unnest(t) AS tok FROM toks
+), uc AS (
+  SELECT tok, COUNT(*) AS c FROM uni WHERE tok <> '' GROUP BY tok
+), bis AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)),
+                                         i -> array_to_string(t[i:i+1], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM toks
+), bc AS (
+  SELECT bigram, COUNT(*) AS c_ab FROM bis GROUP BY bigram HAVING COUNT(*) >= 5
+), n1 AS (SELECT SUM(c) AS n1 FROM uc),
+n2 AS (SELECT COUNT(*) AS n2 FROM bis),
+joined AS (
+  SELECT b.bigram, b.c_ab, a.c AS c_a, bb.c AS c_b, n1.n1, n2.n2
+  FROM bc b
+  JOIN uc a ON string_split(b.bigram, ' ')[1] = a.tok
+  JOIN uc bb ON string_split(b.bigram, ' ')[2] = bb.tok
+  CROSS JOIN n1 CROSS JOIN n2
+)
+SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       FLOOR(ln((c_ab::DOUBLE / n2) / ((c_a::DOUBLE / n1) * (c_b::DOUBLE / n1))) * 1000000 + 0.5) / 1000000 AS pmi
+FROM joined
+ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 25th doc is the held-out 'eval
     set'; report 3-gram overlap for the rest of the corpus."""
@@ -1421,6 +1511,7 @@ QUERIES: dict[str, Query] = {
     "docs_tfidf_terms": Query(tfidf_top_terms, TFIDF_SQL),
     "docs_packing": Query(packing_query, PACKING_SQL),
     "docs_packing_efficiency": Query(packing_efficiency, PACKING_EFF_SQL),
+    "docs_collocations": Query(collocations, COLLOCATIONS_SQL),
     "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),
     "docs_dedup_clusters": Query(dedup_clusters_query, DEDUP_CLUSTERS_SQL),
     "docs_neardup_kept": Query(neardup_kept_summary, NEARDUP_KEPT_SQL),
