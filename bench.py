@@ -108,6 +108,7 @@ HEADLINE = [
     "docs_dup_rate_by_source",
     "docs_packing_efficiency",
     "docs_collocations",
+    "emb_ann_recall",
 ]
 
 

@@ -557,7 +557,116 @@ def _ivf_pq_sql() -> str:
 IVF_PQ_SQL = _ivf_pq_sql()
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the fixed-centroid IVF path
+    against exact brute-force cosine, per query — the measurement that
+    decides n_probe/centroid-count before trusting an ANN index at
+    scale. Both pipelines are the oracle-checked operators themselves;
+    the report is one semi-join + per-query counts."""
+    from degdb_spark.operators.ml_lsh import ivf_topk_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk_fixed(
+        emb, queries, _IVF_CENTROIDS, k=5, n_probe=_IVF_N_PROBE
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, on=["query_id", "neighbor_id"], how="leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            dround(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_sql(centroids: list[list[float]], n_probe: int, k: int = 5) -> str:
+    """Composes the exact-knn and fixed-IVF oracle pipelines and joins
+    their top-k sets — same literals, same rounding, same tie-breaks."""
+
+    def vec_lit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    rows = ",\n  ".join(
+        f"({cell}, {vec_lit(c)}::DOUBLE[], {float(sum(float(x) * float(x) for x in c))!r})"
+        for cell, c in enumerate(centroids)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+escored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         FLOOR((
+           list_dot_product(qv, e.v) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+eranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM escored
+),
+exact AS (SELECT query_id, neighbor_id FROM eranked WHERE rank <= {k}),
+cent(cell, cv, c2) AS (VALUES
+  {rows}),
+cell_rank AS (
+  SELECT e.vec_id, cent.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY cent.c2 - 2 * list_dot_product(e.v, cent.cv), cent.cell) AS rn
+  FROM e CROSS JOIN cent
+),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM cell_rank WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM cell_rank WHERE rn <= {n_probe} AND vec_id < 10),
+iscored AS (
+  SELECT p.query_id, a.neighbor_id,
+         FLOOR((
+           list_dot_product(qe.v, ce.v) /
+           (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+         ) * 10000 + 0.5) / 10000 AS cosine_sim
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND a.neighbor_id <> p.query_id
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = a.neighbor_id
+),
+iranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM iscored
+),
+approx AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= {k}),
+hits AS (
+  SELECT exact.query_id, COUNT(*) AS n_hit
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY exact.query_id
+)
+SELECT ex.query_id, COUNT(*) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+       FLOOR((COALESCE(MAX(h.n_hit), 0)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS recall
+FROM exact ex LEFT JOIN hits h ON ex.query_id = h.query_id
+GROUP BY ex.query_id ORDER BY ex.query_id
+"""
+
+
+ANN_RECALL_SQL = _ann_recall_sql(_IVF_CENTROIDS, _IVF_N_PROBE)
+
+
 QUERIES: dict[str, Query] = {
+    "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
     "emb_ivfpq_knn": Query(ivf_pq_knn, IVF_PQ_SQL),
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
