@@ -109,6 +109,7 @@ HEADLINE = [
     "docs_packing_efficiency",
     "docs_collocations",
     "emb_ann_recall",
+    "events_mann_whitney",
 ]
 
 

@@ -541,8 +541,96 @@ FROM d
 """
 
 
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs purchase value) — the
+    nonparametric twin of events_ab_test. Rank-based tests normally
+    imply a global sort; here midranks come from the DISTINCT-VALUE
+    table instead: per-value counts, a two-phase running sum
+    (operators/ranking.py) for the rank offsets, and
+    midrank·2 = 2·cum_before + n + 1 stays integral, so every moment
+    (rank sum, tie correction Σ(t³−t)) is an exact integer/decimal —
+    z-score computed once on the 1-row aggregate."""
+    from degdb_spark.operators.ranking import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin(["click", "purchase"])).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    vc = base.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("g") == "click", F.lit(1))).alias("n_a"),
+    )
+    cum = global_running_sum(vc, [F.col("x")], "n_all", sum_name="cum_incl")
+    scored = cum.withColumn(
+        "midrank2",
+        F.lit(2) * (F.col("cum_incl") - F.col("n_all")) + F.col("n_all") + 1,
+    )
+    agg = scored.agg(
+        F.sum((F.col("n_a") * F.col("midrank2")).cast("decimal(38,0)")).alias(
+            "_ra2"
+        ),
+        F.sum("n_a").alias("_na"),
+        F.sum("n_all").alias("_nt"),
+        F.sum(
+            F.col("n_all").cast("decimal(38,0)") * F.col("n_all") * F.col("n_all")
+            - F.col("n_all")
+        ).alias("_tie3"),
+    )
+    na = F.col("_na").cast("double")
+    nt = F.col("_nt").cast("double")
+    nb = nt - na
+    r_a = F.col("_ra2").cast("double") / 2
+    u = r_a - na * (na + 1) / 2
+    mu = na * nb / 2
+    tie_term = F.col("_tie3").cast("double") / (nt * (nt - 1))
+    sig2 = na * nb / 12 * ((nt + 1) - tie_term)
+    z = (u - mu) / F.sqrt(sig2)
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        (F.col("_nt") - F.col("_na")).cast("long").alias("n_b"),
+        dround(u, 2).alias("u_stat"),
+        dround(z, 6).alias("z_score"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+), vc AS (
+  SELECT x, COUNT(*) AS n_all,
+         COUNT(CASE WHEN g = 'click' THEN 1 END) AS n_a
+  FROM base GROUP BY x
+), cum AS (
+  SELECT x, n_all, n_a,
+         SUM(n_all) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_incl
+  FROM vc
+), scored AS (
+  SELECT n_a, n_all, 2 * (cum_incl - n_all) + n_all + 1 AS midrank2 FROM cum
+), m AS (
+  SELECT SUM(n_a * midrank2) AS ra2, SUM(n_a) AS na, SUM(n_all) AS nt,
+         SUM(CAST(n_all AS DECIMAL(38,0)) * n_all * n_all - n_all) AS tie3
+  FROM scored
+), d AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nt - na AS BIGINT) AS n_b,
+         CAST(ra2 AS DOUBLE) / 2 - CAST(na AS DOUBLE) * (na + 1) / 2 AS u,
+         CAST(na AS DOUBLE) * (CAST(nt AS DOUBLE) - na) / 2 AS mu,
+         CAST(na AS DOUBLE) * (CAST(nt AS DOUBLE) - na) / 12
+           * ((CAST(nt AS DOUBLE) + 1)
+              - CAST(tie3 AS DOUBLE) / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1))) AS sig2
+  FROM m
+)
+SELECT n_a, n_b,
+       FLOOR(u * 100 + 0.5) / 100 AS u_stat,
+       FLOOR(((u - mu) / SQRT(sig2)) * 1000000 + 0.5) / 1000000 AS z_score
+FROM d
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
+    "events_mann_whitney": Query(events_mann_whitney, MANN_WHITNEY_SQL),
     "events_cusum_changepoints": Query(events_cusum_changepoints, CUSUM_SQL),
     "events_markov_transitions": Query(
         events_markov_transitions, MARKOV_SQL
