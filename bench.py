@@ -110,6 +110,7 @@ HEADLINE = [
     "docs_collocations",
     "emb_ann_recall",
     "events_mann_whitney",
+    "events_ks_test",
 ]
 
 

@@ -65,15 +65,20 @@ def global_row_number(
 def global_running_sum(
     df: DataFrame,
     order_cols: list[Column],
-    value_col: str,
-    sum_name: str = "running_sum",
+    value_col: str | list[str],
+    sum_name: str | list[str] = "running_sum",
     num_partitions: int = 32,
 ) -> DataFrame:
-    """Append ``sum_name`` = INCLUSIVE running SUM(value_col) under the
-    global total order given by ``order_cols`` — the cumulative-sum
-    twin of global_row_number, same two-phase scan (range partition →
-    local cumsum → broadcast prefix offsets). ``value_col`` must be
-    integral (long) so partial sums are exact and order-free."""
+    """Append INCLUSIVE running SUM(s) under the global total order
+    given by ``order_cols`` — the cumulative-sum twin of
+    global_row_number, same two-phase scan (range partition → local
+    cumsum → broadcast prefix offsets). Value columns must be integral
+    (long) so partial sums are exact and order-free. Pass lists to
+    carry several cumulative columns through ONE range partitioning
+    (e.g. KS needs both groups' CDFs on the same value order)."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    sum_names = [sum_name] if isinstance(sum_name, str) else list(sum_name)
+    assert len(value_cols) == len(sum_names)
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -84,16 +89,29 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = parted.withColumn("_local_sum", F.sum(value_col).over(w_local))
-    totals = parted.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
-    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    prefixes = totals.withColumn(
-        "_offset", F.coalesce(F.sum("_t").over(w_prefix), F.lit(0))
-    ).select("_pid", "_offset")
-    return (
-        local.join(F.broadcast(prefixes), on="_pid")
-        .withColumn(
-            sum_name, (F.col("_local_sum") + F.col("_offset")).cast("long")
-        )
-        .drop("_pid", "_local_sum", "_offset")
+    local = parted
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(f"_local_sum_{i}", F.sum(vc).over(w_local))
+    totals = parted.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_t_{i}") for i, vc in enumerate(value_cols)]
     )
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals
+    for i in range(len(value_cols)):
+        prefixes = prefixes.withColumn(
+            f"_offset_{i}",
+            F.coalesce(F.sum(f"_t_{i}").over(w_prefix), F.lit(0)),
+        )
+    prefixes = prefixes.select(
+        "_pid", *[f"_offset_{i}" for i in range(len(value_cols))]
+    )
+    out = local.join(F.broadcast(prefixes), on="_pid")
+    for i, name in enumerate(sum_names):
+        out = out.withColumn(
+            name,
+            (F.col(f"_local_sum_{i}") + F.col(f"_offset_{i}")).cast("long"),
+        )
+    drop = ["_pid"] + [f"_local_sum_{i}" for i in range(len(value_cols))] + [
+        f"_offset_{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drop)

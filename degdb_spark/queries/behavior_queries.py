@@ -628,9 +628,79 @@ FROM d
 """
 
 
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (click vs purchase value):
+    D = max |F_a − F_b| over the distinct-value table. Both empirical
+    CDFs ride ONE two-phase running-sum pass (the multi-column form of
+    operators/ranking.global_running_sum), each per-value difference
+    is a single double expression on exact integer counts, and the max
+    is an order-free aggregate — no global sort anywhere."""
+    from degdb_spark.operators.ranking import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin(["click", "purchase"])).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    vc = base.groupBy("x").agg(
+        F.count(F.when(F.col("g") == "click", F.lit(1))).alias("n_a"),
+        F.count(F.when(F.col("g") == "purchase", F.lit(1))).alias("n_b"),
+    )
+    cum = global_running_sum(
+        vc, [F.col("x")], ["n_a", "n_b"], sum_name=["cum_a", "cum_b"]
+    )
+    tot = vc.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("_ta")
+            - F.col("cum_b").cast("double") / F.col("_tb")
+        ).alias("d"),
+        "_ta",
+        "_tb",
+    )
+    agg = diff.agg(
+        F.max("d").alias("_d"), F.max("_ta").alias("_ta"), F.max("_tb").alias("_tb")
+    )
+    na, nb = F.col("_ta").cast("double"), F.col("_tb").cast("double")
+    return agg.select(
+        F.col("_ta").cast("long").alias("n_a"),
+        F.col("_tb").cast("long").alias("n_b"),
+        dround(F.col("_d"), 6).alias("ks_stat"),
+        dround(F.sqrt(na * nb / (na + nb)) * F.col("_d"), 6).alias("ks_scaled"),
+    )
+
+
+KS_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+), vc AS (
+  SELECT x,
+         COUNT(CASE WHEN g = 'click' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS n_b
+  FROM base GROUP BY x
+), cum AS (
+  SELECT x,
+         SUM(n_a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(n_b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vc
+), tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM vc),
+m AS (
+  SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / ta - CAST(cum_b AS DOUBLE) / tb)) AS d,
+         MAX(ta) AS ta, MAX(tb) AS tb
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       FLOOR(d * 1000000 + 0.5) / 1000000 AS ks_stat,
+       FLOOR((SQRT(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))) * d) * 1000000 + 0.5) / 1000000 AS ks_scaled
+FROM m
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
     "events_mann_whitney": Query(events_mann_whitney, MANN_WHITNEY_SQL),
+    "events_ks_test": Query(events_ks_test, KS_SQL),
     "events_cusum_changepoints": Query(events_cusum_changepoints, CUSUM_SQL),
     "events_markov_transitions": Query(
         events_markov_transitions, MARKOV_SQL

@@ -520,6 +520,7 @@ _GLOBAL_WINDOW_WHITELIST = {
     "orders_skew_report": 1,
     "docs_token_budget_selection": 1,
     "events_mann_whitney": 1,
+    "events_ks_test": 1,
     # day-grain moving average: one row per calendar day
     "moving_average_revenue": 1,
     # histogram-sketch quantiles: cum/lag windows over the fixed
