@@ -111,6 +111,7 @@ HEADLINE = [
     "emb_ann_recall",
     "events_mann_whitney",
     "events_ks_test",
+    "events_kaplan_meier",
 ]
 
 

@@ -697,10 +697,119 @@ FROM m
 """
 
 
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-purchase (hours from a
+    user's first view to their first subsequent purchase; users who
+    never purchase are right-censored at the corpus horizon).
+    S(t) = Π_{s≤t} (1 − d_s/n_s) without any float product: each
+    factor's ln is FLOOR-rounded to an exact 9-dp integer, the product
+    becomes a two-phase RUNNING SUM over the distinct-duration table,
+    and exp() runs once per output row — deterministic cross-engine.
+    At-risk counts come from the same running-sum machinery, so the
+    whole estimator is two tiny scans past the per-user reduction."""
+    from degdb_spark.operators.ranking import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t0", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ).withColumn(
+        "t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t0").alias("t0"), F.max("t1").alias("t1")
+    )
+    horizon = ev.agg(F.max("ts").alias("_maxts"))
+    pu = (
+        per_user.filter(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (
+                F.unix_timestamp(F.coalesce("t1", "_maxts"))
+                - F.unix_timestamp("t0")
+            ).alias("_secs"),
+            F.col("t1").isNotNull().cast("long").alias("event"),
+        )
+        .selectExpr("_secs DIV 3600 AS duration_h", "event")
+    )
+    dt = pu.groupBy("duration_h").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("c_all")
+    )
+    cum = global_running_sum(dt, [F.col("duration_h")], "c_all", sum_name="cum_all")
+    total = dt.agg(F.sum("c_all").alias("_n"))
+    risk = cum.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", F.col("_n") - (F.col("cum_all") - F.col("c_all"))
+    )
+    # ln(1 - d/n) as an exact 9-dp integer (clamped: d == n only at the
+    # last time, where S legitimately hits ~0)
+    ln_term = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"),
+            F.lit(1e-12),
+        )
+    )
+    risk = risk.withColumn(
+        "t9", F.floor(ln_term * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    )
+    surv = global_running_sum(risk, [F.col("duration_h")], "t9", sum_name="cum_t9")
+    return surv.select(
+        "duration_h",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        (F.col("c_all") - F.col("d")).cast("long").alias("n_censored"),
+        dround(F.exp(F.col("cum_t9") / F.lit(1000000000.0)), 6).alias("survival"),
+    ).orderBy("duration_h")
+
+
+KM_SQL = """
+WITH staged AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+), firstp AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN staged s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), horizon AS (SELECT MAX(ts) AS maxts FROM events),
+pu AS (
+  SELECT (CAST(FLOOR(EPOCH(COALESCE(f.t1, h.maxts))) AS BIGINT) - CAST(FLOOR(EPOCH(s.t0)) AS BIGINT)) // 3600 AS duration_h,
+         CASE WHEN f.t1 IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM staged s LEFT JOIN firstp f ON s.user_id = f.user_id
+  CROSS JOIN horizon h
+  WHERE s.t0 IS NOT NULL
+), dt AS (
+  SELECT duration_h, SUM(event) AS d, COUNT(*) AS c_all
+  FROM pu GROUP BY duration_h
+), tot AS (SELECT SUM(c_all) AS n FROM dt),
+risk AS (
+  SELECT duration_h, d, c_all,
+         tot.n - (SUM(c_all) OVER (ORDER BY duration_h ROWS UNBOUNDED PRECEDING) - c_all) AS n_at_risk
+  FROM dt CROSS JOIN tot
+), terms AS (
+  SELECT duration_h, d, c_all, n_at_risk,
+         CAST(FLOOR(ln(GREATEST(1.0 - CAST(d AS DOUBLE) / n_at_risk, 1e-12)) * 1000000000 + 0.5) AS BIGINT) AS t9
+  FROM risk
+)
+SELECT duration_h, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(c_all - d AS BIGINT) AS n_censored,
+       FLOOR(exp(SUM(t9) OVER (ORDER BY duration_h ROWS UNBOUNDED PRECEDING) / 1000000000.0) * 1000000 + 0.5) / 1000000 AS survival
+FROM terms ORDER BY duration_h
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
     "events_mann_whitney": Query(events_mann_whitney, MANN_WHITNEY_SQL),
     "events_ks_test": Query(events_ks_test, KS_SQL),
+    "events_kaplan_meier": Query(events_kaplan_meier, KM_SQL),
     "events_cusum_changepoints": Query(events_cusum_changepoints, CUSUM_SQL),
     "events_markov_transitions": Query(
         events_markov_transitions, MARKOV_SQL

@@ -521,6 +521,8 @@ _GLOBAL_WINDOW_WHITELIST = {
     "docs_token_budget_selection": 1,
     "events_mann_whitney": 1,
     "events_ks_test": 1,
+    # Kaplan-Meier: two two-phase running sums over distinct durations
+    "events_kaplan_meier": 2,
     # day-grain moving average: one row per calendar day
     "moving_average_revenue": 1,
     # histogram-sketch quantiles: cum/lag windows over the fixed
