@@ -112,6 +112,7 @@ HEADLINE = [
     "events_mann_whitney",
     "events_ks_test",
     "events_kaplan_meier",
+    "emb_jl_distortion",
 ]
 
 

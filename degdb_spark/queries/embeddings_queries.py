@@ -665,7 +665,133 @@ GROUP BY ex.query_id ORDER BY ex.query_id
 ANN_RECALL_SQL = _ann_recall_sql(_IVF_CENTROIDS, _IVF_N_PROBE)
 
 
+_JL_K = 16
+_JL_PLANES = S.make_hyperplanes(EMB_DIM, _JL_K, seed=1234)
+
+
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    distance-distortion audit: the measurement that justifies shipping
+    16-dim projected vectors (4× less shuffle/storage) into the ANN
+    path. Gaussian hyperplanes travel as a broadcast DataFrame (the
+    1024-literal inline form dominates codegen compile time — see
+    similarity._buckets_from_matrix), projections round at 6 dp, and
+    every pairwise distance is the closed dot-product form, so the
+    ratio audit replays bit-for-bit in SQL. Reports min/mean/max of
+    ratio = (d_proj·√(d/k)) / d_orig over the vec_id<50 pair slice."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    planes = spark.createDataFrame(
+        [(j, [float(x) for x in p]) for j, p in enumerate(_JL_PLANES)],
+        "plane_id int, coeffs array<double>",
+    )
+    proj = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "plane_id",
+            dround(S._dot(F.col("embedding"), F.col("coeffs")), 6).alias("p"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane_id", "p"))),
+                lambda s: s["p"],
+            ).alias("pv")
+        )
+    )
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    joined = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .join(
+            proj.select(F.col("vec_id").alias("id_a"), F.col("pv").alias("pa")),
+            on="id_a",
+        )
+        .join(
+            proj.select(F.col("vec_id").alias("id_b"), F.col("pv").alias("pb")),
+            on="id_b",
+        )
+    )
+    d_orig = F.sqrt(
+        S._dot(F.col("va"), F.col("va"))
+        - 2 * S._dot(F.col("va"), F.col("vb"))
+        + S._dot(F.col("vb"), F.col("vb"))
+    )
+    d_proj = F.sqrt(
+        S._dot(F.col("pa"), F.col("pa"))
+        - 2 * S._dot(F.col("pa"), F.col("pb"))
+        + S._dot(F.col("pb"), F.col("pb"))
+    )
+    import math
+
+    scale = math.sqrt(float(EMB_DIM) / float(_JL_K))
+    ratio = dround(d_proj * F.lit(scale) / d_orig, 6)
+    scored = joined.select(ratio.alias("ratio"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dround(F.min("ratio"), 6).alias("min_ratio"),
+        dround(
+            F.sum(F.col("ratio").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ratio"),
+        dround(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
+def _jl_sql(planes: list[list[float]], k: int, dim: int) -> str:
+    import math
+
+    def vec_lit(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    rows = ",\n  ".join(
+        f"({j}, {vec_lit(p)}::DOUBLE[])" for j, p in enumerate(planes)
+    )
+    scale = repr(math.sqrt(float(dim) / float(k)))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50
+), planes(plane_id, coeffs) AS (VALUES
+  {rows}),
+proj AS (
+  SELECT vec_id, list(FLOOR(list_dot_product(v, coeffs) * 1000000 + 0.5) / 1000000 ORDER BY plane_id) AS pv
+  FROM e CROSS JOIN planes GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+         pa.pv AS pa, pb.pv AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  JOIN proj pa ON pa.vec_id = a.vec_id
+  JOIN proj pb ON pb.vec_id = b.vec_id
+),
+scored AS (
+  SELECT FLOOR((
+    sqrt(list_dot_product(pa, pa) - 2 * list_dot_product(pa, pb) + list_dot_product(pb, pb))
+    * {scale}
+    / sqrt(list_dot_product(va, va) - 2 * list_dot_product(va, vb) + list_dot_product(vb, vb))
+  ) * 1000000 + 0.5) / 1000000 AS ratio
+  FROM pairs
+)
+SELECT COUNT(*) AS n_pairs,
+       FLOOR(MIN(ratio) * 1000000 + 0.5) / 1000000 AS min_ratio,
+       FLOOR((CAST(SUM(CAST(ratio AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mean_ratio,
+       FLOOR(MAX(ratio) * 1000000 + 0.5) / 1000000 AS max_ratio
+FROM scored
+"""
+
+
+JL_SQL = _jl_sql(_JL_PLANES, _JL_K, EMB_DIM)
+
+
 QUERIES: dict[str, Query] = {
+    "emb_jl_distortion": Query(jl_projection, JL_SQL),
     "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
     "emb_ivfpq_knn": Query(ivf_pq_knn, IVF_PQ_SQL),
