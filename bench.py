@@ -113,6 +113,8 @@ HEADLINE = [
     "events_ks_test",
     "events_kaplan_meier",
     "emb_jl_distortion",
+    "events_top_paths",
+    "orders_rfm_segments",
 ]
 
 

@@ -805,11 +805,49 @@ FROM terms ORDER BY duration_h
 """
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavior paths (consecutive event-type
+    trigrams per user in time order) — the order-2 extension of the
+    Markov transition matrix, the journey-mining staple. Two lead()
+    windows on ONE user_id partitioning, then a path rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+FROM ordered WHERE t3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
     "events_mann_whitney": Query(events_mann_whitney, MANN_WHITNEY_SQL),
     "events_ks_test": Query(events_ks_test, KS_SQL),
     "events_kaplan_meier": Query(events_kaplan_meier, KM_SQL),
+    "events_top_paths": Query(events_top_paths, TOP_PATHS_SQL),
     "events_cusum_changepoints": Query(events_cusum_changepoints, CUSUM_SQL),
     "events_markov_transitions": Query(
         events_markov_transitions, MARKOV_SQL

@@ -1080,7 +1080,103 @@ FROM shares ORDER BY bin
 """
 
 
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since
+    last order at the corpus horizon), frequency (order count), and
+    monetary (decimal-summed spend), quartile-scored against exact
+    interpolated percentiles that ride as ONE broadcast row — no
+    ntile/global window anywhere (the classic RFM recipe uses a global
+    NTILE(4), which is the single-task sort this repo bans). Returns
+    customer counts + avg spend per (r,f,m) score cell (≤64 rows)."""
+    o = _t(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("_h"))
+    cust = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("_h", "o_orderdate")).cast("double").alias("r"),
+            F.count(F.lit(1)).cast("double").alias("f"),
+            dsum(F.col("o_totalprice"), 2).alias("m"),
+        )
+    )
+    qs = "array(0.25, 0.5, 0.75)"
+    bounds = cust.agg(
+        *[
+            dround(F.element_at(F.expr(f"percentile({c}, {qs})"), i + 1), 4).alias(
+                f"_{c}{i}"
+            )
+            for c in ("r", "f", "m")
+            for i in range(3)
+        ]
+    )
+    joined = cust.crossJoin(F.broadcast(bounds))
+    # recency: smaller is better -> score counts boundaries ABOVE the
+    # value; frequency/monetary: larger is better
+    r_score = sum((F.col("r") < F.col(f"_r{i}")).cast("int") for i in range(3)) + 1
+    f_score = sum((F.col("f") > F.col(f"_f{i}")).cast("int") for i in range(3)) + 1
+    m_score = sum((F.col("m") > F.col(f"_m{i}")).cast("int") for i in range(3)) + 1
+    return (
+        joined.select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            "m",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(
+                F.sum(F.col("m").cast("decimal(30,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(MIN(DATEDIFF('day', o_orderdate, h)) AS DOUBLE) AS r,
+         CAST(COUNT(*) AS DOUBLE) AS f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS m
+  FROM orders CROSS JOIN horizon
+  GROUP BY o_custkey
+), bounds AS (
+  SELECT
+    FLOOR(quantile_cont(r, 0.25) * 10000 + 0.5) / 10000 AS r0,
+    FLOOR(quantile_cont(r, 0.5)  * 10000 + 0.5) / 10000 AS r1,
+    FLOOR(quantile_cont(r, 0.75) * 10000 + 0.5) / 10000 AS r2,
+    FLOOR(quantile_cont(f, 0.25) * 10000 + 0.5) / 10000 AS f0,
+    FLOOR(quantile_cont(f, 0.5)  * 10000 + 0.5) / 10000 AS f1,
+    FLOOR(quantile_cont(f, 0.75) * 10000 + 0.5) / 10000 AS f2,
+    FLOOR(quantile_cont(m, 0.25) * 10000 + 0.5) / 10000 AS m0,
+    FLOOR(quantile_cont(m, 0.5)  * 10000 + 0.5) / 10000 AS m1,
+    FLOOR(quantile_cont(m, 0.75) * 10000 + 0.5) / 10000 AS m2
+  FROM cust
+), scored AS (
+  SELECT
+    (CASE WHEN r < r0 THEN 1 ELSE 0 END + CASE WHEN r < r1 THEN 1 ELSE 0 END
+     + CASE WHEN r < r2 THEN 1 ELSE 0 END + 1) AS r_score,
+    (CASE WHEN f > f0 THEN 1 ELSE 0 END + CASE WHEN f > f1 THEN 1 ELSE 0 END
+     + CASE WHEN f > f2 THEN 1 ELSE 0 END + 1) AS f_score,
+    (CASE WHEN m > m0 THEN 1 ELSE 0 END + CASE WHEN m > m1 THEN 1 ELSE 0 END
+     + CASE WHEN m > m2 THEN 1 ELSE 0 END + 1) AS m_score,
+    m
+  FROM cust CROSS JOIN bounds
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       FLOOR((CAST(SUM(CAST(m AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "orders_rfm_segments": Query(orders_rfm_segments, RFM_SQL),
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
     "lineitem_correlations": Query(lineitem_correlations, CORRELATIONS_SQL),
