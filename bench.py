@@ -115,6 +115,7 @@ HEADLINE = [
     "emb_jl_distortion",
     "events_top_paths",
     "orders_rfm_segments",
+    "basket_personalized_pagerank",
 ]
 
 

@@ -682,7 +682,103 @@ ORDER BY harmonic DESC, id LIMIT {top}"""
     )
 
 
+_PPR_D = 0.85
+_PPR_ITERS = 4
+_PPR_SOURCES = 4
+
+
+def basket_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 4 lowest part ids (the
+    recommendation primitive: rank the graph BY proximity to a seed
+    set). 4 synchronous power iterations over the thresholded
+    co-purchase graph; per-edge contributions are FLOOR-rounded at
+    12 dp and DECIMAL-summed, so every superstep is bit-deterministic
+    and the unrolled-CTE oracle replays it exactly (no reliance on
+    final-rounding drift absorption). Top-20 via orderBy().limit()."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    seeds = nodes.orderBy("id").limit(_PPR_SOURCES)
+    ns = seeds.agg(F.count(F.lit(1)).alias("_ns"))
+    teleport = (
+        seeds.crossJoin(F.broadcast(ns))
+        .select("id", (F.lit(1.0) / F.col("_ns")).alias("tp"))
+        .localCheckpoint(eager=False)
+    )
+    base = nodes.join(teleport, on="id", how="left").select(
+        "id", F.coalesce("tp", F.lit(0.0)).alias("tp")
+    ).localCheckpoint(eager=True)
+    r = base.select("id", dround(F.col("tp"), 12).alias("r"))
+    for i in range(_PPR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("id", "src"), on="src")
+            .join(deg, on="src")
+            .select(
+                F.col("dst").alias("id"),
+                dround(F.col("r") / F.col("outdeg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        msg = contrib.groupBy("id").agg(
+            F.sum("c").cast("double").alias("m")
+        )
+        r = base.join(msg, on="id", how="left").select(
+            "id",
+            dround(
+                F.lit(1.0 - _PPR_D) * F.col("tp")
+                + F.lit(_PPR_D) * F.coalesce("m", F.lit(0.0)),
+                12,
+            ).alias("r"),
+        )
+        if i < _PPR_ITERS - 1:
+            r = r.localCheckpoint(eager=False)
+    return (
+        r.select("id", dround(F.col("r"), 9).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "id")
+        .limit(20)
+    )
+
+
+def _ppr_sql(d: float, iters: int, n_sources: int, top: int = 20) -> str:
+    base_w = repr(1.0 - d)
+    dd = repr(d)
+    ctes = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges2)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges2 GROUP BY src)",
+        f"seeds AS MATERIALIZED (SELECT id FROM nodes ORDER BY id LIMIT {n_sources})",
+        "ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM seeds)",
+        "base AS MATERIALIZED (SELECT nodes.id, "
+        "COALESCE(CASE WHEN seeds.id IS NOT NULL THEN 1.0 / ns.n END, 0.0) AS tp "
+        "FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id CROSS JOIN ns)",
+        "p0 AS MATERIALIZED (SELECT id, FLOOR(tp * 1000000000000 + 0.5) / 1000000000000 AS r FROM base)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i-1}"
+        ctes.append(
+            f"msg{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"CAST(SUM(CAST(FLOOR(p.r / deg.outdeg * 1000000000000 + 0.5) / 1000000000000 AS DECIMAL(38,12))) AS DOUBLE) AS m "
+            f"FROM edges2 e JOIN {prev} p ON e.src = p.id "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT base.id, "
+            f"FLOOR(({base_w} * base.tp + {dd} * COALESCE(msg{i}.m, 0.0)) * 1000000000000 + 0.5) / 1000000000000 AS r "
+            f"FROM base LEFT JOIN msg{i} ON base.id = msg{i}.id)"
+        )
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, FLOOR(r * 1000000000 + 0.5) / 1000000000 AS ppr
+FROM p{iters} ORDER BY ppr DESC, id LIMIT {top}"""
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "basket_personalized_pagerank": Query(
+        basket_personalized_pagerank, _ppr_sql(_PPR_D, _PPR_ITERS, _PPR_SOURCES)
+    ),
     "basket_harmonic_centrality": Query(
         basket_harmonic_centrality, _harmonic_sql(_BFS_SOURCES, _BFS_HOPS)
     ),
