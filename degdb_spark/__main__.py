@@ -95,7 +95,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     dedup.add_argument("--sf-dir", default=None)
 
+    pipe = sub.add_parser(
+        "pipeline",
+        help="full curation run: filters -> dedup -> decontaminate -> "
+        "token-budget select -> split -> pack",
+    )
+    pipe.add_argument("--sf-dir", default=None)
+    pipe.add_argument("--out", default=None, help="write corpus/packing/report here")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from degdb_spark.catalog import DEFAULT_SF_DIR
+        from degdb_spark.pipeline import curate
+        from degdb_spark.session import get_spark
+
+        spark = get_spark(app_name="degdb_pipeline")
+        for row in curate(spark, args.sf_dir or DEFAULT_SF_DIR, args.out):
+            print(json.dumps(row, sort_keys=True))
+        return 0
 
     if args.cmd == "dedup-report":
         from degdb_spark.catalog import DEFAULT_SF_DIR

@@ -1,0 +1,155 @@
+"""End-to-end training-data curation pipeline.
+
+Chains the individually oracle-checked operators into the standard
+pretraining-corpus run — the workflow a user of this engine actually
+executes nightly:
+
+    rule filters → exact dedup → near-dup cluster keep-policy →
+    benchmark decontamination → quality-ordered token-budget selection
+    → train/test split → sequence packing
+
+Every stage is the operator documented in SCALE.md (no new plan
+shapes); the pipeline's own contribution is the staging discipline:
+
+- each stage's survivor frame is eagerly localCheckpointed before the
+  next stage (stages 3-5 each consume the prior frame 2-3 times — the
+  same 3x-recompute trap setsim_join had);
+- stage counts come from the checkpointed frames, so the audit report
+  never re-runs a stage;
+- outputs are written once at the end (curated corpus + packing
+  placements + a JSON stage report).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    neardup_threshold: float = 0.4,
+    budget_div: int = 4,
+    pack_budget: int = 256,
+) -> list[dict]:
+    """Run the full curation pipeline over ``sf_dir``/documents.
+
+    The benchmark (eval) set for decontamination follows the repo's
+    contract-query convention: every 25th doc is held out and the rest
+    is the training corpus. Returns the per-stage audit report (list of
+    {stage, n_docs, n_tokens}); if ``out_dir`` is set, also writes
+    ``corpus.parquet``, ``packing.parquet``, and ``report.json``.
+    """
+    from degdb_spark.catalog import load_table
+    from degdb_spark.operators.dedup import (
+        contamination_report,
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from degdb_spark.operators.packing import pack_documents
+    from degdb_spark.operators.ranking import global_running_sum
+    from degdb_spark.operators.sampling import train_test_split
+    from degdb_spark.operators.text import filter_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+
+    report: list[dict] = []
+
+    def audit(stage: str, df: DataFrame) -> DataFrame:
+        df = df.localCheckpoint(eager=True)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        ).collect()[0]
+        report.append(
+            {"stage": stage, "n_docs": int(row["n"]), "n_tokens": int(row["t"])}
+        )
+        return df
+
+    # stage 0+1: quality/repetition features + Gopher/C4 rule gate
+    flagged = filter_rules(corpus)
+    keep_cols = [
+        "doc_id", "text", "lang", "source", "n_chars",
+        "n_tokens", "quality_score",
+    ]
+    s1 = audit("rule_filters", flagged.filter("passes_all").select(*keep_cols))
+
+    # stage 2: exact dedup (min-id per normalized fingerprint)
+    s2 = audit("exact_dedup", exact_dedup(s1))
+
+    # stage 3: near-dup clusters, keep one representative per component
+    pairs = ngram_jaccard_pairs(
+        s2, candidates=minhash_lsh_candidates(s2), threshold=neardup_threshold
+    )
+    clusters = dedup_clusters(s2, pairs)
+    s3 = audit(
+        "neardup_clusters",
+        s2.join(
+            clusters.filter("kept").select("doc_id"), on="doc_id", how="left_semi"
+        ),
+    )
+
+    # stage 4: benchmark decontamination (3-gram overlap)
+    contam = contamination_report(s3, bench)
+    s4 = audit(
+        "decontaminate",
+        s3.join(
+            contam.filter(~F.col("contaminated")).select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        ),
+    )
+
+    # stage 5: quality-ordered token-budget selection (best 1/budget_div
+    # of surviving tokens; two-phase running sum, broadcast budget)
+    cum = global_running_sum(
+        s4,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        "n_tokens",
+        sum_name="cum_tokens",
+    )
+    total = s4.agg(F.sum("n_tokens").alias("_total"))
+    s5 = audit(
+        "token_budget",
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_tokens") <= F.expr(f"_total DIV {budget_div}"))
+        .select(*keep_cols),
+    )
+
+    # stage 6: split + packing placements
+    final = train_test_split(s5, "doc_id")
+    placements = pack_documents(final, budget=pack_budget)
+    n_windows = placements.agg(
+        F.coalesce(
+            F.expr(f"(sum(n_tokens) + {pack_budget - 1}) DIV {pack_budget}"),
+            F.lit(0),
+        ).alias("w")
+    ).collect()[0]["w"]
+    report.append(
+        {
+            "stage": "packed",
+            "n_docs": report[-1]["n_docs"],
+            "n_tokens": report[-1]["n_tokens"],
+            "n_windows": int(n_windows),
+        }
+    )
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        final.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus.parquet"))
+        placements.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "packing.parquet")
+        )
+        import json
+
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+    return report

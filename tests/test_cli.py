@@ -75,3 +75,33 @@ def test_cli_dedup_report(capsys, spark):
         set(r) == {"source", "n_docs", "n_neardup_docs", "dup_rate"} for r in rows
     )
     assert all(0.0 <= r["dup_rate"] <= 1.0 for r in rows)
+
+
+def test_cli_pipeline(capsys, spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from degdb_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(["pipeline", "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    stages = [r["stage"] for r in rows]
+    assert stages == [
+        "rule_filters", "exact_dedup", "neardup_clusters",
+        "decontaminate", "token_budget", "packed",
+    ]
+    # survivors shrink (or stay equal) at every gate; budget stage cuts hard
+    counts = [r["n_docs"] for r in rows[:5]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert rows[4]["n_tokens"] <= rows[3]["n_tokens"] // 4 + 1
+    assert rows[5]["n_windows"] > 0
+    # outputs written
+    assert _os.path.exists(_os.path.join(out, "report.json"))
+    assert _os.path.isdir(_os.path.join(out, "corpus.parquet"))
+    assert _os.path.isdir(_os.path.join(out, "packing.parquet"))
+    curated = spark.read.parquet(_os.path.join(out, "corpus.parquet"))
+    assert curated.count() == rows[4]["n_docs"]
+    assert "split" in curated.columns
