@@ -116,6 +116,7 @@ HEADLINE = [
     "events_top_paths",
     "orders_rfm_segments",
     "basket_personalized_pagerank",
+    "orders_cohort_ltv",
 ]
 
 

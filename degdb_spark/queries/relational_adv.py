@@ -1175,7 +1175,83 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month; for month offsets 0..6, the cohort's cumulative revenue per
+    member. The cumulative sum is PARTITIONED by cohort over ≤7 offset
+    rows (aggregate-sized), revenue sums are decimal-exact, and the
+    per-member division happens once per output row."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = o.join(first, on="o_custkey").withColumn(
+        "offset_m",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).cast("long"),
+    ).filter(F.col("offset_m") <= 6)
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    per = joined.groupBy("cohort_month", "offset_m").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(sizes), on="cohort_month")
+        .select(
+            "cohort_month",
+            "offset_m",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            dround(F.col("cum_rev").cast("double") / F.col("cohort_size"), 2).alias(
+                "ltv_per_member"
+            ),
+        )
+        .orderBy("cohort_month", "offset_m")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, DATE_TRUNC('month', MIN(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+), joined AS (
+  SELECT f.cohort_month,
+         (YEAR(o.o_orderdate) - YEAR(f.cohort_month)) * 12
+           + (MONTH(o.o_orderdate) - MONTH(f.cohort_month)) AS offset_m,
+         o.o_totalprice
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+), sizes AS (
+  SELECT cohort_month, COUNT(*) AS cohort_size FROM first GROUP BY cohort_month
+), per AS (
+  SELECT cohort_month, offset_m,
+         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+  FROM joined WHERE offset_m <= 6
+  GROUP BY cohort_month, offset_m
+), cum AS (
+  SELECT cohort_month, offset_m,
+         SUM(rev) OVER (PARTITION BY cohort_month ORDER BY offset_m
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per
+)
+SELECT c.cohort_month::TIMESTAMP_NS AS cohort_month,
+       CAST(c.offset_m AS BIGINT) AS offset_m,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       FLOOR((CAST(c.cum_rev AS DOUBLE) / s.cohort_size) * 100 + 0.5) / 100 AS ltv_per_member
+FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+ORDER BY cohort_month, offset_m
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "orders_cohort_ltv": Query(orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_rfm_segments": Query(orders_rfm_segments, RFM_SQL),
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),
     "orders_salted_join": Query(salted_revenue_join, SALTED_JOIN_SQL),
