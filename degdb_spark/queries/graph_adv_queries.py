@@ -696,7 +696,10 @@ def basket_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the unrolled-CTE oracle replays it exactly (no reliance on
     final-rounding drift absorption). Top-20 via orderBy().limit()."""
     edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    # out-degree rides ON the edge frame, materialized once — four
+    # supersteps would otherwise re-run the degree aggregation + join
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(deg, on="src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     seeds = nodes.orderBy("id").limit(_PPR_SOURCES)
     ns = seeds.agg(F.count(F.lit(1)).alias("_ns"))
@@ -712,7 +715,6 @@ def basket_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_PPR_ITERS):
         contrib = (
             edges.join(r.withColumnRenamed("id", "src"), on="src")
-            .join(deg, on="src")
             .select(
                 F.col("dst").alias("id"),
                 dround(F.col("r") / F.col("outdeg"), 12)
