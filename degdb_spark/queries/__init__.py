@@ -42,17 +42,32 @@ class Query(NamedTuple):
 #: ordered/rollup relational core).
 #:
 #: Round-5 window, planned now so the standing policy stays
-#: executable: the remaining 25 r1-era rows —
-#: above_nation_average, array_aggregation, conditional_aggregation,
-#: cube_lineitem_status, customers_without_orders, docs_exact_dedup,
-#: docs_fingerprints, docs_language_id, docs_quality_scores,
-#: docs_token_stats, events_dedup_first, events_hourly_rollup,
-#: events_json_props, events_sessionization, events_type_pivot,
+#: executable (25 r1-era rows + the 20 never-driver-checked round-4
+#: additions + 5 changed-in-round-4 = 50):
+#: r1-era refresh — above_nation_average, array_aggregation,
+#: conditional_aggregation, cube_lineitem_status,
+#: customers_without_orders, docs_exact_dedup, docs_fingerprints,
+#: docs_language_id, docs_quality_scores, docs_token_stats,
+#: events_dedup_first, events_hourly_rollup, events_json_props,
+#: events_sessionization, events_type_pivot,
 #: full_outer_nation_presence, left_join_order_stats,
 #: orders_with_big_items, triple_and_not, triple_insert_dedup,
 #: triple_or_patterns, triple_predicate_histogram,
-#: triple_subject_lookup, triple_three_hop, triple_two_hop —
-#: plus anything added or changed in round 4, then oldest r2 rows.
+#: triple_subject_lookup, triple_three_hop, triple_two_hop;
+#: round-4 additions (never driver-checked) —
+#: docs_token_budget_selection, docs_stratified_sample,
+#: basket_harmonic_centrality, events_cusum_changepoints,
+#: lineitem_quantiles_by_flag, docs_heaps_law, events_ab_test,
+#: events_ohlc_bars, docs_dup_rate_by_source,
+#: docs_packing_efficiency, docs_collocations, emb_ann_recall,
+#: events_mann_whitney, events_ks_test, events_kaplan_meier,
+#: emb_jl_distortion, events_top_paths, orders_rfm_segments,
+#: basket_personalized_pagerank, orders_cohort_ltv;
+#: changed in round 4 (SQL refactor or edge-builder change, all
+#: locally re-verified) — docs_minhash_neardups, basket_sssp_histogram,
+#: basket_kcore, basket_link_prediction, basket_communities.
+#: That fills 50 exactly; overflow (if any new r5 work lands) evicts
+#: the oldest r1 rows first, then oldest r2.
 _WINDOW = [
     # never driver-checked (r2/r3 second-pass additions)
     "docs_setsim_join",
