@@ -117,6 +117,7 @@ HEADLINE = [
     "orders_rfm_segments",
     "basket_personalized_pagerank",
     "orders_cohort_ltv",
+    "docs_quality_vs_dup",
 ]
 
 

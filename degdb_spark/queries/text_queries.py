@@ -550,6 +550,91 @@ SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
 """
 
 
+def quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate per quality-score QUARTILE — the cross of the two
+    core curation signals (low-quality text is usually the most
+    duplicated; this query is how you verify that on YOUR corpus
+    before ordering the pipeline's stages). Quartile boundaries are
+    exact percentiles riding as one broadcast row; the dup flag comes
+    from the verified MinHash pipeline."""
+    from degdb_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("doc_id", "quality_score")
+    bounds = feats.agg(
+        *[
+            dround(
+                F.element_at(
+                    F.expr("percentile(quality_score, array(0.25, 0.5, 0.75))"),
+                    i + 1,
+                ),
+                6,
+            ).alias(f"_q{i}")
+            for i in range(3)
+        ]
+    )
+    cands = D.minhash_lsh_candidates(docs)
+    pairs = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    quart = (
+        sum((F.col("quality_score") > F.col(f"_q{i}")).cast("int") for i in range(3))
+        + 1
+    )
+    return (
+        feats.crossJoin(F.broadcast(bounds))
+        .join(dup_ids, on="doc_id", how="left")
+        .select(quart.alias("quality_quartile"), F.coalesce("_dup", F.lit(0)).alias("d"))
+        .groupBy("quality_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("d").cast("long").alias("n_neardup_docs"),
+            dround(F.sum("d") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("quality_quartile")
+    )
+
+
+_QUALITY_SCORE_EXPR = """
+  FLOOR((
+    LEAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END) / 50.0, 1.0) * 0.3
+    + (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END) * 0.3
+    + (1 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+                 ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END)) * 0.2
+    + LEAST((CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END) = 0 THEN 0.0
+                  ELSE FLOOR((len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains(['the','and','of','to','a','in','is','that'], t)))::DOUBLE
+                             / (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END)) * 10000 + 0.5) / 10000 END) * 5.0, 1.0) * 0.2
+  ) * 10000 + 0.5) / 10000
+""".strip()
+
+QUALITY_VS_DUP_SQL = f"""
+WITH {_MINHASH_CTES},
+dup_ids AS (
+  SELECT id_a AS doc_id FROM verified UNION SELECT id_b FROM verified
+), feats AS (
+  SELECT doc_id, {_QUALITY_SCORE_EXPR} AS quality_score FROM documents
+), bounds AS (
+  SELECT FLOOR(quantile_cont(quality_score, 0.25) * 1000000 + 0.5) / 1000000 AS q0,
+         FLOOR(quantile_cont(quality_score, 0.5)  * 1000000 + 0.5) / 1000000 AS q1,
+         FLOOR(quantile_cont(quality_score, 0.75) * 1000000 + 0.5) / 1000000 AS q2
+  FROM feats
+)
+SELECT (CASE WHEN quality_score > q0 THEN 1 ELSE 0 END
+        + CASE WHEN quality_score > q1 THEN 1 ELSE 0 END
+        + CASE WHEN quality_score > q2 THEN 1 ELSE 0 END + 1) AS quality_quartile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN di.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs,
+       FLOOR((SUM(CASE WHEN di.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS dup_rate
+FROM feats f CROSS JOIN bounds LEFT JOIN dup_ids di ON f.doc_id = di.doc_id
+GROUP BY 1 ORDER BY quality_quartile
+"""
+
+
 def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate rate per source — the curation dashboard number
     that decides which crawl gets re-filtered first. Runs the full
@@ -1503,6 +1588,7 @@ QUERIES: dict[str, Query] = {
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),
     "docs_dup_rate_by_source": Query(dup_rate_by_source, DUP_RATE_SQL),
+    "docs_quality_vs_dup": Query(quality_vs_dup, QUALITY_VS_DUP_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
