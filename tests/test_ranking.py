@@ -270,3 +270,43 @@ def test_cusum_finds_planted_changepoint(spark):
     # the peak |cusum| lands at hour 9 (mean 6, deficit 4/hour for 10h)
     assert out[0]["change_hour"].hour == 9
     assert out[0]["n_hours"] == 20 and out[0]["total_events"] == 120
+
+
+def test_global_rank_and_cumsum_property(spark):
+    """Property check across adversarial shapes: duplicate sort keys
+    (tie-broken by id), skewed key distributions, single-partition and
+    many-partition inputs — two-phase results always equal the naive
+    global window."""
+    from degdb_spark.operators.ranking import global_row_number, global_running_sum
+
+    shapes = [
+        (1, 1),      # single row
+        (7, 1),      # all rows one key (pure tie-break)
+        (257, 3),    # heavy duplication
+        (1000, 997), # near-unique keys
+    ]
+    for n, n_keys in shapes:
+        df = (
+            spark.range(n)
+            .repartition(8)
+            .withColumn("key", F.pmod(F.col("id") * 131, F.lit(n_keys)))
+            .withColumn("val", F.pmod(F.col("id") * 17, F.lit(29)) + 1)
+        )
+        order = [F.col("key"), F.col("id")]
+        got_r = global_row_number(df, order, rank_name="rk")
+        want_r = df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+        assert (
+            got_r.select("id", "rk").exceptAll(want_r.select("id", "rk")).count() == 0
+        ), (n, n_keys, "rank")
+        got_s = global_running_sum(df, order, "val", sum_name="cs")
+        want_s = df.withColumn(
+            "cs",
+            F.sum("val")
+            .over(Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        assert (
+            got_s.select("id", "cs").exceptAll(want_s.select("id", "cs")).count() == 0
+        ), (n, n_keys, "cumsum")
