@@ -118,6 +118,7 @@ HEADLINE = [
     "basket_personalized_pagerank",
     "orders_cohort_ltv",
     "docs_quality_vs_dup",
+    "emb_threshold_curve",
 ]
 
 

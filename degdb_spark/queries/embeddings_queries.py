@@ -790,7 +790,66 @@ FROM scored
 JL_SQL = _jl_sql(_JL_PLANES, _JL_K, EMB_DIM)
 
 
+def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts at thresholds 0.80/0.85/0.90/0.95 in ONE
+    pass over the bounded pair slice — the tuning curve you read before
+    fixing the dedup threshold (each row: how many pairs a threshold
+    would merge, and how many of those share a label). Conditional
+    sums, no per-threshold rescans."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            dround(S.cosine(F.col("va"), F.col("vb")), 4).alias("cs"),
+            (F.col("la") == F.col("lb")).cast("long").alias("same"),
+        )
+    )
+    rows = None
+    for t in (0.80, 0.85, 0.90, 0.95):
+        r = pairs.agg(
+            F.lit(t).alias("threshold"),
+            F.sum((F.col("cs") >= t).cast("long")).alias("n_pairs"),
+            F.sum(F.when(F.col("cs") >= t, F.col("same")).otherwise(0)).alias(
+                "n_same_label"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("threshold")
+
+
+THRESHOLD_CURVE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT FLOOR((
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         ) * 10000 + 0.5) / 10000 AS cs,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT t AS threshold,
+       CAST(SUM(CASE WHEN cs >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN cs >= t THEN same ELSE 0 END) AS BIGINT) AS n_same_label
+FROM pairs CROSS JOIN (VALUES (0.80), (0.85), (0.90), (0.95)) AS th(t)
+GROUP BY t ORDER BY threshold
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "emb_threshold_curve": Query(neardup_threshold_curve, THRESHOLD_CURVE_SQL),
     "emb_jl_distortion": Query(jl_projection, JL_SQL),
     "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
