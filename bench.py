@@ -119,6 +119,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "docs_quality_vs_dup",
     "emb_threshold_curve",
+    "docs_contamination_by_source",
 ]
 
 

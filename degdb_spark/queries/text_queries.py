@@ -1206,6 +1206,59 @@ ORDER BY doc_id
 """
 
 
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination rate per source — the per-source
+    curation dashboard's third column next to dup_rate and quality
+    (which crawl leaks the most eval data). Same broadcast-bench
+    3-gram overlap as docs_decontaminate, rolled up by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    rep = D.contamination_report(corpus, bench)
+    return (
+        corpus.select("doc_id", "source")
+        .join(rep.select("doc_id", "contaminated"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("int")).cast("long").alias(
+                "n_contaminated"
+            ),
+            dround(
+                F.sum(F.col("contaminated").cast("int")) / F.count(F.lit(1)), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAM_BY_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 3 + 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 25 = 0
+), doc_grams AS (
+  SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM grams WHERE doc_id % 25 <> 0
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit
+  FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       FLOOR((SUM(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS contamination_rate
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 25 <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction parity check: deterministic PII (email / IP / phone
     derived from doc_id) is appended to each document, then redacted;
@@ -1589,6 +1642,9 @@ QUERIES: dict[str, Query] = {
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),
     "docs_dup_rate_by_source": Query(dup_rate_by_source, DUP_RATE_SQL),
     "docs_quality_vs_dup": Query(quality_vs_dup, QUALITY_VS_DUP_SQL),
+    "docs_contamination_by_source": Query(
+        contamination_by_source, CONTAM_BY_SOURCE_SQL
+    ),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
