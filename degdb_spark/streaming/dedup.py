@@ -121,3 +121,41 @@ def neardup_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def postings_index_stream(
+    docs: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    buckets: int = 16,
+):
+    """Streaming maintenance of the BM25 postings index: each
+    micro-batch appends its postings into the bucketed table and rolls
+    its exact deltas into the stats row via
+    operators/search.refresh_postings_index — the same
+    state-in-the-persisted-index contract as neardup_index_stream (the
+    first batch builds the table). BM25 queries against the table are
+    correct after every batch, equal to a full rebuild over everything
+    that has streamed (tested). Returns the started availableNow
+    StreamingQuery."""
+    from degdb_spark.operators.search import (
+        build_postings_index,
+        refresh_postings_index,
+    )
+
+    spark = docs.sparkSession
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        if spark.catalog.tableExists(table):
+            refresh_postings_index(batch, table, text_col)
+        else:
+            build_postings_index(batch, table, text_col, buckets)
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

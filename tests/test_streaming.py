@@ -564,3 +564,46 @@ def test_ohlc_stream_matches_batch(spark, stream_dir, ckpt):
     assert got
     assert all(want[h] == v for h, v in got.items())
     assert len(got) >= len(want) - 4
+
+
+def test_postings_index_stream_equals_full_build(spark, tmp_path):
+    """BM25 queries against a STREAM-maintained postings index equal
+    the batch build over the same corpus."""
+    import shutil
+
+    from degdb_spark.operators.search import (
+        bm25_topk_from_index,
+        build_postings_index,
+    )
+    from degdb_spark.streaming.dedup import postings_index_stream
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bm25_stream_idx", "bm25_stream_idx_stats", "bm25_stream_idx_stats_new",
+              "bm25_batch_idx", "bm25_batch_idx_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    docs.filter(F.col("doc_id") >= 100).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = postings_index_stream(stream, "bm25_stream_idx", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    build_postings_index(docs, "bm25_batch_idx")
+    terms = ["dup", "spark", "the"]
+    streamed = bm25_topk_from_index(spark, "bm25_stream_idx", terms, k=10).collect()
+    batch = bm25_topk_from_index(spark, "bm25_batch_idx", terms, k=10).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    for t in ("bm25_stream_idx", "bm25_stream_idx_stats",
+              "bm25_batch_idx", "bm25_batch_idx_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
