@@ -120,6 +120,7 @@ HEADLINE = [
     "docs_quality_vs_dup",
     "emb_threshold_curve",
     "docs_contamination_by_source",
+    "docs_source_quota_selection",
 ]
 
 

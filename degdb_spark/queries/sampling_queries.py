@@ -351,8 +351,91 @@ FROM ranked WHERE sample_rank <= 20 ORDER BY source, sample_rank
 """
 
 
+def docs_source_quota_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-quota mixture rebalancing: every source gets the SAME
+    token quota Q = (total_tokens DIV 4) DIV n_sources and fills it
+    with its best documents (quality-ordered prefix per source) — the
+    deterministic counterpart of temperature sampling when the mixture
+    must hit exact per-source token targets. The cumulative sum is a
+    window PARTITIONED by source (bounded source cardinality — no
+    global two-phase machinery needed), quotas ride as one broadcast
+    row. Reports the selected set per source."""
+    from degdb_spark.operators.text import quality_features
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+    )
+    totals = feats.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.countDistinct("source").alias("_ns"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = feats.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    sel = cum.crossJoin(F.broadcast(totals)).filter(
+        F.col("cum_tokens") <= F.expr("(_total DIV 4) DIV _ns")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("quality_score").alias("min_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUOTA_SQL = f"""
+WITH feats0 AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_ALL}) END AS n_tokens,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS alpha_ratio,
+    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         ELSE FLOOR(((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / LENGTH(text)) * 10000 + 0.5) / 10000 END AS digit_ratio,
+    len(list_filter({_TOKS_ALL}, t -> list_contains({_EN_ALL}, t))) AS en_hits
+  FROM documents
+), feats AS (
+  SELECT doc_id, source, n_tokens,
+    FLOOR((
+      LEAST(n_tokens / 50.0, 1.0) * 0.3
+      + alpha_ratio * 0.3
+      + (1 - digit_ratio) * 0.2
+      + LEAST((CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR((en_hits::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 END) * 5.0, 1.0) * 0.2
+    ) * 10000 + 0.5) / 10000 AS quality_score
+  FROM feats0
+), tot AS (
+  SELECT SUM(n_tokens) AS total, COUNT(DISTINCT source) AS ns FROM feats
+), cum AS (
+  SELECT source, n_tokens, quality_score,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM feats
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(quality_score) AS min_quality
+FROM cum CROSS JOIN tot
+WHERE cum_tokens <= (total // 4) // ns
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_weighted_sample": Query(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "docs_source_quota_selection": Query(
+        docs_source_quota_selection, SOURCE_QUOTA_SQL
+    ),
     "docs_token_budget_selection": Query(
         docs_token_budget_selection, TOKEN_BUDGET_SQL
     ),
