@@ -121,6 +121,7 @@ HEADLINE = [
     "emb_threshold_curve",
     "docs_contamination_by_source",
     "docs_source_quota_selection",
+    "orders_pareto_share",
 ]
 
 

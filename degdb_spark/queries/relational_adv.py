@@ -1250,7 +1250,83 @@ ORDER BY cohort_month, offset_m
 """
 
 
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto curve points): the share of total
+    revenue held by the top 1% / 10% / 20% of customers. Rank and
+    cumulative revenue ride ONE multi-column two-phase running-sum
+    pass over the per-customer rollup (rank = running sum of ones —
+    no separate row_number), revenue is exact integer cents, and the
+    three shares read off the cumulative column at the cutoff ranks."""
+    from degdb_spark.operators.ranking import global_running_sum
+
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .select(
+            "o_custkey",
+            F.floor(F.col("rev") * 100 + F.lit(0.5)).cast("long").alias("rev_c"),
+            F.lit(1).cast("long").alias("one"),
+        )
+    )
+    cum = global_running_sum(
+        per,
+        [F.col("rev_c").desc(), F.col("o_custkey")],
+        ["one", "rev_c"],
+        sum_name=["rnk", "cum_rev_c"],
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("rev_c").alias("_total_c")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    share = lambda div: dround(
+        F.max(
+            F.when(
+                F.col("rnk") <= F.greatest(F.expr(f"_n DIV {div}"), F.lit(1)),
+                F.col("cum_rev_c"),
+            )
+        )
+        / F.col("_total_c"),
+        6,
+    )
+    return j.groupBy("_n", "_total_c").agg(
+        share(100).alias("top1_share"),
+        share(10).alias("top10_share"),
+        share(5).alias("top20_share"),
+    ).select(
+        F.col("_n").cast("long").alias("n_customers"),
+        "top1_share",
+        "top10_share",
+        "top20_share",
+    )
+
+
+PARETO_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT o_custkey, rev_c,
+         SUM(1) OVER (ORDER BY rev_c DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS rnk,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum_rev_c
+  FROM per
+), tot AS (SELECT COUNT(*) AS n, SUM(rev_c) AS total_c FROM per)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       FLOOR((MAX(CASE WHEN rnk <= GREATEST(n // 100, 1) THEN cum_rev_c END)::DOUBLE / total_c) * 1000000 + 0.5) / 1000000 AS top1_share,
+       FLOOR((MAX(CASE WHEN rnk <= GREATEST(n // 10, 1) THEN cum_rev_c END)::DOUBLE / total_c) * 1000000 + 0.5) / 1000000 AS top10_share,
+       FLOOR((MAX(CASE WHEN rnk <= GREATEST(n // 5, 1) THEN cum_rev_c END)::DOUBLE / total_c) * 1000000 + 0.5) / 1000000 AS top20_share
+FROM cum CROSS JOIN tot
+GROUP BY n, total_c
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "orders_pareto_share": Query(orders_pareto_share, PARETO_SQL),
     "orders_cohort_ltv": Query(orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_rfm_segments": Query(orders_rfm_segments, RFM_SQL),
     "grouping_sets_revenue": Query(grouping_sets_revenue, GROUPING_SETS_SQL),

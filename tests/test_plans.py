@@ -523,6 +523,7 @@ _GLOBAL_WINDOW_WHITELIST = {
     "events_ks_test": 1,
     # Kaplan-Meier: two two-phase running sums over distinct durations
     "events_kaplan_meier": 2,
+    "orders_pareto_share": 1,
     # day-grain moving average: one row per calendar day
     "moving_average_revenue": 1,
     # histogram-sketch quantiles: cum/lag windows over the fixed
