@@ -122,6 +122,7 @@ HEADLINE = [
     "docs_contamination_by_source",
     "docs_source_quota_selection",
     "orders_pareto_share",
+    "docs_novelty_by_source",
 ]
 
 

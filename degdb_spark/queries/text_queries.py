@@ -1259,6 +1259,51 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content novelty per source: the fraction of a source's 3-gram
+    occurrences that are corpus-UNIQUE (appear exactly once anywhere).
+    High share = original long-tail content; low share = boilerplate /
+    templated text — the inverse signal of the dup-rate column on the
+    per-source dashboard. One gram-keyed aggregation + one linear
+    join-back; nothing vocabulary-wide funnels into one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("source", F.explode(X.ngrams("text", 3)).alias("g"))
+    occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        grams.join(occ, on="g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_occ") == 1).cast("long")).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", dround(F.col("n_unique") / F.col("n_grams"), 4)
+        )
+        .orderBy("source")
+    )
+
+
+NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT source, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(range(1, len(t) - 3 + 2),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM toks
+), occ AS (
+  SELECT g, COUNT(*) AS n_occ FROM grams GROUP BY g
+)
+SELECT grams.source, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN occ.n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       FLOOR((SUM(CASE WHEN occ.n_occ = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS novelty
+FROM grams JOIN occ USING (g)
+GROUP BY grams.source ORDER BY grams.source
+"""
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction parity check: deterministic PII (email / IP / phone
     derived from doc_id) is appended to each document, then redacted;
@@ -1645,6 +1690,7 @@ QUERIES: dict[str, Query] = {
     "docs_contamination_by_source": Query(
         contamination_by_source, CONTAM_BY_SOURCE_SQL
     ),
+    "docs_novelty_by_source": Query(novelty_by_source, NOVELTY_SQL),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
