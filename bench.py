@@ -123,6 +123,7 @@ HEADLINE = [
     "docs_source_quota_selection",
     "orders_pareto_share",
     "docs_novelty_by_source",
+    "docs_proximity_search",
 ]
 
 

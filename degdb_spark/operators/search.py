@@ -324,3 +324,47 @@ WITH base AS (
 SELECT doc_id, n_hits FROM counted WHERE n_hits > 0
 ORDER BY n_hits DESC, doc_id LIMIT {k}
 """
+
+
+def proximity_min_distance(toks, term_a: str, term_b: str):
+    """Minimum token distance between any occurrence of term_a and any
+    of term_b, as a codegen column expression over an already-tokenized
+    array (NULL when either term is absent). Same shuffle-free scan
+    family as phrase_count_tokens: positions are two filtered index
+    arrays (occurrence counts per doc are tiny), the distance matrix is
+    their flattened cross-transform, and array_min reduces it — no
+    positional-index join, the proximity test rides the document scan."""
+    pos = lambda t: F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.element_at(toks, i) == F.lit(t),
+    )
+    pa, pb = pos(term_a), pos(term_b)
+    dists = F.flatten(F.transform(pa, lambda a: F.transform(pb, lambda b: F.abs(a - b))))
+    return F.when(
+        (F.size(pa) > 0) & (F.size(pb) > 0), F.array_min(dists)
+    ).cast("long")
+
+
+def proximity_sql(term_a: str, term_b: str, window: int, k: int = 25) -> str:
+    """DuckDB oracle for a top-k proximity query over documents."""
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(t) + 1), i -> t[i] = '{term_a}') AS pa,
+         list_filter(range(1, len(t) + 1), i -> t[i] = '{term_b}') AS pb
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(pa) > 0 AND len(pb) > 0
+              THEN list_min(flatten(list_transform(pa,
+                     a -> list_transform(pb, b -> abs(a - b)))))
+              END AS min_dist
+  FROM pos
+)
+SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
+FROM scored WHERE min_dist IS NOT NULL AND min_dist <= {window}
+ORDER BY min_dist, doc_id LIMIT {k}
+"""

@@ -173,8 +173,40 @@ ORDER BY id_a, id_b
 """
 
 
+#: proximity benchmark pair + window (tokens apart)
+PROX_A, PROX_B, PROX_WINDOW = "dup", "spark", 5
+
+
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval: documents where '{dup}' and '{spark}'
+    occur within 5 tokens, ranked by minimum distance — the
+    middle ground between bag-of-terms BM25 and exact phrase match.
+    Shuffle-free codegen array scan (operators/search.
+    proximity_min_distance); top-k via orderBy().limit()."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("_t"))
+    scored = toked.select(
+        "doc_id",
+        S.proximity_min_distance(F.col("_t"), PROX_A, PROX_B).alias("min_dist"),
+    )
+    return (
+        scored.filter(
+            F.col("min_dist").isNotNull() & (F.col("min_dist") <= PROX_WINDOW)
+        )
+        .orderBy("min_dist", "doc_id")
+        .limit(25)
+    )
+
+
 QUERIES: dict[str, Query] = {
     "docs_bm25_search": Query(bm25_search, S.bm25_sql(BM25_TERMS, k=25)),
+    "docs_proximity_search": Query(
+        proximity_search, S.proximity_sql(PROX_A, PROX_B, PROX_WINDOW, k=25)
+    ),
     "parts_fuzzy_match": Query(parts_fuzzy_match, FUZZY_MATCH_SQL),
     "docs_phrase_search": Query(phrase_search, S.phrase_sql(PHRASE, k=25)),
     "parts_linkage_scores": Query(parts_linkage_scores, PARTS_LINKAGE_SQL),
