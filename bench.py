@@ -124,6 +124,7 @@ HEADLINE = [
     "orders_pareto_share",
     "docs_novelty_by_source",
     "docs_proximity_search",
+    "emb_centroid_outliers",
 ]
 
 

@@ -848,7 +848,63 @@ GROUP BY t ORDER BY threshold
 """
 
 
+def centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screening: the 20 vectors LEAST similar to
+    their own label's centroid — the mislabel/poison candidate list a
+    curation pass reviews. Centroid components round at 6 dp before
+    the cosine (absorbing float-sum drift, the proven
+    centroid_by_label discipline); label centroids ride as a broadcast
+    (bounded label cardinality); worst-k via orderBy().limit()."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("mean_val", dround(F.col("s") / F.col("n"), 6))
+    )
+    centroids = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda st: st["mean_val"],
+        ).alias("cv")
+    )
+    j = emb.join(F.broadcast(centroids), on="label")
+    cs = dround(S.cosine(F.col("embedding").cast("array<double>"), F.col("cv")), 4)
+    return (
+        j.select("vec_id", "label", cs.alias("centroid_cos"))
+        .orderBy("centroid_cos", "vec_id")
+        .limit(20)
+    )
+
+
+CENTROID_OUTLIERS_SQL = """
+WITH exploded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         FLOOR((SUM(val) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mean_val
+  FROM exploded GROUP BY label, pos
+), centroids AS (
+  SELECT label, list(mean_val ORDER BY pos) AS cv FROM cent GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label,
+         FLOOR((
+           list_dot_product(e.embedding::DOUBLE[], c.cv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.cv, c.cv)))
+         ) * 10000 + 0.5) / 10000 AS centroid_cos
+  FROM embeddings e JOIN centroids c ON e.label = c.label
+)
+SELECT vec_id, label, centroid_cos
+FROM scored ORDER BY centroid_cos, vec_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "emb_centroid_outliers": Query(centroid_outliers, CENTROID_OUTLIERS_SQL),
     "emb_threshold_curve": Query(neardup_threshold_curve, THRESHOLD_CURVE_SQL),
     "emb_jl_distortion": Query(jl_projection, JL_SQL),
     "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
