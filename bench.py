@@ -125,6 +125,7 @@ HEADLINE = [
     "docs_novelty_by_source",
     "docs_proximity_search",
     "emb_centroid_outliers",
+    "events_interarrival_quantiles",
 ]
 
 

@@ -406,6 +406,68 @@ ORDER BY l_returnflag, q
 """
 
 
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of per-user inter-arrival seconds — the behavioral
+    cadence metric (bot detection, session-gap tuning). Lag windows
+    are PARTITIONED by user (scale-safe), then the mergeable
+    histogram-sketch quantile path runs over the derived gap column —
+    no global sort at any stage."""
+    from degdb_spark.operators.sketch import histogram_quantiles
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+            .cast("double")
+            .alias("gap_s")
+        )
+    )
+    return histogram_quantiles(gaps, "gap_s", _QS, n_bins=_QBINS)
+
+
+def _interarrival_sql(qs: list[float], n_bins: int) -> str:
+    one = []
+    for q in qs:
+        one.append(f"""
+SELECT {float(q)} AS q,
+       FLOOR((lo + (CAST(bin AS DOUBLE) + ((n * {float(q)}) - prev_cum) / c)
+              * ((hi - lo) / {float(n_bins)})) * 10000 + 0.5) / 10000 AS est
+FROM (
+  SELECT * FROM cum CROSS JOIN total
+  WHERE cum >= n * {float(q)} AND prev_cum < n * {float(q)}
+  ORDER BY bin LIMIT 1
+)""".strip())
+    return f"""
+WITH gaps AS (
+  SELECT CAST(FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS DOUBLE) AS gap_s
+  FROM events
+  QUALIFY LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+), bounds AS (
+  SELECT CAST(MIN(gap_s) AS DOUBLE) AS lo, CAST(MAX(gap_s) AS DOUBLE) AS hi
+  FROM gaps
+), binned AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((gap_s - lo) / ((hi - lo) / {float(n_bins)})), 0),
+                    {n_bins - 1}) AS BIGINT) AS bin,
+         COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi
+  FROM gaps CROSS JOIN bounds
+  GROUP BY 1
+), cum0 AS (
+  SELECT bin, c, lo, hi, SUM(c) OVER (ORDER BY bin) AS cum FROM binned
+), cum AS (
+  SELECT bin, c, lo, hi, cum,
+         COALESCE(LAG(cum) OVER (ORDER BY bin), 0) AS prev_cum
+  FROM cum0
+), total AS (SELECT SUM(c) AS n FROM binned)
+{(chr(10) + 'UNION ALL' + chr(10)).join(one)}
+ORDER BY q
+"""
+
+
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open/high/low/close) bars of event value — the
     candle aggregation every metrics store needs. First/last per bar
@@ -545,6 +607,9 @@ QUERIES: dict[str, Query] = {
         lineitem_quantiles_by_flag, _quantiles_by_sql(_QS, _QBINS)
     ),
     "events_ohlc_bars": Query(events_ohlc_bars, OHLC_SQL),
+    "events_interarrival_quantiles": Query(
+        events_interarrival_quantiles, _interarrival_sql(_QS, _QBINS)
+    ),
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_hll_distinct": Query(events_hll, HLL_SQL),

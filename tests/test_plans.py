@@ -529,6 +529,7 @@ _GLOBAL_WINDOW_WHITELIST = {
     # histogram-sketch quantiles: cum/lag windows over the fixed
     # 1000-bin sketch, size-invariant in the data
     "lineitem_quantile_sketch": 6,
+    "events_interarrival_quantiles": 6,
     # Heaps fit: two cum windows over the 10 decile rows
     "docs_heaps_law": 2,
 }
