@@ -126,6 +126,7 @@ HEADLINE = [
     "docs_proximity_search",
     "emb_centroid_outliers",
     "events_interarrival_quantiles",
+    "graph_degree_powerlaw",
 ]
 
 

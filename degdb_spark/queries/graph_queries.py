@@ -51,6 +51,61 @@ ORDER BY degree DESC, id
 """
 
 
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit: OLS of ln(n_vertices) on
+    ln(degree) over the degree histogram (slope ≈ −γ) — the scale-free
+    test that decides whether skew mitigation (salting, hub handling)
+    is worth wiring into graph jobs. The histogram is degree-value-
+    cardinality-sized; the fit reuses the exact-moment OLS."""
+    from degdb_spark.operators.profile import ols_fit
+    from degdb_spark.queries.rounding import dround
+
+    t = _triples(spark, sf_dir)
+    hist = (
+        G.degrees(t)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    pts = hist.select(
+        dround(F.log(F.col("degree").cast("double")), 6).alias("lx"),
+        dround(F.log(F.col("n_vertices").cast("double")), 6).alias("ly"),
+    )
+    return ols_fit(pts, "lx", "ly", scale=6)
+
+
+DEGREE_POWERLAW_SQL = f"""{_CTE},
+endpoints AS (
+  SELECT subj AS id, 1 AS out_c, 0 AS in_c FROM triples
+  UNION ALL
+  SELECT obj, 0, 1 FROM triples
+), deg AS (
+  SELECT id, SUM(out_c) + SUM(in_c) AS degree FROM endpoints GROUP BY id
+), hist AS (
+  SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
+), pts AS (
+  SELECT CAST(FLOOR((FLOOR(ln(degree::DOUBLE) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR((FLOOR(ln(n_vertices::DOUBLE) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM hist
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts
+), d AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT n,
+       FLOOR((cov / varx) * 1000000 + 0.5) / 1000000 AS slope,
+       FLOOR(((syd - (cov / varx) * sxd) / n / 1000000) * 1000000 + 0.5) / 1000000 AS intercept,
+       FLOOR(((cov * cov) / (varx * vary)) * 1000000 + 0.5) / 1000000 AS r2
+FROM d
+"""
+
+
 def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes (regions/nations dominate — they are the
     sinks of the FK edge direction). Oracle-checked by unrolling the 10
@@ -187,6 +242,7 @@ ORDER BY n_nodes DESC, component
 QUERIES: dict[str, Query] = {
     "graph_degrees": Query(graph_degrees, DEGREES_SQL),
     "graph_pagerank_top": Query(graph_pagerank_top, _pagerank_sql()),
+    "graph_degree_powerlaw": Query(graph_degree_powerlaw, DEGREE_POWERLAW_SQL),
     "graph_components": Query(graph_components, COMPONENTS_SQL),
     "graph_bfs_from_region": Query(graph_bfs_from_region, BFS_SQL),
 }
