@@ -127,6 +127,7 @@ HEADLINE = [
     "emb_centroid_outliers",
     "events_interarrival_quantiles",
     "graph_degree_powerlaw",
+    "events_rolling_wau",
 ]
 
 

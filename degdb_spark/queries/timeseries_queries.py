@@ -468,6 +468,115 @@ ORDER BY q
 """
 
 
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day WAU / stickiness per day — the engagement
+    headline. Rolling DISTINCT is normally the killer (you can't sum
+    distincts); here it's free because the per-day HLL REGISTER tables
+    merge by elementwise MAX: a RANGE(-6,0) window partitioned by
+    register index (days × 2^p rows — aggregate-sized) IS the 7-day
+    sketch union, and absent registers densify to 0 then drop before
+    estimation (a 0-register is exactly an empty one). DAU comes from
+    the same day sketches, so the ratio is sketch-consistent."""
+    from degdb_spark.operators import sketch as SK
+    from pyspark.sql import Window
+
+    p = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    regs = SK.hll_registers(ev, "user_id", ["day"], p=p)
+    days = regs.select("day").distinct()
+    grid = days.crossJoin(
+        F.broadcast(
+            spark.range(1 << p).select(F.col("id").alias("reg_idx"))
+        )
+    )
+    d0 = days.agg(F.min("day").alias("_d0"))
+    dense = (
+        grid.join(regs, on=["day", "reg_idx"], how="left")
+        .withColumn("reg", F.coalesce("reg", F.lit(0)))
+        .crossJoin(F.broadcast(d0))
+        .withColumn("di", F.datediff("day", "_d0"))
+    )
+    w = Window.partitionBy("reg_idx").orderBy("di").rangeBetween(-6, 0)
+    rolled = (
+        dense.withColumn("rreg", F.max("reg").over(w))
+        .filter(F.col("rreg") > 0)
+        .select("day", "reg_idx", F.col("rreg").alias("reg"))
+    )
+    wau = SK.hll_estimate(rolled, ["day"], p=p).withColumnRenamed(
+        "est_distinct", "wau_est"
+    )
+    dau = SK.hll_estimate(regs, ["day"], p=p).withColumnRenamed(
+        "est_distinct", "dau_est"
+    )
+    return (
+        dau.join(wau, on="day")
+        .withColumn("stickiness", dround(F.col("dau_est") / F.col("wau_est"), 4))
+        .orderBy("day")
+    )
+
+
+def _rolling_wau_sql(p: int = 8) -> str:
+    m = 1 << p
+    rmax = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = (
+        f"FLOOR((CASE WHEN ({alpha * m * m!r} / z) <= {2.5 * m!r} AND v > 0 "
+        f"THEN {float(m)!r} * (FLOOR(ln({float(m)!r} / v) * 1000000 + 0.5) / 1000000) "
+        f"ELSE {alpha * m * m!r} / z END) * 100 + 0.5) / 100"
+    )
+    return f"""
+WITH src AS (
+  SELECT DATE_TRUNC('day', ts) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR(64))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+), regs AS (
+  SELECT day, h & {m - 1} AS reg_idx,
+         MAX(CASE WHEN (h >> {p}) = 0 THEN {rmax}
+                  ELSE bit_count(xor(h >> {p}, (h >> {p}) - 1)) END) AS reg
+  FROM src GROUP BY day, reg_idx
+), days AS (SELECT DISTINCT day FROM regs),
+d0 AS (SELECT MIN(day) AS d0 FROM days),
+grid AS (
+  SELECT day, r.range AS reg_idx FROM days CROSS JOIN range({m}) r
+), dense AS (
+  SELECT g.day, g.reg_idx, COALESCE(regs.reg, 0) AS reg,
+         DATEDIFF('day', d0.d0, g.day) AS di
+  FROM grid g LEFT JOIN regs ON g.day = regs.day AND g.reg_idx = regs.reg_idx
+  CROSS JOIN d0
+), rolled AS (
+  SELECT day, reg_idx,
+         MAX(reg) OVER (PARTITION BY reg_idx ORDER BY di
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS reg
+  FROM dense
+), wagg AS (
+  SELECT day,
+         SUM((CAST(1 AS BIGINT) << ({rmax} - reg))) AS s, COUNT(*) AS nreg
+  FROM rolled WHERE reg > 0 GROUP BY day
+), west AS (
+  SELECT day,
+    (s + ({m} - nreg) * (CAST(1 AS BIGINT) << {rmax}))::DOUBLE / {float(1 << rmax)!r} AS z,
+    {m} - nreg AS v
+  FROM wagg
+), wau AS (SELECT day, {est} AS wau_est FROM west),
+dagg AS (
+  SELECT day,
+         SUM((CAST(1 AS BIGINT) << ({rmax} - reg))) AS s, COUNT(*) AS nreg
+  FROM regs GROUP BY day
+), dest AS (
+  SELECT day,
+    (s + ({m} - nreg) * (CAST(1 AS BIGINT) << {rmax}))::DOUBLE / {float(1 << rmax)!r} AS z,
+    {m} - nreg AS v
+  FROM dagg
+), dau AS (SELECT day, {est} AS dau_est FROM dest)
+SELECT dau.day::TIMESTAMP_NS AS day, dau.dau_est, wau.wau_est,
+       FLOOR((dau.dau_est / wau.wau_est) * 10000 + 0.5) / 10000 AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
+"""
+
+
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open/high/low/close) bars of event value — the
     candle aggregation every metrics store needs. First/last per bar
@@ -610,6 +719,7 @@ QUERIES: dict[str, Query] = {
     "events_interarrival_quantiles": Query(
         events_interarrival_quantiles, _interarrival_sql(_QS, _QBINS)
     ),
+    "events_rolling_wau": Query(events_rolling_wau, _rolling_wau_sql()),
     "events_heavy_hitters": Query(events_heavy_hitters, HH_SQL),
     "events_kmv_distinct": Query(events_kmv, KMV_SQL),
     "events_hll_distinct": Query(events_hll, HLL_SQL),
