@@ -128,6 +128,7 @@ HEADLINE = [
     "events_interarrival_quantiles",
     "graph_degree_powerlaw",
     "events_rolling_wau",
+    "basket_assortativity",
 ]
 
 

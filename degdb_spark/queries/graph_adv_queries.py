@@ -777,7 +777,57 @@ FROM p{iters} ORDER BY ppr DESC, id LIMIT {top}"""
     )
 
 
+def basket_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph: Pearson
+    correlation of (deg(src), deg(dst)) across directed edges — do
+    hubs attach to hubs? One degree aggregation, one join onto the
+    edge list, then the exact split-long moment machinery
+    (operators/profile.correlation_matrix at scale=0: degrees are
+    already integers). Negative r here predicts hub-spoke skew that
+    salting must absorb; positive r predicts core-periphery."""
+    from degdb_spark.operators.profile import correlation_matrix
+
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        edges.join(deg.withColumnRenamed("src", "_s"), edges.src == F.col("_s"))
+        .select("dst", F.col("d").alias("deg_src"))
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("deg_dst")),
+            on="dst",
+        )
+        .select(
+            F.col("deg_src").cast("double").alias("ds"),
+            F.col("deg_dst").cast("double").alias("dd"),
+        )
+    )
+    return correlation_matrix(pairs, ["ds", "dd"], scale=0).select(
+        F.col("corr").alias("assortativity")
+    )
+
+
+ASSORT_SQL = f"""
+WITH {_WEDGES_CTE},
+deg AS (SELECT src, COUNT(*) AS d FROM edges2 GROUP BY src),
+pairs AS (
+  SELECT a.d AS ds, b.d AS dd
+  FROM edges2 e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+), m AS (
+  SELECT COUNT(*) AS n, SUM(ds) AS sx, SUM(dd) AS sy,
+         SUM(CAST(ds AS HUGEINT) * ds) AS sxx,
+         SUM(CAST(dd AS HUGEINT) * dd) AS syy,
+         SUM(CAST(ds AS HUGEINT) * dd) AS sxy
+  FROM pairs
+)
+SELECT FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+              / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS assortativity
+FROM m
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "basket_assortativity": Query(basket_assortativity, ASSORT_SQL),
     "basket_personalized_pagerank": Query(
         basket_personalized_pagerank, _ppr_sql(_PPR_D, _PPR_ITERS, _PPR_SOURCES)
     ),
