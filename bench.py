@@ -129,6 +129,7 @@ HEADLINE = [
     "graph_degree_powerlaw",
     "events_rolling_wau",
     "basket_assortativity",
+    "basket_ktruss",
 ]
 
 

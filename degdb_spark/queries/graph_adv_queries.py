@@ -826,7 +826,87 @@ FROM m
 """
 
 
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 3
+
+
+def basket_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling: repeatedly drop edges in fewer than k-2 = 2
+    triangles (3 synchronous rounds — per-round edge counts are the
+    output, deterministic whether or not the peel converged, which is
+    what the unrolled oracle replays). Per-edge support is the
+    neighbor-intersection join — the same banded-join family as
+    triangle counting, never all-pairs; each round's survivor list is
+    checkpointed once and feeds both the next round's adjacency and
+    its count branch."""
+    ce = (
+        _weighted_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+
+    def count_row(df: DataFrame, rnd: int) -> DataFrame:
+        return df.agg(
+            F.lit(rnd).alias("round"), F.count(F.lit(1)).alias("n_edges")
+        )
+
+    out = count_row(ce, 0)
+    for rnd in range(1, _TRUSS_ROUNDS + 1):
+        ed = ce.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            ce.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        sup = (
+            ce.join(
+                ed.select(F.col("src").alias("u"), F.col("dst").alias("w")), on="u"
+            )
+            .join(
+                ed.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                on=["v", "w"],
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+        ce = (
+            ce.join(
+                sup.filter(F.col("s") >= _TRUSS_K - 2).select("u", "v"),
+                on=["u", "v"],
+                how="left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(count_row(ce, rnd))
+    return out.orderBy("round")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    ctes = ["e0 AS MATERIALIZED (SELECT u, v FROM wedges)"]
+    for i in range(1, rounds + 1):
+        prev = f"e{i-1}"
+        ctes.append(
+            f"ed{i} AS MATERIALIZED (SELECT u AS src, v AS dst FROM {prev} "
+            f"UNION ALL SELECT v, u FROM {prev})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.u, e.v, COUNT(*) AS s FROM {prev} e "
+            f"JOIN ed{i} a ON a.src = e.u "
+            f"JOIN ed{i} b ON b.src = e.v AND b.dst = a.dst "
+            f"GROUP BY e.u, e.v)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT s{i}.u, s{i}.v FROM s{i} "
+            f"WHERE s{i}.s >= {k - 2})"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, COUNT(*) AS n_edges FROM e{i}"
+        for i in range(rounds + 1)
+    )
+    return f"WITH {_WEDGES_CTE},\n" + ",\n".join(ctes) + f"\n{unions}\nORDER BY round"
+
+
 QUERIES: dict[str, Query] = {
+    "basket_ktruss": Query(basket_ktruss, _ktruss_sql(_TRUSS_K, _TRUSS_ROUNDS)),
     "basket_assortativity": Query(basket_assortativity, ASSORT_SQL),
     "basket_personalized_pagerank": Query(
         basket_personalized_pagerank, _ppr_sql(_PPR_D, _PPR_ITERS, _PPR_SOURCES)
