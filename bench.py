@@ -130,6 +130,7 @@ HEADLINE = [
     "events_rolling_wau",
     "basket_assortativity",
     "basket_ktruss",
+    "supplier_hhi_by_nation",
 ]
 
 

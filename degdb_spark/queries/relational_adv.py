@@ -1325,7 +1325,75 @@ GROUP BY n, total_c
 """
 
 
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: Herfindahl-Hirschman index of
+    supplier revenue share within each nation. HHI = Σ shareᵢ² needs
+    no float shares at all: with revenues as exact integer cents,
+    HHI = Σ revᵢ² / (Σ revᵢ)² — integer/decimal sums, one double
+    division per nation at the end. The single-vendor-risk number a
+    supply-chain (or data-vendor) review reads per region."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,4)"
+                )
+            ).alias("_rev")
+        )
+        .select(
+            "l_suppkey",
+            F.floor(F.col("_rev").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    j = (
+        rev.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c")).alias("_sq"),
+        F.sum("rev_c").alias("_tot"),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        dround(
+            F.col("_sq").cast("double")
+            / (F.col("_tot").cast("double") * F.col("_tot").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("nation")
+
+
+HHI_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_suppkey
+), j AS (
+  SELECT n.n_name AS nation, rev.rev_c
+  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT nation, COUNT(*) AS n_suppliers,
+       FLOOR((CAST(SUM(CAST(rev_c AS HUGEINT) * rev_c) AS DOUBLE)
+              / (CAST(SUM(rev_c) AS DOUBLE) * CAST(SUM(rev_c) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS hhi
+FROM j GROUP BY nation ORDER BY nation
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "supplier_hhi_by_nation": Query(supplier_hhi_by_nation, HHI_SQL),
     "orders_pareto_share": Query(orders_pareto_share, PARETO_SQL),
     "orders_cohort_ltv": Query(orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_rfm_segments": Query(orders_rfm_segments, RFM_SQL),
