@@ -131,6 +131,7 @@ HEADLINE = [
     "basket_assortativity",
     "basket_ktruss",
     "supplier_hhi_by_nation",
+    "triple_predicate_cooccurrence",
 ]
 
 

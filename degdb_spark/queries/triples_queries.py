@@ -145,7 +145,84 @@ FROM triples GROUP BY pred ORDER BY pred
 """
 
 
+def predicate_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-graph schema discovery: PMI-ranked predicate pairs
+    that co-occur on the same subject — the query that surfaces
+    implicit entity types from a bare triple soup (predicates that
+    always travel together ARE a type signature). Distinct (subject,
+    predicate) first, pair via a subject-keyed self-join (per-subject
+    predicate fanout is schema-bounded — never all-pairs), PMI from
+    exact counts with broadcast totals."""
+    from degdb_spark.queries.rounding import dround
+
+    t = _triples(spark, sf_dir).select("subj", "pred").distinct()
+    ns = t.agg(F.countDistinct("subj").cast("double").alias("_n"))
+    marg = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), on="subj")
+        .filter(F.col("a.pred") < F.col("b.pred"))
+        .groupBy(F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("pred").alias("pred_a"), F.col("n_p").alias("n_a"))),
+            on="pred_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("pred").alias("pred_b"), F.col("n_p").alias("n_b"))),
+            on="pred_b",
+        )
+        .crossJoin(F.broadcast(ns))
+        .withColumn(
+            "pmi",
+            dround(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("_n"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("_n"))
+                        * (F.col("n_b").cast("double") / F.col("_n"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        out.select("pred_a", "pred_b",
+                   F.col("n_ab").cast("long").alias("n_ab"), "pmi")
+        .orderBy(F.col("pmi").desc(), "pred_a", "pred_b")
+        .limit(20)
+    )
+
+
+def _pred_cooc_sql() -> str:
+    return f"""
+WITH triples AS ({TRIPLES_SQL}),
+sp AS (SELECT DISTINCT subj, pred FROM triples),
+ns AS (SELECT COUNT(DISTINCT subj) AS n FROM sp),
+marg AS (SELECT pred, COUNT(*) AS n_p FROM sp GROUP BY pred),
+pairs AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS n_ab
+  FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+  GROUP BY a.pred, b.pred
+)
+SELECT pred_a, pred_b, CAST(n_ab AS BIGINT) AS n_ab,
+       FLOOR(ln((n_ab::DOUBLE / ns.n) /
+                ((ma.n_p::DOUBLE / ns.n) * (mb.n_p::DOUBLE / ns.n))) * 1000000 + 0.5) / 1000000 AS pmi
+FROM pairs
+JOIN marg ma ON pairs.pred_a = ma.pred
+JOIN marg mb ON pairs.pred_b = mb.pred
+CROSS JOIN ns
+ORDER BY pmi DESC, pred_a, pred_b LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "triple_predicate_cooccurrence": Query(
+        predicate_cooccurrence, _pred_cooc_sql()
+    ),
     "triple_subject_lookup": Query(subject_lookup, SUBJECT_SQL),
     "triple_or_patterns": Query(or_patterns, OR_SQL),
     "triple_and_not": Query(and_not_pattern, AND_NOT_SQL),
