@@ -132,6 +132,7 @@ HEADLINE = [
     "basket_ktruss",
     "supplier_hhi_by_nation",
     "triple_predicate_cooccurrence",
+    "events_attribution",
 ]
 
 

@@ -842,7 +842,60 @@ GROUP BY path ORDER BY n DESC, path LIMIT 20
 """
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase attributes to
+    the user's latest click within the preceding 24 h (the as-of join
+    operator — one user-keyed shuffle, carry-forward window), reported
+    as daily attributed vs unattributed purchase counts and
+    decimal-exact revenue. The marketing-analytics twin of the as-of
+    join's market-data use."""
+    from degdb_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    att = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_seconds=24 * 3600,
+    )
+    return (
+        att.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("asof_ts").isNotNull().cast("long")).alias("n_attributed"),
+            dsum(F.when(F.col("asof_ts").isNotNull(), F.col("value")).otherwise(0.0), 2).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), att AS (
+  SELECT p.user_id, p.ts, p.value,
+         (SELECT MAX(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 24 HOURS) AS asof_ts
+  FROM purchases p
+)
+SELECT DATE_TRUNC('day', ts)::TIMESTAMP_NS AS day,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN asof_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CAST(CASE WHEN asof_ts IS NOT NULL THEN value ELSE 0.0 END AS DECIMAL(30,2))) AS DOUBLE) AS attributed_revenue
+FROM att GROUP BY DATE_TRUNC('day', ts) ORDER BY day
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_attribution": Query(events_attribution, ATTRIBUTION_SQL),
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
     "events_mann_whitney": Query(events_mann_whitney, MANN_WHITNEY_SQL),
     "events_ks_test": Query(events_ks_test, KS_SQL),
