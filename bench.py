@@ -133,6 +133,7 @@ HEADLINE = [
     "supplier_hhi_by_nation",
     "triple_predicate_cooccurrence",
     "events_attribution",
+    "docs_langid_confusion",
 ]
 
 

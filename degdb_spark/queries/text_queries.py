@@ -1259,6 +1259,62 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword-voting
+    classifier (operators/text.predict_lang) against the corpus's
+    labeled ``lang`` column, plus per-cell share — the accuracy audit
+    that belongs next to any heuristic classifier. One scan + one
+    (label, prediction) aggregation."""
+    from degdb_spark.operators.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = predict_lang(docs).select("lang", "pred_lang")
+    total = pred.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            dround(F.col("n") / F.col("_n"), 4).alias("share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    from degdb_spark.operators.text import LANG_MARKERS
+
+    # replicate predict_lang: per-language marker hits, argmax with
+    # first-language-wins tie-break in LANG_MARKERS iteration order
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        hit_cols.append(
+            f"len(list_filter({_TOKS}, t -> list_contains({arr}, t))) AS h_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN h_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH hits AS (
+  SELECT lang, {", ".join(hit_cols)} FROM documents
+), scored AS (
+  SELECT lang, {best} AS best, * FROM hits
+), preds AS (
+  SELECT lang, {pred} AS pred_lang FROM scored
+), total AS (SELECT COUNT(*) AS n_all FROM preds)
+SELECT lang, pred_lang, COUNT(*) AS n,
+       FLOOR((COUNT(*)::DOUBLE / n_all) * 10000 + 0.5) / 10000 AS share
+FROM preds CROSS JOIN total
+GROUP BY lang, pred_lang, n_all ORDER BY lang, pred_lang
+"""
+
+
 def novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content novelty per source: the fraction of a source's 3-gram
     occurrences that are corpus-UNIQUE (appear exactly once anywhere).
@@ -1691,6 +1747,7 @@ QUERIES: dict[str, Query] = {
         contamination_by_source, CONTAM_BY_SOURCE_SQL
     ),
     "docs_novelty_by_source": Query(novelty_by_source, NOVELTY_SQL),
+    "docs_langid_confusion": Query(langid_confusion, _langid_confusion_sql()),
     "docs_decontaminate": Query(decontamination_report, DECONTAMINATE_SQL),
     "docs_pii_redaction": Query(pii_redaction, PII_SQL),
     "docs_repetition_metrics": Query(repetition_metrics, REPETITION_SQL),
