@@ -134,6 +134,7 @@ HEADLINE = [
     "triple_predicate_cooccurrence",
     "events_attribution",
     "docs_langid_confusion",
+    "emb_knn_label_accuracy",
 ]
 
 

@@ -903,7 +903,89 @@ FROM scored ORDER BY centroid_cos, vec_id LIMIT 20
 """
 
 
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label consistency: classify each vector in the
+    vec_id<50 slice by majority label of its 5 nearest neighbors
+    (exact cosine, self excluded; vote ties break on smaller label)
+    and report per-label accuracy — the leave-one-out k-NN eval that
+    tells you whether labels are learnable from THIS embedding."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    nbrs = S.brute_force_topk(emb, emb, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nbrs.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            on="neighbor_id",
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("nbr_label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+    )
+    joined = pred.join(
+        labels.select(F.col("vec_id").alias("query_id"), "label"), on="query_id"
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pred_label") == F.col("label")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn("accuracy", dround(F.col("n_correct") / F.col("n"), 4))
+        .orderBy("label")
+    )
+
+
+KNN_LABEL_ACC_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label
+  FROM embeddings WHERE vec_id < 50
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nbr_label,
+         FLOOR((
+           list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+         ) * 10000 + 0.5) / 10000 AS cs
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, nbr_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, nbr_label, COUNT(*) AS cnt
+  FROM ranked WHERE rank <= 5 GROUP BY query_id, nbr_label
+), pred AS (
+  SELECT query_id, nbr_label AS pred_label
+  FROM (SELECT query_id, nbr_label, cnt,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cnt DESC, nbr_label) AS rk
+        FROM votes)
+  WHERE rk = 1
+)
+SELECT e.label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       FLOOR((SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS accuracy
+FROM pred p JOIN e ON p.query_id = e.vec_id
+GROUP BY e.label ORDER BY e.label
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "emb_knn_label_accuracy": Query(knn_label_accuracy, KNN_LABEL_ACC_SQL),
     "emb_centroid_outliers": Query(centroid_outliers, CENTROID_OUTLIERS_SQL),
     "emb_threshold_curve": Query(neardup_threshold_curve, THRESHOLD_CURVE_SQL),
     "emb_jl_distortion": Query(jl_projection, JL_SQL),
