@@ -135,6 +135,7 @@ HEADLINE = [
     "events_attribution",
     "docs_langid_confusion",
     "emb_knn_label_accuracy",
+    "events_mix_trend",
 ]
 
 

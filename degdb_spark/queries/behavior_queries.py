@@ -894,7 +894,68 @@ FROM att GROUP BY DATE_TRUNC('day', ts) ORDER BY day
 """
 
 
+def events_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift as per-type TREND SLOPES: each type's daily
+    share of total volume regressed on the day index (ols_fit_by —
+    grouped exact-moment OLS, no per-group loop). A significantly
+    positive/negative slope is the early-warning version of the PSI
+    alarm: the mix is drifting, not just fluctuating."""
+    from degdb_spark.operators.profile import ols_fit_by
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("day").agg(F.sum("n").alias("day_total"))
+    d0 = daily.agg(F.min("day").alias("_d0"))
+    pts = (
+        daily.join(tot, on="day")
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            F.datediff("day", "_d0").cast("double").alias("x_idx"),
+            dround(F.col("n") / F.col("day_total"), 6).alias("share"),
+        )
+    )
+    return ols_fit_by(pts, ["event_type"], "x_idx", "share", scale=6).orderBy(
+        "event_type"
+    )
+
+
+MIX_TREND_SQL = """
+WITH daily AS (
+  SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY DATE_TRUNC('day', ts), event_type
+), tot AS (
+  SELECT day, SUM(n) AS day_total FROM daily GROUP BY day
+), d0 AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+  SELECT daily.event_type,
+         CAST(FLOOR(CAST(DATEDIFF('day', d0.d0, daily.day) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR((FLOOR((daily.n::DOUBLE / tot.day_total) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM daily JOIN tot ON daily.day = tot.day CROSS JOIN d0
+), m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT event_type, n,
+       FLOOR((cov / varx) * 1000000 + 0.5) / 1000000 AS slope,
+       FLOOR(((syd - (cov / varx) * sxd) / n / 1000000) * 1000000 + 0.5) / 1000000 AS intercept,
+       FLOOR(((cov * cov) / (varx * vary)) * 1000000 + 0.5) / 1000000 AS r2
+FROM d ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_mix_trend": Query(events_mix_trend, MIX_TREND_SQL),
     "events_attribution": Query(events_attribution, ATTRIBUTION_SQL),
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
     "events_mann_whitney": Query(events_mann_whitney, MANN_WHITNEY_SQL),
