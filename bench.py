@@ -136,6 +136,7 @@ HEADLINE = [
     "docs_langid_confusion",
     "emb_knn_label_accuracy",
     "events_mix_trend",
+    "events_error_seasonality",
 ]
 
 

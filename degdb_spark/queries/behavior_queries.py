@@ -954,7 +954,61 @@ FROM d ORDER BY event_type
 """
 
 
+def events_error_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate seasonality profile: per hour-of-day (0-23), the
+    error share of traffic and its ratio to the overall error rate —
+    the diurnal fingerprint an on-call dashboard plots before blaming
+    a deploy. One aggregation + broadcast overall rate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    overall = ev.agg(
+        (
+            F.sum((F.col("event_type") == "error").cast("long"))
+            / F.count(F.lit(1))
+        ).alias("_rate")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(overall))
+        .select(
+            "hour_of_day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            dround(F.col("n_errors") / F.col("n_events"), 6).alias("error_rate"),
+            dround(
+                (F.col("n_errors") / F.col("n_events")) / F.col("_rate"), 4
+            ).alias("lift_vs_overall"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+ERROR_SEASONALITY_SQL = """
+WITH hourly AS (
+  SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY EXTRACT(hour FROM ts)
+), overall AS (
+  SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS rate
+  FROM events
+)
+SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       FLOOR((n_errors::DOUBLE / n_events) * 1000000 + 0.5) / 1000000 AS error_rate,
+       FLOOR(((n_errors::DOUBLE / n_events) / rate) * 10000 + 0.5) / 10000 AS lift_vs_overall
+FROM hourly CROSS JOIN overall
+ORDER BY hour_of_day
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_error_seasonality": Query(
+        events_error_seasonality, ERROR_SEASONALITY_SQL
+    ),
     "events_mix_trend": Query(events_mix_trend, MIX_TREND_SQL),
     "events_attribution": Query(events_attribution, ATTRIBUTION_SQL),
     "events_ab_test": Query(events_ab_test, AB_TEST_SQL),
