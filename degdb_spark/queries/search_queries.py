@@ -189,14 +189,18 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("_t"))
-    scored = toked.select(
+    # cheap membership gate first: position arrays only materialize for
+    # docs containing BOTH terms (array_contains is a single scan per
+    # doc; the position cross-product is the expensive part)
+    cand = toked.filter(
+        F.array_contains("_t", PROX_A) & F.array_contains("_t", PROX_B)
+    )
+    scored = cand.select(
         "doc_id",
         S.proximity_min_distance(F.col("_t"), PROX_A, PROX_B).alias("min_dist"),
     )
     return (
-        scored.filter(
-            F.col("min_dist").isNotNull() & (F.col("min_dist") <= PROX_WINDOW)
-        )
+        scored.filter(F.col("min_dist") <= PROX_WINDOW)
         .orderBy("min_dist", "doc_id")
         .limit(25)
     )
