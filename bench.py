@@ -185,14 +185,18 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver retains the TAIL of this line when it
+    # truncates (BENCH_r04.json kept only 64 of 113 per-query figures and
+    # lost the head). The bulky per-query dict goes first and the headline
+    # total goes LAST, so any truncation keeps the one number that matters.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
                 "queries": timings,
+                "metric": "headline_suite_seconds",
+                "unit": "sec",
                 "sf": float(sf),
+                "value": round(total, 3),
             }
         )
     )

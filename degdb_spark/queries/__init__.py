@@ -31,97 +31,87 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-4 window (see module docstring). Composition (50 checked
-#: slots): the 23 queries that have NEVER had a driver row (all green
-#: in local sweeps since they landed); 2 queries whose implementation
-#: changed this round (docs_bm25_search — window-free top-k;
-#: orders_skew_report — two-phase Gini rank; docs_weighted_sample /
-#: docs_setsim_join / docs_zipf_fit also changed but are already in
-#: the never-checked set); 25 of the 50 r1-era rows that are two
-#: testdata-regenerations stale (TPC-H family + galleries + the
-#: ordered/rollup relational core).
+#: Round-5 window (see module docstring). Composition (50 checked
+#: slots), per VERDICT.md r4 "Next round #1": the 40 round-4 additions
+#: that have NEVER had a driver row (all green in local sf0.01 sweeps
+#: and the judge's sf0.1 spot checks; basket_ktruss and
+#: triple_predicate_cooccurrence also CHANGED this round — oriented
+#: support counting / capped fanout — so their slots double as
+#: changed-this-round coverage), plus the 10 oldest driver rows, all
+#: r2-era: the minhash/simhash/embedding near-dup quartet and the
+#: media decode family. After this window lands green, every query in
+#: the registry has cumulative driver evidence.
 #:
-#: Round-5 window, planned now so the standing policy stays
-#: executable (25 r1-era rows + the 20 never-driver-checked round-4
-#: additions + 5 changed-in-round-4 = 50):
-#: r1-era refresh — above_nation_average, array_aggregation,
-#: conditional_aggregation, cube_lineitem_status,
-#: customers_without_orders, docs_exact_dedup, docs_fingerprints,
-#: docs_language_id, docs_quality_scores, docs_token_stats,
-#: events_dedup_first, events_hourly_rollup, events_json_props,
-#: events_sessionization, events_type_pivot,
-#: full_outer_nation_presence, left_join_order_stats,
-#: orders_with_big_items, triple_and_not, triple_insert_dedup,
-#: triple_or_patterns, triple_predicate_histogram,
-#: triple_subject_lookup, triple_three_hop, triple_two_hop;
-#: round-4 additions (never driver-checked) —
-#: docs_token_budget_selection, docs_stratified_sample,
-#: basket_harmonic_centrality, events_cusum_changepoints,
-#: lineitem_quantiles_by_flag, docs_heaps_law, events_ab_test,
-#: events_ohlc_bars, docs_dup_rate_by_source,
-#: docs_packing_efficiency, docs_collocations, emb_ann_recall,
-#: events_mann_whitney, events_ks_test, events_kaplan_meier,
-#: emb_jl_distortion, events_top_paths, orders_rfm_segments,
-#: basket_personalized_pagerank, orders_cohort_ltv;
-#: changed in round 4 (SQL refactor or edge-builder change, all
-#: locally re-verified) — docs_minhash_neardups, basket_sssp_histogram,
-#: basket_kcore, basket_link_prediction, basket_communities.
-#: That fills 50 exactly; overflow (if any new r5 work lands) evicts
-#: the oldest r1 rows first, then oldest r2.
+#: Round-6 window, planned now so the standing policy stays
+#: executable: the remaining r2-era rows (aggregate_gallery,
+#: docs_bigrams, docs_decontaminate, docs_dedup_clusters,
+#: docs_filter_rules, docs_neardup_kept, docs_ngram_jaccard,
+#: docs_packing, docs_pii_redaction, docs_repetition_metrics,
+#: docs_tfidf_terms, docs_train_test_split, docs_vocab_topk,
+#: emb_centroid_by_label, emb_ivf_knn, emb_lsh_knn, emb_quantization,
+#: emb_threshold_pairs, events_asof_forward, events_asof_join,
+#: events_cms_estimate, events_heavy_hitters,
+#: events_hypertable_rollup, events_kmv_distinct, events_per_user_cap,
+#: events_range_join, events_sliding_window, graph_bfs_from_region,
+#: graph_components, graph_degrees, graph_pagerank_top,
+#: gremlin_region_members, latest_event_per_user,
+#: lineitem_sample_revenue, lineitem_stratified_sample,
+#: motif_customer_region, motif_shared_nation, media_audio_neardups,
+#: media_phash_neardups = 38 rows) + anything that changes in round 5
+#: + oldest r1 leftovers to fill 50. Overflow evicts oldest-first.
 _WINDOW = [
-    # never driver-checked (r2/r3 second-pass additions)
-    "docs_setsim_join",
-    "docs_incremental_neardups",
-    "emb_ivfpq_knn",
-    "docs_phrase_search",
-    "lineitem_correlations",
-    "lineitem_ols",
-    "lineitem_ols_by_flag",
-    "lineitem_chi_square",
-    "lineitem_equidepth_bins",
-    "lineitem_psi",
-    "lineitem_snapshot_diff",
-    "orders_benford_audit",
-    "orders_kanonymity",
-    "docs_vocab_drift",
-    "docs_zipf_fit",
-    "docs_weighted_sample",
-    "docs_temperature_mixture",
-    "docs_lsh_calibration",
-    "events_join_size_estimate",
-    "events_kmv_setops",
-    "events_markov_transitions",
-    "grouping_sets_revenue",
-    "parts_linkage_scores",
-    # implementation changed round 4 (window-free top-k; two-phase rank)
-    "docs_bm25_search",
-    "orders_skew_report",
-    # oldest driver rows: r1-era relational core on twice-regenerated data
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_change",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discount_brackets",
-    "q22_dormant_rich_customers",
-    "date_function_gallery",
-    "regexp_gallery",
-    "scalar_function_gallery",
-    "window_function_gallery",
-    "nations_set_ops",
-    "price_percentiles",
-    "rollup_revenue",
-    "running_order_totals",
-    "top_customers_per_nation",
-    "moving_average_revenue",
+    # round-4 additions, never driver-checked (VERDICT r4 list)
+    "docs_token_budget_selection",
+    "docs_source_quota_selection",
+    "docs_stratified_sample",
+    "docs_heaps_law",
+    "docs_dup_rate_by_source",
+    "docs_quality_vs_dup",
+    "docs_contamination_by_source",
+    "docs_novelty_by_source",
+    "docs_langid_confusion",
+    "docs_packing_efficiency",
+    "docs_collocations",
+    "docs_proximity_search",
+    "emb_ann_recall",
+    "emb_centroid_outliers",
+    "emb_jl_distortion",
+    "emb_knn_label_accuracy",
+    "emb_threshold_curve",
+    "graph_degree_powerlaw",
+    "triple_predicate_cooccurrence",
+    "supplier_hhi_by_nation",
+    "orders_pareto_share",
+    "orders_cohort_ltv",
+    "orders_rfm_segments",
+    "lineitem_quantiles_by_flag",
+    "basket_ktruss",
+    "basket_assortativity",
+    "basket_personalized_pagerank",
+    "basket_harmonic_centrality",
+    "events_ab_test",
+    "events_attribution",
+    "events_cusum_changepoints",
+    "events_error_seasonality",
+    "events_interarrival_quantiles",
+    "events_kaplan_meier",
+    "events_ks_test",
+    "events_mann_whitney",
+    "events_mix_trend",
+    "events_ohlc_bars",
+    "events_rolling_wau",
+    "events_top_paths",
+    # oldest driver rows (r2-era, twice-regenerated testdata)
+    "docs_minhash_neardups",
+    "docs_simhash_neardups",
+    "emb_neardup",
+    "emb_knn_topk",
+    "media_image_decode",
+    "media_audio_decode",
+    "media_resize_check",
+    "media_frame_extract",
+    "media_frame_sample",
+    "media_payload_stats",
 ]
 
 
