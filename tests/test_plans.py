@@ -280,6 +280,29 @@ def test_triangle_join_no_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_ktruss_oriented_support(spark):
+    """k-truss support counting must ride the degree-oriented adjacency
+    intersection, not an un-oriented wedge join: the support plan shows
+    the array_intersect of the two neighbor arrays (triangle closure
+    runs inside the task, never as shuffled wedge rows) and contains no
+    nested-loop join. Checked on the un-checkpointed support frame —
+    the full query's final plan only shows checkpointed RDD scans."""
+    from degdb_spark.queries.graph_adv_queries import (
+        _truss_support,
+        _weighted_edges,
+    )
+
+    ce = (
+        _weighted_edges(spark, SF)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    plan = _plan(_truss_support(ce))
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_per_user_cap_one_window_shuffle(spark):
     """Per-key capping: exactly one hashpartitioning exchange on the key
     feeds the row_number window (plus the final sort)."""
