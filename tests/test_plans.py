@@ -303,6 +303,24 @@ def test_ktruss_oriented_support(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pred_cooccurrence_no_subject_self_join(spark):
+    """Predicate co-occurrence pairs come from the capped per-subject
+    array explode, never a subject-keyed self-join: one subj shuffle
+    (the collect_list groupBy), all remaining joins are broadcast
+    (marginals + the 1-row total), wedge fanout bounded in-plan by
+    _COOC_CAP."""
+    from degdb_spark.queries.triples_queries import predicate_cooccurrence
+
+    plan = _plan(predicate_cooccurrence(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # capped frame is checkpointed: no subj-keyed exchange downstream
+    assert plan.count("hashpartitioning(subj") == 0
+    assert "CartesianProduct" not in plan
+    # the only nested loop is the 1-row subject-total crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_per_user_cap_one_window_shuffle(spark):
     """Per-key capping: exactly one hashpartitioning exchange on the key
     feeds the row_number window (plus the final sort)."""
