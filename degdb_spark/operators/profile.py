@@ -342,7 +342,15 @@ def welch_t_test(
     sums, no float accumulation), then t and the Welch-Satterthwaite
     df as a fixed sequence of double ops on the 1-row aggregate —
     bit-replayable in SQL. Returns (n_a, n_b, mean_a, mean_b, t_stat,
-    df_welch)."""
+    df_welch).
+
+    Degenerate inputs: a group that is absent or has a single row has
+    no sample variance, so t_stat/df_welch are NULL (not NaN) — the
+    n_a/n_b columns in the same row say which side was too small
+    (ADVICE r4). Like the rest of the split-long machinery, exactness
+    holds while n·(f·x)² stays under 2^53 per 2^31-slice — i.e.
+    |value_col| ≲ 10^(7−scale) at billions of rows (see
+    correlation_matrix's scale bound, which value_col inherits)."""
     from degdb_spark.queries.rounding import dround
 
     f = 10 ** scale
@@ -389,11 +397,14 @@ def welch_t_test(
         qa * qa / (F.col("_n_a").cast("double") - F.lit(1.0))
         + qb * qb / (F.col("_n_b").cast("double") - F.lit(1.0))
     )
+    # both sides need >= 2 rows for a sample variance; below that the
+    # statistics are NULL (n_a/n_b identify the too-small side)
+    enough = (F.col("_n_a") >= 2) & (F.col("_n_b") >= 2)
     return agg.select(
         F.col("_n_a").alias("n_a"),
         F.col("_n_b").alias("n_b"),
         dround(mean_a, out_dp).alias("mean_a"),
         dround(mean_b, out_dp).alias("mean_b"),
-        dround(t, out_dp).alias("t_stat"),
-        dround(dfw, out_dp).alias("df_welch"),
+        dround(F.when(enough, t), out_dp).alias("t_stat"),
+        dround(F.when(enough, dfw), out_dp).alias("df_welch"),
     )

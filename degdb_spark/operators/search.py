@@ -88,55 +88,105 @@ def bm25_topk(
 
 
 def build_postings_index(
-    docs: DataFrame, table: str, text_col: str = "text", buckets: int = 16
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    buckets: int = 16,
+    batch_id: int = 0,
 ) -> None:
-    """Materialize the inverted index as a TABLE bucketed by token —
-    what a 100 TB deployment does once per corpus version so that every
-    subsequent query skips the corpus scan entirely: the query path
-    reads only the probed token buckets (no explode, no tokenize, no
-    shuffle for the token filter). The 1-row corpus stats persist
-    alongside as ``<table>_stats`` because token-less documents are
-    invisible to postings but count toward N/avgdl."""
-    spark = docs.sparkSession
-    (
-        postings(docs, text_col)
-        .write.mode("overwrite")
-        .bucketBy(buckets, "token")
-        .sortBy("token")
-        .saveAsTable(table)
-    )
-    corpus_stats(docs, text_col).write.mode("overwrite").saveAsTable(
-        f"{table}_stats"
-    )
+    """Materialize the inverted index as a TABLE partitioned by
+    ``_batch`` and bucketed by token — what a 100 TB deployment does
+    once per corpus version so that every subsequent query skips the
+    corpus scan entirely: the query path reads only the probed token
+    buckets (no explode, no tokenize, no shuffle for the token
+    filter). Corpus stats persist alongside as one row PER BATCH in
+    ``<table>_stats`` (token-less documents are invisible to postings
+    but count toward N/avgdl); readers sum the rows — an
+    aggregate-sized scan.
+
+    The ``_batch`` partitioning is the idempotency mechanism: every
+    ingest (initial build included) owns one partition in both tables,
+    so a replayed batch — Structured Streaming re-runs a failed
+    micro-batch — overwrites its own partition with identical rows
+    instead of double-appending postings and double-counting stats."""
+    _write_postings_batch(docs, table, text_col, batch_id, buckets=buckets, create=True)
 
 
 def refresh_postings_index(
-    new_docs: DataFrame, table: str, text_col: str = "text"
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    batch_id: int | None = None,
 ) -> None:
-    """Incremental index maintenance: append the INCREMENT's postings
-    into the bucketed table (insertInto respects the bucket spec, so
-    new rows land in the right token buckets) and roll the increment's
-    exact deltas into the 1-row stats table. Historical text is never
+    """Incremental index maintenance: write the INCREMENT's postings
+    and stats row into their own ``_batch`` partition of the bucketed
+    table (dynamic partition overwrite — replaying the same batch_id
+    converges instead of duplicating). Historical text is never
     re-read — the same contract as the incremental band index. Doc ids
     in ``new_docs`` must be new (append-only corpora; upserts go
-    through a MERGE + rebuild of the affected buckets)."""
+    through a MERGE + rebuild of the affected buckets). Without an
+    explicit ``batch_id``, the next id after the table's current max
+    is used; streaming maintenance passes its micro-batch id so a
+    crash-and-retry lands on the identical partition."""
     spark = new_docs.sparkSession
-    postings(new_docs, text_col).write.mode("append").insertInto(table)
-    inc = corpus_stats(new_docs, text_col)
-    old = spark.table(f"{table}_stats")
-    merged = (
-        old.select("_n_docs", "_total_dl")
-        .unionByName(inc.select("_n_docs", "_total_dl"))
+    if batch_id is None:
+        batch_id = spark.table(table).agg(F.max("_batch")).first()[0] + 1
+    _write_postings_batch(new_docs, table, text_col, batch_id, create=False)
+
+
+def _write_postings_batch(
+    docs: DataFrame,
+    table: str,
+    text_col: str,
+    batch_id: int,
+    buckets: int = 16,
+    create: bool = False,
+) -> None:
+    spark = docs.sparkSession
+    post = postings(docs, text_col).withColumn("_batch", F.lit(int(batch_id)))
+    stats = (
+        corpus_stats(docs, text_col)
+        .select("_n_docs", "_total_dl")
+        .withColumn("_batch", F.lit(int(batch_id)))
+    )
+    if create:
+        (
+            post.write.mode("overwrite")
+            .partitionBy("_batch")
+            .bucketBy(buckets, "token")
+            .sortBy("token")
+            .saveAsTable(table)
+        )
+        stats.write.mode("overwrite").partitionBy("_batch").saveAsTable(
+            f"{table}_stats"
+        )
+        return
+    # dynamic mode scopes the overwrite to this batch's partition; the
+    # session default is restored afterwards
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        post.select("doc_id", "token", "tf", "dl", "_batch").write.mode(
+            "overwrite"
+        ).insertInto(table)
+        stats.select("_n_docs", "_total_dl", "_batch").write.mode(
+            "overwrite"
+        ).insertInto(f"{table}_stats")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def index_corpus_stats(spark, table: str) -> DataFrame:
+    """1-row (_n_docs, _total_dl, _avgdl) from the per-batch stats
+    table — the exact roll-forward, summed at read time."""
+    return (
+        spark.table(f"{table}_stats")
         .agg(
             F.sum("_n_docs").alias("_n_docs"),
             F.sum("_total_dl").alias("_total_dl"),
         )
         .withColumn("_avgdl", F.col("_total_dl") / F.col("_n_docs"))
-        .localCheckpoint(eager=True)  # materialize before overwriting source
     )
-    merged.write.mode("overwrite").saveAsTable(f"{table}_stats_new")
-    spark.sql(f"DROP TABLE {table}_stats")
-    spark.sql(f"ALTER TABLE {table}_stats_new RENAME TO {table}_stats")
 
 
 def bm25_topk_from_index(
@@ -151,7 +201,7 @@ def bm25_topk_from_index(
     results (tested), corpus never rescanned — the plan starts at the
     postings table with the term filter pushed into the scan."""
     return _bm25_score(
-        spark.table(table), spark.table(f"{table}_stats"), query_terms, k, k1, b
+        spark.table(table), index_corpus_stats(spark, table), query_terms, k, k1, b
     )
 
 

@@ -196,7 +196,14 @@ def histogram_quantiles(
     bounds = df.agg(
         F.min(col).cast("double").alias("lo"), F.max(col).cast("double").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    # degenerate-group guard (mirrored in every caller's oracle SQL):
+    # a group whose values are all equal has hi == lo, so the raw
+    # width is 0 and the bin expression would be 0/0 = NaN; width 1.0
+    # sends every row to bin 0 and the estimate collapses to lo
+    # (the est term multiplies by the UNguarded (hi-lo)/n = 0).
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    )
     binned = (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
@@ -254,7 +261,14 @@ def histogram_quantiles_by(
         F.min(col).cast("double").alias("lo"),
         F.max(col).cast("double").alias("hi"),
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    # degenerate-group guard (mirrored in every caller's oracle SQL):
+    # a group whose values are all equal has hi == lo, so the raw
+    # width is 0 and the bin expression would be 0/0 = NaN; width 1.0
+    # sends every row to bin 0 and the estimate collapses to lo
+    # (the est term multiplies by the UNguarded (hi-lo)/n = 0).
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    )
     binned = (
         df.join(F.broadcast(bounds), on=group_col)
         .withColumn(

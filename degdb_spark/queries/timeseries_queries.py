@@ -333,7 +333,7 @@ WITH bounds AS (
   FROM lineitem
 ), binned AS (
   SELECT CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
-                                   / ((hi - lo) / {float(n_bins)})), 0),
+                                   / (CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / {float(n_bins)} END)), 0),
                     {n_bins - 1}) AS BIGINT) AS bin,
          COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi
   FROM lineitem CROSS JOIN bounds
@@ -387,7 +387,7 @@ WITH bounds AS (
 ), binned AS (
   SELECT b.g,
          CAST(LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
-                                   / ((hi - lo) / {float(n_bins)})), 0),
+                                   / (CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / {float(n_bins)} END)), 0),
                     {n_bins - 1}) AS BIGINT) AS bin,
          COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi
   FROM lineitem l JOIN bounds b ON l.l_returnflag = b.g
@@ -451,7 +451,7 @@ WITH gaps AS (
   SELECT CAST(MIN(gap_s) AS DOUBLE) AS lo, CAST(MAX(gap_s) AS DOUBLE) AS hi
   FROM gaps
 ), binned AS (
-  SELECT CAST(LEAST(GREATEST(FLOOR((gap_s - lo) / ((hi - lo) / {float(n_bins)})), 0),
+  SELECT CAST(LEAST(GREATEST(FLOOR((gap_s - lo) / (CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / {float(n_bins)} END)), 0),
                     {n_bins - 1}) AS BIGINT) AS bin,
          COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi
   FROM gaps CROSS JOIN bounds

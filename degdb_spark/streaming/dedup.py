@@ -93,27 +93,25 @@ def neardup_index_stream(
 
     State lives in the PERSISTED index, not stream state: per-batch
     cost is the increment's sketch build + one band_hash-keyed probe
-    join (bucket the index by band_hash at scale). Returns the started
-    StreamingQuery (availableNow-triggered)."""
-    from degdb_spark.operators.dedup import band_table, incremental_lsh_candidates
+    join (bucket the index by band_hash at scale).
 
-    spark = docs.sparkSession
-
+    Replay safety: every output is keyed by micro-batch id — pairs land
+    in ``{pairs_path}/batch=N``, band rows in ``{index_path}/batch=N``,
+    both written with overwrite — so a crashed-and-retried batch
+    rewrites its own partition with identical rows instead of
+    double-appending. The probe reads only partitions ``batch <
+    batch_id``, which makes the candidate set deterministic even when a
+    retry finds its own half-written band partition already present.
+    Index existence is checked explicitly (Hadoop FS); a transient read
+    failure on a later batch FAILS the batch so the checkpoint retries
+    it, rather than being silently treated as an empty index (which
+    would permanently lose that batch's new-vs-corpus pairs). Returns
+    the started StreamingQuery (availableNow-triggered)."""
     def step(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)  # feeds probe + index append
-        try:
-            existing = spark.read.parquet(index_path)
-        except Exception:  # first batch: empty index with the right schema
-            existing = band_table(
-                batch, text_col, id_col, shingle_k, num_hashes, bands
-            ).limit(0)
-        cands = incremental_lsh_candidates(
-            batch, existing, text_col, id_col, shingle_k, num_hashes, bands
+        _neardup_index_step(
+            batch, int(batch_id), index_path, pairs_path,
+            id_col, text_col, shingle_k, num_hashes, bands,
         )
-        cands.write.mode("append").parquet(pairs_path)
-        band_table(batch, text_col, id_col, shingle_k, num_hashes, bands).write.mode(
-            "append"
-        ).parquet(index_path)
 
     return (
         docs.writeStream.foreachBatch(step)
@@ -121,6 +119,46 @@ def neardup_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _neardup_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """One micro-batch of neardup_index_stream, module-level so the
+    replay contract is directly testable: running the same (batch,
+    batch_id) twice converges to the single-run state."""
+    from degdb_spark.operators.dedup import band_table, incremental_lsh_candidates
+
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)  # feeds probe + index write
+    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        existing = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .filter(F.col("batch") < F.lit(batch_id))
+            .select(id_col, "band", "band_hash")
+        )
+    else:  # genuinely the first batch: empty index, right schema
+        existing = band_table(
+            batch, text_col, id_col, shingle_k, num_hashes, bands
+        ).limit(0)
+    cands = incremental_lsh_candidates(
+        batch, existing, text_col, id_col, shingle_k, num_hashes, bands
+    )
+    cands.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+    band_table(batch, text_col, id_col, shingle_k, num_hashes, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/batch={batch_id}")
 
 
 def postings_index_stream(
@@ -131,14 +169,20 @@ def postings_index_stream(
     buckets: int = 16,
 ):
     """Streaming maintenance of the BM25 postings index: each
-    micro-batch appends its postings into the bucketed table and rolls
-    its exact deltas into the stats row via
+    micro-batch writes its postings and stats row into its OWN
+    ``_batch`` partition of the bucketed table via
     operators/search.refresh_postings_index — the same
     state-in-the-persisted-index contract as neardup_index_stream (the
     first batch builds the table). BM25 queries against the table are
     correct after every batch, equal to a full rebuild over everything
-    that has streamed (tested). Returns the started availableNow
-    StreamingQuery."""
+    that has streamed (tested).
+
+    Replay safety: the micro-batch id IS the partition key, so a
+    crashed-and-retried batch overwrites its own partition with
+    identical rows — postings are never double-appended and
+    _n_docs/_total_dl never double-counted (the stats are per-batch
+    rows summed at read time; there is no swap step to crash between).
+    Returns the started availableNow StreamingQuery."""
     from degdb_spark.operators.search import (
         build_postings_index,
         refresh_postings_index,
@@ -149,9 +193,9 @@ def postings_index_stream(
     def step(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
         if spark.catalog.tableExists(table):
-            refresh_postings_index(batch, table, text_col)
+            refresh_postings_index(batch, table, text_col, batch_id=int(batch_id))
         else:
-            build_postings_index(batch, table, text_col, buckets)
+            build_postings_index(batch, table, text_col, buckets, batch_id=int(batch_id))
 
     return (
         docs.writeStream.foreachBatch(step)

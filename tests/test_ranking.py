@@ -310,3 +310,22 @@ def test_global_rank_and_cumsum_property(spark):
         assert (
             got_s.select("id", "cs").exceptAll(want_s.select("id", "cs")).count() == 0
         ), (n, n_keys, "cumsum")
+
+
+def test_welch_t_test_small_group_nulls(spark):
+    """A group with < 2 rows has no sample variance: t_stat/df_welch
+    must come back NULL (not NaN), with n_a/n_b identifying the
+    too-small side (ADVICE r4)."""
+    from degdb_spark.operators.profile import welch_t_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+    )
+    got = welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (3, 1)
+    assert got["t_stat"] is None and got["df_welch"] is None
+    assert got["mean_b"] == 5.0  # 1-row mean is still defined
+    # absent group: everything about side b is null, counts still talk
+    got2 = welch_t_test(df, "g", "v", "a", "zzz").collect()[0]
+    assert (got2["n_a"], got2["n_b"]) == (3, 0)
+    assert got2["t_stat"] is None and got2["mean_b"] is None

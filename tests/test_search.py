@@ -142,10 +142,24 @@ def test_postings_index_incremental_refresh(spark, tmp_path):
     inc = bm25_topk_from_index(spark, "bm25_inc_test", terms, k=10).collect()
     full = bm25_topk_from_index(spark, "bm25_full_test", terms, k=10).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in full] and len(full) > 0
-    # stats rolled forward exactly
-    s_inc = spark.table("bm25_inc_test_stats").collect()[0]
-    s_full = spark.table("bm25_full_test_stats").collect()[0]
+    # stats rolled forward exactly (per-batch rows, summed at read)
+    from degdb_spark.operators.search import index_corpus_stats
+
+    s_inc = index_corpus_stats(spark, "bm25_inc_test").collect()[0]
+    s_full = index_corpus_stats(spark, "bm25_full_test").collect()[0]
     assert (s_inc["_n_docs"], s_inc["_total_dl"]) == (
+        s_full["_n_docs"], s_full["_total_dl"]
+    )
+    # replay idempotency: re-running the increment with its batch id
+    # (what Structured Streaming does after a mid-step crash) overwrites
+    # the batch partition instead of double-appending — results and
+    # stats are unchanged
+    replay_id = spark.table("bm25_inc_test").agg(F.max("_batch")).first()[0]
+    refresh_postings_index(new, "bm25_inc_test", batch_id=replay_id)
+    again = bm25_topk_from_index(spark, "bm25_inc_test", terms, k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in full]
+    s_again = index_corpus_stats(spark, "bm25_inc_test").collect()[0]
+    assert (s_again["_n_docs"], s_again["_total_dl"]) == (
         s_full["_n_docs"], s_full["_total_dl"]
     )
     for t in ("bm25_inc_test", "bm25_inc_test_stats",

@@ -544,6 +544,35 @@ def test_neardup_index_stream_equals_full_candidates(spark, tmp_path):
     assert idx.select("doc_id").distinct().count() == docs.count()
 
 
+def test_neardup_index_step_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same data, same batch_id — what
+    Structured Streaming does after a mid-step crash) converges to the
+    single-run state: no duplicated pairs, no duplicated band rows,
+    and no self-pairs from the probe finding its own half-written
+    partition."""
+    from degdb_spark.streaming.dedup import _neardup_index_step
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    b0 = docs.filter(F.col("doc_id") < 80)
+    b1 = docs.filter(F.col("doc_id") >= 80)
+    idx, pairs = str(tmp_path / "band_index"), str(tmp_path / "pairs")
+    _neardup_index_step(b0, 0, idx, pairs)
+    _neardup_index_step(b1, 1, idx, pairs)
+    one_run = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    )
+    n_bands = spark.read.parquet(idx).count()
+    # replay batch 1 (crash-after-write retry): state must not change
+    _neardup_index_step(b1, 1, idx, pairs)
+    replayed = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    )
+    assert replayed == one_run and len(one_run) > 0
+    assert spark.read.parquet(idx).count() == n_bands
+
+
 def test_ohlc_stream_matches_batch(spark, stream_dir, ckpt):
     """Streaming hourly OHLC == the batch query on the same events:
     struct-min/max aggregates fold incrementally in window state."""

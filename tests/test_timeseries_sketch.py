@@ -172,3 +172,25 @@ def test_kmv_set_ops_accuracy(spark):
     r = kmv_set_ops(a, b, "k", "k", k=256).collect()[0]
     assert abs(r.est_union - 1500) / 1500 < 0.2
     assert abs(r.est_intersection - 500) / 500 < 0.35
+
+
+def test_histogram_quantiles_degenerate_group(spark):
+    """A group whose values are all equal (lo == hi) must yield the
+    constant for every quantile — not NaN from the 0-width bin
+    division (ADVICE r4) — in both the global and grouped variants."""
+    import math
+
+    from degdb_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_quantiles_by,
+    )
+
+    rows = [("a", 5.0)] * 7 + [("b", float(x)) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    flat = histogram_quantiles(df.filter("g = 'a'"), "x", [0.5, 0.9]).collect()
+    assert [r.est for r in flat] == [5.0, 5.0]
+    grouped = histogram_quantiles_by(df, "x", "g", [0.5, 0.9]).collect()
+    a = {r.q: r.est for r in grouped if r.g == "a"}
+    assert a == {0.5: 5.0, 0.9: 5.0}
+    b = {r.q: r.est for r in grouped if r.g == "b"}
+    assert all(not math.isnan(v) for v in b.values()) and b[0.5] >= 1.0
