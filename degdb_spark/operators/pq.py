@@ -237,6 +237,117 @@ def _cells_df(spark, centroids: list[list[float]]):
     return spark.createDataFrame(rows, "cell int, ccv array<double>, cc2 double")
 
 
+def _cell_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): single nearest coarse cell per vector via min-struct
+    against the broadcast centroid table (no corpus-wide window)."""
+    spark = corpus.sparkSession
+    cells = F.broadcast(_cells_df(spark, centroids))
+    vd = F.expr(f"cast({vec_col} as array<double>)")
+    cell_key = F.col("cc2") - 2.0 * F.aggregate(
+        F.zip_with(vd, F.col("ccv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(cells)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(cell_key.alias("k"), F.col("cell"))).alias("best"))
+        .select(id_col, F.col("best.cell").alias("cell"))
+    )
+
+
+def encode_with_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index rows: (id, subspace, code, cell) — PQ codes
+    denormalized with the coarse-cell assignment so the persisted
+    table can partition by cell (probe join → partition pruning)."""
+    return pq_encode(corpus, codebook, id_col, vec_col).join(
+        _cell_assign(corpus, centroids, id_col, vec_col), on=id_col
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int = 0,
+) -> None:
+    """Materialize the IVF-PQ index as a TABLE partitioned by
+    (_batch, cell) — the ANN twin of search.build_postings_index: the
+    corpus is encoded ONCE per version, every subsequent query reads M
+    small ints per vector from the probed cells only (cell is a
+    partition column, so the broadcast probe join triggers dynamic
+    partition pruning), and raw float vectors are fetched only for the
+    top-``rerank`` candidates. Codebook and centroids persist alongside
+    (``<table>_codebook`` / ``<table>_centroids``) so the index is a
+    self-contained artifact.
+
+    ``_batch`` partitioning is the idempotency mechanism (same contract
+    as the postings index): every ingest owns its partitions, so a
+    replayed batch overwrites them with identical rows instead of
+    duplicating codes."""
+    spark = corpus.sparkSession
+    (
+        encode_with_cells(corpus, centroids, codebook, id_col, vec_col)
+        .withColumn("_batch", F.lit(int(batch_id)))
+        .select(id_col, "subspace", "code", "_batch", "cell")
+        .write.mode("overwrite")
+        .partitionBy("_batch", "cell")
+        .saveAsTable(table)
+    )
+    _codebook_df(spark, codebook).write.mode("overwrite").saveAsTable(
+        f"{table}_codebook"
+    )
+    _cells_df(spark, centroids).write.mode("overwrite").saveAsTable(
+        f"{table}_centroids"
+    )
+
+
+def refresh_pq_index(
+    new_vecs: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Incremental ANN index maintenance: encode ONLY the increment and
+    write it into its own ``_batch`` partitions via dynamic partition
+    overwrite — historical vectors are never re-encoded or re-read, and
+    replaying the same batch_id converges instead of duplicating
+    (tested). Ids in ``new_vecs`` must be new (append-only; upserts go
+    through MERGE + re-encode of the affected ids). Without an explicit
+    ``batch_id``, the next id after the table's current max is used."""
+    spark = new_vecs.sparkSession
+    if batch_id is None:
+        batch_id = spark.table(table).agg(F.max("_batch")).first()[0] + 1
+    rows = (
+        encode_with_cells(new_vecs, centroids, codebook, id_col, vec_col)
+        .withColumn("_batch", F.lit(int(batch_id)))
+        .select(id_col, "subspace", "code", "_batch", "cell")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -252,11 +363,59 @@ def ivf_pq_topk(
     production ANN index is laid out — the coarse quantizer prunes to
     ``n_probe`` cells, ADC scores ONLY the code rows of vectors in
     probed cells, and full-precision floats are read for the top
-    ``rerank`` candidates alone. At 100 TB the code table is written
-    partitioned by cell, so the probe join becomes partition pruning.
+    ``rerank`` candidates alone. This variant encodes in-plan (each
+    family stays separately oracle-checkable); build_pq_index +
+    ivf_pq_topk_from_index is the production path where the encode is
+    paid once per corpus version.
 
     Same determinism contract as pq_adc_topk + ivf_topk_fixed; returns
     (query_id, neighbor_id, cosine_sim, rank)."""
+    index = encode_with_cells(corpus, centroids, codebook, id_col, vec_col)
+    return _ivf_pq_query(
+        index, corpus, queries, centroids, codebook, k, n_probe, rerank,
+        id_col, vec_col,
+    )
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    table: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    n_probe: int = 3,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_pq_topk against a build_pq_index table: identical results
+    (tested), the corpus is never re-encoded — the ADC phase starts at
+    the persisted code table with the probe join pruning cell
+    partitions; ``corpus`` is touched only by the top-``rerank`` exact
+    re-rank fetch."""
+    index = spark.table(table).select(id_col, "subspace", "code", "cell")
+    return _ivf_pq_query(
+        index, corpus, queries, centroids, codebook, k, n_probe, rerank,
+        id_col, vec_col,
+    )
+
+
+def _ivf_pq_query(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[tuple[int, int, list[float]]],
+    k: int,
+    n_probe: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ query path over an (id, subspace, code, cell)
+    index frame — inline-encoded or read from the persisted table."""
     spark = corpus.sparkSession
     m = max(s for s, _, _ in codebook) + 1
     sub = len(codebook[0][2])
@@ -268,13 +427,6 @@ def ivf_pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # corpus: single nearest cell via min-struct (no corpus-wide window)
-    assign = (
-        corpus.crossJoin(cells)
-        .groupBy(id_col)
-        .agg(F.min(F.struct(cell_key.alias("k"), F.col("cell"))).alias("best"))
-        .select(id_col, F.col("best.cell").alias("cell"))
-    )
     # queries: top n_probe cells (query set is small — window is fine)
     wq = Window.partitionBy("query_id").orderBy(F.col("_k"), F.col("cell"))
     probes = (
@@ -285,7 +437,6 @@ def ivf_pq_topk(
         .select("query_id", "cell")
     )
 
-    codes = pq_encode(corpus, codebook, id_col, vec_col)
     cb = F.broadcast(_codebook_df(spark, codebook))
     lut = (
         _subvectors(queries, id_col, vec_col, m, sub)
@@ -307,14 +458,10 @@ def ivf_pq_topk(
             ).alias("term"),
         )
     )
-    cand_docs = (
-        F.broadcast(probes)
-        .join(assign, on="cell")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", id_col)
-    )
     approx = (
-        cand_docs.join(codes, on=id_col)
+        F.broadcast(probes)
+        .join(index, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
         .join(F.broadcast(lut), on=["query_id", "subspace", "code"])
         .groupBy("query_id", id_col)
         .agg(F.sum(F.col("term").cast("decimal(30,6)")).cast("double").alias("approx_d2"))

@@ -111,7 +111,9 @@ _WINDOW = [
     "media_resize_check",
     "media_frame_extract",
     "media_frame_sample",
-    "media_payload_stats",
+    # new surface this round (ANN index lifecycle query twin); takes
+    # the 50th slot from media_payload_stats, which rolls to round 6
+    "emb_pq_index_knn",
 ]
 
 

@@ -557,6 +557,27 @@ def _ivf_pq_sql() -> str:
 IVF_PQ_SQL = _ivf_pq_sql()
 
 
+def pq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ answered FROM the persisted index — the full lifecycle
+    as one contract query: build_pq_index materializes the (_batch,
+    cell)-partitioned code table (+ codebook/centroid tables), then
+    ivf_pq_topk_from_index reads codes from the probed cells and
+    touches raw vectors only for the top-rerank exact re-rank. Results
+    are identical to emb_ivfpq_knn's inline encode, so the oracle is
+    the same SQL; the from-index == inline == incremental-refresh ==
+    streamed-maintenance equalities are pytest-enforced
+    (tests/test_pq.py, tests/test_streaming.py)."""
+    from degdb_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    PQ.build_pq_index(emb, "ann_idx_contract", _IVF_CENTROIDS, _PQ_CODEBOOK)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.ivf_pq_topk_from_index(
+        spark, "ann_idx_contract", emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK,
+        k=5, n_probe=_IVF_N_PROBE, rerank=20,
+    ).orderBy("query_id", "rank")
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@5 of the fixed-centroid IVF path
     against exact brute-force cosine, per query — the measurement that
@@ -992,6 +1013,7 @@ QUERIES: dict[str, Query] = {
     "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
     "emb_ivfpq_knn": Query(ivf_pq_knn, IVF_PQ_SQL),
+    "emb_pq_index_knn": Query(pq_index_knn, IVF_PQ_SQL),
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
     "emb_ivf_knn": Query(ivf_knn, None),

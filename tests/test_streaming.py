@@ -636,3 +636,47 @@ def test_postings_index_stream_equals_full_build(spark, tmp_path):
     for t in ("bm25_stream_idx", "bm25_stream_idx_stats",
               "bm25_batch_idx", "bm25_batch_idx_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_index_stream_equals_full_encode(spark, tmp_path):
+    """ANN queries against a STREAM-maintained IVF-PQ code table equal
+    the inline full-corpus encode over the same vectors."""
+    import shutil
+
+    from degdb_spark.operators import pq as PQ
+    from degdb_spark.queries.embeddings_queries import (
+        _IVF_CENTROIDS,
+        _IVF_N_PROBE,
+        _PQ_CODEBOOK,
+    )
+    from degdb_spark.streaming.ann import ann_index_stream
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ann_stream_idx", "ann_stream_idx_codebook", "ann_stream_idx_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    emb.filter(F.col("vec_id") < 120).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    emb.filter(F.col("vec_id") >= 120).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = ann_index_stream(
+        stream, "ann_stream_idx", str(tmp_path / "ckpt"), _IVF_CENTROIDS, _PQ_CODEBOOK
+    )
+    q.awaitTermination(120)
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, n_probe=_IVF_N_PROBE, rerank=20)
+    streamed = PQ.ivf_pq_topk_from_index(
+        spark, "ann_stream_idx", emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK, **kw
+    )
+    direct = PQ.ivf_pq_topk(emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK, **kw)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(streamed) == key(direct) and len(key(direct)) > 0
+    for t in ("ann_stream_idx", "ann_stream_idx_codebook", "ann_stream_idx_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
