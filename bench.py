@@ -137,6 +137,8 @@ HEADLINE = [
     "emb_knn_label_accuracy",
     "events_mix_trend",
     "events_error_seasonality",
+    # round 5
+    "emb_pq_index_knn",
 ]
 
 
