@@ -300,6 +300,8 @@ def build_pq_index(
     replayed batch overwrites them with identical rows instead of
     duplicating codes."""
     spark = corpus.sparkSession
+    for t in (table, f"{table}_codebook", f"{table}_centroids"):
+        drop_managed_table(spark, t)
     (
         encode_with_cells(corpus, centroids, codebook, id_col, vec_col)
         .withColumn("_batch", F.lit(int(batch_id)))
@@ -314,6 +316,22 @@ def build_pq_index(
     _cells_df(spark, centroids).write.mode("overwrite").saveAsTable(
         f"{table}_centroids"
     )
+
+
+def drop_managed_table(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of a DANGLING warehouse
+    location: a managed table created by a previous SparkSession (with
+    an in-memory catalog) leaves its directory behind while the new
+    session's catalog has never heard of it, and saveAsTable then
+    fails with LOCATION_ALREADY_EXISTS. Build = new corpus version, so
+    a leftover location is always stale here."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def refresh_pq_index(

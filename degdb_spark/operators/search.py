@@ -150,6 +150,10 @@ def _write_postings_batch(
         .withColumn("_batch", F.lit(int(batch_id)))
     )
     if create:
+        from degdb_spark.operators.pq import drop_managed_table
+
+        for t in (table, f"{table}_stats"):
+            drop_managed_table(spark, t)
         (
             post.write.mode("overwrite")
             .partitionBy("_batch")
