@@ -310,12 +310,16 @@ def build_pq_index(
         .partitionBy("_batch", "cell")
         .saveAsTable(table)
     )
-    _codebook_df(spark, codebook).write.mode("overwrite").saveAsTable(
-        f"{table}_codebook"
-    )
-    _cells_df(spark, centroids).write.mode("overwrite").saveAsTable(
-        f"{table}_centroids"
-    )
+    # repartition(1): M*K- and n_cells-row literal tables as one file
+    # each instead of 32 near-empty task commits (NOT coalesce(1),
+    # which folds all 32 parent partitions into one task and stalls
+    # ~4 s per write in the scheduler)
+    _codebook_df(spark, codebook).repartition(1).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{table}_codebook")
+    _cells_df(spark, centroids).repartition(1).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{table}_centroids")
 
 
 def drop_managed_table(spark, table: str) -> None:
