@@ -567,13 +567,18 @@ def pq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same SQL; the from-index == inline == incremental-refresh ==
     streamed-maintenance equalities are pytest-enforced
     (tests/test_pq.py, tests/test_streaming.py)."""
+    import hashlib
+
     from degdb_spark.operators import pq as PQ
 
     emb = load_table(spark, sf_dir, "embeddings")
-    PQ.build_pq_index(emb, "ann_idx_contract", _IVF_CENTROIDS, _PQ_CODEBOOK)
+    # sf-scoped table name: a harness that builds frames for two sf
+    # dirs before collecting either must not cross-contaminate
+    table = "ann_idx_contract_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    PQ.build_pq_index(emb, table, _IVF_CENTROIDS, _PQ_CODEBOOK)
     queries = emb.filter(F.col("vec_id") < 5)
     return PQ.ivf_pq_topk_from_index(
-        spark, "ann_idx_contract", emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK,
+        spark, table, emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK,
         k=5, n_probe=_IVF_N_PROBE, rerank=20,
     ).orderBy("query_id", "rank")
 
