@@ -174,3 +174,38 @@ def test_multi_source_bfs_exact_on_hub_graph(spark):
         for node, d in bfs(src, 3).items()
     }
     assert got == want
+
+
+# ---- property tier: random graphs, any shape --------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def random_edge_lists(draw):
+    """Arbitrary small simple graphs: up to 18 vertices, any density —
+    hypothesis will find degenerate shapes (empty, stars, cliques,
+    disconnected) that the fixtures never encode by hand."""
+    n = draw(st.integers(min_value=2, max_value=18))
+    pairs = [(u, v) for u in range(n) for v in range(u + 1, n)]
+    picks = draw(st.lists(st.sampled_from(pairs), min_size=1, max_size=60))
+    return sorted(set(picks))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=random_edge_lists())
+def test_truss_support_matches_bruteforce_on_random_graphs(spark, edges):
+    """Oriented support counting is exact on ARBITRARY graphs, not just
+    the fixtures: per-edge triangle counts equal brute force for every
+    random shape hypothesis throws at it."""
+    from degdb_spark.queries.graph_adv_queries import _truss_support
+
+    _, support = _brute_triangles(edges)
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.u, r.v): r.s for r in _truss_support(e).collect()}
+    assert got == {e_: s for e_, s in support.items() if s > 0}
