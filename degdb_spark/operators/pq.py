@@ -328,8 +328,18 @@ def drop_managed_table(spark, table: str) -> None:
     an in-memory catalog) leaves its directory behind while the new
     session's catalog has never heard of it, and saveAsTable then
     fails with LOCATION_ALREADY_EXISTS. Build = new corpus version, so
-    a leftover location is always stale here."""
+    a leftover location is always stale here.
+
+    The manual directory delete happens ONLY when the catalog has no
+    entry for ``table``: when it does, DROP TABLE already removes a
+    managed table's own location (wherever its database puts it), and
+    an external table's data directory must survive the drop — blindly
+    deleting ``<warehouse>/<table>`` here could hit either another
+    database's namesake or live external data."""
+    existed = spark.catalog.tableExists(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if existed:
+        return
     wh = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
@@ -357,17 +367,17 @@ def refresh_pq_index(
     spark = new_vecs.sparkSession
     if batch_id is None:
         batch_id = spark.table(table).agg(F.max("_batch")).first()[0] + 1
-    rows = (
-        encode_with_cells(new_vecs, centroids, codebook, id_col, vec_col)
-        .withColumn("_batch", F.lit(int(batch_id)))
-        .select(id_col, "subspace", "code", "_batch", "cell")
+    from degdb_spark.operators.search import _insert_overwrite_batch
+
+    rows = encode_with_cells(new_vecs, centroids, codebook, id_col, vec_col).select(
+        id_col, "subspace", "code", "cell"
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        rows.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # statically-specced INSERT OVERWRITE on the `_batch` subtree (cell
+    # stays dynamic below it) — replaces exactly this batch's
+    # partitions with no session-conf mutation, so concurrent writers
+    # can't race a conf restore into a full-table truncate (the former
+    # pattern's failure mode; see search.py twin)
+    _insert_overwrite_batch(rows, table, batch_id, dynamic=("cell",))
 
 
 def ivf_pq_topk(

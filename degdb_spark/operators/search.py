@@ -165,19 +165,39 @@ def _write_postings_batch(
             f"{table}_stats"
         )
         return
-    # dynamic mode scopes the overwrite to this batch's partition; the
-    # session default is restored afterwards
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        post.select("doc_id", "token", "tf", "dl", "_batch").write.mode(
-            "overwrite"
-        ).insertInto(table)
-        stats.select("_n_docs", "_total_dl", "_batch").write.mode(
-            "overwrite"
-        ).insertInto(f"{table}_stats")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # INSERT OVERWRITE with an explicit STATIC `_batch` spec replaces
+    # exactly this batch's partition regardless of the session-wide
+    # partitionOverwriteMode — no shared-conf mutation, so two
+    # concurrent foreachBatch writers can't interleave a
+    # restore-to-static under each other and truncate the whole table
+    # (the former conf-toggle pattern had exactly that race; a
+    # DataFrameWriter option("partitionOverwriteMode") is silently
+    # ignored by insertInto, verified on this Spark)
+    _insert_overwrite_batch(
+        post.select("doc_id", "token", "tf", "dl"), table, batch_id
+    )
+    _insert_overwrite_batch(
+        stats.select("_n_docs", "_total_dl"), f"{table}_stats", batch_id
+    )
+
+
+def _insert_overwrite_batch(
+    rows: DataFrame, table: str, batch_id: int, dynamic: tuple[str, ...] = ()
+) -> None:
+    """Write ``rows`` (data columns only, table order, any dynamic
+    partition columns last) into the ``_batch = batch_id`` partition
+    subtree of ``table`` via statically-specced INSERT OVERWRITE.
+    ``dynamic`` names partition columns below ``_batch`` in the
+    partitioning (their values ride in ``rows``' trailing columns)."""
+    view = f"_ins_{table}_{int(batch_id)}".replace(".", "_")
+    rows.createOrReplaceTempView(view)
+    cols = ", ".join(f"`{c}`" for c in rows.columns)
+    spec = ", ".join([f"_batch = {int(batch_id)}", *dynamic])
+    rows.sparkSession.sql(
+        f"INSERT OVERWRITE TABLE {table} PARTITION ({spec}) "
+        f"SELECT {cols} FROM {view}"
+    )
+    rows.sparkSession.catalog.dropTempView(view)
 
 
 def index_corpus_stats(spark, table: str) -> DataFrame:

@@ -39,7 +39,16 @@ def ann_index_stream(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
-        if spark.catalog.tableExists(table):
+        # refresh only when the WHOLE artifact exists: if batch 0
+        # crashed after the code table landed but before the
+        # codebook/centroids sidecars, the retry must re-run the build
+        # (which drops and rewrites all three) or the sidecars would
+        # never be written and the self-contained-artifact contract
+        # would break permanently
+        if all(
+            spark.catalog.tableExists(t)
+            for t in (table, f"{table}_codebook", f"{table}_centroids")
+        ):
             refresh_pq_index(
                 batch, table, centroids, codebook, id_col, vec_col,
                 batch_id=int(batch_id),
