@@ -19,7 +19,7 @@ banding-style: cost tracks collisions, never n².
 from __future__ import annotations
 
 from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.ml.linalg import VectorUDT
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,6 +28,17 @@ from degdb_spark.operators.text import shingle_fingerprints
 
 #: dimensionality of the shingle-hash space for the sparse set vectors
 SHINGLE_SPACE = 1 << 18
+
+
+def _dense_features(vec_col: str):
+    """array<float/double> → dense MLlib vector via the JVM-native
+    pyspark.ml.functions.array_to_vector (Spark ≥3.1) — stays inside
+    codegen instead of round-tripping every corpus row through a
+    Python worker (the former ``F.udf(Vectors.dense)`` here was the
+    last row-at-a-time Python UDF in any query path)."""
+    from pyspark.ml.functions import array_to_vector
+
+    return array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
 
 
 def _shingle_vector_udf():
@@ -110,12 +121,11 @@ def ml_brp_neighbors(
     approxNearestNeighbors, one query at a time (MLlib's API shape), or
     approxSimilarityJoin for batch mode. Returns (query_id, neighbor_id,
     eucl_dist, rank)."""
-    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_vec(F.col(vec_col)).alias("features")
+        F.col(id_col).alias("neighbor_id"), _dense_features(vec_col)
     ).localCheckpoint(eager=True)
     q = queries.select(
-        F.col(id_col).alias("query_id"), to_vec(F.col(vec_col)).alias("features")
+        F.col(id_col).alias("query_id"), _dense_features(vec_col)
     ).localCheckpoint(eager=True)
     model = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -249,11 +259,10 @@ def ivf_topk(
     """
     from pyspark.ml.clustering import KMeans
 
-    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        to_vec(F.col(vec_col)).alias("features"),
+        _dense_features(vec_col),
     ).localCheckpoint(eager=True)
     model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(c)
     assigned = model.transform(c).select(
@@ -262,6 +271,104 @@ def ivf_topk(
     cent_lit = _centroid_struct_lit(model.clusterCenters())
     probes = _probes_from(queries, cent_lit, n_probe, id_col, vec_col)
     return _ivf_probe_rerank(assigned, probes, k, broadcast_probes)
+
+
+def lloyd_centroids(
+    train: DataFrame,
+    init: list[list[float]],
+    n_rounds: int = 2,
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> list[list[float]]:
+    """Deterministic seeded Lloyd iteration, fully relational — the
+    oracle-replayable k-means that retires the MLlib ``KMeans.fit``
+    path for contract queries (its trained centroids were
+    engine-specific, so `emb_ivf_knn` could only ever be rows-only).
+
+    Each round: nearest-centroid assignment against the current
+    centroid literals (the same |c|²-2·v·c double-domain key as
+    ivf_topk_fixed, ties by cell id), then per-(cell, coordinate)
+    means accumulated in DECIMAL — order-independent, so the result is
+    bit-identical across partitionings AND engines — divided in the
+    double domain and FLOOR-rounded to ``dp`` decimals. Cells that
+    captured no points keep their previous centroid. A DuckDB oracle
+    unrolls the same rounds as CTEs (embeddings_queries._ivf_lloyd_sql)
+    and reproduces every centroid bit-for-bit.
+
+    Scale shape (100 TB): pass a SAMPLED ``train`` frame — k-means
+    quality needs a sliver of the corpus, and the full corpus is only
+    touched by the one assign+probe pass that follows training. Per
+    round the plan is one train-scan → argmin over k centroid literals
+    (codegen) → posexplode to (cell, pos, x) → hash-agg to k·dim rows
+    (map-side combined, so the shuffle is k·dim rows per task). The
+    only driver actions are ``n_rounds`` fetches of k·dim means — a
+    seed-sized transfer, same budget as reading back a trained model.
+    """
+    cent = [[float(x) for x in c] for c in init]
+    vecs = train.select(F.col(vec_col).cast("array<double>").alias("v"))
+    from degdb_spark.queries.rounding import dround
+
+    for _ in range(n_rounds):
+        cent_lit = _centroid_struct_lit(cent)
+        stats = (
+            vecs.select(
+                F.array_sort(_cell_scores(F.col("v"), cent_lit))[0]["cell"].alias(
+                    "cell"
+                ),
+                F.posexplode("v").alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(dround(F.col("x"), dp).cast("decimal(30,6)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "pos",
+                dround(F.col("s").cast("double") / F.col("n"), dp).alias("m"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
+        cent = [
+            [by_cell[c][p] for p in range(len(cent[c]))] if c in by_cell else cent[c]
+            for c in range(len(cent))
+        ]
+    return cent
+
+
+def ivf_topk_lloyd(
+    corpus: DataFrame,
+    queries: DataFrame,
+    init_centroids: list[list[float]],
+    n_rounds: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    broadcast_probes: bool = True,
+    train_filter=None,
+) -> DataFrame:
+    """IVF top-k with a seeded-Lloyd-trained quantizer: train via
+    lloyd_centroids (optionally on the ``train_filter`` slice — the
+    production sampling shape), then run the pinned-centroid
+    probe/re-rank pipeline on the result. Deterministic end to end, so
+    the whole thing — training included — hash-checks against a DuckDB
+    oracle; no Python UDF anywhere in the plan (plan-gated)."""
+    train = corpus.filter(train_filter) if train_filter is not None else corpus
+    cent = lloyd_centroids(train, init_centroids, n_rounds, vec_col)
+    return ivf_topk_fixed(
+        corpus,
+        queries,
+        cent,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        broadcast_probes=broadcast_probes,
+    )
 
 
 def ivf_topk_fixed(

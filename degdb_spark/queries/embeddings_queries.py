@@ -271,18 +271,27 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k — rows-only
-    (the trained quantizer is engine-specific; recall vs exact is
-    asserted in tests/test_similarity.py)."""
-    from degdb_spark.operators.ml_lsh import ivf_topk
+    """IVF (k-means coarse quantizer) approximate top-k, with the
+    quantizer TRAINED by a seeded deterministic Lloyd iteration
+    (ml_lsh.ivf_topk_lloyd) — training and query both hash-check
+    against the unrolled-CTE DuckDB oracle (IVF_LLOYD_SQL), retiring
+    the MLlib KMeans path whose engine-specific centroids kept this
+    query rows-only through rounds 2-5. Trains on the vec_id % 3 == 0
+    slice (the sample-then-pin production shape for 100 TB); recall vs
+    exact is additionally asserted in tests/test_similarity.py."""
+    from degdb_spark.operators.ml_lsh import ivf_topk_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    if emb.isEmpty():  # k-means can't fit on an empty corpus
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
-        )
-    return ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return ivf_topk_lloyd(
+        emb,
+        queries,
+        _IVF_CENTROIDS,
+        n_rounds=_LLOYD_ROUNDS,
+        k=5,
+        n_probe=_IVF_N_PROBE,
+        train_filter=F.col("vec_id") % _LLOYD_SAMPLE_MOD == 0,
+    ).orderBy("query_id", "rank")
 
 
 #: Pinned IVF quantizer for the oracle-checked variant: deterministic
@@ -309,27 +318,27 @@ def ivf_fixed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ivf_fixed_oracle_sql(centroids: list[list[float]], n_probe: int, k: int = 5) -> str:
-    """DuckDB replication of ivf_topk_fixed: the centroid literals ride
-    as a VALUES CTE; cell ranking uses the same |c|²-2·v·c double-domain
-    key (ties by cell id), so assignment matches Spark bit-for-bit."""
-
+def _centroid_values_rows(centroids: list[list[float]]) -> str:
     def vec_lit(c):
         return "[" + ",".join(repr(float(x)) for x in c) + "]"
 
-    rows = ",\n  ".join(
+    return ",\n  ".join(
         f"({cell}, {vec_lit(c)}::DOUBLE[], {float(sum(float(x) * float(x) for x in c))!r})"
         for cell, c in enumerate(centroids)
     )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent(cell, cv, c2) AS (VALUES
-  {rows}),
-cell_rank AS (
-  SELECT e.vec_id, cent.cell,
+
+
+def _ivf_rerank_tail_sql(cent_cte: str, n_probe: int, k: int) -> str:
+    """Shared oracle tail replicating the ivf_topk_fixed probe/re-rank:
+    nearest-cell ranking against the ``cent_cte`` (cell, cv, c2)
+    relation with the |c|²-2·v·c double-domain key (ties by cell id),
+    corpus assignment (rn=1), query probes (rn<=n_probe, vec_id<10),
+    exact cosine re-rank — assignment matches Spark bit-for-bit."""
+    return f"""cell_rank AS (
+  SELECT e.vec_id, c.cell,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY cent.c2 - 2 * list_dot_product(e.v, cent.cv), cent.cell) AS rn
-  FROM e CROSS JOIN cent
+                            ORDER BY c.c2 - 2 * list_dot_product(e.v, c.cv), c.cell) AS rn
+  FROM e CROSS JOIN {cent_cte} c
 ),
 assign AS (SELECT vec_id AS neighbor_id, cell FROM cell_rank WHERE rn = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM cell_rank WHERE rn <= {n_probe} AND vec_id < 10),
@@ -352,11 +361,86 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_sim, rank
 FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
+ORDER BY query_id, rank"""
+
+
+def _ivf_fixed_oracle_sql(centroids: list[list[float]], n_probe: int, k: int = 5) -> str:
+    """DuckDB replication of ivf_topk_fixed: the centroid literals ride
+    as a VALUES CTE feeding the shared probe/re-rank tail."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(cell, cv, c2) AS (VALUES
+  {_centroid_values_rows(centroids)}),
+{_ivf_rerank_tail_sql("cent", n_probe, k)}
 """
 
 
 IVF_FIXED_SQL = _ivf_fixed_oracle_sql(_IVF_CENTROIDS, _IVF_N_PROBE)
+
+
+def _ivf_lloyd_sql(
+    init: list[list[float]],
+    n_rounds: int,
+    n_probe: int,
+    sample_mod: int,
+    k: int = 5,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB replication of ml_lsh.ivf_topk_lloyd, TRAINING INCLUDED:
+    the seeded init centroids ride as VALUES literals and each Lloyd
+    round unrolls to three CTEs — nearest-centroid assignment on the
+    1-in-``sample_mod`` id-sampled training slice, per-(cell, coord)
+    means (coordinates FLOOR-rounded to 6dp, summed in DECIMAL so the
+    total is order-independent, divided in the double domain,
+    FLOOR-rounded again — the exact arithmetic lloyd_centroids runs),
+    and the next centroid relation (cells that captured no points keep
+    their previous centroid via COALESCE). The final round's centroids
+    feed the same probe/re-rank tail as the fixed-centroid oracle —
+    same unrolled-iteration discipline as the PageRank and k-truss
+    oracles."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"tr AS (SELECT vec_id, v FROM e WHERE vec_id % {sample_mod} = 0)",
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS p)",
+        f"c0(cell, cv, c2) AS (VALUES\n  {_centroid_values_rows(init)})",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""a{r} AS (
+  SELECT vec_id, cell FROM (
+    SELECT tr.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY tr.vec_id
+                              ORDER BY c.c2 - 2 * list_dot_product(tr.v, c.cv), c.cell) AS rn
+    FROM tr CROSS JOIN c{r - 1} c) WHERE rn = 1
+)""")
+        parts.append(f"""m{r} AS (
+  SELECT a.cell, p.p AS pos,
+         FLOOR(CAST(SUM(CAST(FLOOR(t.v[p.p] * 1000000 + 0.5) / 1000000 AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*) * 1000000 + 0.5) / 1000000 AS m
+  FROM a{r} a JOIN tr t USING (vec_id) CROSS JOIN pos p
+  GROUP BY a.cell, p.p
+)""")
+        parts.append(f"""c{r} AS (
+  SELECT c.cell, COALESCE(g.cv, c.cv) AS cv,
+         list_dot_product(COALESCE(g.cv, c.cv), COALESCE(g.cv, c.cv)) AS c2
+  FROM c{r - 1} c LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv
+                             FROM m{r} GROUP BY cell) g USING (cell)
+)""")
+    return (
+        ",\n".join(parts)
+        + ",\n"
+        + _ivf_rerank_tail_sql(f"c{n_rounds}", n_probe, k)
+        + "\n"
+    )
+
+
+#: Lloyd training knobs for emb_ivf_knn: 2 rounds from the pinned
+#: seed-777 init, training on the vec_id % 3 == 0 slice (the sampled-
+#: training production shape), probing _IVF_N_PROBE cells.
+_LLOYD_ROUNDS, _LLOYD_SAMPLE_MOD = 2, 3
+
+IVF_LLOYD_SQL = _ivf_lloyd_sql(
+    _IVF_CENTROIDS, _LLOYD_ROUNDS, _IVF_N_PROBE, _LLOYD_SAMPLE_MOD
+)
 
 
 def quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,7 +1105,7 @@ QUERIES: dict[str, Query] = {
     "emb_pq_index_knn": Query(pq_index_knn, IVF_PQ_SQL),
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
-    "emb_ivf_knn": Query(ivf_knn, None),
+    "emb_ivf_knn": Query(ivf_knn, IVF_LLOYD_SQL),
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),

@@ -125,3 +125,25 @@ def test_incremental_embedding_neardups_matches_full_collisions(spark):
     }
     assert got == want
     assert all(a >= split or b >= split for a, b in got)
+
+
+def test_lloyd_centroids_deterministic_and_empty_cells_keep_init(spark):
+    """Seeded Lloyd: (a) two runs over differently-partitioned input
+    give bit-identical centroids (decimal-sum means are order-
+    independent — the property the oracle replay depends on); (b) cells
+    that capture no points keep their init centroid; (c) captured cells
+    move to the FLOOR-rounded coordinate mean of their members."""
+    from degdb_spark.operators.ml_lsh import lloyd_centroids
+
+    init = [[10.0, 10.0], [-10.0, -10.0], [100.0, 100.0], [-100.0, 100.0]]
+    pts = [([1.0, 2.0],), ([3.0, 2.0],), ([-1.0, -5.0],)]
+    df1 = spark.createDataFrame(pts, "embedding: array<double>").repartition(1)
+    df8 = spark.createDataFrame(pts, "embedding: array<double>").repartition(8)
+    c1 = lloyd_centroids(df1, init, n_rounds=2)
+    c8 = lloyd_centroids(df8, init, n_rounds=2)
+    assert c1 == c8
+    # cells 2 and 3 never capture anything: init preserved verbatim
+    assert c1[2] == init[2] and c1[3] == init[3]
+    # cell 0 captures the two positive points, cell 1 the negative one
+    assert c1[0] == [2.0, 2.0]
+    assert c1[1] == [-1.0, -5.0]
