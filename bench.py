@@ -137,9 +137,33 @@ HEADLINE = [
     "emb_knn_label_accuracy",
     "events_mix_trend",
     "events_error_seasonality",
+    # round 6: the one-time index build measured as its own entry, run
+    # BEFORE the from-index query so emb_pq_index_knn measures the
+    # steady-state query cost (the r5 suite billed the build inside it)
+    "emb_pq_index_build",
     # round 5
     "emb_pq_index_knn",
+    # round 6: phrase search from the positional index (steady-state —
+    # the fingerprint-keyed build runs untimed in main(), the fixture
+    # accounting VERDICT r5 ask #4 prescribed for one-time builds)
+    "docs_phrase_search_indexed",
 ]
+
+#: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse
+#: queries measured warm at suite start and re-measured at suite end.
+#: Deliberately NOT in HEADLINE, so pre-warming them never contaminates
+#: round-over-round comparisons of shared suite queries. The ratio
+#: end/start is the measured session-aging tax on unchanged plans
+#: (driver-JVM garbage, codegen cache pressure, AQE state), reported in
+#: the JSON line so cross-round per-query deltas can be discounted.
+CANARY = [
+    "triple_subject_lookup",
+    "nations_set_ops",
+    "latest_event_per_user",
+    "price_percentiles",
+    "docs_token_stats",
+]
+assert not set(CANARY) & set(HEADLINE)
 
 
 def main() -> None:
@@ -164,17 +188,31 @@ def main() -> None:
     ).count()
 
     reg = registry()
+
+    def run_one(name: str) -> float:
+        t0 = time.time()
+        n = reg[name].spark(spark, SF_DIR).count()  # force full execution
+        dt = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        return dt
+
+    # one-time positional-index build as an untimed fixture: the
+    # fingerprint-keyed artifact persists, so the HEADLINE entry below
+    # measures the steady-state probe (same split as emb_pq_index_build
+    # vs emb_pq_index_knn, where the build IS a timed entry)
+    reg["docs_phrase_search_indexed"].spark(spark, SF_DIR).count()
+
+    # canary pass 1 (cold, discarded) + pass 2 (warm baseline)
+    for name in CANARY:
+        run_one(name)
+    canary_start = round(sum(run_one(name) for name in CANARY), 3)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        q = reg[name]
-        t0 = time.time()
-        df = q.spark(spark, SF_DIR)
-        n = df.count()  # force full execution
-        dt = round(time.time() - t0, 3)
+        dt = run_one(name)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
         # Inter-query isolation (outside the timed region): drop
         # block-manager state from checkpoint-heavy queries and nudge the
         # driver JVM's collector. Without this, garbage from earlier
@@ -186,6 +224,11 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # canary pass 3 (after the whole suite): end/start on warm plans is
+    # the measured session-aging tax — subtractable noise floor for
+    # round-over-round per-query comparison
+    canary_end = round(sum(run_one(name) for name in CANARY), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Key order matters: the driver retains the TAIL of this line when it
     # truncates (BENCH_r04.json kept only 64 of 113 per-query figures and
@@ -195,6 +238,11 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "canary_warm_start_sec": canary_start,
+                "canary_end_sec": canary_end,
+                "aging_ratio": round(canary_end / canary_start, 3)
+                if canary_start
+                else None,
                 "metric": "headline_suite_seconds",
                 "unit": "sec",
                 "sf": float(sf),

@@ -347,6 +347,154 @@ WHERE rank <= {k} ORDER BY rank
 """
 
 
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional inverted index rows: (doc_id, token, positions) with
+    1-based positions into the tokens() array — the SAME numbering
+    phrase_count_tokens scans, so index-answered phrase/proximity
+    results are bit-equal to the corpus-scan path (tested). Positions
+    are assigned BEFORE the empty-token filter, so blank runs in the
+    source text can never shift a real token's position."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("_pos0", "token")
+    ).filter(F.col("token") != "")
+    return tok.groupBy("doc_id", "token").agg(
+        F.array_sort(F.collect_list(F.col("_pos0") + 1)).alias("positions")
+    )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    buckets: int = 16,
+    batch_id: int = 0,
+) -> None:
+    """Materialize the positional index as a TABLE partitioned by
+    ``_batch`` and bucketed by token — the phrase/proximity twin of
+    build_postings_index. At 100 TB a SERVING workload of repeated
+    phrase queries probes the phrase's token buckets (a few
+    query-term-sized scans + doc_id equi-joins) instead of rescanning
+    and retokenizing the corpus per query; phrase_count_tokens stays
+    the right shape for ad-hoc analytics that ride a corpus scan
+    anyway (SCALE.md). Same ``_batch`` idempotency contract as the
+    postings/band/PQ indexes: every ingest owns its partition, so a
+    replayed batch overwrites itself instead of double-appending."""
+    _write_positional_batch(docs, table, text_col, batch_id, buckets, create=True)
+
+
+def refresh_positional_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    """Incremental positional-index maintenance: tokenize ONLY the
+    increment into its own ``_batch`` partition (statically-specced
+    INSERT OVERWRITE — replaying the same batch_id converges).
+    Historical text is never re-read; doc ids must be new
+    (append-only), the same contract as refresh_postings_index."""
+    spark = new_docs.sparkSession
+    if batch_id is None:
+        batch_id = spark.table(table).agg(F.max("_batch")).first()[0] + 1
+    _write_positional_batch(new_docs, table, text_col, batch_id, create=False)
+
+
+def _write_positional_batch(
+    docs: DataFrame,
+    table: str,
+    text_col: str,
+    batch_id: int,
+    buckets: int = 16,
+    create: bool = False,
+) -> None:
+    spark = docs.sparkSession
+    rows = positional_postings(docs, text_col).withColumn(
+        "_batch", F.lit(int(batch_id))
+    )
+    if create:
+        from degdb_spark.operators.pq import drop_managed_table
+
+        drop_managed_table(spark, table)
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("_batch")
+            .bucketBy(buckets, "token")
+            .sortBy("token")
+            .saveAsTable(table)
+        )
+        return
+    _insert_overwrite_batch(
+        rows.select("doc_id", "token", "positions"), table, batch_id
+    )
+
+
+def phrase_topk_from_index(
+    spark, table: str, terms: list[str], k: int = 25
+) -> DataFrame:
+    """Top-k phrase counting answered FROM a build_positional_index
+    table: one bucket-pruned scan per phrase term (token filter pushed
+    into the scan of a token-bucketed table), |terms|-1 doc_id
+    equi-joins between query-term-sized sides, then the run count as a
+    codegen array expression over the joined position arrays — the
+    first term's positions are the candidate starts, and a start
+    survives when every later term has a position exactly i ahead.
+    Bit-equal to the phrase_count_tokens scan path (tested; the
+    contract query shares docs_phrase_search's oracle)."""
+    from functools import reduce
+
+    post = spark.table(table)
+    cand = None
+    for i, t in enumerate(terms):
+        side = post.filter(F.col("token") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}")
+        )
+        cand = side if cand is None else cand.join(side, on="doc_id")
+    pred = lambda p: reduce(
+        lambda acc, i: acc & F.array_contains(F.col(f"_p{i}"), p + i),
+        range(1, len(terms)),
+        F.lit(True),
+    )
+    out = cand.select(
+        "doc_id",
+        F.size(F.filter(F.col("_p0"), pred)).cast("long").alias("n_hits"),
+    )
+    return (
+        out.filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def proximity_topk_from_index(
+    spark, table: str, term_a: str, term_b: str, window: int, k: int = 25
+) -> DataFrame:
+    """Top-k proximity search answered FROM the positional index: two
+    bucket-pruned token probes, one doc_id equi-join, and the same
+    flattened |pa|x|pb| distance transform as proximity_min_distance —
+    bit-equal to the scan path (tested)."""
+    post = spark.table(table)
+    a = post.filter(F.col("token") == term_a).select(
+        "doc_id", F.col("positions").alias("_pa")
+    )
+    b = post.filter(F.col("token") == term_b).select(
+        "doc_id", F.col("positions").alias("_pb")
+    )
+    dists = F.flatten(
+        F.transform(
+            F.col("_pa"),
+            lambda x: F.transform(F.col("_pb"), lambda y: F.abs(x - y)),
+        )
+    )
+    out = a.join(b, on="doc_id").select(
+        "doc_id", F.array_min(dists).cast("long").alias("min_dist")
+    )
+    return (
+        out.filter(F.col("min_dist") <= window)
+        .orderBy("min_dist", "doc_id")
+        .limit(k)
+    )
+
+
 def phrase_count(text_col, terms: list[str]):
     """Occurrences of an exact consecutive-token phrase, as a codegen
     column expression — a shuffle-free scan, no positional-index join:

@@ -615,8 +615,6 @@ def _pq_sql() -> str:
 PQ_KNN_SQL = _pq_sql()
 
 
-
-
 def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (operators/pq.ivf_pq_topk): fixed coarse
     centroids prune to 3 cells, PQ ADC scores only probed-cell code
@@ -641,25 +639,102 @@ def _ivf_pq_sql() -> str:
 IVF_PQ_SQL = _ivf_pq_sql()
 
 
-def pq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ answered FROM the persisted index — the full lifecycle
-    as one contract query: build_pq_index materializes the (_batch,
-    cell)-partitioned code table (+ codebook/centroid tables), then
-    ivf_pq_topk_from_index reads codes from the probed cells and
-    touches raw vectors only for the top-rerank exact re-rank. Results
-    are identical to emb_ivfpq_knn's inline encode, so the oracle is
-    the same SQL; the from-index == inline == incremental-refresh ==
-    streamed-maintenance equalities are pytest-enforced
-    (tests/test_pq.py, tests/test_streaming.py)."""
+def _contract_index_table(sf_dir: str) -> str:
+    """Content-addressed name for the contract-query ANN index: keyed
+    on the sf dir, the embeddings parquet's (mtime, size), AND the
+    pinned centroid/codebook literals — so a warehouse that outlives a
+    testdata regeneration or a quantizer change can never serve stale
+    codes, while repeated queries in one round reuse the build."""
     import hashlib
+    import os
 
+    sig = [sf_dir, repr(_IVF_CENTROIDS), repr(_PQ_CODEBOOK)]
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        sig += [str(st.st_mtime_ns), str(st.st_size)]
+    except OSError:
+        pass
+    return "ann_idx_contract_" + hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+
+
+def _contract_index_tables(table: str) -> tuple[str, str, str]:
+    return (table, f"{table}_codebook", f"{table}_centroids")
+
+
+def pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-TIME index build as its own contract query (r5 verdict
+    ask #4 — previously billed inside every emb_pq_index_knn run):
+    build_pq_index materializes the (_batch, cell)-partitioned code
+    table + codebook/centroid sidecars, and the returned report — code
+    rows per coarse cell — hash-checks the build's cell assignment and
+    row multiplicity against the oracle (|cell| x M subspace rows per
+    vector). Fingerprint-stale sibling indexes (earlier testdata
+    generations) are retired first so the warehouse doesn't accrete
+    dead builds."""
     from degdb_spark.operators import pq as PQ
 
+    table = _contract_index_table(sf_dir)
+    stale = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ann_idx_contract_")
+    } - set(_contract_index_tables(table))
+    for t in sorted(stale):
+        PQ.drop_managed_table(spark, t)
     emb = load_table(spark, sf_dir, "embeddings")
-    # sf-scoped table name: a harness that builds frames for two sf
-    # dirs before collecting either must not cross-contaminate
-    table = "ann_idx_contract_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     PQ.build_pq_index(emb, table, _IVF_CENTROIDS, _PQ_CODEBOOK)
+    return (
+        spark.table(table)
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_code_rows"))
+        .orderBy("cell")
+    )
+
+
+def _pq_index_build_sql(centroids: list[list[float]], n_subspaces: int) -> str:
+    """Oracle for pq_index_build: the coarse cell assignment from the
+    centroid literals, times M code rows per vector."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(cell, cv, c2) AS (VALUES
+  {_centroid_values_rows(centroids)}),
+cell_rank AS (
+  SELECT e.vec_id, cent.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY cent.c2 - 2 * list_dot_product(e.v, cent.cv), cent.cell) AS rn
+  FROM e CROSS JOIN cent
+)
+SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) * {n_subspaces} AS n_code_rows
+FROM cell_rank WHERE rn = 1
+GROUP BY cell ORDER BY cell
+"""
+
+
+PQ_INDEX_BUILD_SQL = _pq_index_build_sql(
+    _IVF_CENTROIDS, len({s for s, _, _ in _PQ_CODEBOOK})
+)
+
+
+def pq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ answered FROM the persisted index — the steady-state ANN
+    query: ivf_pq_topk_from_index reads M small ints per vector from
+    the probed cell partitions of the fingerprint-keyed code table and
+    touches raw vectors only for the top-rerank exact re-rank. The
+    build runs ONLY when the fingerprinted artifact is absent (fresh
+    warehouse / regenerated testdata); emb_pq_index_build is the
+    explicit build surface, so benches see build and query costs
+    separately. Results are identical to emb_ivfpq_knn's inline
+    encode, so the oracle is the same SQL; the from-index == inline ==
+    incremental-refresh == streamed-maintenance equalities are
+    pytest-enforced (tests/test_pq.py, tests/test_streaming.py)."""
+    from degdb_spark.operators import pq as PQ
+
+    table = _contract_index_table(sf_dir)
+    if not all(
+        spark.catalog.tableExists(t) for t in _contract_index_tables(table)
+    ):
+        pq_index_build(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return PQ.ivf_pq_topk_from_index(
         spark, table, emb, queries, _IVF_CENTROIDS, _PQ_CODEBOOK,
@@ -1102,6 +1177,7 @@ QUERIES: dict[str, Query] = {
     "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
     "emb_ivfpq_knn": Query(ivf_pq_knn, IVF_PQ_SQL),
+    "emb_pq_index_build": Query(pq_index_build, PQ_INDEX_BUILD_SQL),
     "emb_pq_index_knn": Query(pq_index_knn, IVF_PQ_SQL),
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),

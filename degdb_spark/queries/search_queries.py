@@ -96,6 +96,50 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _positional_index_table(sf_dir: str) -> str:
+    """Content-addressed name for the contract-query positional index,
+    keyed on the sf dir and the documents parquet's (mtime, size) — a
+    warehouse outliving a testdata regeneration can never serve stale
+    positions, while repeated queries in one round reuse the build
+    (same pattern as the ANN contract index)."""
+    import hashlib
+    import os
+
+    sig = [sf_dir]
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        sig += [str(st.st_mtime_ns), str(st.st_size)]
+    except OSError:
+        pass
+    return "pos_idx_contract_" + hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+
+
+def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_phrase_search answered FROM the persisted positional index
+    (operators/search.phrase_topk_from_index): probes the phrase's
+    token buckets instead of rescanning + retokenizing the corpus —
+    the serving-workload path for repeated phrase queries at 100 TB
+    (the scan path remains the ad-hoc shape, SCALE.md). The
+    fingerprint-keyed build runs only when the artifact is absent;
+    stale-fingerprint siblings are retired. Shares the scan query's
+    oracle — identical results by construction (parity also
+    pytest-enforced, tests/test_search.py)."""
+    from degdb_spark.operators.pq import drop_managed_table
+
+    table = _positional_index_table(sf_dir)
+    if not spark.catalog.tableExists(table):
+        stale = {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("pos_idx_contract_")
+        } - {table}
+        for t in sorted(stale):
+            drop_managed_table(spark, t)
+        docs = load_table(spark, sf_dir, "documents")
+        S.build_positional_index(docs, table)
+    return S.phrase_topk_from_index(spark, table, PHRASE, k=25)
+
+
 def parts_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage (Fellegi-Sunter) on blocked
     candidates: q-gram blocking over canonical names, agreement vector
@@ -213,5 +257,8 @@ QUERIES: dict[str, Query] = {
     ),
     "parts_fuzzy_match": Query(parts_fuzzy_match, FUZZY_MATCH_SQL),
     "docs_phrase_search": Query(phrase_search, S.phrase_sql(PHRASE, k=25)),
+    "docs_phrase_search_indexed": Query(
+        phrase_search_indexed, S.phrase_sql(PHRASE, k=25)
+    ),
     "parts_linkage_scores": Query(parts_linkage_scores, PARTS_LINKAGE_SQL),
 }

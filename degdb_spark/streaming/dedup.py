@@ -203,3 +203,43 @@ def postings_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def positional_index_stream(
+    docs: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    buckets: int = 16,
+):
+    """Streaming maintenance of the positional phrase/proximity index:
+    the fourth index-lifecycle twin (band, postings, PQ codes,
+    positions), with the identical contract — each micro-batch
+    tokenizes ONLY its increment into its own ``_batch`` partition of
+    the token-bucketed table (first batch builds it), phrase queries
+    against the table are correct after every batch, and a
+    crashed-and-retried batch overwrites its own partition with
+    identical rows (tested). Returns the started availableNow
+    StreamingQuery."""
+    from degdb_spark.operators.search import (
+        build_positional_index,
+        refresh_positional_index,
+    )
+
+    spark = docs.sparkSession
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        if spark.catalog.tableExists(table):
+            refresh_positional_index(batch, table, text_col, batch_id=int(batch_id))
+        else:
+            build_positional_index(
+                batch, table, text_col, buckets, batch_id=int(batch_id)
+            )
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -165,3 +165,136 @@ def test_postings_index_incremental_refresh(spark, tmp_path):
     for t in ("bm25_inc_test", "bm25_inc_test_stats",
               "bm25_full_test", "bm25_full_test_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _drop(spark, *tables):
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_positional_index_phrase_and_proximity_parity(spark):
+    """Index-answered phrase/proximity == the corpus-scan paths on real
+    testdata, and the phrase plan (a) never rescans the corpus, (b)
+    pushes the token filter into the bucketed scan, (c) contains no
+    tokenizer."""
+    from degdb_spark.operators.search import (
+        build_positional_index,
+        phrase_count_tokens,
+        phrase_topk_from_index,
+        proximity_min_distance,
+        proximity_topk_from_index,
+    )
+    from degdb_spark.operators.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _drop(spark, "pos_idx_test")
+    build_positional_index(docs, "pos_idx_test")
+
+    toks = docs.select("doc_id", tokens("text").alias("_t"))
+    phrase = ["hash", "join"]
+    scan = (
+        toks.select(
+            "doc_id", phrase_count_tokens(F.col("_t"), phrase).alias("n_hits")
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(25)
+        .collect()
+    )
+    idx = phrase_topk_from_index(spark, "pos_idx_test", phrase, k=25).collect()
+    assert [tuple(r) for r in idx] == [tuple(r) for r in scan] and len(scan) > 0
+
+    pscan = (
+        toks.filter(F.array_contains("_t", "dup") & F.array_contains("_t", "spark"))
+        .select(
+            "doc_id",
+            proximity_min_distance(F.col("_t"), "dup", "spark").alias("min_dist"),
+        )
+        .filter(F.col("min_dist") <= 5)
+        .orderBy("min_dist", "doc_id")
+        .limit(25)
+        .collect()
+    )
+    pidx = proximity_topk_from_index(
+        spark, "pos_idx_test", "dup", "spark", 5, k=25
+    ).collect()
+    assert [tuple(r) for r in pidx] == [tuple(r) for r in pscan] and len(pscan) > 0
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        phrase_topk_from_index(spark, "pos_idx_test", phrase, k=25).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "documents.parquet" not in plan  # corpus never rescanned
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "token" in l]
+    assert pushed, plan
+    assert "split(" not in plan.lower()  # no tokenizer anywhere
+    _drop(spark, "pos_idx_test")
+
+
+def test_positional_index_refresh_and_replay(spark):
+    """Build on 80% + refresh 20% == full build; replaying the same
+    batch_id converges instead of double-appending positions."""
+    from degdb_spark.operators.search import (
+        build_positional_index,
+        phrase_topk_from_index,
+        refresh_positional_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _drop(spark, "pos_inc_test", "pos_full_test")
+    old = docs.filter(F.col("doc_id") < 160)
+    new = docs.filter(F.col("doc_id") >= 160)
+    build_positional_index(old, "pos_inc_test")
+    refresh_positional_index(new, "pos_inc_test")
+    build_positional_index(docs, "pos_full_test")
+    phrase = ["hash", "join"]
+    full = phrase_topk_from_index(spark, "pos_full_test", phrase, k=25).collect()
+    inc = phrase_topk_from_index(spark, "pos_inc_test", phrase, k=25).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full] and len(full) > 0
+    replay_id = spark.table("pos_inc_test").agg(F.max("_batch")).first()[0]
+    refresh_positional_index(new, "pos_inc_test", batch_id=replay_id)
+    again = phrase_topk_from_index(spark, "pos_inc_test", phrase, k=25).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in full]
+    n_rows = spark.table("pos_inc_test").count()
+    assert n_rows == spark.table("pos_full_test").count()
+    _drop(spark, "pos_inc_test", "pos_full_test")
+
+
+def test_positional_index_position_numbering_matches_tokenizer(spark):
+    """Positions are 1-based indexes into the exact tokens() array
+    (whitespace runs collapse, leading/trailing space trims — same as
+    the scan path), so adjacency tests agree with phrase_count_tokens
+    on every spacing shape."""
+    from degdb_spark.operators.search import (
+        build_positional_index,
+        phrase_topk_from_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hash join ok"),      # phrase at (1,2)
+            (2, "hash  join"),        # run of spaces collapses: still adjacent
+            (3, "  x hash join "),    # offset + trim: phrase at (2,3)
+            (4, "hash x join"),       # intervening token: NOT adjacent
+            (5, "join hash"),         # reversed: no match
+        ],
+    )
+    _drop(spark, "pos_gap_test")
+    build_positional_index(docs, "pos_gap_test")
+    out = {
+        r.doc_id: r.n_hits
+        for r in phrase_topk_from_index(
+            spark, "pos_gap_test", ["hash", "join"], k=10
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}  # docs 4 and 5 must NOT match
+    _drop(spark, "pos_gap_test")

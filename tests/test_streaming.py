@@ -770,3 +770,45 @@ def test_postings_refresh_crash_between_postings_and_stats(spark, tmp_path):
     for t in ("bm25_crash_idx", "bm25_crash_idx_stats",
               "bm25_clean_idx", "bm25_clean_idx_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_positional_index_stream_equals_full_build(spark, tmp_path):
+    """Phrase queries against a STREAM-maintained positional index
+    equal the batch build over the same corpus."""
+    import shutil
+
+    from degdb_spark.operators.search import (
+        build_positional_index,
+        phrase_topk_from_index,
+    )
+    from degdb_spark.streaming.dedup import positional_index_stream
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("pos_stream_idx", "pos_batch_idx"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    docs.filter(F.col("doc_id") >= 100).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = positional_index_stream(stream, "pos_stream_idx", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    build_positional_index(docs, "pos_batch_idx")
+    phrase = ["hash", "join"]
+    streamed = phrase_topk_from_index(spark, "pos_stream_idx", phrase, k=25).collect()
+    batch = phrase_topk_from_index(spark, "pos_batch_idx", phrase, k=25).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert len(batch) > 0
+    for t in ("pos_stream_idx", "pos_batch_idx"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
