@@ -41,14 +41,12 @@ from pyspark.sql import functions as F
 from degdb_spark.queries.rounding import dround
 
 
-def setsim_join(
-    docs: DataFrame,
-    threshold: float = 0.8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _rarest_first_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Pairs (id_a, id_b, inter, union_size, jaccard) with exact token-
-    set Jaccard >= threshold, canonical id_a < id_b."""
+    """(id, toks rarest-first, sz) — the per-doc total-order sort
+    described in the module docstring. Exposed for the skew property
+    tier (tests/test_text_skew.py) as well as setsim_join."""
     from degdb_spark.operators.text import tokens
 
     tok = (
@@ -65,7 +63,7 @@ def setsim_join(
     # the vocabulary. The localCheckpoint matters: `sets` feeds pref,
     # sa AND sb below, and without it the tokenize→dfreq→aggregate
     # pipeline executes three times.
-    sets = (
+    return (
         tok.join(dfreq, on="token")
         .groupBy("id")
         .agg(
@@ -77,15 +75,32 @@ def setsim_join(
         )
         .localCheckpoint(eager=False)
     )
-    # prefix length |x| - ceil(t|x|) + 1; candidate generation carries
-    # ONLY ids — deduping (id_a, id_b) before attaching token arrays
-    # keeps the candidate shuffle rows ~2 longs wide instead of
-    # dragging both arrays through the distinct (the candidate count
-    # dwarfs the corpus, so array width there dominates the shuffle)
+
+
+def _prefix_tokens(sets: DataFrame, threshold: float) -> DataFrame:
+    """(id, ptok): each doc exploded to its prefix tokens only — the
+    lossless blocking keys. Prefix length |x| - ceil(t*|x|) + 1."""
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    pref = sets.select(
+    return sets.select(
         "id", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
     )
+
+
+def setsim_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (id_a, id_b, inter, union_size, jaccard) with exact token-
+    set Jaccard >= threshold, canonical id_a < id_b."""
+    sets = _rarest_first_sets(docs, id_col, text_col)
+    # candidate generation carries ONLY ids — deduping (id_a, id_b)
+    # before attaching token arrays keeps the candidate shuffle rows ~2
+    # longs wide instead of dragging both arrays through the distinct
+    # (the candidate count dwarfs the corpus, so array width there
+    # dominates the shuffle)
+    pref = _prefix_tokens(sets, threshold)
     cand_ids = (
         pref.select(F.col("id").alias("id_a"), "ptok")
         .join(pref.select(F.col("id").alias("id_b"), "ptok"), on="ptok")
