@@ -31,89 +31,81 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-5 window (see module docstring). Composition (50 checked
-#: slots), per VERDICT.md r4 "Next round #1": the 40 round-4 additions
-#: that have NEVER had a driver row (all green in local sf0.01 sweeps
-#: and the judge's sf0.1 spot checks; basket_ktruss and
-#: triple_predicate_cooccurrence also CHANGED this round — oriented
-#: support counting / capped fanout — so their slots double as
-#: changed-this-round coverage), plus the 10 oldest driver rows, all
-#: r2-era: the minhash/simhash/embedding near-dup quartet and the
-#: media decode family. After this window lands green, every query in
-#: the registry has cumulative driver evidence.
+#: Round-6 window (see module docstring). Composition (50 checked
+#: slots), exactly as planned in the round-5 comment / VERDICT r5
+#: "Next round #1": the 38 r2-era rows whose driver evidence predates
+#: two testdata regenerations, plus media_payload_stats (rolled from
+#: r5 when emb_pq_index_knn took its slot), plus this round's
+#: changed/new surfaces (emb_ivf_knn is inside the 38 and CHANGED —
+#: now Lloyd-trained and oracle-checked; emb_pq_index_knn now answers
+#: from the fingerprint-keyed index with emb_pq_index_build the
+#: explicit build surface; docs_phrase_search_indexed is the
+#: positional-index twin), plus 7 of the 25 r1-era leftovers.
 #:
-#: Round-6 window, planned now so the standing policy stays
-#: executable: the remaining r2-era rows (aggregate_gallery,
-#: docs_bigrams, docs_decontaminate, docs_dedup_clusters,
-#: docs_filter_rules, docs_neardup_kept, docs_ngram_jaccard,
-#: docs_packing, docs_pii_redaction, docs_repetition_metrics,
-#: docs_tfidf_terms, docs_train_test_split, docs_vocab_topk,
-#: emb_centroid_by_label, emb_ivf_knn, emb_lsh_knn, emb_quantization,
-#: emb_threshold_pairs, events_asof_forward, events_asof_join,
-#: events_cms_estimate, events_heavy_hitters,
-#: events_hypertable_rollup, events_kmv_distinct, events_per_user_cap,
-#: events_range_join, events_sliding_window, graph_bfs_from_region,
-#: graph_components, graph_degrees, graph_pagerank_top,
-#: gremlin_region_members, latest_event_per_user,
-#: lineitem_sample_revenue, lineitem_stratified_sample,
-#: motif_customer_region, motif_shared_nation, media_audio_neardups,
-#: media_phash_neardups = 38 rows) + anything that changes in round 5
-#: + oldest r1 leftovers to fill 50. Overflow evicts oldest-first.
+#: Round-7 window, planned now so the standing policy stays
+#: executable: the remaining 18 r1-era rows (above_nation_average,
+#: array_aggregation, conditional_aggregation, cube_lineitem_status,
+#: customers_without_orders, docs_fingerprints, docs_language_id,
+#: events_json_props, events_type_pivot, full_outer_nation_presence,
+#: left_join_order_stats, orders_with_big_items, triple_and_not,
+#: triple_insert_dedup, triple_or_patterns, triple_predicate_histogram,
+#: triple_subject_lookup, triple_three_hop) + anything that changes in
+#: round 7 + oldest r3-era rows to fill 50. Overflow evicts
+#: oldest-first.
 _WINDOW = [
-    # round-4 additions, never driver-checked (VERDICT r4 list)
-    "docs_token_budget_selection",
-    "docs_source_quota_selection",
-    "docs_stratified_sample",
-    "docs_heaps_law",
-    "docs_dup_rate_by_source",
-    "docs_quality_vs_dup",
-    "docs_contamination_by_source",
-    "docs_novelty_by_source",
-    "docs_langid_confusion",
-    "docs_packing_efficiency",
-    "docs_collocations",
-    "docs_proximity_search",
-    "emb_ann_recall",
-    "emb_centroid_outliers",
-    "emb_jl_distortion",
-    "emb_knn_label_accuracy",
-    "emb_threshold_curve",
-    "graph_degree_powerlaw",
-    "triple_predicate_cooccurrence",
-    "supplier_hhi_by_nation",
-    "orders_pareto_share",
-    "orders_cohort_ltv",
-    "orders_rfm_segments",
-    "lineitem_quantiles_by_flag",
-    "basket_ktruss",
-    "basket_assortativity",
-    "basket_personalized_pagerank",
-    "basket_harmonic_centrality",
-    "events_ab_test",
-    "events_attribution",
-    "events_cusum_changepoints",
-    "events_error_seasonality",
-    "events_interarrival_quantiles",
-    "events_kaplan_meier",
-    "events_ks_test",
-    "events_mann_whitney",
-    "events_mix_trend",
-    "events_ohlc_bars",
-    "events_rolling_wau",
-    "events_top_paths",
-    # oldest driver rows (r2-era, twice-regenerated testdata)
-    "docs_minhash_neardups",
-    "docs_simhash_neardups",
-    "emb_neardup",
-    "emb_knn_topk",
-    "media_image_decode",
-    "media_audio_decode",
-    "media_resize_check",
-    "media_frame_extract",
-    "media_frame_sample",
-    # new surface this round (ANN index lifecycle query twin); takes
-    # the 50th slot from media_payload_stats, which rolls to round 6
+    # r2-era rows, two testdata regenerations stale (VERDICT r5 list)
+    "aggregate_gallery",
+    "media_payload_stats",
+    "docs_bigrams",
+    "docs_decontaminate",
+    "docs_dedup_clusters",
+    "docs_filter_rules",
+    "docs_neardup_kept",
+    "docs_ngram_jaccard",
+    "docs_packing",
+    "docs_pii_redaction",
+    "docs_repetition_metrics",
+    "docs_tfidf_terms",
+    "docs_train_test_split",
+    "docs_vocab_topk",
+    "emb_centroid_by_label",
+    "emb_ivf_knn",  # CHANGED r6: Lloyd-trained, first hash-checked round
+    "emb_lsh_knn",
+    "emb_quantization",
+    "emb_threshold_pairs",
+    "events_asof_forward",
+    "events_asof_join",
+    "events_cms_estimate",
+    "events_heavy_hitters",
+    "events_hypertable_rollup",
+    "events_kmv_distinct",
+    "events_per_user_cap",
+    "events_range_join",
+    "events_sliding_window",
+    "graph_bfs_from_region",
+    "graph_components",
+    "graph_degrees",
+    "graph_pagerank_top",
+    "gremlin_region_members",
+    "latest_event_per_user",
+    "lineitem_sample_revenue",
+    "lineitem_stratified_sample",
+    "motif_customer_region",
+    "motif_shared_nation",
+    "media_audio_neardups",
+    "media_phash_neardups",
+    # changed/new this round
+    "emb_pq_index_build",
     "emb_pq_index_knn",
+    "docs_phrase_search_indexed",
+    # oldest r1-era rows (7 of 25; the rest lead the round-7 window)
+    "docs_exact_dedup",
+    "docs_quality_scores",
+    "docs_token_stats",
+    "events_dedup_first",
+    "events_hourly_rollup",
+    "events_sessionization",
+    "triple_two_hop",
 ]
 
 
