@@ -147,6 +147,9 @@ HEADLINE = [
     # the fingerprint-keyed build runs untimed in main(), the fixture
     # accounting VERDICT r5 ask #4 prescribed for one-time builds)
     "docs_phrase_search_indexed",
+    # round 6: the proximity mode of the same positional index (shares
+    # the artifact, so the same untimed fixture build covers it)
+    "docs_proximity_search_indexed",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

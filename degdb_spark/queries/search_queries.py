@@ -140,6 +140,23 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.phrase_topk_from_index(spark, table, PHRASE, k=25)
 
 
+def proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_proximity_search answered FROM the persisted positional
+    index (operators/search.proximity_topk_from_index): two
+    bucket-pruned token probes + one doc_id equi-join instead of
+    rescanning + retokenizing the corpus — with phrase_search_indexed
+    this makes both positional-index query modes driver-checkable.
+    Reuses (or builds) the same fingerprint-keyed artifact and shares
+    the scan query's oracle — identical results by construction
+    (parity pytest-enforced, tests/test_search.py)."""
+    table = _positional_index_table(sf_dir)
+    if not spark.catalog.tableExists(table):
+        phrase_search_indexed(spark, sf_dir)  # builds + retires stale
+    return S.proximity_topk_from_index(
+        spark, table, PROX_A, PROX_B, PROX_WINDOW, k=25
+    )
+
+
 def parts_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage (Fellegi-Sunter) on blocked
     candidates: q-gram blocking over canonical names, agreement vector
@@ -259,6 +276,9 @@ QUERIES: dict[str, Query] = {
     "docs_phrase_search": Query(phrase_search, S.phrase_sql(PHRASE, k=25)),
     "docs_phrase_search_indexed": Query(
         phrase_search_indexed, S.phrase_sql(PHRASE, k=25)
+    ),
+    "docs_proximity_search_indexed": Query(
+        proximity_search_indexed, S.proximity_sql(PROX_A, PROX_B, PROX_WINDOW, k=25)
     ),
     "parts_linkage_scores": Query(parts_linkage_scores, PARTS_LINKAGE_SQL),
 }
