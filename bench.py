@@ -150,6 +150,8 @@ HEADLINE = [
     # round 6: the proximity mode of the same positional index (shares
     # the artifact, so the same untimed fixture build covers it)
     "docs_proximity_search_indexed",
+    # round 6: C4-style global span dedup (rewrite-the-corpus)
+    "docs_span_dedup",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

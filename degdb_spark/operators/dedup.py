@@ -539,3 +539,82 @@ def incremental_lsh_candidates(
         )
     )
     return old_new.unionByName(new_new).distinct()
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style global span deduplication: slice every document into
+    consecutive ``span_tokens``-token spans, keep only the FIRST
+    occurrence of each distinct span across the whole corpus (ordered
+    by (doc, span position)), and reassemble each document from its
+    surviving spans — the rewrite-the-corpus dedup (C4 drops repeated
+    three-sentence spans; the synthetic corpus has no sentence
+    delimiters, so the unit is a fixed token window). Complements the
+    drop-whole-near-dup-docs family (minhash/simhash/ngram): boilerplate
+    repeated across distinct pages disappears while the pages survive.
+
+    Scale shape (100 TB): span slicing is pure codegen (transform +
+    slice over the token array — no explode/regroup shuffle to build
+    spans); the global first-occurrence is ONE hash aggregation to one
+    row per distinct span (min over a (doc, idx) struct — map-side
+    combined, so a span repeated 10^6 times still reduces to one row
+    per partition before the shuffle, no per-key window over
+    occurrence lists); the keep decision is an equi-join of the
+    occurrence table against that argmin table; reassembly is a
+    per-document sort of that document's own surviving spans. Returns
+    (id, n_spans, n_kept, text_clean) — text_clean is '' for a fully
+    duplicated document.
+    """
+    k = span_tokens
+    toked = docs.select(id_col, tokens(text_col).alias("_t"))
+    sliced = toked.select(
+        id_col,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("_t") / F.lit(float(k))).cast("long") - 1,
+            ),
+            lambda i: F.array_join(F.slice("_t", i * k + 1, k), " "),
+        ).alias("_spans"),
+    )
+    occ = sliced.select(
+        id_col,
+        F.posexplode("_spans").alias("span_idx", "span"),
+    ).withColumn("span_idx", F.col("span_idx").cast("long"))
+    first = occ.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
+            "_first"
+        )
+    )
+    kept = (
+        occ.join(first, on="span")
+        .where(
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("span_idx") == F.col("_first.i"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        sliced.select(id_col, F.size("_spans").cast("long").alias("n_spans"))
+        .join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

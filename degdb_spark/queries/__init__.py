@@ -43,14 +43,14 @@ class Query(NamedTuple):
 #: positional-index twin), plus 7 of the 25 r1-era leftovers.
 #:
 #: Round-7 window, planned now so the standing policy stays
-#: executable: the remaining 19 r1-era rows (above_nation_average,
+#: executable: the remaining 20 r1-era rows (above_nation_average,
 #: array_aggregation, conditional_aggregation, cube_lineitem_status,
 #: customers_without_orders, docs_fingerprints, docs_language_id,
 #: events_json_props, events_type_pivot, full_outer_nation_presence,
 #: left_join_order_stats, orders_with_big_items, triple_and_not,
 #: triple_insert_dedup, triple_or_patterns, triple_predicate_histogram,
-#: triple_subject_lookup, triple_three_hop, triple_two_hop) + anything
-#: that changes in
+#: events_sessionization, triple_subject_lookup, triple_three_hop,
+#: triple_two_hop) + anything that changes in
 #: round 7 + oldest r3-era rows to fill 50. Overflow evicts
 #: oldest-first.
 _WINDOW = [
@@ -100,13 +100,13 @@ _WINDOW = [
     "emb_pq_index_knn",
     "docs_phrase_search_indexed",
     "docs_proximity_search_indexed",
-    # oldest r1-era rows (6 of 25; the rest lead the round-7 window)
+    "docs_span_dedup",
+    # oldest r1-era rows (5 of 25; the rest lead the round-7 window)
     "docs_exact_dedup",
     "docs_quality_scores",
     "docs_token_stats",
     "events_dedup_first",
     "events_hourly_rollup",
-    "events_sessionization",
 ]
 
 

@@ -160,6 +160,51 @@ FROM groups
 """
 
 
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (operators/dedup.span_dedup): every
+    10-token span that repeats anywhere in the corpus survives only at
+    its first (doc, position) occurrence, and documents are reassembled
+    from their surviving spans — the rewrite-the-corpus dedup that
+    strips cross-page boilerplate without dropping pages. The report
+    returns each document's span count, surviving-span count, and the
+    reassembled text itself, so the hash check pins slicing, the global
+    argmin, AND order-preserving reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_dedup(docs, span_tokens=10).orderBy("doc_id")
+
+
+SPAN_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), sarr AS (
+  SELECT doc_id,
+         [array_to_string(toks[(i-1)*10+1:i*10], ' ')
+          for i in range(1, CAST(CEIL(len(toks) / 10.0) AS BIGINT) + 1)] AS spans
+  FROM base
+), occ AS (
+  SELECT doc_id,
+         generate_subscripts(spans, 1) - 1 AS span_idx,
+         unnest(spans) AS span
+  FROM sarr
+), first AS (
+  SELECT span, MIN(ROW(doc_id, span_idx)) AS f FROM occ GROUP BY span
+), kept AS (
+  SELECT o.doc_id, COUNT(*) AS n_kept,
+         string_agg(o.span, ' ' ORDER BY o.span_idx) AS text_clean
+  FROM occ o JOIN first fr ON o.span = fr.span
+  WHERE ROW(o.doc_id, o.span_idx) = fr.f
+  GROUP BY o.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.spans) AS BIGINT) AS n_spans,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.text_clean, '') AS text_clean
+FROM sarr b LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1774,5 +1819,6 @@ QUERIES: dict[str, Query] = {
     "docs_quality_scores": Query(quality_scores, QUALITY_SQL),
     "docs_language_id": Query(language_id, LANG_ID_SQL),
     "docs_exact_dedup": Query(exact_dedup_groups, EXACT_DEDUP_SQL),
+    "docs_span_dedup": Query(span_dedup_report, SPAN_DEDUP_SQL),
     "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),
 }

@@ -281,3 +281,35 @@ def test_incremental_candidates_equal_full_restricted(spark):
     }
     assert inc == full
     assert all(a >= split or b >= split for a, b in inc)
+
+
+def test_span_dedup_first_occurrence_and_reassembly(spark):
+    """Falsifiable span-dedup check on a hand-built corpus: a span
+    repeated across docs survives only at its first (doc, idx)
+    occurrence; a span repeated WITHIN one doc keeps only the earlier
+    position; reassembly preserves original span order; a fully
+    duplicated doc comes back empty."""
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(10))
+    C = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{A} {B}"),        # both spans first occurrences
+            (1, f"{A} {C}"),        # A dropped (seen in doc 0), C kept
+            (2, f"{C} {C}"),        # cross-doc dup + within-doc dup: all dropped
+            (3, f"{B} {A} extra"),  # both dropped; short tail span survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.span_dedup(docs, span_tokens=10).collect()
+    }
+    assert (out[0]["n_spans"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["text_clean"] == f"{A} {B}"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["text_clean"] == C
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["text_clean"] == ""
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (3, 1)
+    assert out[3]["text_clean"] == "extra"
