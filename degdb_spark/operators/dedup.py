@@ -569,9 +569,18 @@ def span_dedup(
     (id, n_spans, n_kept, text_clean) — text_clean is '' for a fully
     duplicated document.
     """
+    sliced = _span_slices(docs, text_col, id_col, span_tokens)
+    return _span_keep_first_and_reassemble(sliced, _span_occurrences(sliced, id_col), id_col)
+
+
+def _span_slices(
+    docs: DataFrame, text_col: str, id_col: str, span_tokens: int
+) -> DataFrame:
+    """(id, _spans): each doc's consecutive k-token spans, built as a
+    codegen transform+slice over the token array — no shuffle."""
     k = span_tokens
     toked = docs.select(id_col, tokens(text_col).alias("_t"))
-    sliced = toked.select(
+    return toked.select(
         id_col,
         F.transform(
             F.sequence(
@@ -581,10 +590,22 @@ def span_dedup(
             lambda i: F.array_join(F.slice("_t", i * k + 1, k), " "),
         ).alias("_spans"),
     )
-    occ = sliced.select(
+
+
+def _span_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
+    """(id, span_idx, span) occurrence table."""
+    return sliced.select(
         id_col,
         F.posexplode("_spans").alias("span_idx", "span"),
     ).withColumn("span_idx", F.col("span_idx").cast("long"))
+
+
+def _span_keep_first_and_reassemble(
+    sliced: DataFrame, occ: DataFrame, id_col: str
+) -> DataFrame:
+    """First-occurrence keep (min-struct hash agg + equi-join — no
+    per-key window) and order-preserving reassembly; n_spans comes from
+    ``sliced`` so it counts the document's spans BEFORE any drop."""
     first = occ.groupBy("span").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
             "_first"
@@ -618,3 +639,32 @@ def span_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def incremental_span_dedup(
+    new_docs: DataFrame,
+    existing_spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Span dedup for an INCREMENT against a persisted span index:
+    any span already in ``existing_spans`` (one ``span`` column — the
+    distinct spans of all earlier batches) is dropped from every new
+    document outright (an earlier occurrence beats every new one);
+    first-occurrence + reassembly then run within the increment only.
+    Old text is never re-read or re-sliced — the index carries
+    everything history contributes, exactly the band-index contract
+    (`incremental_lsh_candidates`). Returns ``(report, fresh_spans)``:
+    the per-new-doc (id, n_spans, n_kept, text_clean) report and the
+    increment's genuinely-new distinct spans — the index delta the
+    caller persists. Processing doc-ordered batches through this
+    reproduces `span_dedup` of the full corpus bit-for-bit
+    (pytest-pinned)."""
+    sliced = _span_slices(new_docs, text_col, id_col, span_tokens)
+    occ = _span_occurrences(sliced, id_col)
+    fresh_occ = occ.join(
+        existing_spans.select("span"), on="span", how="left_anti"
+    )
+    report = _span_keep_first_and_reassemble(sliced, fresh_occ, id_col)
+    return report, fresh_occ.select("span").distinct()

@@ -243,3 +243,68 @@ def positional_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def span_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    clean_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+):
+    """Streamed C4-style span dedup: each micro-batch probes the
+    persisted span index (distinct spans of all earlier batches), drops
+    already-seen spans from its documents, writes the cleaned docs and
+    its genuinely-new spans — both to ``batch=N`` partitions with
+    overwrite, so a crashed-and-retried batch converges (the probe
+    reads only ``batch < batch_id``, same replay discipline as
+    neardup_index_stream). Doc-ordered batches reproduce the batch
+    operator bit-for-bit (pytest-pinned)."""
+    def step(batch: DataFrame, batch_id: int) -> None:
+        _span_index_step(
+            batch, int(batch_id), index_path, clean_path,
+            id_col, text_col, span_tokens,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _span_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    clean_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> None:
+    """One micro-batch of span_index_stream, module-level so the replay
+    contract is directly testable."""
+    from degdb_spark.operators.dedup import incremental_span_dedup
+
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)  # feeds probe + both writes
+    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        existing = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .filter(F.col("batch") < F.lit(batch_id))
+            .select("span")
+        )
+    else:  # genuinely the first batch: empty index, right schema
+        existing = spark.createDataFrame([], "span string")
+    report, fresh = incremental_span_dedup(
+        batch, existing, text_col, id_col, span_tokens
+    )
+    report = report.localCheckpoint(eager=True)  # fresh derives from the same probe
+    report.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
+    fresh.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")

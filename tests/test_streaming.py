@@ -812,3 +812,86 @@ def test_positional_index_stream_equals_full_build(spark, tmp_path):
     assert len(batch) > 0
     for t in ("pos_stream_idx", "pos_batch_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_index_step_sequential_equals_batch_and_replays(spark, tmp_path):
+    """Doc-ordered micro-batches through the span index reproduce the
+    batch span_dedup of the full corpus bit-for-bit (an earlier batch's
+    span beats every later occurrence, exactly like global (doc, idx)
+    order), and a replayed batch (same data, same batch_id) converges
+    to the single-run state instead of double-counting."""
+    from degdb_spark.operators.dedup import span_dedup
+    from degdb_spark.streaming.dedup import _span_index_step
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    idx, clean = str(tmp_path / "span_index"), str(tmp_path / "clean")
+    _span_index_step(docs.filter(F.col("doc_id") < 100), 0, idx, clean)
+    _span_index_step(
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)), 1, idx, clean
+    )
+    _span_index_step(docs.filter(F.col("doc_id") >= 300), 2, idx, clean)
+
+    def snapshot():
+        return {
+            r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_clean"])
+            for r in spark.read.parquet(clean).collect()
+        }
+
+    streamed = snapshot()
+    full = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_clean"])
+        for r in span_dedup(docs).collect()
+    }
+    assert streamed == full and len(full) == docs.count()
+    # index holds each distinct corpus span exactly once across batches
+    idx_df = spark.read.parquet(idx)
+    n_idx = idx_df.count()
+    assert n_idx == idx_df.select("span").distinct().count()
+
+    # replay the last batch: identical post-state (re-list the path —
+    # the overwrite replaced the partition's files)
+    _span_index_step(docs.filter(F.col("doc_id") >= 300), 2, idx, clean)
+    assert snapshot() == full
+    assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_span_index_stream_end_to_end(spark, tmp_path):
+    """The availableNow-triggered stream wires the step correctly: two
+    file-batches stream through, cleaned docs cover the corpus, and no
+    span survives in more than one document."""
+    from degdb_spark.streaming.dedup import span_index_stream
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = span_index_stream(
+        stream,
+        index_path=str(tmp_path / "span_index"),
+        clean_path=str(tmp_path / "clean"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "clean"))
+    assert out.count() == docs.count()
+    # every surviving span is globally unique: re-slicing the cleaned
+    # texts yields no span twice
+    from degdb_spark.operators.dedup import _span_occurrences, _span_slices
+
+    kept = _span_occurrences(
+        _span_slices(out.filter(F.col("text_clean") != ""), "text_clean", "doc_id", 10),
+        "doc_id",
+    )
+    dup = kept.groupBy("span").count().filter(F.col("count") > 1).count()
+    assert dup == 0
