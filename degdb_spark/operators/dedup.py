@@ -663,8 +663,10 @@ def incremental_span_dedup(
     (pytest-pinned)."""
     sliced = _span_slices(new_docs, text_col, id_col, span_tokens)
     occ = _span_occurrences(sliced, id_col)
+    # both outputs consume the probe anti-join; checkpoint it lazily so
+    # the batch is sliced and probed once, not once per output
     fresh_occ = occ.join(
         existing_spans.select("span"), on="span", how="left_anti"
-    )
+    ).localCheckpoint(eager=False)
     report = _span_keep_first_and_reassemble(sliced, fresh_occ, id_col)
     return report, fresh_occ.select("span").distinct()

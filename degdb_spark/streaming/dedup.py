@@ -305,6 +305,5 @@ def _span_index_step(
     report, fresh = incremental_span_dedup(
         batch, existing, text_col, id_col, span_tokens
     )
-    report = report.localCheckpoint(eager=True)  # fresh derives from the same probe
     report.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
     fresh.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
