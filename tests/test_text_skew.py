@@ -180,3 +180,30 @@ def test_bm25_celebrity_term_topk_without_global_window(spark):
 
     want = round(w(idf(360), 1, 6) + w(idf(1), 1, 6), 6)
     assert abs(rows[0].score - want) < 1e-9, (rows[0].score, want)
+
+
+def test_span_dedup_celebrity_span_no_window(spark):
+    """A boilerplate 10-token span shared by 90% of docs is exactly the
+    key a per-key occurrence window would blow up on. The min-struct
+    hash agg reduces it map-side: the plan carries ZERO WindowExec, and
+    the output keeps the boilerplate only at its first (doc, idx)
+    occurrence while every doc's unique tail survives."""
+    from degdb_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{j}" for j in range(10))
+    rows = []
+    for i in range(300):
+        uniq = " ".join(f"t{i}u{j}" for j in range(10))
+        text = f"{boiler} {uniq}" if i % 10 else uniq
+        rows.append(Row(doc_id=i, text=text))
+    docs = spark.createDataFrame(rows)
+    out = span_dedup(docs, span_tokens=10)
+    assert "Window" not in _plan(out)
+    got = {r["doc_id"]: (r["n_kept"], r["text_clean"]) for r in out.collect()}
+    # doc 0 has no boilerplate; doc 1 is the first carrier and keeps it
+    assert got[0] == (1, " ".join(f"t0u{j}" for j in range(10)))
+    assert got[1][0] == 2 and got[1][1].startswith(boiler)
+    # every later carrier loses the boilerplate span, keeps its tail
+    for i in range(2, 300):
+        if i % 10:
+            assert got[i] == (1, " ".join(f"t{i}u{j}" for j in range(10)))
