@@ -5,7 +5,8 @@ pretraining-corpus run — the workflow a user of this engine actually
 executes nightly:
 
     rule filters → exact dedup → near-dup cluster keep-policy →
-    benchmark decontamination → quality-ordered token-budget selection
+    global span dedup (boilerplate rewrite) → benchmark
+    decontamination → quality-ordered token-budget selection
     → train/test split → sequence packing
 
 Every stage is the operator documented in SCALE.md (no new plan
@@ -97,11 +98,34 @@ def curate(
         ),
     )
 
+    # stage 3b: C4-style global span dedup — rewrite the survivors by
+    # dropping corpus-wide repeated 10-token spans (boilerplate), AFTER
+    # doc-level dedup (so the rewrite never pays for whole near-dup
+    # docs) and BEFORE selection (so the token budget counts only text
+    # that will actually be trained on). Token/char counts are
+    # recomputed from the cleaned text; fully-boilerplate docs drop out.
+    from degdb_spark.operators.dedup import span_dedup
+    from degdb_spark.operators.text import token_count
+
+    cleaned = (
+        s3.drop("text", "n_tokens", "n_chars")
+        .join(
+            span_dedup(s3)
+            .filter(F.col("n_kept") > 0)
+            .select("doc_id", F.col("text_clean").alias("text")),
+            on="doc_id",
+        )
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select(*keep_cols)
+    )
+    s3b = audit("span_dedup", cleaned)
+
     # stage 4: benchmark decontamination (3-gram overlap)
-    contam = contamination_report(s3, bench)
+    contam = contamination_report(s3b, bench)
     s4 = audit(
         "decontaminate",
-        s3.join(
+        s3b.join(
             contam.filter(~F.col("contaminated")).select("doc_id"),
             on="doc_id",
             how="left_semi",
