@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from degdb_spark.catalog import load_table
 from degdb_spark.operators.sampling import md5_bucket
 from degdb_spark.queries import Query
-from degdb_spark.queries.rounding import dsum
+from degdb_spark.queries.rounding import dround, dsum, sql_dround, sql_dsum
 
 _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR(64))), 1, 8)) AS BIGINT) % 100"
 
@@ -132,20 +132,33 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ∝ (n_s)^(1/T) — the standard multilingual/rare-source
     upweighting rule (sampling shares flatten toward uniform as T
     grows). With T = 2 the weight is sqrt(n_s), an IEEE-exact function
-    of the exact integer counts, so the data-dependent keep thresholds
-    reproduce bit-for-bit in the oracle. Membership stays the portable
-    md5 bucket of doc_id (deterministic, monotone under rate changes).
-    Shares and thresholds ride as a broadcast per-source aggregate —
-    one scan for counts, one for the gated aggregation."""
+    of the exact integer counts; the weight is then FLOOR-rounded at
+    6 dp and w_sum accumulates in DECIMAL (rounding.py discipline) so
+    the shared normaliser is order-independent — a raw SUM(double)
+    here flipped a FLOOR boundary run-to-run and, because the
+    comparator sorts rows by value, cascaded one ±1 threshold into a
+    20/20 row mismatch. Membership stays the portable md5 bucket of
+    doc_id (deterministic, monotone under rate changes). Shares and
+    thresholds ride as a broadcast per-source aggregate — one scan for
+    counts, one for the gated aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    w = counts.withColumn("w", F.sqrt(F.col("n_s").cast("double")))
+    w = counts.withColumn(
+        "w", dround(F.sqrt(F.col("n_s").cast("double")), 6)
+    )
     sums = w.agg(
-        F.sum("n_s").alias("n_total_all"), F.sum("w").alias("w_sum")
+        F.sum("n_s").alias("n_total_all"),
+        dsum(F.col("w"), 6).alias("w_sum"),
     )
     rates = (
         w.crossJoin(F.broadcast(sums))
         .withColumn(
+            # The testdata's equal source counts put the true threshold
+            # EXACTLY on an integer (x = 500000), so a one-ulp
+            # difference flips FLOOR. The shared +1e-6 epsilon (far
+            # above accumulated FP error ~1e-9, far below the 0.5-ish
+            # distance of any non-degenerate boundary) makes both
+            # engines take the ceiling there deterministically.
             "thr",
             F.least(
                 F.floor(
@@ -154,6 +167,7 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("w")
                     / (F.col("w_sum") * F.col("n_s"))
                     * F.lit(float(_TEMP_BUCKETS))
+                    + F.lit(1e-6)
                 ),
                 F.lit(_TEMP_BUCKETS),
             ).cast("long"),
@@ -177,13 +191,13 @@ TEMPERATURE_SQL = f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
 ), w AS (
-  SELECT source, n_s, SQRT(CAST(n_s AS DOUBLE)) AS w FROM counts
+  SELECT source, n_s, {sql_dround('SQRT(CAST(n_s AS DOUBLE))', 6)} AS w FROM counts
 ), sums AS (
-  SELECT SUM(n_s) AS n_total_all, SUM(w) AS w_sum FROM w
+  SELECT SUM(n_s) AS n_total_all, {sql_dsum('w', 6)} AS w_sum FROM w
 ), rates AS (
   SELECT source,
          CAST(LEAST(FLOOR({_TEMP_FRACTION} * n_total_all * w / (w_sum * n_s)
-                          * {float(_TEMP_BUCKETS)}), {_TEMP_BUCKETS}) AS BIGINT)
+                          * {float(_TEMP_BUCKETS)} + 0.000001), {_TEMP_BUCKETS}) AS BIGINT)
            AS thr
   FROM w CROSS JOIN sums
 )

@@ -126,3 +126,44 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     df0 = df.withColumn("w", F.when(F.col("doc_id") < 100, 0.0).otherwise(F.col("w")))
     out0 = weighted_sample_topk(df0, "w", k=5).collect()
     assert all(r.doc_id >= 100 for r in out0)
+
+
+def test_temperature_mixture_knife_edge_stable(spark, tmp_path):
+    """Regression: with EXACTLY equal source counts the true temperature
+    threshold is an integer (x = fraction * buckets), so a raw
+    SUM(double) w_sum put FLOOR one ulp either side of the boundary
+    depending on partial-aggregation order — one flipped threshold
+    re-sorts the comparator's value-ordered rows into a 20/20 mismatch
+    (the round-6 sweep flake). The decimal w_sum + shared FLOOR epsilon
+    must pin every threshold to the ceiling value under any layout."""
+    from degdb_spark.queries.sampling_queries import (
+        _TEMP_BUCKETS,
+        _TEMP_FRACTION,
+        docs_temperature_mixture,
+    )
+
+    sf_dir = str(tmp_path)
+    docs = spark.range(0, 5000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20)).alias("source"),
+        F.lit(100).alias("n_chars"),
+    )
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    expected_thr = int(_TEMP_FRACTION * _TEMP_BUCKETS)
+    baseline = None
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = [
+                (r.source, r.n_total, r.n_kept, r.keep_threshold)
+                for r in docs_temperature_mixture(spark, sf_dir).collect()
+            ]
+            assert all(r[3] == expected_thr for r in rows), rows
+            if baseline is None:
+                baseline = rows
+            else:
+                assert rows == baseline
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
