@@ -60,33 +60,112 @@ ORDER BY n
 
 
 def aggregate_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_by/max_by/bool_and/bool_or/stddev/corr surface per nation."""
+    """min_by/max_by/bool_and/bool_or/stddev/corr surface per nation.
+
+    stddev/corr use exact split-long moments (the ols_fit pattern:
+    acctbal as integer cents, products hi/lo-split so the long sums
+    never overflow, recombined in DECIMAL) instead of F.stddev/F.corr —
+    raw double moment sums are partial-aggregation-order-dependent, the
+    same knife-edge class that flaked docs_temperature_mixture. Range
+    bound: exact while custkey² and cents² fit a long (keys < 3e9,
+    |balance| < 9e7), the same envelope ols_fit documents."""
     cust = load_table(spark, sf_dir, "customer")
+    two31 = 2147483648
+    x = F.col("c_custkey").cast("long")
+    y = (F.col("c_acctbal").cast("decimal(30,2)") * 100).cast("long")
+    base = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        x.alias("_x"),
+        y.alias("_y"),
+        (x * x).alias("_px"),
+        (y * y).alias("_py"),
+        (x * y).alias("_pxy"),
+    )
+    # integer `div` (not `/`, which is double division and loses exactness
+    # past 2^53) keeps the hi/lo split exact for any long product
+    agg = base.groupBy("c_nationkey").agg(
+        F.expr("min_by(c_custkey, c_acctbal)").alias("poorest_cust"),
+        F.expr("max_by(c_custkey, c_acctbal)").alias("richest_cust"),
+        F.expr("bool_and(c_acctbal > -1000)").alias("all_above_floor"),
+        F.expr("bool_or(c_acctbal > 9900)").alias("any_very_rich"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.expr(f"_px div {two31}")).alias("_sxx_hi"),
+        F.sum(F.col("_px") % two31).alias("_sxx_lo"),
+        F.sum(F.expr(f"_py div {two31}")).alias("_syy_hi"),
+        F.sum(F.col("_py") % two31).alias("_syy_lo"),
+        F.sum(F.expr(f"_pxy div {two31}")).alias("_sxy_hi"),
+        F.sum(F.col("_pxy") % two31).alias("_sxy_lo"),
+    )
+    dec = "decimal(38,0)"
+
+    def re(hi: str, lo: str):
+        return F.col(hi).cast(dec) * F.lit(two31).cast(dec) + F.col(lo).cast(dec)
+
+    nd = F.col("n").cast("double")
+    n_dec = F.col("n").cast(dec)
+    sx, sy = F.col("_sx").cast(dec), F.col("_sy").cast(dec)
+    cov = (n_dec * re("_sxy_hi", "_sxy_lo") - sx * sy).cast("double")
+    varx = (n_dec * re("_sxx_hi", "_sxx_lo") - sx * sx).cast("double")
+    vary = (n_dec * re("_syy_hi", "_syy_lo") - sy * sy).cast("double")
+    guard = F.col("n") < 2
     return (
-        cust.groupBy("c_nationkey")
-        .agg(
-            F.expr("min_by(c_custkey, c_acctbal)").alias("poorest_cust"),
-            F.expr("max_by(c_custkey, c_acctbal)").alias("richest_cust"),
-            F.expr("bool_and(c_acctbal > -1000)").alias("all_above_floor"),
-            F.expr("bool_or(c_acctbal > 9900)").alias("any_very_rich"),
-            dround(F.stddev("c_acctbal"), 2).alias("bal_stddev"),
-            dround(F.corr("c_custkey", "c_acctbal"), 4).alias("key_bal_corr"),
-            F.count(F.lit(1)).alias("n"),
+        agg.select(
+            "c_nationkey",
+            "poorest_cust",
+            "richest_cust",
+            "all_above_floor",
+            "any_very_rich",
+            F.when(guard, F.lit(None).cast("double"))
+            .otherwise(dround(F.sqrt(vary / (nd * (nd - 1))) / 100, 2))
+            .alias("bal_stddev"),
+            F.when(guard, F.lit(None).cast("double"))
+            .otherwise(dround(cov / F.sqrt(varx * vary), 4))
+            .alias("key_bal_corr"),
+            "n",
         )
         .orderBy("c_nationkey")
     )
 
 
 AGG_GALLERY_SQL = """
-SELECT c_nationkey,
-       min_by(c_custkey, c_acctbal) AS poorest_cust,
-       max_by(c_custkey, c_acctbal) AS richest_cust,
-       bool_and(c_acctbal > -1000) AS all_above_floor,
-       bool_or(c_acctbal > 9900) AS any_very_rich,
-       FLOOR((stddev_samp(c_acctbal)) * 100 + 0.5) / 100 AS bal_stddev,
-       FLOOR((corr(c_custkey, c_acctbal)) * 10000 + 0.5) / 10000 AS key_bal_corr,
-       COUNT(*) AS n
-FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+WITH base AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(c_custkey AS BIGINT) AS x,
+         CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS y
+  FROM customer
+), s AS (
+  SELECT c_nationkey,
+         min_by(c_custkey, c_acctbal) AS poorest_cust,
+         max_by(c_custkey, c_acctbal) AS richest_cust,
+         bool_and(c_acctbal > -1000) AS all_above_floor,
+         bool_or(c_acctbal > 9900) AS any_very_rich,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM base GROUP BY c_nationkey
+), d AS (
+  SELECT *,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS varx,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vary,
+         CAST(n AS DOUBLE) AS nd
+  FROM s
+)
+SELECT c_nationkey, poorest_cust, richest_cust, all_above_floor, any_very_rich,
+       CASE WHEN n < 2 THEN NULL ELSE
+         FLOOR((SQRT(vary / (nd * (nd - 1))) / 100) * 100 + 0.5) / 100
+       END AS bal_stddev,
+       CASE WHEN n < 2 THEN NULL ELSE
+         FLOOR((cov / SQRT(varx * vary)) * 10000 + 0.5) / 10000
+       END AS key_bal_corr,
+       n
+FROM d ORDER BY c_nationkey
 """
 
 
