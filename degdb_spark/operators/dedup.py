@@ -252,48 +252,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """60-bit SimHash over engine-portable token hashes.
 
     Each token votes its hash's bits ±1; the fingerprint is the sign
-    vector. Expressed with aggregate/transform over the token array —
-    stays in codegen; one projection, no shuffle. Token hashes are the
-    first 15 md5 hex digits as a long (60 usable bits — hence a 60-bit
-    fingerprint rather than 64), so the identical fingerprint is
-    computable in DuckDB for the correctness oracle.
+    vector. Token hashes are the first 15 md5 hex digits as a long (60
+    usable bits — hence a 60-bit fingerprint rather than 64), so the
+    identical fingerprint is computable in DuckDB for the correctness
+    oracle.
+
+    Relational shape: explode tokens → one hash per row → groupBy(doc)
+    with `bits` conditional SUMs → fold the sign bits in one scalar
+    projection. An earlier nested higher-order-function form (aggregate
+    over zip_with over transform) allocated two `bits`-long arrays per
+    token and Catalyst's projection collapse re-evaluated the votes
+    array across the fingerprint fold — ~100× slower end-to-end. The
+    explode/groupBy form stays in whole-stage codegen, map-side partial
+    aggregation combines votes before the one shuffle on ``id_col``,
+    and the shuffled rows carry just (id, 60 longs) — the shape that
+    holds at corpus scale.
     """
     toks = tokens(text_col)
-    # per-token bit votes; bit positions loop over sequence() with a
-    # column-valued shift (F.call_function — the F.shiftright wrapper
-    # only takes literal counts), keeping codegen O(1) in `bits`
-    bit_votes = F.aggregate(
-        F.transform(
-            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-        ),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
-                )
-                .otherwise(-1)
-                .cast("long"),
-            ),
-            lambda a, v: a + v,
-        ),
-    ).alias("votes")
-    votes_df = rebalance_for_compute(df).select(F.col(id_col), bit_votes)
-    # fingerprint = sign bits of the vote vector, folded with a
-    # column-valued shiftleft over the same sequence trick
-    fp = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc.bitwiseOR(
-            F.when(
-                F.element_at("votes", i + 1) > 0,
-                F.call_function("shiftleft", F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-        ),
+    th = rebalance_for_compute(df).select(
+        F.col(id_col), F.explode_outer(toks).alias("_tok")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long").alias("_h"),
     )
-    return votes_df.select(F.col(id_col), fp.alias("simhash"))
+    votes = th.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright("_h", i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_dups(
