@@ -152,6 +152,9 @@ HEADLINE = [
     "docs_proximity_search_indexed",
     # round 6: C4-style global span dedup (rewrite-the-corpus)
     "docs_span_dedup",
+    # round 6: added after the explode/groupBy SimHash rewrite (the
+    # old nested-HOF fingerprint was ~118 s at sf0.1 — worth tracking)
+    "docs_simhash_neardups",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse
