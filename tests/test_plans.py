@@ -618,3 +618,20 @@ def test_no_data_sized_unpartitioned_window_registry_wide(spark):
         if n > _GLOBAL_WINDOW_WHITELIST.get(name, 0):
             offenders[name] = f"{n} unpartitioned Window node(s)"
     assert not offenders, offenders
+
+
+def test_simhash_relational_no_nested_hof(spark):
+    """SimHash fingerprints must come from the explode + grouped-votes
+    shape: one Generate, hash aggregation with map-side partials, and
+    NO higher-order aggregate/zip_with in the plan (the nested-HOF form
+    re-evaluated the 60-long vote array during the bit fold — ~100×
+    slower at sf0.1 before round 6 replaced it)."""
+    from degdb_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(simhash(docs))
+    assert "Generate explode" in plan
+    assert "HashAggregate" in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan.lower().replace(
+        "hashaggregate", ""
+    )
