@@ -43,7 +43,10 @@ class Query(NamedTuple):
 #: positional-index twin), plus 7 of the 25 r1-era leftovers.
 #:
 #: Round-7 window, planned now so the standing policy stays
-#: executable: the remaining 20 r1-era rows (above_nation_average,
+#: executable: events_dedup_first and events_hourly_rollup (displaced
+#: from this round's filler tail when docs_temperature_mixture and
+#: docs_simhash_neardups changed mid-round), then
+#: the remaining 20 r1-era rows (above_nation_average,
 #: array_aggregation, conditional_aggregation, cube_lineitem_status,
 #: customers_without_orders, docs_fingerprints, docs_language_id,
 #: events_json_props, events_type_pivot, full_outer_nation_presence,
@@ -101,12 +104,12 @@ _WINDOW = [
     "docs_phrase_search_indexed",
     "docs_proximity_search_indexed",
     "docs_span_dedup",
-    # oldest r1-era rows (5 of 25; the rest lead the round-7 window)
+    "docs_temperature_mixture",  # CHANGED r6: decimal w_sum + FLOOR epsilon
+    "docs_simhash_neardups",  # CHANGED r6: relational fingerprint shape
+    # oldest r1-era rows (3 of 25; the rest lead the round-7 window)
     "docs_exact_dedup",
     "docs_quality_scores",
     "docs_token_stats",
-    "events_dedup_first",
-    "events_hourly_rollup",
 ]
 
 
