@@ -143,6 +143,7 @@ HEADLINE = [
     "emb_pq_index_build",
     # round 5
     "emb_pq_index_knn",
+    "emb_semantic_dedup",
     # round 6: phrase search from the positional index (steady-state —
     # the fingerprint-keyed build runs untimed in main(), the fixture
     # accounting VERDICT r5 ask #4 prescribed for one-time builds)

@@ -398,3 +398,81 @@ def ivf_topk_fixed(
     )
     probes = _probes_from(queries, cent_lit, n_probe, id_col, vec_col)
     return _ivf_probe_rerank(assigned, probes, k, broadcast_probes)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a relational
+    plan: nearest-centroid cell assignment against in-plan centroid
+    literals, candidate pairs by EQUI-JOIN ON CELL (never all-pairs),
+    exact cosine on candidates only, and the paper's keep policy — in
+    any >=threshold pair the vector FARTHER from its cell centroid
+    (lower rounded centroid-cosine, ties by id) survives, so each
+    semantic-duplicate neighborhood keeps its most extreme member.
+    Returns the per-cell dedup summary
+    ``(cell, n_vectors, n_dropped, n_kept)``.
+
+    Scale shape (100 TB): assignment is embarrassingly parallel
+    (argmin over k centroid literals, whole-stage codegen); the only
+    shuffles are the cell equi-join and the k-row summary aggregate.
+    Cell populations stay bounded when k scales with corpus size (the
+    paper's regime — k≈11k for LAION-440M); a hot cell is one
+    straggler partition, fixed by raising k, not by the operator. The
+    keep-rule filter runs BEFORE the cosine so each unordered pair is
+    scored once, not twice.
+    """
+    from degdb_spark.operators.similarity import cosine
+    from degdb_spark.queries.rounding import dround
+
+    cent_lit = _centroid_struct_lit(centroids)
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.array_sort(_cell_scores(F.col(vec_col), cent_lit))[0]["cell"].alias("cell"),
+    ).withColumn("csim", dround(cosine(F.col("v"), cvecs[F.col("cell")]), round_dp))
+    # Reused three times (both pair sides + the summary); checkpoint so
+    # the corpus scan + assignment runs once, not three times.
+    assigned = assigned.localCheckpoint()
+
+    x = assigned.select(
+        F.col("vid").alias("xid"), F.col("v").alias("xv"),
+        "cell", F.col("csim").alias("xcs"),
+    )
+    y = assigned.select(
+        F.col("vid").alias("yid"), F.col("v").alias("yv"),
+        "cell", F.col("csim").alias("ycs"),
+    )
+    dropped = (
+        x.join(y, "cell")
+        .filter(F.col("xid") != F.col("yid"))
+        # keep policy first: only (dropped-candidate, keeper) ordered
+        # pairs reach the cosine, halving the arithmetic
+        .filter(
+            (F.col("ycs") < F.col("xcs"))
+            | ((F.col("ycs") == F.col("xcs")) & (F.col("yid") < F.col("xid")))
+        )
+        .withColumn("pair_sim", dround(cosine(F.col("xv"), F.col("yv")), round_dp))
+        .filter(F.col("pair_sim") >= F.lit(float(threshold)))
+        .select(F.col("xid").alias("vid"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+        )
+        .withColumn("n_kept", F.col("n_vectors") - F.col("n_dropped"))
+        .select("cell", "n_vectors", "n_dropped", "n_kept")
+    )

@@ -378,6 +378,38 @@ cent(cell, cv, c2) AS (VALUES
 IVF_FIXED_SQL = _ivf_fixed_oracle_sql(_IVF_CENTROIDS, _IVF_N_PROBE)
 
 
+def _lloyd_round_ctes(r: int) -> list[str]:
+    """One unrolled Lloyd round as three CTEs over the training slice
+    ``tr`` and the previous centroid relation ``c{r-1}``: nearest-
+    centroid assignment (a{r}), per-(cell, coord) means in the exact
+    DECIMAL-sum/double-divide/FLOOR-round arithmetic lloyd_centroids
+    runs (m{r}), and the next centroid relation with empty cells
+    keeping their previous centroid (c{r}). Shared by the IVF-kNN and
+    SemDeDup oracles."""
+    return [
+        f"""a{r} AS (
+  SELECT vec_id, cell FROM (
+    SELECT tr.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY tr.vec_id
+                              ORDER BY c.c2 - 2 * list_dot_product(tr.v, c.cv), c.cell) AS rn
+    FROM tr CROSS JOIN c{r - 1} c) WHERE rn = 1
+)""",
+        f"""m{r} AS (
+  SELECT a.cell, p.p AS pos,
+         FLOOR(CAST(SUM(CAST(FLOOR(t.v[p.p] * 1000000 + 0.5) / 1000000 AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*) * 1000000 + 0.5) / 1000000 AS m
+  FROM a{r} a JOIN tr t USING (vec_id) CROSS JOIN pos p
+  GROUP BY a.cell, p.p
+)""",
+        f"""c{r} AS (
+  SELECT c.cell, COALESCE(g.cv, c.cv) AS cv,
+         list_dot_product(COALESCE(g.cv, c.cv), COALESCE(g.cv, c.cv)) AS c2
+  FROM c{r - 1} c LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv
+                             FROM m{r} GROUP BY cell) g USING (cell)
+)""",
+    ]
+
+
 def _ivf_lloyd_sql(
     init: list[list[float]],
     n_rounds: int,
@@ -405,26 +437,7 @@ def _ivf_lloyd_sql(
         f"c0(cell, cv, c2) AS (VALUES\n  {_centroid_values_rows(init)})",
     ]
     for r in range(1, n_rounds + 1):
-        parts.append(f"""a{r} AS (
-  SELECT vec_id, cell FROM (
-    SELECT tr.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY tr.vec_id
-                              ORDER BY c.c2 - 2 * list_dot_product(tr.v, c.cv), c.cell) AS rn
-    FROM tr CROSS JOIN c{r - 1} c) WHERE rn = 1
-)""")
-        parts.append(f"""m{r} AS (
-  SELECT a.cell, p.p AS pos,
-         FLOOR(CAST(SUM(CAST(FLOOR(t.v[p.p] * 1000000 + 0.5) / 1000000 AS DECIMAL(30,6))) AS DOUBLE)
-               / COUNT(*) * 1000000 + 0.5) / 1000000 AS m
-  FROM a{r} a JOIN tr t USING (vec_id) CROSS JOIN pos p
-  GROUP BY a.cell, p.p
-)""")
-        parts.append(f"""c{r} AS (
-  SELECT c.cell, COALESCE(g.cv, c.cv) AS cv,
-         list_dot_product(COALESCE(g.cv, c.cv), COALESCE(g.cv, c.cv)) AS c2
-  FROM c{r - 1} c LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv
-                             FROM m{r} GROUP BY cell) g USING (cell)
-)""")
+        parts.extend(_lloyd_round_ctes(r))
     return (
         ",\n".join(parts)
         + ",\n"
@@ -441,6 +454,100 @@ _LLOYD_ROUNDS, _LLOYD_SAMPLE_MOD = 2, 3
 IVF_LLOYD_SQL = _ivf_lloyd_sql(
     _IVF_CENTROIDS, _LLOYD_ROUNDS, _IVF_N_PROBE, _LLOYD_SAMPLE_MOD
 )
+
+
+#: SemDeDup knobs: k=10 cells initialised from the first 10 corpus
+#: vectors by id (data-point init — the random-hyperplane init
+#: collapses this corpus into one cell, which would degrade the
+#: within-cell pair join toward all-pairs), 2 Lloyd rounds trained on
+#: the full (small) corpus, and a cosine threshold sized to the
+#: synthetic corpus's similarity range (its max pairwise cosine is
+#: ~0.51; real text embeddings would use the paper's 0.95+).
+_SEMDD_K, _SEMDD_ROUNDS, _SEMDD_TAU = 10, 2, 0.35
+
+
+def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): per-cell semantic-dedup summary.
+    Trains the k-cell quantizer in-plan with the seeded relational
+    Lloyd iteration (init = the k smallest-id corpus vectors, a
+    k·dim seed-sized collect), assigns every vector, and drops a
+    vector when a nearer-centroid cell-mate is >=tau cosine-similar —
+    the paper's keep-farthest-from-centroid policy. Hash-checked end
+    to end (training included) against the unrolled-CTE oracle
+    SEMDEDUP_SQL. No reference twin: this is one of the brief's
+    beyond-reference training-data-pipeline operators."""
+    from degdb_spark.operators.ml_lsh import lloyd_centroids, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init_rows = (
+        emb.filter(F.col("vec_id") < _SEMDD_K)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    init = [list(r["v"]) for r in init_rows]
+    cents = lloyd_centroids(emb, init, n_rounds=_SEMDD_ROUNDS)
+    return semantic_dedup(emb, cents, threshold=_SEMDD_TAU).orderBy("cell")
+
+
+def _semdedup_sql(
+    k: int, tau: float, n_rounds: int, dim: int = EMB_DIM
+) -> str:
+    """DuckDB replication of semantic_dedup_summary, TRAINING INCLUDED:
+    c0 is the data-point init (row-numbered over vec_id < k, exactly
+    the ordered collect the Spark side does), each Lloyd round unrolls
+    via the shared _lloyd_round_ctes, and the dedup tail mirrors the
+    operator — rounded centroid-cosine keep rule applied before the
+    rounded pair cosine, summary grouped by cell."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "tr AS (SELECT vec_id, v FROM e)",
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS p)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         v AS cv, list_dot_product(v, v) AS c2
+  FROM e WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.extend(_lloyd_round_ctes(r))
+    parts.append(f"""ar AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY c.c2 - 2 * list_dot_product(e.v, c.cv), c.cell) AS rn
+    FROM e CROSS JOIN c{n_rounds} c) WHERE rn = 1
+)""")
+    parts.append(f"""cs AS (
+  SELECT a.vec_id, a.cell, e.v,
+         FLOOR(list_dot_product(e.v, c.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+               * 10000 + 0.5) / 10000 AS csim
+  FROM ar a JOIN e ON e.vec_id = a.vec_id JOIN c{n_rounds} c ON c.cell = a.cell
+)""")
+    parts.append(f"""dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM cs x JOIN cs y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  WHERE (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+    AND FLOOR(list_dot_product(x.v, y.v) /
+              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+              * 10000 + 0.5) / 10000 >= {tau}
+)""")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT a.cell,
+       COUNT(*) AS n_vectors,
+       COUNT(d.vec_id) AS n_dropped,
+       COUNT(*) - COUNT(d.vec_id) AS n_kept
+FROM ar a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+GROUP BY a.cell
+ORDER BY a.cell
+"""
+    )
+
+
+SEMDEDUP_SQL = _semdedup_sql(_SEMDD_K, _SEMDD_TAU, _SEMDD_ROUNDS)
 
 
 def quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,6 +1289,7 @@ QUERIES: dict[str, Query] = {
     "emb_filtered_knn": Query(filtered_knn, FILTERED_KNN_SQL),
     "emb_ivf_fixed_knn": Query(ivf_fixed_knn, IVF_FIXED_SQL),
     "emb_ivf_knn": Query(ivf_knn, IVF_LLOYD_SQL),
+    "emb_semantic_dedup": Query(semantic_dedup_summary, SEMDEDUP_SQL),
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),

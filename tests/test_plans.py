@@ -635,3 +635,17 @@ def test_simhash_relational_no_nested_hof(spark):
     assert "zip_with" not in plan and "aggregate(" not in plan.lower().replace(
         "hashaggregate", ""
     )
+
+
+def test_semantic_dedup_cell_equijoin_no_python(spark):
+    """emb_semantic_dedup: the within-cell pair generation must plan as
+    an EQUI-join on cell — a CartesianProduct here is the all-pairs
+    blowup SemDeDup's clustering exists to avoid — and the whole plan
+    (Lloyd training included) stays JVM-side: no Python-UDF eval node
+    of any kind."""
+    from degdb_spark.queries.embeddings_queries import semantic_dedup_summary
+
+    plan = _plan(semantic_dedup_summary(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "pythonUDF" not in plan

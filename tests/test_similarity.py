@@ -147,3 +147,28 @@ def test_lloyd_centroids_deterministic_and_empty_cells_keep_init(spark):
     # cell 0 captures the two positive points, cell 1 the negative one
     assert c1[0] == [2.0, 2.0]
     assert c1[1] == [-1.0, -5.0]
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup keep policy, falsifiably: v0 sits ON the cell centroid
+    with two >=tau neighbors (v1, v2) that are farther from the
+    centroid but dissimilar to EACH OTHER. Keep-farthest drops exactly
+    v0 (1 dropped); the reversed (keep-nearest) policy would drop both
+    v1 and v2 (2 dropped) — so the count distinguishes the directions.
+    A lone vector in the other cell must survive untouched."""
+    from degdb_spark.operators.ml_lsh import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),     # csim=1.0 — nearest the centroid, dropped
+        (1, [0.9, 0.3]),     # csim≈0.9487; cos(v0,v1)≈0.9487 >= tau
+        (2, [0.9, -0.3]),    # csim≈0.9487; cos(v1,v2)=0.8 < tau → kept
+        (3, [0.0, 2.0]),     # alone in cell 1 → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {
+        (r.cell, r.n_vectors, r.n_dropped, r.n_kept)
+        for r in semantic_dedup(
+            df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9
+        ).collect()
+    }
+    assert got == {(0, 3, 1, 2), (1, 1, 0, 1)}
