@@ -172,3 +172,46 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
         ).collect()
     }
     assert got == {(0, 3, 1, 2), (1, 1, 0, 1)}
+
+
+def test_incremental_semantic_dedup_equals_full(spark):
+    """Sequential SemDeDup increments over a pinned quantizer must
+    union to exactly the full-corpus drop-pair set: each batch assigns
+    only itself, probes the persisted (vec_id, cell, csim) index, and
+    never re-pairs old-vs-old — yet nothing is missed and nothing is
+    emitted twice (pair decisions are pure functions of the two rows,
+    so batch boundaries can't change them)."""
+    from degdb_spark.operators.ml_lsh import (
+        _semantic_assigned,
+        incremental_semantic_dedup,
+        lloyd_centroids,
+        semantic_cell_table,
+        semantic_drop_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v")).collect()
+    )
+    cents = lloyd_centroids(emb, [list(r["v"]) for r in init_rows], n_rounds=2)
+    tau = 0.35
+
+    full = {
+        (r.drop_id, r.keep_id, r.pair_sim)
+        for r in semantic_drop_pairs(
+            _semantic_assigned(emb, cents).localCheckpoint(), tau
+        ).collect()
+    }
+    assert full, "corpus/threshold must produce a non-trivial pair set"
+
+    index = spark.createDataFrame([], "vec_id: long, cell: int, csim: double")
+    emitted: list[tuple] = []
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == i)
+        inc = incremental_semantic_dedup(batch, index, emb, cents, tau).collect()
+        emitted.extend((r.drop_id, r.keep_id, r.pair_sim) for r in inc)
+        index = index.unionByName(semantic_cell_table(batch, cents)).localCheckpoint()
+
+    assert len(emitted) == len(set(emitted)), "no pair emitted twice"
+    assert set(emitted) == full
