@@ -65,3 +65,95 @@ def ann_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def semantic_index_stream(
+    vecs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming SemDeDup against a pinned quantizer — the streaming
+    twin of ml_lsh.incremental_semantic_dedup. Each micro-batch (1)
+    probes the persisted (vec_id, cell, csim) assignment index for
+    drop decisions touching the batch (old-vs-old never re-paired,
+    old vectors re-read only to score surviving candidates), (2) lands
+    the decisions in ``{pairs_path}/batch=N``, and (3) appends its own
+    assignment rows and raw vectors to ``{index_path,corpus_path}/
+    batch=N`` — the corpus write IS the ingest; the step just keys it
+    by batch so replays converge. The union of all batches' emissions
+    equals the full-corpus semantic_drop_pairs set (tested). Same
+    replay contract as the band/postings/span/ANN streams: every
+    output partition is keyed by micro-batch id and written with
+    overwrite, probes read only ``batch < batch_id``."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        _semantic_index_step(
+            batch, int(batch_id), index_path, pairs_path, corpus_path,
+            centroids, threshold, id_col, vec_col,
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _semantic_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    corpus_path: str,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of semantic_index_stream, module-level so the
+    replay contract is directly testable."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.ml_lsh import (
+        incremental_semantic_dedup,
+        semantic_cell_table,
+    )
+
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)
+    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        existing = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .filter(F.col("batch") < F.lit(batch_id))
+            .select(id_col, "cell", "csim")
+        )
+        old_vecs = (
+            spark.read.option("basePath", corpus_path)
+            .parquet(corpus_path)
+            .filter(F.col("batch") < F.lit(batch_id))
+            .select(id_col, vec_col)
+        )
+    else:  # genuinely the first batch: empty index, right schema
+        existing = semantic_cell_table(batch, centroids, id_col, vec_col).limit(0)
+        old_vecs = batch.select(id_col, vec_col).limit(0)
+    all_vectors = old_vecs.unionByName(batch.select(id_col, vec_col))
+    pairs = incremental_semantic_dedup(
+        batch, existing, all_vectors, centroids, threshold, id_col, vec_col
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+    batch.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{corpus_path}/batch={batch_id}"
+    )
+    semantic_cell_table(batch, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/batch={batch_id}")

@@ -895,3 +895,83 @@ def test_span_index_stream_end_to_end(spark, tmp_path):
     )
     dup = kept.groupBy("span").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_semantic_index_stream_equals_full_drop_pairs(spark, tmp_path):
+    """Streaming SemDeDup: three file-batches of embeddings stream
+    through semantic_index_stream against a pinned quantizer; the
+    union of the per-batch drop-decision emissions must equal the
+    full-corpus semantic_drop_pairs set exactly, with no pair emitted
+    twice. Then batch 0 is replayed through the module-level step —
+    the batch-keyed overwrite partitions must converge to the
+    identical single-run state."""
+    from degdb_spark.operators.ml_lsh import (
+        _semantic_assigned,
+        lloyd_centroids,
+        semantic_drop_pairs,
+    )
+    from degdb_spark.streaming.ann import (
+        _semantic_index_step,
+        semantic_index_stream,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    init_rows = (
+        emb.filter(F.col("vec_id") < 10).orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v")).collect()
+    )
+    cents = lloyd_centroids(emb, [list(r["v"]) for r in init_rows], n_rounds=2)
+    tau = 0.35
+    full = {
+        (r.drop_id, r.keep_id, r.pair_sim)
+        for r in semantic_drop_pairs(
+            _semantic_assigned(emb, cents).localCheckpoint(), tau
+        ).collect()
+    }
+    assert full
+
+    src_dir = tmp_path / "vecs_in"
+    src_dir.mkdir()
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(src_dir / f"b{i}.parquet")
+        )
+    paths = {
+        "index_path": str(tmp_path / "cells"),
+        "pairs_path": str(tmp_path / "pairs"),
+        "corpus_path": str(tmp_path / "corpus"),
+    }
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = semantic_index_stream(
+        stream, checkpoint_dir=str(tmp_path / "ckpt"),
+        centroids=cents, threshold=tau, **paths,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.option("basePath", paths["pairs_path"]).parquet(
+        paths["pairs_path"]
+    )
+    rows = [(r.drop_id, r.keep_id, r.pair_sim) for r in got.collect()]
+    assert len(rows) == len(set(rows)), "no pair emitted twice"
+    assert set(rows) == full
+    assert spark.read.parquet(paths["corpus_path"]).count() == emb.count()
+
+    # replay convergence: re-running batch 0's step must leave the
+    # batch-0 pairs partition and the index/corpus row counts unchanged
+    b0 = spark.read.parquet(str(src_dir / "b0.parquet"))
+    before = sorted(rows)
+    n_cells = spark.read.parquet(paths["index_path"]).count()
+    _semantic_index_step(b0, 0, centroids=cents, threshold=tau, **paths)
+    again = spark.read.option("basePath", paths["pairs_path"]).parquet(
+        paths["pairs_path"]
+    )
+    assert sorted(
+        (r.drop_id, r.keep_id, r.pair_sim) for r in again.collect()
+    ) == before
+    assert spark.read.parquet(paths["index_path"]).count() == n_cells
+    assert spark.read.parquet(paths["corpus_path"]).count() == emb.count()
