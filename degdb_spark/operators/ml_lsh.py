@@ -150,21 +150,33 @@ def ml_brp_neighbors(
     )
 
 
+def _sql_double(x: float) -> str:
+    """Exact double literal for an F.expr string: repr is the shortest
+    round-trip form and string→double CAST is correctly-rounded
+    parseDouble, so the parsed value is bit-identical to the Python
+    float."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
 def _centroid_struct_lit(centroids):
     """The k centroid vectors (k·dim floats — tiny) as an
     array-of-structs literal: (cv, c2=|cv|², cell). Riding centroids as
     an in-plan literal keeps probe assignment fully distributed — no
-    driver collect, the query side can be a full table."""
-    return F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in ctr]).alias("cv"),
-                F.lit(float(sum(float(x) * float(x) for x in ctr))).alias("c2"),
-                F.lit(int(cell)).alias("cell"),
-            )
-            for cell, ctr in enumerate(centroids)
-        ]
-    )
+    driver collect, the query side can be a full table.
+
+    Built as ONE F.expr string: assembling it Column-by-Column costs
+    ~2 py4j round trips per scalar, and at k·dim scalars that driver
+    chatter dominates query CONSTRUCTION time (measured ~1-2 s per
+    call at k=10, dim=64 — every Lloyd round pays it); parsing one SQL
+    string is a single round trip and value-exact (_sql_double)."""
+    structs = []
+    for cell, ctr in enumerate(centroids):
+        cv = ", ".join(_sql_double(x) for x in ctr)
+        c2 = _sql_double(sum(float(x) * float(x) for x in ctr))
+        structs.append(
+            f"named_struct('cv', array({cv}), 'c2', {c2}, 'cell', {int(cell)})"
+        )
+    return F.expr("array(" + ",\n".join(structs) + ")")
 
 
 def _cell_scores(vec_col, cent_lit):
@@ -299,15 +311,35 @@ def lloyd_centroids(
     quality needs a sliver of the corpus, and the full corpus is only
     touched by the one assign+probe pass that follows training. Per
     round the plan is one train-scan → argmin over k centroid literals
-    (codegen) → posexplode to (cell, pos, x) → hash-agg to k·dim rows
-    (map-side combined, so the shuffle is k·dim rows per task). The
-    only driver actions are ``n_rounds`` fetches of k·dim means — a
-    seed-sized transfer, same budget as reading back a trained model.
+    → hash-agg grouped by cell with one decimal sum PER COORDINATE
+    (map-side combined: the shuffle is k rows × dim columns per task).
+    Grouping by cell over dim agg columns — rather than posexploding to
+    (cell, pos, x) rows — keeps the argmin evaluated ONCE per row: with
+    a Generate in the plan the optimizer floats the projection above
+    the explode and the k·dim-literal argmin re-runs per array element,
+    a measured dim× slowdown of the whole round. The only driver
+    actions are ``n_rounds`` fetches of k·dim means — a seed-sized
+    transfer, same budget as reading back a trained model.
     """
     cent = [[float(x) for x in c] for c in init]
+    dim = len(cent[0])
     vecs = train.select(F.col(vec_col).cast("array<double>").alias("v"))
-    from degdb_spark.queries.rounding import dround
 
+    # the round's aggregates as SQL strings (one py4j round trip each,
+    # vs ~10 per Column-built dround/cast chain — 2·dim of those per
+    # round otherwise dominate training time); `f`D double literals and
+    # floor(x·f + 0.5)/f replicate queries.rounding.dround exactly
+    f = f"{float(10 ** dp)!r}D"
+    sums = [
+        F.expr(
+            f"sum(cast(floor(v[{p}] * {f} + 0.5D) / {f} as decimal(30,6))) AS s{p}"
+        )
+        for p in range(dim)
+    ]
+    means = ["cell"] + [
+        f"floor(cast(s{p} as double) / n * {f} + 0.5D) / {f} AS m{p}"
+        for p in range(dim)
+    ]
     for _ in range(n_rounds):
         cent_lit = _centroid_struct_lit(cent)
         stats = (
@@ -315,27 +347,15 @@ def lloyd_centroids(
                 F.array_sort(_cell_scores(F.col("v"), cent_lit))[0]["cell"].alias(
                     "cell"
                 ),
-                F.posexplode("v").alias("pos", "x"),
+                "v",
             )
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum(dround(F.col("x"), dp).cast("decimal(30,6)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                "cell",
-                "pos",
-                dround(F.col("s").cast("double") / F.col("n"), dp).alias("m"),
-            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .selectExpr(*means)
             .collect()
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
-        cent = [
-            [by_cell[c][p] for p in range(len(cent[c]))] if c in by_cell else cent[c]
-            for c in range(len(cent))
-        ]
+        by_cell = {r["cell"]: [float(r[f"m{p}"]) for p in range(dim)] for r in stats}
+        cent = [by_cell.get(c, cent[c]) for c in range(len(cent))]
     return cent
 
 
@@ -457,21 +477,34 @@ def _semantic_assigned(
     vec_col: str = "embedding",
     round_dp: int = 4,
 ) -> DataFrame:
-    """(vid, v, cell, csim): nearest-centroid cell plus the rounded
-    centroid-cosine the keep policy compares on. Rounding csim BEFORE
-    any comparison is what keeps the keep-rule ties engine-stable."""
-    from degdb_spark.operators.similarity import cosine
+    """(vid, v, vnorm, cell, csim): nearest-centroid cell plus the
+    rounded centroid-cosine the keep policy compares on. Rounding csim
+    BEFORE any comparison is what keeps the keep-rule ties
+    engine-stable. ``vnorm`` (=√(v·v), materialized once per row) lets
+    every downstream pair cosine be a single dot product — same
+    double values, a third of the per-pair arithmetic."""
+    from degdb_spark.operators.similarity import _dot
     from degdb_spark.queries.rounding import dround
 
     cent_lit = _centroid_struct_lit(centroids)
-    cvecs = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    sel = cent_lit[F.col("cell")]  # cell ids are 0..k-1 by construction
+    return (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.array_sort(_cell_scores(F.col(vec_col), cent_lit))[0]["cell"].alias(
+                "cell"
+            ),
+        )
+        .withColumn("vnorm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .withColumn(
+            "csim",
+            dround(
+                _dot(F.col("v"), sel["cv"]) / (F.col("vnorm") * F.sqrt(sel["c2"])),
+                round_dp,
+            ),
+        )
     )
-    return corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        F.array_sort(_cell_scores(F.col(vec_col), cent_lit))[0]["cell"].alias("cell"),
-    ).withColumn("csim", dround(cosine(F.col("v"), cvecs[F.col("cell")]), round_dp))
 
 
 def _keep_rule(xcs, ycs, xid, yid):
@@ -493,22 +526,28 @@ def semantic_drop_pairs(
     pair is a pure function of the two rows' (csim, vid) — independent
     of every other row — which is why sequential increments' emissions
     union to exactly the full-corpus pair set."""
-    from degdb_spark.operators.similarity import cosine
+    from degdb_spark.operators.similarity import _dot
     from degdb_spark.queries.rounding import dround
 
     x = assigned.select(
         F.col("vid").alias("xid"), F.col("v").alias("xv"),
-        "cell", F.col("csim").alias("xcs"),
+        F.col("vnorm").alias("xn"), "cell", F.col("csim").alias("xcs"),
     )
     y = assigned.select(
         F.col("vid").alias("yid"), F.col("v").alias("yv"),
-        "cell", F.col("csim").alias("ycs"),
+        F.col("vnorm").alias("yn"), "cell", F.col("csim").alias("ycs"),
     )
     return (
         x.join(y, "cell")
         .filter(F.col("xid") != F.col("yid"))
         .filter(_keep_rule(F.col("xcs"), F.col("ycs"), F.col("xid"), F.col("yid")))
-        .withColumn("pair_sim", dround(cosine(F.col("xv"), F.col("yv")), round_dp))
+        .withColumn(
+            "pair_sim",
+            dround(
+                _dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn")),
+                round_dp,
+            ),
+        )
         .filter(F.col("pair_sim") >= F.lit(float(threshold)))
         .select(
             F.col("xid").alias("drop_id"),
