@@ -215,3 +215,33 @@ def test_incremental_semantic_dedup_equals_full(spark):
 
     assert len(emitted) == len(set(emitted)), "no pair emitted twice"
     assert set(emitted) == full
+
+
+def test_semantic_dedup_clustered_corpus_keeps_one_per_cluster(spark):
+    """Skew property for the SemDeDup pair join: on a corpus of 4
+    tight direction-clusters × 40 near-identical vectors, the trained
+    quantizer must keep cells balanced (the within-cell pair volume is
+    Σ|cell|², so one hot cell is the operator's only failure mode) and
+    the keep policy must reduce every cluster to exactly ONE survivor:
+    the minimum-csim (farthest-from-centroid) vector, ties broken by
+    id, is the only one with no farther keeper."""
+    from degdb_spark.operators.ml_lsh import lloyd_centroids, semantic_dedup
+
+    dim, per = 8, 40
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[4 + c] = 0.001 * i  # tiny jitter, cos stays >= 0.999
+            rows.append((c * per + i, v))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    init_rows = (
+        df.filter(F.col("vec_id") % per == 0).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    cents = lloyd_centroids(df, [list(r[0]) for r in init_rows], n_rounds=2)
+    out = semantic_dedup(df, cents, threshold=0.99).collect()
+    assert len(out) == 4
+    assert {r.n_vectors for r in out} == {per}, "cells must stay balanced"
+    assert all(r.n_kept == 1 for r in out), "one survivor per dup cluster"
