@@ -86,6 +86,9 @@ HEADLINE = [
     "docs_phrase_search",
     "docs_setsim_join",
     "emb_ivfpq_knn",
+    # round 6: the Lloyd-trained IVF (training in-plan) — tracked since
+    # the training round shape changed this round
+    "emb_ivf_knn",
     "lineitem_ols",
     "docs_zipf_fit",
     "docs_weighted_sample",
