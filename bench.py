@@ -147,6 +147,7 @@ HEADLINE = [
     # round 5
     "emb_pq_index_knn",
     "emb_semantic_dedup",
+    "docs_dsir_selection",
     # round 6: phrase search from the positional index (steady-state —
     # the fingerprint-keyed build runs untimed in main(), the fixture
     # accounting VERDICT r5 ask #4 prescribed for one-time builds)

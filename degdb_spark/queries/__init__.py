@@ -43,10 +43,10 @@ class Query(NamedTuple):
 #: positional-index twin), plus 7 of the 25 r1-era leftovers.
 #:
 #: Round-7 window, planned now so the standing policy stays
-#: executable: docs_token_stats, events_dedup_first and
-#: events_hourly_rollup (displaced from this round's filler tail when
-#: docs_temperature_mixture, docs_simhash_neardups and
-#: emb_semantic_dedup entered mid-round), then
+#: executable: docs_quality_scores, docs_token_stats, events_dedup_first
+#: and events_hourly_rollup (displaced from this round's filler tail
+#: when docs_temperature_mixture, docs_simhash_neardups,
+#: emb_semantic_dedup and docs_dsir_selection entered mid-round), then
 #: the remaining 20 r1-era rows (above_nation_average,
 #: array_aggregation, conditional_aggregation, cube_lineitem_status,
 #: customers_without_orders, docs_fingerprints, docs_language_id,
@@ -108,9 +108,9 @@ _WINDOW = [
     "docs_temperature_mixture",  # CHANGED r6: decimal w_sum + FLOOR epsilon
     "docs_simhash_neardups",  # CHANGED r6: relational fingerprint shape
     "emb_semantic_dedup",  # NEW r6: SemDeDup cluster-scoped dedup
-    # oldest r1-era rows (2 of 25; the rest lead the round-7 window)
+    "docs_dsir_selection",  # NEW r6: DSIR distribution-matching selection
+    # oldest r1-era row (1 of 25; the rest lead the round-7 window)
     "docs_exact_dedup",
-    "docs_quality_scores",
 ]
 
 

@@ -13,7 +13,7 @@ from degdb_spark.catalog import load_table
 from degdb_spark.operators import dedup as D
 from degdb_spark.operators import text as X
 from degdb_spark.queries import Query
-from degdb_spark.queries.rounding import dround, dsum, sql_dsum
+from degdb_spark.queries.rounding import dround, dsum, sql_davg, sql_dsum
 
 # DuckDB-side token expression mirroring operators/text.tokens
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -1780,7 +1780,108 @@ ORDER BY ABS(kl_term) DESC, token LIMIT 20
 """
 
 
+#: DSIR target domain: the distribution the selection should match.
+_DSIR_TARGET = "src0"
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023,
+    arXiv:2302.03169): score every document by its mean unigram
+    log-likelihood ratio between a TARGET domain (source 'src0') and
+    the full-corpus base distribution (add-one smoothing over the
+    shared vocabulary), then keep the 20 highest-scoring non-target
+    docs — the docs whose token distribution most resembles the
+    target. Distribution-matching selection is a distinct surface
+    from the budget/quota/temperature selectors (which rank by
+    quality or size, not by domain fit).
+
+    Plan shape (100 TB): one token explode feeds four aggregations
+    (base counts, target counts, totals, per-doc scores); the word
+    LLR table is vocabulary-sized and broadcast onto the occurrence
+    join; totals ride as a broadcast 1-row frame — no driver
+    round-trips. Per-token LLR is rounded to 6 dp BEFORE the per-doc
+    decimal sum (davg), so the doc score is order-independent and
+    replays bit-for-bit in DuckDB; top-20 cut is
+    TakeOrderedAndProject on (score, doc_id) — no window."""
+    from degdb_spark.queries.rounding import davg
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    occ = docs.select(
+        "doc_id", "source", F.explode(X.tokens("text")).alias("w")
+    ).localCheckpoint()
+    base = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cb"))
+    tgt = (
+        occ.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = base.agg(
+        F.sum("cb").alias("tb"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        occ.filter(F.col("source") == _DSIR_TARGET).agg(
+            F.count(F.lit(1)).alias("tt")
+        )
+    )
+    llr = (
+        base.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            dround(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("tb") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("l"),
+        )
+    )
+    scored = (
+        occ.join(F.broadcast(llr), "w")
+        .groupBy("doc_id", "source")
+        .agg(davg(F.col("l"), 6, 6).alias("dsir_score"))
+    )
+    return (
+        scored.filter(F.col("source") != _DSIR_TARGET)
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "source", "dsir_score")
+    )
+
+
+DSIR_SQL = f"""
+WITH d AS (SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
+occ AS (SELECT doc_id, source, unnest({_TOKS}) AS w FROM d),
+base AS (SELECT w, COUNT(*) AS cb FROM occ GROUP BY w),
+tgt AS (SELECT w, COUNT(*) AS ct FROM occ WHERE source = '{_DSIR_TARGET}' GROUP BY w),
+tot AS (SELECT (SELECT COUNT(*) FROM occ) AS tb,
+               (SELECT COUNT(*) FROM occ WHERE source = '{_DSIR_TARGET}') AS tt,
+               (SELECT COUNT(*) FROM base) AS v),
+llr AS (
+  SELECT b.w,
+         FLOOR((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + tot.v AS DOUBLE))
+              - ln(CAST(b.cb + 1 AS DOUBLE) / CAST(tot.tb + tot.v AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 AS l
+  FROM base b LEFT JOIN tgt t USING (w) CROSS JOIN tot
+),
+scored AS (
+  SELECT o.doc_id, o.source,
+         {sql_davg("l.l", 6, 6)} AS dsir_score
+  FROM occ o JOIN llr l ON l.w = o.w
+  GROUP BY o.doc_id, o.source
+)
+SELECT doc_id, source, dsir_score FROM scored
+WHERE source <> '{_DSIR_TARGET}'
+ORDER BY dsir_score DESC, doc_id LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_dsir_selection": Query(dsir_selection, DSIR_SQL),
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),

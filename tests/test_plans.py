@@ -649,3 +649,18 @@ def test_semantic_dedup_cell_equijoin_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_dsir_selection_broadcast_llr_no_window(spark):
+    """docs_dsir_selection: the vocabulary-sized LLR table must
+    BROADCAST onto the token-occurrence join (shuffling the occurrence
+    side on word is the 100 TB killer), totals must ride as a
+    broadcast 1-row frame, and the top-20 cut must plan as
+    TakeOrderedAndProject — no WindowExec anywhere."""
+    from degdb_spark.queries.text_queries import dsir_selection
+
+    plan = _plan(dsir_selection(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan

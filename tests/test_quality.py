@@ -91,3 +91,29 @@ def test_vocab_kl_drift_flags_new_token(spark):
     assert top[0].token in ("zz", "c")
     zz = [r for r in top if r.token == "zz"]
     assert zz and zz[0].kl_term > 0  # new token contributes positively
+
+
+def test_dsir_selection_prefers_target_like_docs(spark, tmp_path):
+    """DSIR semantics, falsifiably: with target domain src0 speaking
+    only 'alpha beta', a src1 doc written in target words must outrank
+    a src1 doc of out-of-domain words, and the target's own docs must
+    never appear in the selection (they're the reference, not
+    candidates)."""
+    from degdb_spark.queries.text_queries import dsir_selection
+
+    rows = [
+        (0, "alpha beta alpha beta", "en", "src0", 21),
+        (1, "alpha beta beta alpha", "en", "src0", 21),
+        (2, "alpha beta alpha", "en", "src1", 16),      # target-like
+        (3, "zeta eta theta iota", "en", "src1", 19),   # out-of-domain
+        (4, "alpha zeta", "en", "src2", 10),            # mixed
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = dsir_selection(spark, str(tmp_path)).collect()
+    ids = [r.doc_id for r in got]
+    assert 0 not in ids and 1 not in ids, "target docs are not candidates"
+    scores = {r.doc_id: r.dsir_score for r in got}
+    assert scores[2] > scores[4] > scores[3], "ranking must follow domain fit"
