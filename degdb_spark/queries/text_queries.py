@@ -1795,50 +1795,44 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the budget/quota/temperature selectors (which rank by
     quality or size, not by domain fit).
 
-    Plan shape (100 TB): one token explode feeds four aggregations
-    (base counts, target counts, totals, per-doc scores); the word
-    LLR table is vocabulary-sized and broadcast onto the occurrence
-    join; totals ride as a broadcast 1-row frame — no driver
-    round-trips. Per-token LLR is rounded to 6 dp BEFORE the per-doc
-    decimal sum (davg), so the doc score is order-independent and
-    replays bit-for-bit in DuckDB; top-20 cut is
+    Plan shape (100 TB): base and target counts come out of ONE
+    aggregation pass over the token explode (conditional count — no
+    base-vs-target join), totals are a 1-row rollup of that
+    vocabulary-sized frame, and the resulting LLR table broadcasts
+    onto the scoring join, so the corpus is scanned exactly twice
+    (count pass, scoring pass) and the occurrence side is never
+    shuffled on word or materialized. Per-token LLR is rounded to 6 dp
+    BEFORE the per-doc decimal sum (davg), so the doc score is
+    order-independent and replays bit-for-bit in DuckDB; top-20 cut is
     TakeOrderedAndProject on (score, doc_id) — no window."""
     from degdb_spark.queries.rounding import davg
 
     docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
     occ = docs.select(
         "doc_id", "source", F.explode(X.tokens("text")).alias("w")
-    ).localCheckpoint()
-    base = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cb"))
-    tgt = (
-        occ.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("ct"))
     )
-    tot = base.agg(
-        F.sum("cb").alias("tb"), F.count(F.lit(1)).alias("v")
-    ).crossJoin(
-        occ.filter(F.col("source") == _DSIR_TARGET).agg(
-            F.count(F.lit(1)).alias("tt")
-        )
+    counts = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
     )
-    llr = (
-        base.join(tgt, "w", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w",
-            dround(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tt") + F.col("v")).cast("double")
-                )
-                - F.log(
-                    (F.col("cb") + 1).cast("double")
-                    / (F.col("tb") + F.col("v")).cast("double")
-                ),
-                6,
-            ).alias("l"),
-        )
+    tot = counts.agg(
+        F.sum("cb").alias("tb"),
+        F.sum("ct").alias("tt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        dround(
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("tt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cb") + 1).cast("double")
+                / (F.col("tb") + F.col("v")).cast("double")
+            ),
+            6,
+        ).alias("l"),
     )
     scored = (
         occ.join(F.broadcast(llr), "w")
