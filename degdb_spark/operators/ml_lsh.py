@@ -322,6 +322,8 @@ def lloyd_centroids(
     transfer, same budget as reading back a trained model.
     """
     cent = [[float(x) for x in c] for c in init]
+    if not cent:  # empty init (empty-corpus callers): nothing to train
+        return cent
     dim = len(cent[0])
     vecs = train.select(F.col(vec_col).cast("array<double>").alias("v"))
 
@@ -486,6 +488,13 @@ def _semantic_assigned(
     from degdb_spark.operators.similarity import _dot
     from degdb_spark.queries.rounding import dround
 
+    if not centroids:  # degenerate empty-corpus/empty-init callers:
+        # an empty array literal is array<void>, which the field
+        # extracts below can't analyze — return the empty frame
+        # directly with the contract schema
+        return corpus.sparkSession.createDataFrame(
+            [], "vid: long, v: array<double>, cell: int, vnorm: double, csim: double"
+        )
     cent_lit = _centroid_struct_lit(centroids)
     sel = cent_lit[F.col("cell")]  # cell ids are 0..k-1 by construction
     return (

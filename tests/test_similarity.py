@@ -245,3 +245,16 @@ def test_semantic_dedup_clustered_corpus_keeps_one_per_cluster(spark):
     assert len(out) == 4
     assert {r.n_vectors for r in out} == {per}, "cells must stay balanced"
     assert all(r.n_kept == 1 for r in out), "one survivor per dup cluster"
+
+
+def test_semantic_dedup_empty_corpus(spark, tmp_path):
+    """Degenerate input: an EMPTY embeddings table must flow through
+    the whole contract path (data-point init collect → Lloyd →
+    assignment → summary) and return zero rows — the empty centroid
+    literal would otherwise be array<void> and fail analysis."""
+    from degdb_spark.queries.embeddings_queries import semantic_dedup_summary
+
+    spark.createDataFrame(
+        [], "vec_id: long, embedding: array<double>, label: int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    assert semantic_dedup_summary(spark, str(tmp_path)).collect() == []
