@@ -23,7 +23,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TS_COLUMNS = {"ts", "l_shipdate", "o_orderdate", "created"}
 
 
+#: Session-scoped DataFrame cache: a suite run calls load_table a few
+#: hundred times, and each miss costs two conf round trips plus a
+#: parquet footer/listing read (~0.1 s of driver time). Keyed by
+#: (application id, absolute path, mtime) — a regenerated or rewritten
+#: table changes mtime and naturally invalidates, matching how a real
+#: metastore caches table metadata. DataFrames are lazy, so caching the
+#: frame caches schema + file listing, never data.
+_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    except Exception:
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     # The driver may hand us a session built without our factory; the
     # TIMESTAMP(NANOS) reader conf is runtime-settable, so pin it here —
     # otherwise any events read throws PARQUET_TYPE_ILLEGAL.
@@ -35,7 +52,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns arrive as long nanos under
     # spark.sql.legacy.parquet.nanosAsLong; truncate to micros — the same
     # thing DuckDB does when reading nanos parquet — so oracle comparisons
@@ -51,6 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
+    if key is not None:
+        _TABLE_CACHE[key] = df
     return df
 
 
