@@ -344,3 +344,61 @@ def bpe_encode(col: Column | str, merges: list[tuple[str, str]] | None = None) -
     for a, b in merges if merges is not None else BPE_MERGES:
         x = F.replace(x, F.lit(f"{a}{sep}{b}"), F.lit(a + b))
     return F.split(x, sep)
+
+
+def dsir_occurrences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, source, w) token occurrences of non-blank docs — the
+    shared input of the DSIR count and scoring passes."""
+    return docs.filter(F.trim(text_col) != "").select(
+        "doc_id", "source", F.explode(tokens(text_col)).alias("w")
+    )
+
+
+def dsir_word_counts(occ: DataFrame, target: str) -> DataFrame:
+    """(w, cb, ct) — the persistable DSIR state (Xie et al. 2023,
+    arXiv:2302.03169): base and target occurrence counts per word,
+    both out of ONE aggregation pass. ADDITIVE, so an incremental or
+    streamed maintainer just sums per-batch tables
+    (streaming/dedup.dsir_counts_stream); re-pointing the target
+    domain is a rebuild, like retraining a quantizer."""
+    return occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cb"),
+        F.count(F.when(F.col("source") == target, 1)).alias("ct"),
+    )
+
+
+def dsir_scores(occ: DataFrame, counts: DataFrame) -> DataFrame:
+    """Per-doc DSIR score from a word-count state table: smoothed
+    unigram log-likelihood ratio per word (rounded to 6 dp before
+    aggregation), then the order-independent decimal mean over each
+    doc's occurrences. Counts may come straight from dsir_word_counts
+    or from the persisted batch-keyed table summed across partitions —
+    identical scores either way (parity-tested). The vocabulary-sized
+    LLR table broadcasts onto the occurrence join; totals ride as a
+    broadcast 1-row frame."""
+    from degdb_spark.queries.rounding import davg, dround
+
+    tot = counts.agg(
+        F.sum("cb").alias("tb"),
+        F.sum("ct").alias("tt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        dround(
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("tt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cb") + 1).cast("double")
+                / (F.col("tb") + F.col("v")).cast("double")
+            ),
+            6,
+        ).alias("l"),
+    )
+    return (
+        occ.join(F.broadcast(llr), "w")
+        .groupBy("doc_id", "source")
+        .agg(davg(F.col("l"), 6, 6).alias("dsir_score"))
+    )

@@ -1807,38 +1807,9 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject on (score, doc_id) — no window."""
     from degdb_spark.queries.rounding import davg
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    occ = docs.select(
-        "doc_id", "source", F.explode(X.tokens("text")).alias("w")
-    )
-    counts = occ.groupBy("w").agg(
-        F.count(F.lit(1)).alias("cb"),
-        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
-    )
-    tot = counts.agg(
-        F.sum("cb").alias("tb"),
-        F.sum("ct").alias("tt"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    llr = counts.crossJoin(F.broadcast(tot)).select(
-        "w",
-        dround(
-            F.log(
-                (F.col("ct") + 1).cast("double")
-                / (F.col("tt") + F.col("v")).cast("double")
-            )
-            - F.log(
-                (F.col("cb") + 1).cast("double")
-                / (F.col("tb") + F.col("v")).cast("double")
-            ),
-            6,
-        ).alias("l"),
-    )
-    scored = (
-        occ.join(F.broadcast(llr), "w")
-        .groupBy("doc_id", "source")
-        .agg(davg(F.col("l"), 6, 6).alias("dsir_score"))
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    occ = X.dsir_occurrences(docs)
+    scored = X.dsir_scores(occ, X.dsir_word_counts(occ, _DSIR_TARGET))
     return (
         scored.filter(F.col("source") != _DSIR_TARGET)
         .orderBy(F.col("dsir_score").desc(), "doc_id")

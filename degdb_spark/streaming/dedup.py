@@ -307,3 +307,45 @@ def _span_index_step(
     )
     report.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
     fresh.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+
+def dsir_counts_stream(
+    docs: DataFrame,
+    counts_path: str,
+    checkpoint_dir: str,
+    target: str,
+):
+    """Streamed maintenance of the DSIR word-count state
+    (operators/text.dsir_word_counts): each micro-batch tokenizes ONLY
+    its increment and lands its own (w, cb, ct) table in
+    ``{counts_path}/batch=N`` — counts are ADDITIVE, so the live state
+    is a vocabulary-sized sum over batch partitions
+    (dsir_counts_load) and scoring from it equals scoring from a full
+    recompute (parity-tested). Same replay contract as the other index
+    streams: the batch id keys an overwrite-mode partition, so a
+    crashed-and-retried batch converges instead of double-counting."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        from degdb_spark.operators.text import dsir_occurrences, dsir_word_counts
+
+        dsir_word_counts(
+            dsir_occurrences(batch.localCheckpoint(eager=True)), target
+        ).write.mode("overwrite").parquet(f"{counts_path}/batch={batch_id}")
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dsir_counts_load(spark, counts_path: str) -> DataFrame:
+    """The live DSIR state from the batch-keyed table: per-word sums
+    across batch partitions (vocabulary-sized aggregation)."""
+    return (
+        spark.read.option("basePath", counts_path)
+        .parquet(counts_path)
+        .groupBy("w")
+        .agg(F.sum("cb").alias("cb"), F.sum("ct").alias("ct"))
+    )

@@ -975,3 +975,63 @@ def test_semantic_index_stream_equals_full_drop_pairs(spark, tmp_path):
     ) == before
     assert spark.read.parquet(paths["index_path"]).count() == n_cells
     assert spark.read.parquet(paths["corpus_path"]).count() == emb.count()
+
+
+def test_dsir_counts_stream_equals_full_counts(spark, tmp_path):
+    """Streamed DSIR state: three file-batches of documents maintain
+    the batch-keyed word-count table; the summed live state must equal
+    the full-corpus dsir_word_counts exactly, and scoring every doc
+    from the streamed state must be bit-identical to scoring from the
+    directly-computed counts. Replaying batch 0's write must leave the
+    state unchanged (overwrite-keyed partitions)."""
+    from degdb_spark.operators.text import (
+        dsir_occurrences,
+        dsir_scores,
+        dsir_word_counts,
+    )
+    from degdb_spark.streaming.dedup import dsir_counts_load, dsir_counts_stream
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    target = "src0"
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src_dir / f"b{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    counts_path = str(tmp_path / "counts")
+    q = dsir_counts_stream(
+        stream, counts_path, str(tmp_path / "ckpt"), target=target
+    )
+    q.awaitTermination(120)
+
+    occ = dsir_occurrences(docs)
+    direct = dsir_word_counts(occ, target)
+    loaded = dsir_counts_load(spark, counts_path)
+    want = {(r.w, r.cb, r.ct) for r in direct.collect()}
+    got = {(r.w, r.cb, r.ct) for r in loaded.collect()}
+    assert got == want
+
+    s_direct = {
+        (r.doc_id, r.dsir_score) for r in dsir_scores(occ, direct).collect()
+    }
+    s_loaded = {
+        (r.doc_id, r.dsir_score) for r in dsir_scores(occ, loaded).collect()
+    }
+    assert s_loaded == s_direct
+
+    # replay batch 0: overwrite-keyed partition must converge
+    from degdb_spark.operators.text import dsir_word_counts as dwc
+
+    b0 = spark.read.parquet(str(src_dir / "b0.parquet"))
+    dwc(dsir_occurrences(b0), target).write.mode("overwrite").parquet(
+        f"{counts_path}/batch=0"
+    )
+    again = {(r.w, r.cb, r.ct) for r in dsir_counts_load(spark, counts_path).collect()}
+    assert again == want
