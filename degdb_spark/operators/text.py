@@ -378,6 +378,10 @@ def dsir_scores(occ: DataFrame, counts: DataFrame) -> DataFrame:
     broadcast 1-row frame."""
     from degdb_spark.queries.rounding import davg, dround
 
+    # vocabulary-sized (tiny); checkpointed because BOTH the totals
+    # rollup and the LLR projection read it — left lazy, Catalyst plans
+    # the count aggregation (and its corpus scan) twice
+    counts = counts.localCheckpoint()
     tot = counts.agg(
         F.sum("cb").alias("tb"),
         F.sum("ct").alias("tt"),
