@@ -664,3 +664,7 @@ def test_dsir_selection_broadcast_llr_no_window(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+    # the count state is checkpointed, so the scoring plan carries
+    # exactly ONE corpus scan — a second one means the word aggregation
+    # (and its scan) got planned twice again
+    assert plan.count("FileScan parquet") == 1
