@@ -33,16 +33,28 @@ def graph_view(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
 def degrees(triples: DataFrame) -> DataFrame:
     """In/out/total degree per vertex — closed-form, oracle-checkable.
 
-    One union + one groupBy = a single shuffle (vs two aggregations
-    joined full-outer = three shuffles); at 100 TB the union rides the
-    same scan twice but never materialises, and the partial aggregation
-    combines map-side."""
+    One explode + one groupBy = a single shuffle AND a single pass:
+    each edge emits both endpoint rows from one generator, so the edge
+    scan runs once (the union form it replaces planned the whole
+    7-table triple scan twice), and the partial aggregation combines
+    map-side."""
     _, edges = graph_view(triples)
     endpoints = edges.select(
-        F.col("src").alias("id"), F.lit(1).alias("out_c"), F.lit(0).alias("in_c")
-    ).unionAll(
-        edges.select(F.col("dst").alias("id"), F.lit(0), F.lit(1))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("id"),
+                    F.lit(1).alias("out_c"),
+                    F.lit(0).alias("in_c"),
+                ),
+                F.struct(
+                    F.col("dst").alias("id"),
+                    F.lit(0).alias("out_c"),
+                    F.lit(1).alias("in_c"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.id", "e.out_c", "e.in_c")
     return (
         endpoints.groupBy("id")
         .agg(F.sum("out_c").alias("out_degree"), F.sum("in_c").alias("in_degree"))
