@@ -398,13 +398,16 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: positions via posexplode; bigrams form by joining
     the token stream to itself on (doc_id, pos−1) — co-partitioned
     after one doc_id-keyed exchange; count tables are token-keyed
-    aggregations AQE broadcasts when the vocab is small. Per-position
-    log-probs FLOOR-round to 6 dp before the order-independent decimal
-    sum (rounding.py)."""
+    aggregations AQE broadcasts when the vocab is small. The token
+    stream is CHECKPOINTED: five consumers (c1 twice, c2, total, both
+    bigram sides) otherwise each replan the scan+tokenize — 7 corpus
+    passes measured via tools/scan_audit.py; one materialization buys
+    them all. Per-position log-probs FLOOR-round to 6 dp before the
+    order-independent decimal sum (rounding.py)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(X.tokens("text")).alias("pos", "token")
-    )
+    ).localCheckpoint()
     c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
     total = tok.agg(F.count(F.lit(1)).alias("n_total"))
     prev = tok.select(
