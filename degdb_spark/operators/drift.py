@@ -94,6 +94,9 @@ def psi_bins(
             for i in range(len(qs))
         ]
     )
+    # 1 row; read by BOTH sides' binning — left lazy, each side replans
+    # the reference percentile pass
+    bounds = bounds.localCheckpoint()
 
     def binned(df, name):
         j = df.select(col).crossJoin(F.broadcast(bounds))
@@ -103,7 +106,13 @@ def psi_bins(
 
     r = binned(reference, "n_ref")
     c = binned(current, "n_cur")
-    both = r.join(c, on="bin", how="full_outer").na.fill(0, ["n_ref", "n_cur"])
+    both = (
+        r.join(c, on="bin", how="full_outer")
+        .na.fill(0, ["n_ref", "n_cur"])
+        # <= n_bins rows; read by the totals rollup AND the share
+        # projection
+        .localCheckpoint()
+    )
     tot = both.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
     rs = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))
     cs = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(eps))
