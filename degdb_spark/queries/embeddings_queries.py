@@ -1107,14 +1107,28 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("la") == F.col("lb")).cast("long").alias("same"),
         )
     )
-    rows = None
-    for t in (0.80, 0.85, 0.90, 0.95):
-        r = pairs.agg(
-            F.lit(t).alias("threshold"),
-            F.sum((F.col("cs") >= t).cast("long")).alias("n_pairs"),
+    ts = (0.80, 0.85, 0.90, 0.95)
+    aggs = []
+    for t in ts:
+        k = int(t * 100)
+        aggs.append(F.sum((F.col("cs") >= t).cast("long")).alias(f"p{k}"))
+        aggs.append(
             F.sum(F.when(F.col("cs") >= t, F.col("same")).otherwise(0)).alias(
-                "n_same_label"
-            ),
+                f"s{k}"
+            )
+        )
+    # genuinely ONE aggregation over the pair slice (a per-threshold
+    # agg loop replans the whole pairwise cosine 4x — 8 corpus scans in
+    # the executed plan); the 1-row result is checkpointed and fanned
+    # back out to one row per threshold
+    one = pairs.agg(*aggs).localCheckpoint()
+    rows = None
+    for t in ts:
+        k = int(t * 100)
+        r = one.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"p{k}").alias("n_pairs"),
+            F.col(f"s{k}").alias("n_same_label"),
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("threshold")

@@ -178,6 +178,10 @@ def parts_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", F.col("p_name").alias("name"), "p_brand", "p_type")
     )
+    # read by both blocking sides AND both attribute fetches — left
+    # lazy, each consumer replans the canonicalization (part scan +
+    # dedup join): 8 scans in the executed plan, 0 after
+    canon = canon.localCheckpoint()
     cand = blocked_pairs(canon, "id", "name")
     attrs_a = canon.select(
         F.col("id").alias("id_a"), F.col("p_brand").alias("brand_a"), F.col("p_type").alias("type_a")
