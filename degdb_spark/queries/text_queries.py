@@ -622,7 +622,11 @@ def quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     cands = D.minhash_lsh_candidates(docs)
-    pairs = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
+    # tiny (verified dup pairs); read twice (both union sides) — left
+    # lazy, the whole minhash+verify pipeline plans twice
+    pairs = D.ngram_jaccard_pairs(
+        docs, candidates=cands, threshold=0.4
+    ).localCheckpoint()
     dup_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -691,7 +695,11 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back to the corpus attributes)."""
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs)
-    pairs = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
+    # tiny (verified dup pairs); read twice (both union sides) — left
+    # lazy, the whole minhash+verify pipeline plans twice
+    pairs = D.ngram_jaccard_pairs(
+        docs, candidates=cands, threshold=0.4
+    ).localCheckpoint()
     dup_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -1136,22 +1144,28 @@ def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two linear aggregations (unigram + bigram counts), totals ride as
     broadcast 1-row aggregates, top-k via orderBy().limit()."""
     docs = load_table(spark, sf_dir, "documents")
+    # both count tables are vocabulary-sized and read by multiple
+    # consumers (uni by n1/ua/ub, the bigram counts by the filter AND
+    # the n2 total) — checkpointed so each corpus tokenization runs
+    # once, not three times
     uni = (
         docs.select(F.explode(X.tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    bi = (
+    bi_all = (
         docs.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
+        .localCheckpoint()
     )
+    bi = bi_all.filter(F.col("c_ab") >= 5)
     n1 = uni.agg(F.sum("c").alias("n1"))
-    n2 = docs.select(F.explode(X.ngrams("text", 2)).alias("b")).agg(
-        F.count(F.lit(1)).alias("n2")
-    )
+    # total bigram occurrences == sum of the per-bigram counts: no
+    # second tokenization pass
+    n2 = bi_all.agg(F.sum("c_ab").alias("n2"))
     parts = bi.withColumn("tok_a", F.split("bigram", " ")[0]).withColumn(
         "tok_b", F.split("bigram", " ")[1]
     )
