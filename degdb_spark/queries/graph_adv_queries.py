@@ -477,6 +477,10 @@ def basket_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .select("c_custkey", F.col("l_partkey").alias("part"))
         .distinct()
+        # tiny (the <20 customers' parts); read by the scoring join AND
+        # the already-owned anti-join — left lazy, the 3-table owned
+        # build plans twice (6 scans in the executed plan, 3 after)
+        .localCheckpoint()
     )
     edges = _weighted_edges(spark, sf_dir)
     scored = (
