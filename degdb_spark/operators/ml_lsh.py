@@ -449,11 +449,12 @@ def semantic_dedup(
     keep-rule filter runs BEFORE the cosine so each unordered pair is
     scored once, not twice.
     """
-    # Reused three times (both pair sides + the summary); checkpoint so
-    # the corpus scan + assignment runs once, not three times.
-    assigned = _semantic_assigned(
-        corpus, centroids, id_col, vec_col, round_dp
-    ).localCheckpoint()
+    # Reused three times (both pair sides + the summary); pinned so
+    # the corpus scan + assignment runs once, not three times
+    # (persistence.pin — spark.degdb.pin picks the cluster-safe flavor).
+    from degdb_spark.persistence import pin
+
+    assigned = pin(_semantic_assigned(corpus, centroids, id_col, vec_col, round_dp))
     dropped = (
         semantic_drop_pairs(assigned, threshold, round_dp)
         .select(F.col("drop_id").alias("vid"))

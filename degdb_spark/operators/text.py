@@ -346,49 +346,72 @@ def bpe_encode(col: Column | str, merges: list[tuple[str, str]] | None = None) -
     return F.split(x, sep)
 
 
+#: DSIR hashed-bucket count, exactly the paper's device (Xie et al.
+#: 2023, arXiv:2302.03169 §3: "hashed n-gram features ... 10,000
+#: buckets"): tokens hash into a FIXED bucket space, so the count /
+#: LLR state is provably bounded-cardinality — like the HLL/CMS
+#: registers — no matter how big the vocabulary grows. At 100 TB an
+#: open vocabulary is 10⁸-10⁹ distinct tokens (Heaps' law); a
+#: per-token state table would be a multi-GB broadcast, while the
+#: bucketed table is ≤ 10⁴ rows forever.
+DSIR_BUCKETS = 10_000
+
+
 def dsir_occurrences(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, source, w) token occurrences of non-blank docs — the
-    shared input of the DSIR count and scoring passes."""
-    return docs.filter(F.trim(text_col) != "").select(
-        "doc_id", "source", F.explode(tokens(text_col)).alias("w")
+    """(doc_id, source, b) hashed-bucket token occurrences of non-blank
+    docs — the shared input of the DSIR count and scoring passes. The
+    bucket hash is the engine-portable md5 bucket (sampling.md5_bucket),
+    so a DuckDB oracle replays the exact assignment."""
+    from degdb_spark.operators.sampling import md5_bucket
+
+    # explode first (generators can't nest inside expressions), then
+    # hash — both land in the same whole-stage-codegen span
+    return (
+        docs.filter(F.trim(text_col) != "")
+        .select("doc_id", "source", F.explode(tokens(text_col)).alias("_w"))
+        .select("doc_id", "source", md5_bucket("_w", DSIR_BUCKETS).alias("b"))
     )
 
 
 def dsir_word_counts(occ: DataFrame, target: str) -> DataFrame:
-    """(w, cb, ct) — the persistable DSIR state (Xie et al. 2023,
-    arXiv:2302.03169): base and target occurrence counts per word,
-    both out of ONE aggregation pass. ADDITIVE, so an incremental or
-    streamed maintainer just sums per-batch tables
+    """(b, cb, ct) — the persistable DSIR state (Xie et al. 2023,
+    arXiv:2302.03169): base and target occurrence counts per hashed
+    bucket, both out of ONE aggregation pass. Bucketing bounds the
+    state at DSIR_BUCKETS rows by construction (property-tested in
+    tests/test_quality.py). ADDITIVE, so an incremental or streamed
+    maintainer just sums per-batch tables
     (streaming/dedup.dsir_counts_stream); re-pointing the target
     domain is a rebuild, like retraining a quantizer."""
-    return occ.groupBy("w").agg(
+    return occ.groupBy("b").agg(
         F.count(F.lit(1)).alias("cb"),
         F.count(F.when(F.col("source") == target, 1)).alias("ct"),
     )
 
 
 def dsir_scores(occ: DataFrame, counts: DataFrame) -> DataFrame:
-    """Per-doc DSIR score from a word-count state table: smoothed
-    unigram log-likelihood ratio per word (rounded to 6 dp before
-    aggregation), then the order-independent decimal mean over each
-    doc's occurrences. Counts may come straight from dsir_word_counts
-    or from the persisted batch-keyed table summed across partitions —
-    identical scores either way (parity-tested). The vocabulary-sized
-    LLR table broadcasts onto the occurrence join; totals ride as a
-    broadcast 1-row frame."""
+    """Per-doc DSIR score from a bucket-count state table: smoothed
+    bucket log-likelihood ratio (rounded to 6 dp before aggregation),
+    then the order-independent decimal mean over each doc's
+    occurrences. Counts may come straight from dsir_word_counts or
+    from the persisted batch-keyed table summed across partitions —
+    identical scores either way (parity-tested). The LLR table is
+    bounded at DSIR_BUCKETS rows, so broadcasting it onto the
+    occurrence join is legitimate at any corpus scale; totals ride as
+    a broadcast 1-row frame."""
+    from degdb_spark.persistence import pin
     from degdb_spark.queries.rounding import davg, dround
 
-    # vocabulary-sized (tiny); checkpointed because BOTH the totals
+    # bounded at DSIR_BUCKETS rows; pinned because BOTH the totals
     # rollup and the LLR projection read it — left lazy, Catalyst plans
     # the count aggregation (and its corpus scan) twice
-    counts = counts.localCheckpoint()
+    counts = pin(counts)
     tot = counts.agg(
         F.sum("cb").alias("tb"),
         F.sum("ct").alias("tt"),
         F.count(F.lit(1)).alias("v"),
     )
     llr = counts.crossJoin(F.broadcast(tot)).select(
-        "w",
+        "b",
         dround(
             F.log(
                 (F.col("ct") + 1).cast("double")
@@ -402,7 +425,7 @@ def dsir_scores(occ: DataFrame, counts: DataFrame) -> DataFrame:
         ).alias("l"),
     )
     return (
-        occ.join(F.broadcast(llr), "w")
+        occ.join(F.broadcast(llr), "b")
         .groupBy("doc_id", "source")
         .agg(davg(F.col("l"), 6, 6).alias("dsir_score"))
     )

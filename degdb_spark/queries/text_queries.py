@@ -693,13 +693,14 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified MinHash pipeline, flags every doc touching a >=0.4 pair,
     and rolls the flag up by source (one broadcast-sized dup-id set
     joined back to the corpus attributes)."""
+    from degdb_spark.persistence import pin
+
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs)
     # tiny (verified dup pairs); read twice (both union sides) — left
     # lazy, the whole minhash+verify pipeline plans twice
-    pairs = D.ngram_jaccard_pairs(
-        docs, candidates=cands, threshold=0.4
-    ).localCheckpoint()
+    # (persistence.pin — spark.degdb.pin picks the cluster-safe flavor)
+    pairs = pin(D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4))
     dup_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -1803,24 +1804,28 @@ _DSIR_TARGET = "src0"
 
 def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection (Xie et al. 2023,
-    arXiv:2302.03169): score every document by its mean unigram
+    arXiv:2302.03169): score every document by its mean hashed-bucket
     log-likelihood ratio between a TARGET domain (source 'src0') and
     the full-corpus base distribution (add-one smoothing over the
-    shared vocabulary), then keep the 20 highest-scoring non-target
+    occupied buckets), then keep the 20 highest-scoring non-target
     docs — the docs whose token distribution most resembles the
     target. Distribution-matching selection is a distinct surface
     from the budget/quota/temperature selectors (which rank by
     quality or size, not by domain fit).
 
-    Plan shape (100 TB): base and target counts come out of ONE
-    aggregation pass over the token explode (conditional count — no
-    base-vs-target join), totals are a 1-row rollup of that
-    vocabulary-sized frame, and the resulting LLR table broadcasts
-    onto the scoring join, so the corpus is scanned exactly twice
-    (count pass, scoring pass) and the occurrence side is never
-    shuffled on word or materialized. Per-token LLR is rounded to 6 dp
-    BEFORE the per-doc decimal sum (davg), so the doc score is
-    order-independent and replays bit-for-bit in DuckDB; top-20 cut is
+    Plan shape (100 TB): tokens hash into DSIR_BUCKETS fixed buckets
+    (the paper's own device — arXiv:2302.03169 §3 uses 10k hashed
+    n-gram buckets), so the count/LLR state is provably bounded no
+    matter how Heaps' law grows the vocabulary; base and target counts
+    come out of ONE aggregation pass over the bucket explode
+    (conditional count — no base-vs-target join), totals are a 1-row
+    rollup of that bounded frame, and the ≤10k-row LLR table
+    broadcasts onto the scoring join, so the corpus is scanned exactly
+    twice (count pass, scoring pass) and the occurrence side is never
+    shuffled or materialized. Per-bucket LLR is rounded to 6 dp BEFORE
+    the per-doc decimal sum (davg), so the doc score is
+    order-independent and replays bit-for-bit in DuckDB (the md5
+    bucket hash is engine-portable); top-20 cut is
     TakeOrderedAndProject on (score, doc_id) — no window."""
     from degdb_spark.queries.rounding import davg
 
@@ -1837,23 +1842,24 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DSIR_SQL = f"""
 WITH d AS (SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
-occ AS (SELECT doc_id, source, unnest({_TOKS}) AS w FROM d),
-base AS (SELECT w, COUNT(*) AS cb FROM occ GROUP BY w),
-tgt AS (SELECT w, COUNT(*) AS ct FROM occ WHERE source = '{_DSIR_TARGET}' GROUP BY w),
-tot AS (SELECT (SELECT COUNT(*) FROM occ) AS tb,
-               (SELECT COUNT(*) FROM occ WHERE source = '{_DSIR_TARGET}') AS tt,
-               (SELECT COUNT(*) FROM base) AS v),
+occ AS (SELECT doc_id, source,
+               CAST(('0x' || substr(md5(unnest({_TOKS})), 1, 8)) AS BIGINT) % 10000 AS b
+        FROM d),
+cnt AS (SELECT b, COUNT(*) AS cb,
+               COUNT(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS ct
+        FROM occ GROUP BY b),
+tot AS (SELECT SUM(cb) AS tb, SUM(ct) AS tt, COUNT(*) AS v FROM cnt),
 llr AS (
-  SELECT b.w,
-         FLOOR((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + tot.v AS DOUBLE))
-              - ln(CAST(b.cb + 1 AS DOUBLE) / CAST(tot.tb + tot.v AS DOUBLE)))
+  SELECT c.b,
+         FLOOR((ln(CAST(c.ct + 1 AS DOUBLE) / CAST(tot.tt + tot.v AS DOUBLE))
+              - ln(CAST(c.cb + 1 AS DOUBLE) / CAST(tot.tb + tot.v AS DOUBLE)))
                * 1000000 + 0.5) / 1000000 AS l
-  FROM base b LEFT JOIN tgt t USING (w) CROSS JOIN tot
+  FROM cnt c CROSS JOIN tot
 ),
 scored AS (
   SELECT o.doc_id, o.source,
          {sql_davg("l.l", 6, 6)} AS dsir_score
-  FROM occ o JOIN llr l ON l.w = o.w
+  FROM occ o JOIN llr l ON l.b = o.b
   GROUP BY o.doc_id, o.source
 )
 SELECT doc_id, source, dsir_score FROM scored

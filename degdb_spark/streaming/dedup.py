@@ -315,11 +315,11 @@ def dsir_counts_stream(
     checkpoint_dir: str,
     target: str,
 ):
-    """Streamed maintenance of the DSIR word-count state
+    """Streamed maintenance of the DSIR bucket-count state
     (operators/text.dsir_word_counts): each micro-batch tokenizes ONLY
-    its increment and lands its own (w, cb, ct) table in
+    its increment and lands its own (b, cb, ct) table in
     ``{counts_path}/batch=N`` — counts are ADDITIVE, so the live state
-    is a vocabulary-sized sum over batch partitions
+    is a bounded (≤DSIR_BUCKETS-row) sum over batch partitions
     (dsir_counts_load) and scoring from it equals scoring from a full
     recompute (parity-tested). Same replay contract as the other index
     streams: the batch id keys an overwrite-mode partition, so a
@@ -341,11 +341,11 @@ def dsir_counts_stream(
 
 
 def dsir_counts_load(spark, counts_path: str) -> DataFrame:
-    """The live DSIR state from the batch-keyed table: per-word sums
-    across batch partitions (vocabulary-sized aggregation)."""
+    """The live DSIR state from the batch-keyed table: per-bucket sums
+    across batch partitions (bounded at DSIR_BUCKETS rows)."""
     return (
         spark.read.option("basePath", counts_path)
         .parquet(counts_path)
-        .groupBy("w")
+        .groupBy("b")
         .agg(F.sum("cb").alias("cb"), F.sum("ct").alias("ct"))
     )

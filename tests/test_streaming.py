@@ -979,7 +979,7 @@ def test_semantic_index_stream_equals_full_drop_pairs(spark, tmp_path):
 
 def test_dsir_counts_stream_equals_full_counts(spark, tmp_path):
     """Streamed DSIR state: three file-batches of documents maintain
-    the batch-keyed word-count table; the summed live state must equal
+    the batch-keyed bucket-count table; the summed live state must equal
     the full-corpus dsir_word_counts exactly, and scoring every doc
     from the streamed state must be bit-identical to scoring from the
     directly-computed counts. Replaying batch 0's write must leave the
@@ -1014,8 +1014,8 @@ def test_dsir_counts_stream_equals_full_counts(spark, tmp_path):
     occ = dsir_occurrences(docs)
     direct = dsir_word_counts(occ, target)
     loaded = dsir_counts_load(spark, counts_path)
-    want = {(r.w, r.cb, r.ct) for r in direct.collect()}
-    got = {(r.w, r.cb, r.ct) for r in loaded.collect()}
+    want = {(r.b, r.cb, r.ct) for r in direct.collect()}
+    got = {(r.b, r.cb, r.ct) for r in loaded.collect()}
     assert got == want
 
     s_direct = {
@@ -1033,5 +1033,5 @@ def test_dsir_counts_stream_equals_full_counts(spark, tmp_path):
     dwc(dsir_occurrences(b0), target).write.mode("overwrite").parquet(
         f"{counts_path}/batch=0"
     )
-    again = {(r.w, r.cb, r.ct) for r in dsir_counts_load(spark, counts_path).collect()}
+    again = {(r.b, r.cb, r.ct) for r in dsir_counts_load(spark, counts_path).collect()}
     assert again == want
