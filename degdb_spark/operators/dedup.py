@@ -555,15 +555,18 @@ def span_dedup(
 
     Scale shape (100 TB): span slicing is pure codegen (transform +
     slice over the token array — no explode/regroup shuffle to build
-    spans); the global first-occurrence is ONE hash aggregation to one
-    row per distinct span (min over a (doc, idx) struct — map-side
-    combined, so a span repeated 10^6 times still reduces to one row
-    per partition before the shuffle, no per-key window over
-    occurrence lists); the keep decision is an equi-join of the
-    occurrence table against that argmin table; reassembly is a
-    per-document sort of that document's own surviving spans. Returns
-    (id, n_spans, n_kept, text_clean) — text_clean is '' for a fully
-    duplicated document.
+    spans); occurrences ride as 8-byte xxhash64 fingerprints, never as
+    span text (C4 itself hashes spans), so the global first-occurrence
+    shuffle carries (hash, doc, idx) only — ONE hash aggregation to
+    one row per distinct span (min over a (doc, idx) struct —
+    map-side combined, so a span repeated 10^6 times still reduces to
+    one row per partition before the shuffle, no per-key window over
+    occurrence lists). The argmin table IS the keep set — its
+    (doc, idx) winners roll up to a per-doc kept-index list, and
+    reassembly is a positional array lookup back on the sliced doc
+    (one doc-keyed join; corpus text crosses exactly one shuffle, as
+    whole-doc rows). Returns (id, n_spans, n_kept, text_clean) —
+    text_clean is '' for a fully duplicated document.
     """
     sliced = _span_slices(docs, text_col, id_col, span_tokens)
     return _span_keep_first_and_reassemble(sliced, _span_occurrences(sliced, id_col), id_col)
@@ -589,51 +592,49 @@ def _span_slices(
 
 
 def _span_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
-    """(id, span_idx, span) occurrence table."""
+    """(id, span_idx, span_hash) occurrence table — spans ride as
+    8-byte xxhash64 fingerprints from here on, never as text."""
     return sliced.select(
         id_col,
         F.posexplode("_spans").alias("span_idx", "span"),
-    ).withColumn("span_idx", F.col("span_idx").cast("long"))
+    ).select(
+        id_col,
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.xxhash64("span").alias("span_hash"),
+    )
 
 
 def _span_keep_first_and_reassemble(
     sliced: DataFrame, occ: DataFrame, id_col: str
 ) -> DataFrame:
-    """First-occurrence keep (min-struct hash agg + equi-join — no
-    per-key window) and order-preserving reassembly; n_spans comes from
+    """First-occurrence keep (min-struct hash agg — no per-key window)
+    and order-preserving reassembly. The argmin table IS the keep set:
+    its (doc, idx) winners roll up to a per-doc sorted kept-index
+    list, which joins back to ``sliced`` for a positional array
+    lookup — span TEXT never enters a shuffle. n_spans comes from
     ``sliced`` so it counts the document's spans BEFORE any drop."""
-    first = occ.groupBy("span").agg(
+    first = occ.groupBy("span_hash").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
             "_first"
         )
     )
-    kept = (
-        occ.join(first, on="span")
-        .where(
-            (F.col(id_col) == F.col("_first.d"))
-            & (F.col("span_idx") == F.col("_first.i"))
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+    keep_idx = first.groupBy(F.col("_first.d").alias(id_col)).agg(
+        F.array_sort(F.collect_list("_first.i")).alias("_keep")
+    )
+    return sliced.join(keep_idx, on=id_col, how="left").select(
+        id_col,
+        F.size("_spans").cast("long").alias("n_spans"),
+        F.coalesce(F.size("_keep"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
-                    lambda s: s["span"],
+                    "_keep",
+                    lambda i: F.element_at("_spans", (i + 1).cast("int")),
                 ),
                 " ",
-            ).alias("text_clean"),
-        )
-    )
-    return (
-        sliced.select(id_col, F.size("_spans").cast("long").alias("n_spans"))
-        .join(kept, on=id_col, how="left")
-        .select(
-            id_col,
-            "n_spans",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
     )
 
 
@@ -645,24 +646,25 @@ def incremental_span_dedup(
     span_tokens: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """Span dedup for an INCREMENT against a persisted span index:
-    any span already in ``existing_spans`` (one ``span`` column — the
-    distinct spans of all earlier batches) is dropped from every new
-    document outright (an earlier occurrence beats every new one);
-    first-occurrence + reassembly then run within the increment only.
-    Old text is never re-read or re-sliced — the index carries
-    everything history contributes, exactly the band-index contract
-    (`incremental_lsh_candidates`). Returns ``(report, fresh_spans)``:
-    the per-new-doc (id, n_spans, n_kept, text_clean) report and the
-    increment's genuinely-new distinct spans — the index delta the
-    caller persists. Processing doc-ordered batches through this
-    reproduces `span_dedup` of the full corpus bit-for-bit
-    (pytest-pinned)."""
+    any span whose xxhash64 fingerprint is already in
+    ``existing_spans`` (one ``span_hash`` column — the distinct span
+    hashes of all earlier batches; 8 bytes per span, never corpus
+    text) is dropped from every new document outright (an earlier
+    occurrence beats every new one); first-occurrence + reassembly
+    then run within the increment only. Old text is never re-read or
+    re-sliced — the index carries everything history contributes,
+    exactly the band-index contract (`incremental_lsh_candidates`).
+    Returns ``(report, fresh_spans)``: the per-new-doc (id, n_spans,
+    n_kept, text_clean) report and the increment's genuinely-new
+    distinct span hashes — the index delta the caller persists.
+    Processing doc-ordered batches through this reproduces
+    `span_dedup` of the full corpus bit-for-bit (pytest-pinned)."""
     sliced = _span_slices(new_docs, text_col, id_col, span_tokens)
     occ = _span_occurrences(sliced, id_col)
     # both outputs consume the probe anti-join; checkpoint it lazily so
     # the batch is sliced and probed once, not once per output
     fresh_occ = occ.join(
-        existing_spans.select("span"), on="span", how="left_anti"
+        existing_spans.select("span_hash"), on="span_hash", how="left_anti"
     ).localCheckpoint(eager=False)
     report = _span_keep_first_and_reassemble(sliced, fresh_occ, id_col)
-    return report, fresh_occ.select("span").distinct()
+    return report, fresh_occ.select("span_hash").distinct()

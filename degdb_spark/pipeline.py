@@ -102,18 +102,24 @@ def curate(
     # dropping corpus-wide repeated 10-token spans (boilerplate), AFTER
     # doc-level dedup (so the rewrite never pays for whole near-dup
     # docs) and BEFORE selection (so the token budget counts only text
-    # that will actually be trained on). Token/char counts are
-    # recomputed from the cleaned text; fully-boilerplate docs drop out.
+    # that will actually be trained on). Only docs that actually LOST a
+    # span are rewritten (the rewrite is token-normalized: lowercased,
+    # whitespace-collapsed); untouched docs keep their original text
+    # byte-for-byte. Token/char counts are recomputed for rewritten
+    # docs; fully-boilerplate docs drop out.
     from degdb_spark.operators.dedup import span_dedup
     from degdb_spark.operators.text import token_count
 
+    spans = span_dedup(s3).filter(F.col("n_kept") > 0)
     cleaned = (
-        s3.drop("text", "n_tokens", "n_chars")
-        .join(
-            span_dedup(s3)
-            .filter(F.col("n_kept") > 0)
-            .select("doc_id", F.col("text_clean").alias("text")),
-            on="doc_id",
+        s3.join(
+            spans.select("doc_id", "n_spans", "n_kept", "text_clean"), on="doc_id"
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("n_kept") < F.col("n_spans"), F.col("text_clean")).otherwise(
+                F.col("text")
+            ),
         )
         .withColumn("n_tokens", token_count("text").cast("long"))
         .withColumn("n_chars", F.length("text").cast("long"))

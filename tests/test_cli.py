@@ -105,3 +105,14 @@ def test_cli_pipeline(capsys, spark, tmp_path):
     curated = spark.read.parquet(_os.path.join(out, "corpus.parquet"))
     assert curated.count() == rows[5]["n_docs"]
     assert "split" in curated.columns
+    # span-dedup rewrites ONLY docs that lost a span: every curated doc
+    # that kept all its spans must carry its ORIGINAL text (casing,
+    # punctuation, whitespace intact), not a token-normalized rewrite
+    from pyspark.sql import functions as F
+
+    orig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.col("text").alias("_orig")
+    )
+    joined = curated.join(orig, on="doc_id").select("text", "_orig")
+    untouched = joined.filter(F.col("text") == F.col("_orig")).count()
+    assert untouched > 0, "some docs must survive span dedup unrewritten"
