@@ -29,6 +29,8 @@ shingle like the xxhash64 scheme it replaced while staying portable.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -110,6 +112,7 @@ def _minhash_signature(shingles_col, num_hashes: int):
     )
 
 
+@functools.lru_cache(maxsize=16)
 def minhash_band_hashes(
     text_col: str = "text",
     shingle_k: int = 5,
@@ -119,6 +122,12 @@ def minhash_band_hashes(
     """array<string> of LSH band hashes for one document — the shared
     sketch expression behind batch candidate generation AND streaming
     dedup.
+
+    MEMOIZED: building this Column tree costs ~0.9 s of py4j round
+    trips (deep transform/aggregate/zip_with lambdas), billed to every
+    query that verifies near-dups. An unresolved Column is immutable
+    and session-independent, so one build per (args) per process
+    serves every plan.
 
     One expression computes signature AND band hashes: the band
     derivation happens in the aggregate's `finish` lambda where the
@@ -178,7 +187,18 @@ def minhash_lsh_candidates(
     Plan shape: explode to (band_id, band_hash) — one shuffle on the
     band key, self-join *within buckets only*, so cost tracks the number
     of colliding pairs, not n².
+
+    The result frame is memoized ON the input DataFrame object (same
+    lifetime — the catalog caches corpus frames per path+mtime, so
+    repeated queries over one corpus reuse one analyzed plan and one
+    lazily-checkpointed sketch instead of re-analyzing the deep
+    signature expression per query, ~0.4 s of driver time each).
     """
+    key = (text_col, id_col, shingle_k, num_hashes, bands)
+    memo = getattr(df, "_degdb_lsh_cands", None)
+    if memo is not None and key in memo:
+        return memo[key]
+    orig = df
     band_arr = minhash_band_hashes(text_col, shingle_k, num_hashes, bands)
     df = rebalance_for_compute(df)
     # materialize the (tiny: one row per doc·band) sketch before the
@@ -190,7 +210,7 @@ def minhash_lsh_candidates(
     ).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    out = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -202,6 +222,13 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    if memo is None:
+        try:
+            memo = orig._degdb_lsh_cands = {}
+        except AttributeError:  # exotic DataFrame subclass without __dict__
+            return out
+    memo[key] = out
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -213,11 +240,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard for (candidate) pairs; the verification
     stage behind LSH. Without a candidate set it verifies all pairs —
-    only for small slices / tests."""
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(text_col)).alias("tokset")
-    )
+    only for small slices / tests.
+
+    With candidates, only docs that APPEAR in a candidate pair are
+    tokenized: a semi-join on the candidate endpoints prunes the corpus
+    before the tokset projection, so verification cost tracks the
+    candidate count, not the corpus size (tokenizing 100 TB twice to
+    verify a few thousand pairs is the naive shape). The candidate
+    frame feeds three consumers (endpoint prune + both pair sides) and
+    is lazily pinned so its band self-join plans once."""
     if candidates is None:
+        toks = df.select(
+            F.col(id_col), F.array_distinct(tokens(text_col)).alias("tokset")
+        )
         a = toks.alias("a")
         b = toks.alias("b")
         pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
@@ -227,6 +262,23 @@ def ngram_jaccard_pairs(
             F.col("b.tokset").alias("ts_b"),
         )
     else:
+        from degdb_spark.persistence import pin
+
+        # memoized on the candidate frame (which minhash_lsh_candidates
+        # itself memoizes on the corpus frame): repeated verifications
+        # reuse one analyzed plan + one pinned candidate materialization
+        key = (id(df), text_col, id_col, threshold)
+        memo = getattr(candidates, "_degdb_verified_pairs", None)
+        if memo is not None and key in memo:
+            return memo[key]
+        cand_frame = candidates
+        candidates = pin(candidates)
+        cand_ids = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        toks = df.join(cand_ids, on=id_col, how="left_semi").select(
+            F.col(id_col), F.array_distinct(tokens(text_col)).alias("tokset")
+        )
         pairs = (
             candidates.join(
                 toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tokset", "ts_a"),
@@ -238,7 +290,7 @@ def ngram_jaccard_pairs(
         )
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     union = F.size(F.array_union("ts_a", "ts_b"))
-    return (
+    out = (
         pairs.withColumn(
             "jaccard",
             dround(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 4),
@@ -246,6 +298,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if candidates is not None:
+        if memo is None:
+            try:
+                memo = cand_frame._degdb_verified_pairs = {}
+            except AttributeError:
+                return out
+        memo[key] = out
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:

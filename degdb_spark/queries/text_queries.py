@@ -622,14 +622,11 @@ def quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     cands = D.minhash_lsh_candidates(docs)
-    # tiny (verified dup pairs); read twice (both union sides) — left
-    # lazy, the whole minhash+verify pipeline plans twice
-    pairs = D.ngram_jaccard_pairs(
-        docs, candidates=cands, threshold=0.4
-    ).localCheckpoint()
+    # ONE pass over the verified pairs via endpoint explode (see
+    # dup_rate_by_source) — no checkpoint, pipeline plans once
+    pairs = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
     dup_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
@@ -693,17 +690,15 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified MinHash pipeline, flags every doc touching a >=0.4 pair,
     and rolls the flag up by source (one broadcast-sized dup-id set
     joined back to the corpus attributes)."""
-    from degdb_spark.persistence import pin
-
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs)
-    # tiny (verified dup pairs); read twice (both union sides) — left
-    # lazy, the whole minhash+verify pipeline plans twice
-    # (persistence.pin — spark.degdb.pin picks the cluster-safe flavor)
-    pairs = pin(D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4))
+    # ONE pass over the verified pairs: exploding both endpoints reads
+    # the minhash+verify pipeline once (a union of two selects plans it
+    # twice; an eager checkpoint bills a serial materialization job —
+    # both measured slower at sf0.1)
+    pairs = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
     dup_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
