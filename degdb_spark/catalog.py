@@ -25,22 +25,51 @@ _TS_COLUMNS = {"ts", "l_shipdate", "o_orderdate", "created"}
 
 #: Session-scoped DataFrame cache: a suite run calls load_table a few
 #: hundred times, and each miss costs two conf round trips plus a
-#: parquet footer/listing read (~0.1 s of driver time). Keyed by
-#: (application id, absolute path, mtime) — a regenerated or rewritten
-#: table changes mtime and naturally invalidates, matching how a real
-#: metastore caches table metadata. DataFrames are lazy, so caching the
-#: frame caches schema + file listing, never data.
-_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+#: parquet footer/listing read (~0.1 s of driver time). Keyed by the
+#: OWNING SESSION identity (a frame from a stopped session must never
+#: be served to its successor), the absolute path, and a content
+#: signature over the table's part files (name, mtime, size — so a
+#: regeneration that rewrites parts in place without touching the
+#: directory entry invalidates too). Bounded FIFO — a long-lived
+#: process scanning many sf dirs can't grow it without limit.
+#: DataFrames are lazy, so caching the frame caches schema + file
+#: listing, never data.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+
+
+def _table_signature(path: str) -> tuple:
+    """(name, mtime_ns, size) of every part entry — cheap (one
+    scandir) and changes whenever any file is rewritten in place."""
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+            )
+        )
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     try:
-        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+        key = (
+            id(spark),
+            spark.sparkContext.applicationId,
+            path,
+            _table_signature(path),
+        )
     except Exception:
         key = None
     if key is not None and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+        cached = _TABLE_CACHE[key]
+        # id() can recycle after GC: serve only frames whose session
+        # object IS this session
+        if cached.sparkSession is spark:
+            return cached
+        del _TABLE_CACHE[key]
     # The driver may hand us a session built without our factory; the
     # TIMESTAMP(NANOS) reader conf is runtime-settable, so pin it here —
     # otherwise any events read throws PARQUET_TYPE_ILLEGAL.
@@ -69,6 +98,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
     if key is not None:
+        while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:  # FIFO bound
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
         _TABLE_CACHE[key] = df
     return df
 

@@ -332,9 +332,12 @@ def lloyd_centroids(
     # round otherwise dominate training time); `f`D double literals and
     # floor(x·f + 0.5)/f replicate queries.rounding.dround exactly
     f = f"{float(10 ** dp)!r}D"
+    # decimal scale tracks dp (a fixed 6 would silently re-round any
+    # caller's dp > 6 coordinates); 30-digit precision leaves >20
+    # integer digits at any sane dp
     sums = [
         F.expr(
-            f"sum(cast(floor(v[{p}] * {f} + 0.5D) / {f} as decimal(30,6))) AS s{p}"
+            f"sum(cast(floor(v[{p}] * {f} + 0.5D) / {f} as decimal(30,{int(dp)}))) AS s{p}"
         )
         for p in range(dim)
     ]

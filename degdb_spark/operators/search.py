@@ -193,11 +193,13 @@ def _insert_overwrite_batch(
     rows.createOrReplaceTempView(view)
     cols = ", ".join(f"`{c}`" for c in rows.columns)
     spec = ", ".join([f"_batch = {int(batch_id)}", *dynamic])
-    rows.sparkSession.sql(
-        f"INSERT OVERWRITE TABLE {table} PARTITION ({spec}) "
-        f"SELECT {cols} FROM {view}"
-    )
-    rows.sparkSession.catalog.dropTempView(view)
+    try:
+        rows.sparkSession.sql(
+            f"INSERT OVERWRITE TABLE {table} PARTITION ({spec}) "
+            f"SELECT {cols} FROM {view}"
+        )
+    finally:  # never leak the temp view on a failed INSERT
+        rows.sparkSession.catalog.dropTempView(view)
 
 
 def index_corpus_stats(spark, table: str) -> DataFrame:
@@ -442,6 +444,8 @@ def phrase_topk_from_index(
     contract query shares docs_phrase_search's oracle)."""
     from functools import reduce
 
+    if not terms:
+        raise ValueError("phrase_topk_from_index: terms must be non-empty")
     post = spark.table(table)
     cand = None
     for i, t in enumerate(terms):

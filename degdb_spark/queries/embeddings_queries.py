@@ -751,17 +751,24 @@ def _contract_index_table(sf_dir: str) -> str:
     on the sf dir, the embeddings parquet's (mtime, size), AND the
     pinned centroid/codebook literals — so a warehouse that outlives a
     testdata regeneration or a quantizer change can never serve stale
-    codes, while repeated queries in one round reuse the build."""
+    codes, while repeated queries in one round reuse the build.
+
+    The name carries the sf-dir hash as its own segment so stale-build
+    retirement can be scoped PER sf dir: building sf B's index must
+    never drop sf A's live tables (a harness may construct frames for
+    two sf dirs before collecting either)."""
     import hashlib
     import os
 
-    sig = [sf_dir, repr(_IVF_CENTROIDS), repr(_PQ_CODEBOOK)]
+    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sig = [repr(_IVF_CENTROIDS), repr(_PQ_CODEBOOK)]
     try:
         st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
         sig += [str(st.st_mtime_ns), str(st.st_size)]
     except OSError:
         pass
-    return "ann_idx_contract_" + hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    content = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    return f"ann_idx_contract_{sfh}_{content}"
 
 
 def _contract_index_tables(table: str) -> tuple[str, str, str]:
@@ -780,11 +787,16 @@ def pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead builds."""
     from degdb_spark.operators import pq as PQ
 
+    import hashlib
+
     table = _contract_index_table(sf_dir)
+    # retire ONLY this sf dir's stale generations: another sf dir's
+    # live index (and any frame already planned over it) must survive
+    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stale = {
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith("ann_idx_contract_")
+        if t.name.startswith(f"ann_idx_contract_{sfh}_")
     } - set(_contract_index_tables(table))
     for t in sorted(stale):
         PQ.drop_managed_table(spark, t)

@@ -101,17 +101,21 @@ def _positional_index_table(sf_dir: str) -> str:
     keyed on the sf dir and the documents parquet's (mtime, size) — a
     warehouse outliving a testdata regeneration can never serve stale
     positions, while repeated queries in one round reuse the build
-    (same pattern as the ANN contract index)."""
+    (same pattern as the ANN contract index). The sf-dir hash is its
+    own name segment so retirement is scoped per sf dir — building one
+    sf dir's index never drops another's live table."""
     import hashlib
     import os
 
-    sig = [sf_dir]
+    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sig = []
     try:
         st = os.stat(os.path.join(sf_dir, "documents.parquet"))
         sig += [str(st.st_mtime_ns), str(st.st_size)]
     except OSError:
         pass
-    return "pos_idx_contract_" + hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    content = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    return f"pos_idx_contract_{sfh}_{content}"
 
 
 def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,12 +130,17 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-enforced, tests/test_search.py)."""
     from degdb_spark.operators.pq import drop_managed_table
 
+    import hashlib
+
     table = _positional_index_table(sf_dir)
     if not spark.catalog.tableExists(table):
+        # retire only THIS sf dir's stale generations (see
+        # _positional_index_table)
+        sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         stale = {
             t.name
             for t in spark.catalog.listTables()
-            if t.name.startswith("pos_idx_contract_")
+            if t.name.startswith(f"pos_idx_contract_{sfh}_")
         } - {table}
         for t in sorted(stale):
             drop_managed_table(spark, t)
