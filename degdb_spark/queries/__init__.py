@@ -31,86 +31,88 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-6 window (see module docstring). Composition (50 checked
-#: slots), exactly as planned in the round-5 comment / VERDICT r5
-#: "Next round #1": the 38 r2-era rows whose driver evidence predates
-#: two testdata regenerations, plus media_payload_stats (rolled from
-#: r5 when emb_pq_index_knn took its slot), plus this round's
-#: changed/new surfaces (emb_ivf_knn is inside the 38 and CHANGED —
-#: now Lloyd-trained and oracle-checked; emb_pq_index_knn now answers
-#: from the fingerprint-keyed index with emb_pq_index_build the
-#: explicit build surface; docs_phrase_search_indexed is the
-#: positional-index twin), plus 7 of the 25 r1-era leftovers.
+#: Round-7 window (see module docstring). Composition (50 checked
+#: slots), exactly as planned in the round-6 comment / VERDICT r6
+#: "Next round #1": the 24 r1-era rows (all of them — the 20 named in
+#: the r6 plan plus docs_quality_scores / docs_token_stats /
+#: events_dedup_first / events_hourly_rollup, displaced from the r6
+#: tail), plus the 16 surfaces changed in round 7 (DSIR bucketing,
+#: span-key fingerprinting, the MinHash verifier rework and every
+#: query sharing it, the IVF-PQ literal-argmin unification and its
+#: probe-path twin, sf-scoped index retirement, the pluggable pin),
+#: plus the 10 oldest r3-era rows in registry module order.
 #:
-#: Round-7 window, planned now so the standing policy stays
-#: executable: docs_quality_scores, docs_token_stats, events_dedup_first
-#: and events_hourly_rollup (displaced from this round's filler tail
-#: when docs_temperature_mixture, docs_simhash_neardups,
-#: emb_semantic_dedup and docs_dsir_selection entered mid-round), then
-#: the remaining 20 r1-era rows (above_nation_average,
-#: array_aggregation, conditional_aggregation, cube_lineitem_status,
-#: customers_without_orders, docs_fingerprints, docs_language_id,
-#: events_json_props, events_type_pivot, full_outer_nation_presence,
-#: left_join_order_stats, orders_with_big_items, triple_and_not,
-#: triple_insert_dedup, triple_or_patterns, triple_predicate_histogram,
-#: events_sessionization, triple_subject_lookup, triple_three_hop,
-#: triple_two_hop) + anything that changes in
-#: round 7 + oldest r3-era rows to fill 50. Overflow evicts
+#: Round-8 window, planned now so the standing policy stays
+#: executable: the remaining 35 r3-era rows (docs_bpe_encode,
+#: docs_leakage_safe_split, docs_unigram_logprob, docs_bigram_logprob,
+#: orders_salted_join, lineitem_contract_checks, lineitem_unpivot,
+#: lineitem_profile, lineitem_price_histogram, q15_top_supplier,
+#: q12_late_shipping, q21_waiting_suppliers, q2_min_cost_supplier,
+#: q9_product_profit, q11_important_stock, q20_excess_suppliers,
+#: basket_embedding_power, basket_recommendations, basket_modularity,
+#: basket_edge_churn, basket_sssp_histogram, basket_communities,
+#: basket_kcore, basket_link_prediction, mql_region_nations,
+#: triple_bloom_semijoin, triple_canonical_dump,
+#: triple_signature_parity, events_lag_features, events_scd2_segments,
+#: events_funnel, events_retention, events_decay_score,
+#: events_anomaly_zscore, parts_fuzzy_match) + anything that changes
+#: in round 8 + oldest r4-era rows to fill 50. Overflow evicts
 #: oldest-first.
 _WINDOW = [
-    # r2-era rows, two testdata regenerations stale (VERDICT r5 list)
-    "aggregate_gallery",
-    "media_payload_stats",
-    "docs_bigrams",
-    "docs_decontaminate",
-    "docs_dedup_clusters",
-    "docs_filter_rules",
-    "docs_neardup_kept",
-    "docs_ngram_jaccard",
-    "docs_packing",
-    "docs_pii_redaction",
-    "docs_repetition_metrics",
-    "docs_tfidf_terms",
-    "docs_train_test_split",
-    "docs_vocab_topk",
-    "emb_centroid_by_label",
-    "emb_ivf_knn",  # CHANGED r6: Lloyd-trained, first hash-checked round
-    "emb_lsh_knn",
-    "emb_quantization",
-    "emb_threshold_pairs",
-    "events_asof_forward",
-    "events_asof_join",
-    "events_cms_estimate",
-    "events_heavy_hitters",
-    "events_hypertable_rollup",
-    "events_kmv_distinct",
-    "events_per_user_cap",
-    "events_range_join",
-    "events_sliding_window",
-    "graph_bfs_from_region",
-    "graph_components",
-    "graph_degrees",
-    "graph_pagerank_top",
-    "gremlin_region_members",
-    "latest_event_per_user",
-    "lineitem_sample_revenue",
-    "lineitem_stratified_sample",
-    "motif_customer_region",
-    "motif_shared_nation",
-    "media_audio_neardups",
-    "media_phash_neardups",
-    # changed/new this round
-    "emb_pq_index_build",
-    "emb_pq_index_knn",
-    "docs_phrase_search_indexed",
-    "docs_proximity_search_indexed",
-    "docs_span_dedup",
-    "docs_temperature_mixture",  # CHANGED r6: decimal w_sum + FLOOR epsilon
-    "docs_simhash_neardups",  # CHANGED r6: relational fingerprint shape
-    "emb_semantic_dedup",  # NEW r6: SemDeDup cluster-scoped dedup
-    "docs_dsir_selection",  # NEW r6: DSIR distribution-matching selection
-    # oldest r1-era row (1 of 25; the rest lead the round-7 window)
-    "docs_exact_dedup",
+    # --- r1-era rows (24): driver evidence predates three testdata
+    # regenerations; includes the four rows displaced from the r6 tail
+    "docs_quality_scores",
+    "docs_token_stats",
+    "events_dedup_first",
+    "events_hourly_rollup",
+    "above_nation_average",
+    "array_aggregation",
+    "conditional_aggregation",
+    "cube_lineitem_status",
+    "customers_without_orders",
+    "docs_fingerprints",
+    "docs_language_id",
+    "events_json_props",
+    "events_type_pivot",
+    "full_outer_nation_presence",
+    "left_join_order_stats",
+    "orders_with_big_items",
+    "triple_and_not",
+    "triple_insert_dedup",
+    "triple_or_patterns",
+    "triple_predicate_histogram",
+    "events_sessionization",
+    "triple_subject_lookup",
+    "triple_three_hop",
+    "triple_two_hop",
+    # --- changed/new in round 7 (16)
+    "docs_dsir_selection",  # CHANGED r7: hashed 10k-bucket state (paper shape)
+    "docs_span_dedup",  # CHANGED r7: xxhash64 span keys + positional reassembly
+    "docs_dup_rate_by_source",  # CHANGED r7: one-pass dup ids, pruned verifier
+    "docs_quality_vs_dup",  # CHANGED r7: same
+    "docs_neardup_kept",  # CHANGED r7: shared verifier now candidate-pruned
+    "docs_dedup_clusters",  # CHANGED r7: same
+    "docs_novelty_by_source",  # CHANGED r7: same
+    "docs_incremental_neardups",  # CHANGED r7: same
+    "docs_ngram_jaccard",  # CHANGED r7: same
+    "emb_pq_index_build",  # CHANGED r7: literal-argmin cell assignment
+    "emb_pq_index_knn",  # CHANGED r7: codegen probe selection (no window)
+    "emb_ivfpq_knn",  # CHANGED r7: same
+    "emb_semantic_dedup",  # CHANGED r7: pluggable pin
+    "docs_phrase_search_indexed",  # CHANGED r7: sf-scoped index retirement
+    "docs_proximity_search_indexed",  # CHANGED r7: same
+    "emb_ivf_knn",  # CHANGED r7: lloyd decimal scale follows dp
+    # --- oldest r3-era fill (10, registry module order)
+    "emb_pq_knn",
+    "emb_filtered_knn",
+    "emb_ivf_fixed_knn",
+    "docs_mixture_sample",
+    "lineitem_quantile_sketch",
+    "events_hll_distinct",
+    "basket_triangle_count",
+    "basket_clustering_top",
+    "docs_chunking",
+    "docs_bpe_pair_counts",
 ]
 
 
