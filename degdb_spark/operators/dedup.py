@@ -205,9 +205,11 @@ def minhash_lsh_candidates(
     # self-join — otherwise both join sides re-evaluate the signature
     # fold over the full corpus. At cluster scale this is the difference
     # between scanning the corpus once and twice.
-    banded = df.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
-    ).localCheckpoint(eager=False)
+    from degdb_spark.persistence import pin
+
+    banded = pin(
+        df.select(F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash"))
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     out = (
@@ -266,13 +268,26 @@ def ngram_jaccard_pairs(
 
         # memoized on the candidate frame (which minhash_lsh_candidates
         # itself memoizes on the corpus frame): repeated verifications
-        # reuse one analyzed plan + one pinned candidate materialization
-        key = (id(df), text_col, id_col, threshold)
+        # reuse one analyzed plan + one pinned candidate
+        # materialization. The memo entry stores the corpus frame
+        # OBJECT alongside the result — id() alone can recycle after
+        # GC and would serve pairs verified against a different corpus.
+        key = (text_col, id_col, threshold)
         memo = getattr(candidates, "_degdb_verified_pairs", None)
         if memo is not None and key in memo:
-            return memo[key]
+            stored_df, stored_out = memo[key]
+            if stored_df is df:
+                return stored_out
         cand_frame = candidates
-        candidates = pin(candidates)
+        # pin once per candidates frame, not once per threshold
+        pinned = getattr(candidates, "_degdb_pinned_self", None)
+        if pinned is None:
+            pinned = pin(candidates)
+            try:
+                cand_frame._degdb_pinned_self = pinned
+            except AttributeError:
+                pass
+        candidates = pinned
         cand_ids = candidates.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         ).distinct()
@@ -304,7 +319,7 @@ def ngram_jaccard_pairs(
                 memo = cand_frame._degdb_verified_pairs = {}
             except AttributeError:
                 return out
-        memo[key] = out
+        memo[key] = (df, out)
     return out
 
 
@@ -652,15 +667,20 @@ def _span_slices(
 
 
 def _span_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
-    """(id, span_idx, span_hash) occurrence table — spans ride as
-    8-byte xxhash64 fingerprints from here on, never as text."""
+    """(id, span_idx, span_h1, span_h2) occurrence table — spans ride
+    as 128-bit fingerprints (two independent xxhash64 evals, 16 bytes)
+    from here on, never as text. 64 bits alone is NOT enough at the
+    design target: 10^11 distinct spans give n²/2^65 ≈ several
+    expected birthday collisions, each silently deleting non-duplicate
+    text; at 128 bits the expectation is ~10^-17."""
     return sliced.select(
         id_col,
         F.posexplode("_spans").alias("span_idx", "span"),
     ).select(
         id_col,
         F.col("span_idx").cast("long").alias("span_idx"),
-        F.xxhash64("span").alias("span_hash"),
+        F.xxhash64("span").alias("span_h1"),
+        F.xxhash64("span", F.lit(1)).alias("span_h2"),
     )
 
 
@@ -673,7 +693,7 @@ def _span_keep_first_and_reassemble(
     list, which joins back to ``sliced`` for a positional array
     lookup — span TEXT never enters a shuffle. n_spans comes from
     ``sliced`` so it counts the document's spans BEFORE any drop."""
-    first = occ.groupBy("span_hash").agg(
+    first = occ.groupBy("span_h1", "span_h2").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
             "_first"
         )
@@ -706,25 +726,31 @@ def incremental_span_dedup(
     span_tokens: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """Span dedup for an INCREMENT against a persisted span index:
-    any span whose xxhash64 fingerprint is already in
-    ``existing_spans`` (one ``span_hash`` column — the distinct span
-    hashes of all earlier batches; 8 bytes per span, never corpus
-    text) is dropped from every new document outright (an earlier
-    occurrence beats every new one); first-occurrence + reassembly
-    then run within the increment only. Old text is never re-read or
-    re-sliced — the index carries everything history contributes,
-    exactly the band-index contract (`incremental_lsh_candidates`).
-    Returns ``(report, fresh_spans)``: the per-new-doc (id, n_spans,
-    n_kept, text_clean) report and the increment's genuinely-new
-    distinct span hashes — the index delta the caller persists.
-    Processing doc-ordered batches through this reproduces
-    `span_dedup` of the full corpus bit-for-bit (pytest-pinned)."""
+    any span whose 128-bit fingerprint is already in ``existing_spans``
+    ((span_h1, span_h2) columns — the distinct span hashes of all
+    earlier batches; 16 bytes per span, never corpus text) is dropped
+    from every new document outright (an earlier occurrence beats
+    every new one); first-occurrence + reassembly then run within the
+    increment only. Old text is never re-read or re-sliced — the index
+    carries everything history contributes, exactly the band-index
+    contract (`incremental_lsh_candidates`). Returns ``(report,
+    fresh_spans)``: the per-new-doc (id, n_spans, n_kept, text_clean)
+    report and the increment's genuinely-new distinct span hashes —
+    the index delta the caller persists. Processing doc-ordered
+    batches through this reproduces `span_dedup` of the full corpus
+    bit-for-bit (pytest-pinned)."""
+    from degdb_spark.persistence import pin
+
     sliced = _span_slices(new_docs, text_col, id_col, span_tokens)
     occ = _span_occurrences(sliced, id_col)
-    # both outputs consume the probe anti-join; checkpoint it lazily so
-    # the batch is sliced and probed once, not once per output
-    fresh_occ = occ.join(
-        existing_spans.select("span_hash"), on="span_hash", how="left_anti"
-    ).localCheckpoint(eager=False)
+    # both outputs consume the probe anti-join; pin it lazily so the
+    # batch is sliced and probed once, not once per output
+    fresh_occ = pin(
+        occ.join(
+            existing_spans.select("span_h1", "span_h2"),
+            on=["span_h1", "span_h2"],
+            how="left_anti",
+        )
+    )
     report = _span_keep_first_and_reassemble(sliced, fresh_occ, id_col)
-    return report, fresh_occ.select("span_hash").distinct()
+    return report, fresh_occ.select("span_h1", "span_h2").distinct()

@@ -378,7 +378,7 @@ def dsir_word_counts(occ: DataFrame, target: str) -> DataFrame:
     arXiv:2302.03169): base and target occurrence counts per hashed
     bucket, both out of ONE aggregation pass. Bucketing bounds the
     state at DSIR_BUCKETS rows by construction (property-tested in
-    tests/test_quality.py). ADDITIVE, so an incremental or streamed
+    tests/test_plans.py::test_dsir_state_is_bucket_keyed_and_bounded). ADDITIVE, so an incremental or streamed
     maintainer just sums per-batch tables
     (streaming/dedup.dsir_counts_stream); re-pointing the target
     domain is a rebuild, like retraining a quantizer."""

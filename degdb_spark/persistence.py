@@ -41,4 +41,10 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
         return out
     if mode == "checkpoint":
         return df.checkpoint(eager=eager)
+    if mode != "local":
+        # a typo'd knob must FAIL, not silently fall back to the
+        # cluster-unsafe executor-local flavor the knob exists to avoid
+        raise ValueError(
+            f"spark.degdb.pin={mode!r}: expected 'local', 'persist', or 'checkpoint'"
+        )
     return df.localCheckpoint(eager=eager)

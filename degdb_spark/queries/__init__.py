@@ -36,15 +36,14 @@ class Query(NamedTuple):
 #: "Next round #1": the 24 r1-era rows (all of them — the 20 named in
 #: the r6 plan plus docs_quality_scores / docs_token_stats /
 #: events_dedup_first / events_hourly_rollup, displaced from the r6
-#: tail), plus the 16 surfaces changed in round 7 (DSIR bucketing,
+#: tail), plus the 15 surfaces changed in round 7 (DSIR bucketing,
 #: span-key fingerprinting, the MinHash verifier rework and every
 #: query sharing it, the IVF-PQ literal-argmin unification and its
 #: probe-path twin, sf-scoped index retirement, the pluggable pin),
-#: plus the 10 oldest r3-era rows in registry module order.
+#: plus the 11 oldest r3-era rows in registry module order.
 #:
 #: Round-8 window, planned now so the standing policy stays
-#: executable: the remaining 35 r3-era rows (docs_bpe_encode,
-#: docs_leakage_safe_split, docs_unigram_logprob, docs_bigram_logprob,
+#: executable: the remaining 34 r3-era rows (docs_leakage_safe_split, docs_unigram_logprob, docs_bigram_logprob,
 #: orders_salted_join, lineitem_contract_checks, lineitem_unpivot,
 #: lineitem_profile, lineitem_price_histogram, q15_top_supplier,
 #: q12_late_shipping, q21_waiting_suppliers, q2_min_cost_supplier,
@@ -85,14 +84,13 @@ _WINDOW = [
     "triple_subject_lookup",
     "triple_three_hop",
     "triple_two_hop",
-    # --- changed/new in round 7 (16)
+    # --- changed/new in round 7 (15)
     "docs_dsir_selection",  # CHANGED r7: hashed 10k-bucket state (paper shape)
     "docs_span_dedup",  # CHANGED r7: xxhash64 span keys + positional reassembly
     "docs_dup_rate_by_source",  # CHANGED r7: one-pass dup ids, pruned verifier
     "docs_quality_vs_dup",  # CHANGED r7: same
     "docs_neardup_kept",  # CHANGED r7: shared verifier now candidate-pruned
     "docs_dedup_clusters",  # CHANGED r7: same
-    "docs_novelty_by_source",  # CHANGED r7: same
     "docs_incremental_neardups",  # CHANGED r7: same
     "docs_ngram_jaccard",  # CHANGED r7: same
     "emb_pq_index_build",  # CHANGED r7: literal-argmin cell assignment
@@ -102,7 +100,7 @@ _WINDOW = [
     "docs_phrase_search_indexed",  # CHANGED r7: sf-scoped index retirement
     "docs_proximity_search_indexed",  # CHANGED r7: same
     "emb_ivf_knn",  # CHANGED r7: lloyd decimal scale follows dp
-    # --- oldest r3-era fill (10, registry module order)
+    # --- oldest r3-era fill (11, registry module order)
     "emb_pq_knn",
     "emb_filtered_knn",
     "emb_ivf_fixed_knn",
@@ -113,6 +111,7 @@ _WINDOW = [
     "basket_clustering_top",
     "docs_chunking",
     "docs_bpe_pair_counts",
+    "docs_bpe_encode",
 ]
 
 

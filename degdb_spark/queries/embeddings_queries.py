@@ -760,7 +760,6 @@ def _contract_index_table(sf_dir: str) -> str:
     import hashlib
     import os
 
-    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     sig = [repr(_IVF_CENTROIDS), repr(_PQ_CODEBOOK)]
     try:
         st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
@@ -768,7 +767,28 @@ def _contract_index_table(sf_dir: str) -> str:
     except OSError:
         pass
     content = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
-    return f"ann_idx_contract_{sfh}_{content}"
+    return f"ann_idx_contract_{_sf_segment(sf_dir)}_{content}"
+
+
+def _sf_segment(sf_dir: str) -> str:
+    """The sf-dir name segment — the ONE definition both the name
+    builder and the retirement filter use (a drifted copy would make
+    retirement silently stop matching)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _legacy_contract_index(name: str) -> bool:
+    """Pre-round-7 contract-index names (no sf segment) — retired on
+    sight, whatever sf dir built them."""
+    import re
+
+    return bool(
+        re.fullmatch(
+            r"ann_idx_contract_[0-9a-f]{12}(_codebook|_centroids)?", name
+        )
+    )
 
 
 def _contract_index_tables(table: str) -> tuple[str, str, str]:
@@ -787,16 +807,16 @@ def pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead builds."""
     from degdb_spark.operators import pq as PQ
 
-    import hashlib
-
     table = _contract_index_table(sf_dir)
-    # retire ONLY this sf dir's stale generations: another sf dir's
-    # live index (and any frame already planned over it) must survive
-    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # retire ONLY this sf dir's stale generations (another sf dir's
+    # live index, and any frame already planned over it, must survive)
+    # plus pre-rename legacy builds, which no new-scheme filter would
+    # ever match again
+    prefix = f"ann_idx_contract_{_sf_segment(sf_dir)}_"
     stale = {
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith(f"ann_idx_contract_{sfh}_")
+        if t.name.startswith(prefix) or _legacy_contract_index(t.name)
     } - set(_contract_index_tables(table))
     for t in sorted(stale):
         PQ.drop_managed_table(spark, t)

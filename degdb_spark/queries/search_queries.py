@@ -107,7 +107,6 @@ def _positional_index_table(sf_dir: str) -> str:
     import hashlib
     import os
 
-    sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     sig = []
     try:
         st = os.stat(os.path.join(sf_dir, "documents.parquet"))
@@ -115,7 +114,23 @@ def _positional_index_table(sf_dir: str) -> str:
     except OSError:
         pass
     content = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
-    return f"pos_idx_contract_{sfh}_{content}"
+    return f"pos_idx_contract_{_sf_segment(sf_dir)}_{content}"
+
+
+def _sf_segment(sf_dir: str) -> str:
+    """The sf-dir name segment — one definition for the name builder
+    AND the retirement filter."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _legacy_pos_index(name: str) -> bool:
+    """Pre-round-7 positional-index names (no sf segment) — retired on
+    sight; the single-table index has no sidecars."""
+    import re
+
+    return bool(re.fullmatch(r"pos_idx_contract_[0-9a-f]{12}", name))
 
 
 def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,17 +145,15 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-enforced, tests/test_search.py)."""
     from degdb_spark.operators.pq import drop_managed_table
 
-    import hashlib
-
     table = _positional_index_table(sf_dir)
     if not spark.catalog.tableExists(table):
         # retire only THIS sf dir's stale generations (see
-        # _positional_index_table)
-        sfh = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # _positional_index_table) plus pre-rename legacy builds
+        prefix = f"pos_idx_contract_{_sf_segment(sf_dir)}_"
         stale = {
             t.name
             for t in spark.catalog.listTables()
-            if t.name.startswith(f"pos_idx_contract_{sfh}_")
+            if t.name.startswith(prefix) or _legacy_pos_index(t.name)
         } - {table}
         for t in sorted(stale):
             drop_managed_table(spark, t)

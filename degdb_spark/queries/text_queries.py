@@ -1838,7 +1838,7 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_SQL = f"""
 WITH d AS (SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
 occ AS (SELECT doc_id, source,
-               CAST(('0x' || substr(md5(unnest({_TOKS})), 1, 8)) AS BIGINT) % 10000 AS b
+               CAST(('0x' || substr(md5(unnest({_TOKS})), 1, 8)) AS BIGINT) % {X.DSIR_BUCKETS} AS b
         FROM d),
 cnt AS (SELECT b, COUNT(*) AS cb,
                COUNT(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS ct

@@ -255,8 +255,8 @@ def span_index_stream(
     span_tokens: int = 10,
 ):
     """Streamed C4-style span dedup: each micro-batch probes the
-    persisted span index (distinct span HASHES of all earlier batches
-    — 8 bytes per span, never corpus text), drops
+    persisted span index (distinct 128-bit span hashes of all earlier
+    batches — 16 bytes per span, never corpus text), drops
     already-seen spans from its documents, writes the cleaned docs and
     its genuinely-new spans — both to ``batch=N`` partitions with
     overwrite, so a crashed-and-retried batch converges (the probe
@@ -299,10 +299,10 @@ def _span_index_step(
             spark.read.option("basePath", index_path)
             .parquet(index_path)
             .filter(F.col("batch") < F.lit(batch_id))
-            .select("span_hash")
+            .select("span_h1", "span_h2")
         )
     else:  # genuinely the first batch: empty index, right schema
-        existing = spark.createDataFrame([], "span_hash long")
+        existing = spark.createDataFrame([], "span_h1 long, span_h2 long")
     report, fresh = incremental_span_dedup(
         batch, existing, text_col, id_col, span_tokens
     )

@@ -846,7 +846,7 @@ def test_span_index_step_sequential_equals_batch_and_replays(spark, tmp_path):
     # index holds each distinct corpus span exactly once across batches
     idx_df = spark.read.parquet(idx)
     n_idx = idx_df.count()
-    assert n_idx == idx_df.select("span_hash").distinct().count()
+    assert n_idx == idx_df.select("span_h1", "span_h2").distinct().count()
 
     # replay the last batch: identical post-state (re-list the path —
     # the overwrite replaced the partition's files)
@@ -893,7 +893,7 @@ def test_span_index_stream_end_to_end(spark, tmp_path):
         _span_slices(out.filter(F.col("text_clean") != ""), "text_clean", "doc_id", 10),
         "doc_id",
     )
-    dup = kept.groupBy("span_hash").count().filter(F.col("count") > 1).count()
+    dup = kept.groupBy("span_h1", "span_h2").count().filter(F.col("count") > 1).count()
     assert dup == 0
 
 
