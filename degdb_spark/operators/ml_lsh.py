@@ -325,7 +325,13 @@ def lloyd_centroids(
     if not cent:  # empty init (empty-corpus callers): nothing to train
         return cent
     dim = len(cent[0])
+    # every round consumes this projection; pinned so round 2+ reads
+    # the materialized (sampled) slice instead of rescanning parquet
+    from degdb_spark.persistence import pin
+
     vecs = train.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if n_rounds > 1:
+        vecs = pin(vecs)
 
     # the round's aggregates as SQL strings (one py4j round trip each,
     # vs ~10 per Column-built dround/cast chain — 2·dim of those per
