@@ -313,3 +313,42 @@ def test_span_dedup_first_occurrence_and_reassembly(spark):
     assert out[2]["text_clean"] == ""
     assert (out[3]["n_spans"], out[3]["n_kept"]) == (3, 1)
     assert out[3]["text_clean"] == "extra"
+
+
+def test_verifier_memo_keyed_by_corpus_identity(spark):
+    """The verified-pairs memo must never serve pairs computed over a
+    DIFFERENT corpus frame: same candidates object + a different df
+    must recompute (id() recycling / mismatched-caller guard), while
+    the same (df, candidates, threshold) returns the identical frame
+    object."""
+    from pyspark.sql import Row
+
+    import degdb_spark.operators.dedup as D
+
+    base = " ".join(f"t{i}" for i in range(12))
+    rows = [
+        Row(doc_id=0, text=f"{base} ee"),
+        Row(doc_id=1, text=f"{base} ff"),
+        Row(doc_id=2, text="zz yy xx ww vv"),
+    ]
+    docs = spark.createDataFrame(rows)
+    cands = D.minhash_lsh_candidates(docs)
+    out1 = D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4)
+    assert D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4) is out1
+
+    # different corpus: doc 1 rewritten to be identical to doc 0
+    rows2 = [
+        Row(doc_id=0, text=f"{base} ee"),
+        Row(doc_id=1, text=f"{base} ee"),
+        Row(doc_id=2, text="zz yy xx ww vv"),
+    ]
+    docs2 = spark.createDataFrame(rows2)
+    out2 = D.ngram_jaccard_pairs(docs2, candidates=cands, threshold=0.4)
+    assert out2 is not out1
+    j1 = {(r.id_a, r.id_b): r.jaccard for r in out1.collect()}
+    j2 = {(r.id_a, r.id_b): r.jaccard for r in out2.collect()}
+    assert j1[(0, 1)] < 1.0 and j2[(0, 1)] == 1.0
+
+    # distinct thresholds share ONE pinned candidate materialization
+    D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.9)
+    assert getattr(cands, "_degdb_pinned_self", None) is not None
