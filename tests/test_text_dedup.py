@@ -352,3 +352,67 @@ def test_verifier_memo_keyed_by_corpus_identity(spark):
     # distinct thresholds share ONE pinned candidate materialization
     D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.9)
     assert getattr(cands, "_degdb_pinned_self", None) is not None
+
+
+# ---- property tier: random corpora vs a pure-Python span-dedup oracle -------
+
+import math as _math
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_span_dedup(texts: list[str], k: int) -> dict[int, tuple[int, int, str]]:
+    """Reference first-occurrence span dedup, straight from the spec:
+    global (doc, idx) order, exact string spans — no hashing, no Spark.
+    Tokenization replicates operators.text.tokens (regex split of
+    lowercased trimmed text, so '' yields [''])."""
+    sliced = {}
+    for i, text in enumerate(texts):
+        toks = _re.split(r"\s+", text.strip().lower())
+        n = max(1, _math.ceil(len(toks) / k)) if toks else 0
+        sliced[i] = [" ".join(toks[j * k : (j + 1) * k]) for j in range(n)]
+    seen: set[str] = set()
+    out = {}
+    for i in sorted(sliced):
+        kept = []
+        for s in sliced[i]:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[i] = (len(sliced[i]), len(kept), " ".join(kept))
+    return out
+
+
+@st.composite
+def random_corpora(draw):
+    """Small-alphabet corpora so spans collide constantly — the regime
+    where first-occurrence ordering, intra-doc repeats, and whole-doc
+    wipeouts all actually happen."""
+    n_docs = draw(st.integers(min_value=1, max_value=8))
+    texts = []
+    for _ in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=10))
+        texts.append(" ".join(toks))
+    return texts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(random_corpora())
+def test_span_dedup_matches_python_oracle(spark, texts):
+    import degdb_spark.operators.dedup as D
+
+    k = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_kept, r.text_clean)
+        for r in D.span_dedup(docs, span_tokens=k).collect()
+    }
+    assert got == _py_span_dedup(texts, k)
