@@ -416,3 +416,39 @@ def test_span_dedup_matches_python_oracle(spark, texts):
         for r in D.span_dedup(docs, span_tokens=k).collect()
     }
     assert got == _py_span_dedup(texts, k)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(random_corpora())
+def test_verified_pairs_match_python_jaccard_on_candidates(spark, texts):
+    """The candidate-pruned verifier (round 7: only candidate-endpoint
+    docs tokenized) must emit exactly {(a,b) ∈ candidates :
+    J(tokset_a, tokset_b) ≥ t} with Jaccard to 4 dp — a pure-Python
+    oracle over the collected candidate pairs."""
+    import degdb_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cands = D.minhash_lsh_candidates(docs)
+    cand_pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.4).collect()
+    }
+
+    toksets = {
+        i: set(_re.split(r"\s+", t.strip().lower())) for i, t in enumerate(texts)
+    }
+    want = {}
+    for a, b in cand_pairs:
+        u = toksets[a] | toksets[b]
+        j = (len(toksets[a] & toksets[b]) / len(u)) if u else 0.0
+        j = _math.floor(j * 10000 + 0.5) / 10000
+        if j >= 0.4:
+            want[(a, b)] = j
+    assert got == want
