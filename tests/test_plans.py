@@ -566,6 +566,24 @@ def test_pq_cell_assignment_literal_argmin_no_nlj(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_span_dedup_no_window_single_generate_two_scans(spark):
+    """docs_span_dedup plan shape: the first-occurrence keep is a hash
+    aggregate + per-doc rollup — never a per-key Window over occurrence
+    lists — reassembly is a positional array lookup (ONE Generate in
+    the plan: the occurrence posexplode; a second would mean
+    explode-regroup returned), and the corpus is scanned exactly twice
+    (slice side + occurrence side)."""
+    from degdb_spark.queries.text_queries import span_dedup_report
+
+    df = span_dedup_report(spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("FileScan parquet") == 2
+    assert exec_plan.count("Generate") == 1
+
+
 def test_bm25_candidate_filter_below_scoring_joins(spark):
     """The query-term filter must prune postings BEFORE the df/stats
     joins (filter appears under the aggregation, not above the final
