@@ -117,3 +117,95 @@ def test_dsir_selection_prefers_target_like_docs(spark, tmp_path):
     assert 0 not in ids and 1 not in ids, "target docs are not candidates"
     scores = {r.doc_id: r.dsir_score for r in got}
     assert scores[2] > scores[4] > scores[3], "ranking must follow domain fit"
+
+
+# ---- property tier: DSIR vs a pure-Python bucket-LLR oracle ------------------
+
+import hashlib as _hashlib
+import math as _math
+import re as _re
+from fractions import Fraction as _Fr
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_bucket(w: str, buckets: int) -> int:
+    return int(_hashlib.md5(w.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _py_dround(x: float, n: int) -> float:
+    return _math.floor(x * 10**n + 0.5) / 10**n
+
+
+def _py_dsir(texts, sources, target, buckets):
+    """Reference DSIR scoring, straight from the operator spec: hashed
+    bucket counts, add-one-smoothed LLR rounded at 6 dp, exact-decimal
+    per-doc mean rounded at 6 dp (Fraction replicates decimal sums)."""
+    occ = []  # (doc, source, bucket)
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t.strip().lower()) if t.strip() else []
+        for w in toks:
+            occ.append((i, sources[i], _py_bucket(w, buckets)))
+    cb, ct = {}, {}
+    for _, s, b in occ:
+        cb[b] = cb.get(b, 0) + 1
+        if s == target:
+            ct[b] = ct.get(b, 0) + 1
+    tb, tt, v = sum(cb.values()), sum(ct.values()), len(cb)
+    llr = {
+        b: _py_dround(
+            _math.log((ct.get(b, 0) + 1) / (tt + v)) - _math.log((cb[b] + 1) / (tb + v)),
+            6,
+        )
+        for b in cb
+    }
+    per_doc = {}
+    for i, s, b in occ:
+        per_doc.setdefault((i, s), []).append(llr[b])
+    out = {}
+    for (i, s), ls in per_doc.items():
+        total = sum((_Fr(round(x * 10**6), 10**6) for x in ls), _Fr(0))
+        out[i] = _py_dround(float(total) / len(ls), 6)
+    return out
+
+
+@st.composite
+def _dsir_corpora(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts, sources = [], []
+    for i in range(n):
+        toks = draw(st.lists(st.sampled_from(words), min_size=1, max_size=8))
+        texts.append(" ".join(toks))
+        sources.append(draw(st.sampled_from(["src0", "src1"])))
+    # guarantee at least one target-domain doc so tt > 0 is exercised
+    sources[0] = "src0"
+    return texts, sources
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_dsir_corpora())
+def test_dsir_scores_match_python_oracle(spark, corpus):
+    from degdb_spark.operators.text import (
+        DSIR_BUCKETS,
+        dsir_occurrences,
+        dsir_scores,
+        dsir_word_counts,
+    )
+
+    texts, sources = corpus
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(zip(texts, sources))],
+        "doc_id long, text string, source string",
+    )
+    occ = dsir_occurrences(docs)
+    got = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(occ, dsir_word_counts(occ, "src0")).collect()
+    }
+    assert got == _py_dsir(texts, sources, "src0", DSIR_BUCKETS)
