@@ -452,3 +452,34 @@ def test_verified_pairs_match_python_jaccard_on_candidates(spark, texts):
         if j >= 0.4:
             want[(a, b)] = j
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(random_corpora())
+def test_simhash_matches_python_oracle(spark, texts):
+    """The relational SimHash (explode + grouped bit votes + scalar
+    fold, rewritten in r6) must equal the definitional Python SimHash
+    over the same md5-derived 60-bit token hashes."""
+    import hashlib as _hl
+
+    import degdb_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t.strip().lower())
+        votes = [0] * 60
+        for w in toks:
+            h = int(_hl.md5(w.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want[i] = sum(1 << b for b in range(60) if votes[b] > 0)
+    assert got == want
