@@ -483,3 +483,51 @@ def test_simhash_matches_python_oracle(spark, texts):
                 votes[b] += 1 if (h >> b) & 1 else -1
         want[i] = sum(1 << b for b in range(60) if votes[b] > 0)
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=12), min_size=1, max_size=6))
+def test_minhash_band_hashes_match_python_oracle(spark, token_lists):
+    """The memoized band-hash expression must equal the definitional
+    Python MinHash banding: md5-split double hashing, 32 K-M slots,
+    elementwise min over 5-token shingles, md5 band keys — including
+    the <5-token degenerate case (empty shingles → init signature)."""
+    import hashlib as _hl
+
+    import degdb_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    texts = [" ".join(toks) for toks in token_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.bands)
+        for r in docs.select(
+            "doc_id", D.minhash_band_hashes("text").alias("bands")
+        ).collect()
+    }
+
+    MAXL = (1 << 63) - 1
+    want = {}
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t.strip().lower())
+        shingles = (
+            [" ".join(toks[j : j + 5]) for j in range(len(toks) - 4)]
+            if len(toks) >= 5
+            else []
+        )
+        sig = [MAXL] * 32
+        for s in shingles:
+            m = _hl.md5(s.encode()).hexdigest()
+            h1, h2 = int(m[:15], 16), int(m[16:30], 16)
+            sig = [min(a, h1 + k * h2) for k, a in enumerate(sig)]
+        want[i] = [
+            _hl.md5(",".join(str(x) for x in sig[b * 4 : (b + 1) * 4]).encode()).hexdigest()
+            for b in range(8)
+        ]
+    assert got == want
