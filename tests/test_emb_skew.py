@@ -210,3 +210,61 @@ def test_dsir_bounded_state_and_ranking_under_target_dominance(spark, tmp_path):
     got = {r.doc_id: r.dsir_score for r in dsir_selection(spark, str(tmp_path)).collect()}
     assert set(got) == {5000, 5001}, got
     assert got[5000] > got[5001], got
+
+
+# ---- property tier: random vectors, full-probe IVF == brute force -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_vectors(draw):
+    n = draw(st.integers(min_value=3, max_value=14))
+    vecs = []
+    for i in range(n):
+        v = draw(
+            st.lists(
+                st.integers(min_value=-4, max_value=4).map(lambda x: x / 2.0),
+                min_size=4,
+                max_size=4,
+            )
+        )
+        if not any(v):
+            v = [1.0, 0.0, 0.0, 0.0]  # keep norms nonzero
+        vecs.append(v)
+    return vecs
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_random_vectors())
+def test_ivf_full_probe_equals_bruteforce(spark, vecs):
+    """The IVF law the probe parameter trades against: with n_probe =
+    #cells (no pruning at all), probe/re-rank must equal brute-force
+    cosine top-k on ANY corpus — every divergence would be a bug in
+    assignment, probing, or re-rank, not an approximation."""
+    from pyspark.sql import Row
+
+    from degdb_spark.operators.ml_lsh import ivf_topk_fixed
+
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows)
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = [
+        r.neighbor_id
+        for r in ivf_topk_fixed(
+            emb, queries, cents, k=3, n_probe=len(cents), broadcast_probes=True
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _brute_topk(rows, 0, 3)
