@@ -531,3 +531,41 @@ def test_minhash_band_hashes_match_python_oracle(spark, token_lists):
             for b in range(8)
         ]
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(random_corpora(), st.integers(min_value=1, max_value=3))
+def test_incremental_span_dedup_random_splits_equal_batch(spark, texts, n_batches):
+    """Doc-ordered batches of ANY size through the incremental span
+    path (probe the hash index, dedup within the increment, extend the
+    index) must reproduce the one-shot batch operator bit-for-bit —
+    the replay contract under arbitrary batch boundaries, on random
+    dense-collision corpora."""
+    import degdb_spark.operators.dedup as D
+
+    k = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r.doc_id: (r.n_spans, r.n_kept, r.text_clean)
+        for r in D.span_dedup(full, span_tokens=k).collect()
+    }
+
+    existing = spark.createDataFrame([], "span_h1 long, span_h2 long")
+    got = {}
+    per = max(1, (len(docs) + n_batches - 1) // n_batches)
+    for b in range(0, len(docs), per):
+        batch = spark.createDataFrame(docs[b : b + per], "doc_id long, text string")
+        report, fresh = D.incremental_span_dedup(
+            batch, existing, span_tokens=k
+        )
+        got.update(
+            (r.doc_id, (r.n_spans, r.n_kept, r.text_clean))
+            for r in report.collect()
+        )
+        existing = existing.unionByName(fresh.select("span_h1", "span_h2")).distinct()
+    assert got == want
