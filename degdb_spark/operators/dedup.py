@@ -630,8 +630,10 @@ def span_dedup(
 
     Scale shape (100 TB): span slicing is pure codegen (transform +
     slice over the token array — no explode/regroup shuffle to build
-    spans); occurrences ride as 8-byte xxhash64 fingerprints, never as
-    span text (C4 itself hashes spans), so the global first-occurrence
+    spans); occurrences ride as 128-bit fingerprints (two
+    differently-seeded xxhash64 evals, 16 bytes — see
+    _span_occurrences for why 64 bits isn't enough), never as span
+    text (C4 itself hashes spans), so the global first-occurrence
     shuffle carries (hash, doc, idx) only — ONE hash aggregation to
     one row per distinct span (min over a (doc, idx) struct —
     map-side combined, so a span repeated 10^6 times still reduces to
@@ -668,11 +670,20 @@ def _span_slices(
 
 def _span_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
     """(id, span_idx, span_h1, span_h2) occurrence table — spans ride
-    as 128-bit fingerprints (two independent xxhash64 evals, 16 bytes)
-    from here on, never as text. 64 bits alone is NOT enough at the
-    design target: 10^11 distinct spans give n²/2^65 ≈ several
+    as 128-bit fingerprints (two DIFFERENTLY-SEEDED xxhash64 evals, 16
+    bytes) from here on, never as text. 64 bits alone is NOT enough at
+    the design target: 10^11 distinct spans give n²/2^65 ≈ several
     expected birthday collisions, each silently deleting non-duplicate
-    text; at 128 bits the expectation is ~10^-17."""
+    text; with two independent 64-bit hashes the expectation is
+    ~10^-17.
+
+    Seed-ordering matters: Spark's multi-arg xxhash64 folds children
+    left-to-right with the running hash as the next seed, so
+    ``xxhash64(span, lit(1))`` would be a PURE FUNCTION of
+    ``xxhash64(span)`` — an h1 collision would imply an h2 collision
+    and the second hash would buy nothing. The salt goes FIRST:
+    ``xxhash64(lit(1), span)`` hashes the span under a different seed
+    (H(1, 42)), giving a genuinely independent second hash."""
     return sliced.select(
         id_col,
         F.posexplode("_spans").alias("span_idx", "span"),
@@ -680,7 +691,7 @@ def _span_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
         id_col,
         F.col("span_idx").cast("long").alias("span_idx"),
         F.xxhash64("span").alias("span_h1"),
-        F.xxhash64("span", F.lit(1)).alias("span_h2"),
+        F.xxhash64(F.lit(1), F.col("span")).alias("span_h2"),
     )
 
 

@@ -22,7 +22,20 @@ dedups computation); the default keeps local behavior unchanged.
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import DataFrame
+
+#: persist-mode eviction ring: unlike localCheckpoint RDDs (freed by
+#: the ContextCleaner once unreferenced), persist() registers the plan
+#: in the session CacheManager, which holds it until an explicit
+#: unpersist. Per-call pins (one per query run / per micro-batch)
+#: would otherwise accrete cached frames for the session's lifetime,
+#: so the ring unpersists the oldest beyond a small working set — a
+#: pinned intermediate is consumed within its own query, so evicting
+#: it later only costs a recompute if someone unexpectedly re-reads.
+_PERSIST_RING: deque[DataFrame] = deque()
+_PERSIST_RING_MAX = 16
 
 
 def pin(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -38,6 +51,12 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
         out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
         if eager:
             out.count()
+        _PERSIST_RING.append(out)
+        while len(_PERSIST_RING) > _PERSIST_RING_MAX:
+            try:
+                _PERSIST_RING.popleft().unpersist(blocking=False)
+            except Exception:
+                pass  # session of an old entry may be gone
         return out
     if mode == "checkpoint":
         return df.checkpoint(eager=eager)

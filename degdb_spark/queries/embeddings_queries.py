@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from degdb_spark.catalog import load_table
 from degdb_spark.operators import similarity as S
 from degdb_spark.queries import Query
+from degdb_spark.queries.naming import sf_segment as _sf_segment
 from degdb_spark.queries.rounding import dround
 
 
@@ -770,23 +771,24 @@ def _contract_index_table(sf_dir: str) -> str:
     return f"ann_idx_contract_{_sf_segment(sf_dir)}_{content}"
 
 
-def _sf_segment(sf_dir: str) -> str:
-    """The sf-dir name segment — the ONE definition both the name
-    builder and the retirement filter use (a drifted copy would make
-    retirement silently stop matching)."""
-    import hashlib
-
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-
 
 def _legacy_contract_index(name: str) -> bool:
-    """Pre-round-7 contract-index names (no sf segment) — retired on
-    sight, whatever sf dir built them."""
+    """Every pre-round-7 contract-index name era — retired on sight,
+    whatever sf dir built them. Three eras shipped before the current
+    ``ann_idx_contract_{8hex-sf}_{12hex-content}`` scheme:
+    bare ``ann_idx_contract`` (r4), ``ann_idx_contract_{8hex-sf}``
+    (r5 — whose sidecars would otherwise match the CURRENT sf prefix
+    and orphan their main table), and ``ann_idx_contract_{12hex}``
+    (r6). None of the patterns can match a current-format name (its
+    extra ``_{12hex}``/``_{8hex}_`` segments break every fullmatch)."""
     import re
 
     return bool(
         re.fullmatch(
-            r"ann_idx_contract_[0-9a-f]{12}(_codebook|_centroids)?", name
+            r"ann_idx_contract"
+            r"(_[0-9a-f]{8}|_[0-9a-f]{12})?"
+            r"(_codebook|_centroids)?",
+            name,
         )
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from degdb_spark.catalog import load_table
 from degdb_spark.operators import search as S
 from degdb_spark.queries import Query
+from degdb_spark.queries.naming import sf_segment as _sf_segment
 
 #: Fixed benchmark query: one rare term ('dup' ~ 2.6% df) + two common
 #: ones, so idf actually differentiates and the candidate filter prunes.
@@ -117,17 +118,11 @@ def _positional_index_table(sf_dir: str) -> str:
     return f"pos_idx_contract_{_sf_segment(sf_dir)}_{content}"
 
 
-def _sf_segment(sf_dir: str) -> str:
-    """The sf-dir name segment — one definition for the name builder
-    AND the retirement filter."""
-    import hashlib
-
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-
 
 def _legacy_pos_index(name: str) -> bool:
-    """Pre-round-7 positional-index names (no sf segment) — retired on
-    sight; the single-table index has no sidecars."""
+    """Pre-round-7 positional-index names (the single ``{12hex}`` era;
+    no sf segment, no sidecars) — retired on sight. Cannot match a
+    current ``pos_idx_contract_{8hex}_{12hex}`` name."""
     import re
 
     return bool(re.fullmatch(r"pos_idx_contract_[0-9a-f]{12}", name))

@@ -295,11 +295,19 @@ def _span_index_step(
     root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(root):
-        existing = (
-            spark.read.option("basePath", index_path)
-            .parquet(index_path)
-            .filter(F.col("batch") < F.lit(batch_id))
-            .select("span_h1", "span_h2")
+        idx = spark.read.option("basePath", index_path).parquet(index_path)
+        if not {"span_h1", "span_h2"} <= set(idx.columns):
+            # a pre-128-bit index (single span/span_hash column) must
+            # FAIL the stream loudly: silently treating its batches as
+            # unreadable would re-admit every historical span as fresh
+            raise RuntimeError(
+                f"span index at {index_path} has columns {idx.columns}; "
+                "this code writes (span_h1, span_h2). Rebuild the index "
+                "(fresh index_path + checkpoint) — hash-key formats are "
+                "not migratable in place."
+            )
+        existing = idx.filter(F.col("batch") < F.lit(batch_id)).select(
+            "span_h1", "span_h2"
         )
     else:  # genuinely the first batch: empty index, right schema
         existing = spark.createDataFrame([], "span_h1 long, span_h2 long")
