@@ -1035,3 +1035,23 @@ def test_dsir_counts_stream_equals_full_counts(spark, tmp_path):
     )
     again = {(r.b, r.cb, r.ct) for r in dsir_counts_load(spark, counts_path).collect()}
     assert again == want
+
+
+def test_span_index_step_rejects_pre_128bit_index(spark, tmp_path):
+    """A persisted span index from the single-column (pre-128-bit) era
+    must FAIL the micro-batch loudly — silently treating its batches
+    as unreadable would re-admit every historical span as fresh and
+    leak duplicates into text_clean."""
+    import pytest
+
+    from degdb_spark.streaming.dedup import _span_index_step
+
+    idx = str(tmp_path / "span_index")
+    spark.createDataFrame([("old span text",)], "span_hash string").write.parquet(
+        f"{idx}/batch=0"
+    )
+    batch = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="span_h1"):
+        _span_index_step(batch, 1, idx, str(tmp_path / "clean"))
