@@ -18,6 +18,13 @@ than a hard-coded call (SCALE.md "Pinning intermediates"):
 
 All three produce bit-identical results (the pin only cuts lineage /
 dedups computation); the default keeps local behavior unchanged.
+
+SCOPE: pin() is for one-shot multi-consumer intermediates ONLY — not
+for iterative lineage truncation. ``persist`` caches data but KEEPS
+the logical plan, so a superstep loop pinned this way would still grow
+its plan exponentially; the graph/pregel supersteps therefore call
+localCheckpoint()/checkpoint() directly (a true lineage cut) and are
+deliberately outside this knob.
 """
 
 from __future__ import annotations
