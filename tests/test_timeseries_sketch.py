@@ -194,3 +194,54 @@ def test_histogram_quantiles_degenerate_group(spark):
     assert a == {0.5: 5.0, 0.9: 5.0}
     b = {r.q: r.est for r in grouped if r.g == "b"}
     assert all(not math.isnan(v) for v in b.values()) and b[0.5] >= 1.0
+
+
+# ---- property tier: CMS vs a pure-Python replica on random streams ----------
+
+import hashlib as _hl
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_cell(key: str, row: int, width: int) -> int:
+    return int(_hl.md5(f"{row}:{key}".encode()).hexdigest()[:8], 16) % width
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=60))
+def test_cms_matches_python_replica_and_never_underestimates(spark, keys):
+    """CMS build+estimate on a random stream must equal the pure-Python
+    md5 replica CELL FOR CELL, and every estimate must satisfy the CMS
+    law: exact count ≤ estimate (min over rows can only overestimate —
+    collisions add, never subtract)."""
+    from degdb_spark.operators.sketch import cms_build, cms_estimate
+
+    depth, width = 4, 16  # narrow width so collisions actually happen
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    sketch = cms_build(df, "key", depth=depth, width=width)
+
+    # cell-exact replica
+    cells = {}
+    for k in keys:
+        for r in range(depth):
+            cells[(r, _py_cell(k, r, width))] = cells.get((r, _py_cell(k, r, width)), 0) + 1
+    got_cells = {(r.row, r.bucket): r.cnt for r in sketch.collect()}
+    assert got_cells == cells
+
+    probes = spark.createDataFrame([(k,) for k in sorted(set(keys))], "key string")
+    est = {
+        r.probe_key: r.est_count
+        for r in cms_estimate(sketch, probes, "key", depth=depth, width=width).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(keys)
+    for k, n in exact.items():
+        want = min(cells[(r, _py_cell(k, r, width))] for r in range(depth))
+        assert est[k] == want
+        assert est[k] >= n  # the overestimate-only law
