@@ -245,3 +245,47 @@ def test_cms_matches_python_replica_and_never_underestimates(spark, keys):
         want = min(cells[(r, _py_cell(k, r, width))] for r in range(depth))
         assert est[k] == want
         assert est[k] >= n  # the overestimate-only law
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.sampled_from([f"u{i}" for i in range(40)]), min_size=1, max_size=80))
+def test_hll_registers_match_python_replica(spark, keys):
+    """HLL registers on a random stream must equal the pure-Python
+    replica REGISTER FOR REGISTER (60-bit md5 hash, p index bits,
+    trailing-zero rho, max per register), and the register MERGE law
+    must hold: registers(A ∪ B) == elementwise max of registers(A),
+    registers(B) for a random split."""
+    from degdb_spark.operators.sketch import hll_registers
+
+    p = 4  # 16 registers so collisions happen at test size
+    rmax = 60 - p + 1
+
+    def py_regs(ks):
+        regs = {}
+        for k in ks:
+            h = int(_hl.md5(k.encode()).hexdigest()[:15], 16)
+            idx = h & ((1 << p) - 1)
+            w = h >> p
+            rho = rmax if w == 0 else ((w ^ (w - 1)).bit_count())
+            regs[idx] = max(regs.get(idx, 0), rho)
+        return regs
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string").withColumn(
+        "g", F.lit(1)
+    )
+    got = {
+        r.reg_idx: r.reg for r in hll_registers(df, "key", ["g"], p=p).collect()
+    }
+    assert got == py_regs(keys)
+
+    # merge law on a deterministic split
+    a, b = keys[::2], keys[1::2]
+    merged = {}
+    for part in (py_regs(a), py_regs(b)):
+        for i, r in part.items():
+            merged[i] = max(merged.get(i, 0), r)
+    assert merged == py_regs(keys)
