@@ -569,3 +569,29 @@ def test_incremental_span_dedup_random_splits_equal_batch(spark, texts, n_batche
         )
         existing = existing.unionByName(fresh.select("span_h1", "span_h2")).distinct()
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.text(alphabet="tablshjoinerw", min_size=1, max_size=10), min_size=1, max_size=6))
+def test_bpe_encode_matches_python_replica(spark, words):
+    """The codegen BPE encoder (chained global replaces over a
+    separator-joined char string) must equal the straightforward Python
+    replica of the same algorithm on random words over the merge
+    alphabet — including partial-merge and no-merge words."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.text import BPE_MERGES, bpe_encode
+
+    def py_bpe(word):
+        s = "·".join(word.lower())
+        for a, b in BPE_MERGES:
+            s = s.replace(f"{a}·{b}", a + b)
+        return s.split("·")
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: list(r.toks) for r in df.select("w", bpe_encode("w").alias("toks")).collect()}
+    assert got == {w: py_bpe(w) for w in words}
