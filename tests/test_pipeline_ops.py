@@ -91,3 +91,47 @@ def test_quantize_int8_properties(spark):
     # value is dround(·, 8) so it can exceed the raw bound by ≤5e-9)
     assert err[0].max_abs_err <= out[0].scale / 2 + 5e-9
     assert err[1].mse == 0.0 and err[1].max_abs_err == 0.0
+
+
+# ---- property tier: packing vs a pure-Python running-offset replica ---------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=25),
+    st.integers(min_value=2, max_value=4),
+)
+def test_pack_documents_matches_python_replica(spark, token_counts, nparts):
+    """The two-phase-scan packing must equal the definitional Python
+    replica (one sequential running offset over id order) for ANY
+    document sizes — including empty docs — and ANY partition count:
+    the range partitioner only affects parallel shape, never placement."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.packing import pack_documents
+
+    budget = 7
+    docs = [(i, " ".join(f"t{j}" for j in range(n)) if n else "") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.pack_id, r.crosses_boundary)
+        for r in pack_documents(df, budget=budget, num_partitions=nparts).collect()
+    }
+
+    off = 0
+    want = {}
+    for i, n in enumerate(token_counts):
+        first = off // budget
+        last = (off + max(n - 1, 0)) // budget
+        want[i] = (n, off, first, n > 0 and first != last)
+        off += n
+    assert got == want
