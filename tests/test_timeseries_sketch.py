@@ -289,3 +289,33 @@ def test_hll_registers_match_python_replica(spark, keys):
         for i, r in part.items():
             merged[i] = max(merged.get(i, 0), r)
     assert merged == py_regs(keys)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from([f"v{i}" for i in range(30)]), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=8),
+)
+def test_kmv_estimate_matches_python_replica(spark, keys, k):
+    """KMV on a random stream must equal the pure-Python replica: same
+    48-bit md5 unit hashes, same k-th order statistic, same exact-count
+    branch when distincts < k."""
+    from degdb_spark.operators.sketch import kmv_distinct_estimate
+
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    row = kmv_distinct_estimate(df, "key", k=k).collect()[0]
+
+    hs = sorted(
+        int(_hl.md5(x.encode()).hexdigest()[:12], 16) / float(1 << 48)
+        for x in set(keys)
+    )
+    if len(hs) < k:
+        want_est, want_k = float(len(hs)), len(hs)
+    else:
+        want_est, want_k = (k - 1) / hs[k - 1], k
+    assert row.k_used == want_k
+    assert row.est_distinct == want_est
