@@ -40,14 +40,19 @@ _TABLE_CACHE_MAX = 64
 
 def _table_signature(path: str) -> tuple:
     """(name, mtime_ns, size) of every part entry — cheap (one
-    scandir) and changes whenever any file is rewritten in place."""
+    scandir, one stat per entry) and changes whenever any file is
+    rewritten in place. FLAT-DIRECTORY assumption: the driver testdata
+    writes all part files directly under ``<table>.parquet/`` (no Hive
+    partition subdirectories), so one level is enough — a rewrite
+    inside a nested subdir would only surface via that subdir's own
+    mtime, which POSIX does not guarantee to change for in-place file
+    rewrites. If nested layouts ever appear here, recurse instead."""
     if os.path.isdir(path):
-        return tuple(
-            sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in os.scandir(path)
-            )
-        )
+        sig = []
+        for e in os.scandir(path):
+            st = e.stat()
+            sig.append((e.name, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(sig))
     st = os.stat(path)
     return (st.st_mtime_ns, st.st_size)
 

@@ -5,10 +5,11 @@
 Design: double hashing (Kirsch-Mitzenmacher) — position_i = (h1 + i·h2)
 mod m over k slots — with h1/h2 computed JVM-side (xxhash64 with two
 seeds) and bit-setting done in a vectorized Arrow-batched pandas UDF.
-Each partition emits one m/8-byte bitset; the driver ORs them (for
-n_partitions × m/8 beyond driver memory, OR pairwise through a second
-mapInPandas round — the treeAggregate shape; not needed below ~GB-size
-filters).
+Each partition emits one m/8-byte bitset; the partials are OR-merged
+executor-side in a tree of mapInPandas rounds (the treeAggregate
+shape) down to ONE row before anything is collected, so the driver —
+and every merge task — holds a bounded number of bitsets no matter
+how many partitions fed the build.
 
 `might_contain` broadcasts the filter bytes and checks membership
 vectorized; `triples_matching_bloom` is the TriplesMatchingBloom
@@ -55,8 +56,42 @@ class BloomFilter:
     k: int
 
 
-def build_bloom(df: DataFrame, key_cols: list[str | Column], m_bits: int, k: int) -> BloomFilter:
-    """Build the filter over the given key columns."""
+def _or_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """OR every bitset row in this partition into one row (empty
+    partitions yield nothing). One merge round of the tree."""
+    acc: np.ndarray | None = None
+    for pdf in batches:
+        for raw in pdf["bits"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else acc | arr
+    if acc is not None:
+        yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+
+def _tree_or(partials: DataFrame, n_partials: int, fanin: int = 16) -> DataFrame:
+    """OR-merge a frame of bitset rows down to AT MOST ONE row through
+    repartition+mapInPandas rounds of fan-in ``fanin`` — the
+    treeAggregate shape. Peak bitset count anywhere (any merge task,
+    and later the driver's collect) is ``fanin``+1, independent of
+    ``n_partials``; rounds are ⌈log_fanin(n_partials)⌉."""
+    n = max(1, n_partials)
+    while n > 1:
+        n = math.ceil(n / fanin)
+        partials = partials.repartition(n).mapInPandas(_or_partition, "bits binary")
+    return partials
+
+
+def build_bloom(
+    df: DataFrame, key_cols: list[str | Column], m_bits: int, k: int, fanin: int = 16
+) -> BloomFilter:
+    """Build the filter over the given key columns.
+
+    Driver-memory contract: partition partials are tree-merged
+    executor-side (_tree_or), so exactly one bitset-sized row is ever
+    collected — the old collect-all-partials shape held n_partitions ×
+    m_bits/8 bytes of driver transients, a multi-GB hazard when m_bits
+    is sized for 10¹²-key corpora. Matches the reference's
+    scalable-bloom intent (triplestore/bloom.go:13-37)."""
     hashed = df.select(*_hash_cols(key_cols))
     n_bytes = (m_bits + 7) // 8
 
@@ -73,11 +108,13 @@ def build_bloom(df: DataFrame, key_cols: list[str | Column], m_bits: int, k: int
         if touched:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = hashed.mapInPandas(part, "bits binary").collect()
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for r in parts:
-        out |= np.frombuffer(r["bits"], dtype=np.uint8)
-    return BloomFilter(out.tobytes(), m_bits, k)
+    partials = hashed.mapInPandas(part, "bits binary")
+    merged = _tree_or(partials, hashed.rdd.getNumPartitions(), fanin)
+    rows = merged.collect()
+    assert len(rows) <= 1, f"tree merge must leave ≤1 bitset, got {len(rows)}"
+    if not rows:
+        return BloomFilter(bytes(n_bytes), m_bits, k)
+    return BloomFilter(bytes(rows[0]["bits"]), m_bits, k)
 
 
 def might_contain(df: DataFrame, bloom: BloomFilter, key_cols: list[str | Column]) -> DataFrame:

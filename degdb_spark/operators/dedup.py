@@ -29,8 +29,6 @@ shingle like the xxhash64 scheme it replaced while staying portable.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,7 +110,22 @@ def _minhash_signature(shingles_col, num_hashes: int):
     )
 
 
-@functools.lru_cache(maxsize=16)
+#: minhash_band_hashes memo — see its docstring. Entries carry the
+#: py4j GATEWAY OBJECT they were built against (a strong ref, so id()
+#: recycling can never alias a relaunched gateway to a stale entry);
+#: a cached Column is only served while its gateway is still the
+#: process's active one, mirroring the ``cached.sparkSession is
+#: spark`` guard in catalog.load_table. Bounded FIFO.
+_BAND_HASH_CACHE: dict[tuple, tuple[object, Column]] = {}
+_BAND_HASH_CACHE_MAX = 16
+
+
+def _active_gateway():
+    from pyspark import SparkContext
+
+    return SparkContext._gateway
+
+
 def minhash_band_hashes(
     text_col: str = "text",
     shingle_k: int = 5,
@@ -126,8 +139,11 @@ def minhash_band_hashes(
     MEMOIZED: building this Column tree costs ~0.9 s of py4j round
     trips (deep transform/aggregate/zip_with lambdas), billed to every
     query that verifies near-dups. An unresolved Column is immutable
-    and session-independent, so one build per (args) per process
-    serves every plan.
+    and session-independent — but it IS py4j-backed, so if the JVM
+    gateway is torn down and relaunched within one Python process a
+    cached Column would reference dead Java objects. The memo
+    (_BAND_HASH_CACHE) therefore keys on args and validates the stored
+    gateway identity on every hit, rebuilding after a gateway swap.
 
     One expression computes signature AND band hashes: the band
     derivation happens in the aggregate's `finish` lambda where the
@@ -141,9 +157,14 @@ def minhash_band_hashes(
     (string_agg ... ORDER BY slot), so the banding itself is
     oracle-checkable, not just the Jaccard verifier behind it.
     """
+    gw = _active_gateway()
+    key = (text_col, shingle_k, num_hashes, bands)
+    hit = _BAND_HASH_CACHE.get(key)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
     rows = num_hashes // bands
     max_long = (1 << 63) - 1
-    return F.aggregate(
+    col = F.aggregate(
         F.transform(
             ngrams(text_col, n=shingle_k),
             lambda s: let(
@@ -168,6 +189,30 @@ def minhash_band_hashes(
             ),
         ),
     )
+    _BAND_HASH_CACHE[key] = (gw, col)
+    while len(_BAND_HASH_CACHE) > _BAND_HASH_CACHE_MAX:
+        _BAND_HASH_CACHE.pop(next(iter(_BAND_HASH_CACHE)))
+    return col
+
+
+#: cap for the per-frame memo dicts (_degdb_lsh_cands /
+#: _degdb_verified_pairs): one entry per distinct parameter tuple for
+#: the frame's lifetime, and each entry can transitively hold a pinned
+#: frame — so a threshold-sweeping session gets the same bounded-ring
+#: discipline as persistence._PERSIST_RING instead of unbounded
+#: accretion (VERDICT r7 ask #7).
+_FRAME_MEMO_MAX = 8
+
+
+def _memo_put(memo: dict, key, value) -> None:
+    """Insert into a per-frame memo with FIFO eviction beyond
+    _FRAME_MEMO_MAX. An evicted entry only costs a recompute if that
+    parameter tuple is re-queried. NOTE (persist pin mode): a memoized
+    result's pin can ALSO be evicted underneath it by the persistence
+    ring — the result stays correct, it just recomputes."""
+    memo[key] = value
+    while len(memo) > _FRAME_MEMO_MAX:
+        memo.pop(next(iter(memo)))
 
 
 def minhash_lsh_candidates(
@@ -229,7 +274,7 @@ def minhash_lsh_candidates(
             memo = orig._degdb_lsh_cands = {}
         except AttributeError:  # exotic DataFrame subclass without __dict__
             return out
-    memo[key] = out
+    _memo_put(memo, key, out)
     return out
 
 
@@ -319,7 +364,7 @@ def ngram_jaccard_pairs(
                 memo = cand_frame._degdb_verified_pairs = {}
             except AttributeError:
                 return out
-        memo[key] = (df, out)
+        _memo_put(memo, key, (df, out))
     return out
 
 

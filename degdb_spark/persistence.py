@@ -14,10 +14,13 @@ than a hard-coded call (SCALE.md "Pinning intermediates"):
     spark.conf.set("spark.degdb.pin", "persist")   # MEMORY_AND_DISK_2
     spark.conf.set("spark.degdb.pin", "checkpoint")  # reliable, needs
                                                      # setCheckpointDir
-    spark.conf.set("spark.degdb.pin", "local")       # default
+    spark.conf.set("spark.degdb.pin", "local")       # executor-local
 
 All three produce bit-identical results (the pin only cuts lineage /
-dedups computation); the default keeps local behavior unchanged.
+dedups computation). When the conf is UNSET the default follows the
+master: ``local`` on a local[*] master (cheapest, and executor loss
+is process death anyway), ``persist`` on anything else — so a cluster
+deployment gets the fault-tolerant flavor without opting in.
 
 SCOPE: pin() is for one-shot multi-consumer intermediates ONLY — not
 for iterative lineage truncation. ``persist`` caches data but KEEPS
@@ -45,12 +48,55 @@ _PERSIST_RING: deque[DataFrame] = deque()
 _PERSIST_RING_MAX = 16
 
 
+def _session_stopped(df: DataFrame) -> bool:
+    """True iff the frame's owning SparkContext has been stopped (its
+    py4j JavaSparkContext handle is cleared on stop()) — such frames
+    hold no JVM cache to release and must not be kept alive by the
+    ring."""
+    try:
+        return df.sparkSession._sc._jsc is None
+    except Exception:
+        return True
+
+
+def _prune_ring() -> None:
+    """Drop ring entries whose session is gone: their CacheManager
+    registration died with the JVM context, so holding the Python
+    DataFrame (and transitively the stopped session) any longer is a
+    pure leak (ADVICE r7)."""
+    live = [f for f in _PERSIST_RING if not _session_stopped(f)]
+    if len(live) != len(_PERSIST_RING):
+        _PERSIST_RING.clear()
+        _PERSIST_RING.extend(live)
+
+
+def _master(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.conf.get("spark.master", "") or ""
+    except Exception:
+        return ""
+
+
+def default_pin_mode(df: DataFrame) -> str:
+    """'local' on a local[*] master, 'persist' otherwise: an executor-
+    LOCAL checkpoint on a real cluster turns any lost executor into a
+    job failure, so off-local the replicated-persist flavor is the
+    safe default and executor-local checkpointing becomes the opt-in
+    (VERDICT r7 "What's wrong" #2). The explicit ``spark.degdb.pin``
+    conf always wins."""
+    return "local" if _master(df).startswith("local") else "persist"
+
+
 def pin(df: DataFrame, eager: bool = False) -> DataFrame:
     """Materialize ``df`` for multi-consumer reuse per the
-    ``spark.degdb.pin`` session conf (default: executor-local
-    checkpoint). ``eager`` forces computation now (only meaningful for
-    checkpoint flavors; ``persist`` is always lazy-then-cached)."""
-    mode = df.sparkSession.conf.get("spark.degdb.pin", "local")
+    ``spark.degdb.pin`` session conf. Default: executor-local
+    checkpoint on a local master, replicated persist on a cluster
+    master (see default_pin_mode). ``eager`` forces computation now
+    (only meaningful for checkpoint flavors; ``persist`` is always
+    lazy-then-cached)."""
+    mode = df.sparkSession.conf.get("spark.degdb.pin", None)
+    if mode is None:
+        mode = default_pin_mode(df)
     if mode == "persist":
         from pyspark import StorageLevel
 
@@ -58,6 +104,7 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
         out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
         if eager:
             out.count()
+        _prune_ring()
         _PERSIST_RING.append(out)
         while len(_PERSIST_RING) > _PERSIST_RING_MAX:
             try:

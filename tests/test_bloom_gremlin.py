@@ -55,6 +55,36 @@ def test_matching_bloom_roundtrip(spark, big_store):
     assert matched.join(subset, ["subj", "pred", "obj"], "left_semi").count() == 1000
 
 
+def test_tree_or_single_row_contract(spark):
+    """Driver-memory contract (VERDICT r7 #2): the tree merge leaves
+    EXACTLY one row — only one bitset-sized object ever reaches the
+    driver — and that row is the OR of every input partial."""
+    import numpy as np
+
+    from degdb_spark.operators.bloom import _tree_or
+
+    rng = np.random.default_rng(7)
+    partials = [bytes(rng.integers(0, 256, 64, dtype=np.uint8)) for _ in range(37)]
+    df = spark.createDataFrame([(p,) for p in partials], "bits binary").repartition(37)
+    merged = _tree_or(df, 37, fanin=4)  # 37 → 10 → 3 → 1
+    rows = merged.collect()
+    assert len(rows) == 1
+    want = np.zeros(64, dtype=np.uint8)
+    for p in partials:
+        want |= np.frombuffer(p, dtype=np.uint8)
+    assert bytes(rows[0]["bits"]) == want.tobytes()
+
+
+def test_build_bloom_partition_count_independent(spark, big_store):
+    """Tree-merged bits are identical whether the build ran over one
+    partition or many — the merge is a pure OR."""
+    m, k = optimal_params(5000, fpr=1e-3)
+    wide = build_bloom(big_store.repartition(24), ["subj", "pred", "obj"], m, k, fanin=3)
+    narrow = build_bloom(big_store.coalesce(1), ["subj", "pred", "obj"], m, k)
+    assert wide.bits == narrow.bits
+    assert (wide.m_bits, wide.k) == (narrow.m_bits, narrow.k)
+
+
 def test_empty_store_bloom(spark):
     empty = spark.createDataFrame([], "subj string, pred string, obj string")
     m, k = optimal_params(10, fpr=1e-3)

@@ -45,3 +45,67 @@ def test_pin_persist_mode_uses_storage(spark, _clean_knob):
         assert df.count() == 10
     finally:
         df.unpersist()
+
+
+def test_default_pin_mode_follows_master(spark, monkeypatch):
+    """Behavior table for the UNSET knob (VERDICT r7 #2): local master
+    → executor-local checkpoint; any cluster master → replicated
+    persist. The explicit conf always wins over the default."""
+    from degdb_spark import persistence
+
+    df = spark.range(5)
+    # this suite runs on local[N]
+    assert spark.conf.get("spark.master").startswith("local")
+    assert persistence.default_pin_mode(df) == "local"
+
+    monkeypatch.setattr(persistence, "_master", lambda f: "spark://host:7077")
+    assert persistence.default_pin_mode(df) == "persist"
+    # unset knob on a "cluster" master → the pin really persists
+    out = persistence.pin(df.withColumn("x", F.col("id") + 1), eager=True)
+    try:
+        assert out.storageLevel.replication == 2
+        assert out.count() == 5
+    finally:
+        out.unpersist()
+    monkeypatch.undo()
+    # unset knob on the real local master → localCheckpoint, not persist
+    out_local = persistence.pin(df.withColumn("x", F.col("id") + 2))
+    assert out_local.storageLevel.replication <= 1
+    assert out_local.count() == 5
+
+
+def test_persist_ring_prunes_stopped_sessions(spark, _clean_knob, monkeypatch):
+    """Ring entries whose owning session has stopped are dropped on the
+    next pin instead of being kept alive until 16 newer pins displace
+    them (ADVICE r7)."""
+    from degdb_spark import persistence
+
+    spark.conf.set("spark.degdb.pin", "persist")
+    dead = persistence.pin(spark.range(3))
+    assert dead in persistence._PERSIST_RING
+    monkeypatch.setattr(
+        persistence, "_session_stopped", lambda f: f is dead
+    )
+    live = persistence.pin(spark.range(4))
+    try:
+        assert dead not in persistence._PERSIST_RING
+        assert live in persistence._PERSIST_RING
+    finally:
+        live.unpersist()
+        dead.unpersist()
+        persistence._PERSIST_RING.clear()
+
+
+def test_frame_memo_is_bounded(spark):
+    """The per-frame memo dicts evict FIFO beyond _FRAME_MEMO_MAX so a
+    parameter sweep can't accrete entries for the frame's lifetime
+    (VERDICT r7 ask #7)."""
+    from degdb_spark.operators import dedup
+
+    memo: dict = {}
+    for i in range(dedup._FRAME_MEMO_MAX + 3):
+        dedup._memo_put(memo, ("k", i), i)
+    assert len(memo) == dedup._FRAME_MEMO_MAX
+    # oldest evicted, newest kept
+    assert ("k", 0) not in memo
+    assert ("k", dedup._FRAME_MEMO_MAX + 2) in memo
