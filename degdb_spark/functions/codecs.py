@@ -5,6 +5,11 @@ need nothing beyond struct + numpy:
 
 - BMP (Windows bitmap, BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows
   padded to 4 bytes) — the simplest widely-readable image container.
+- PNG (RFC 2083: chunked container, zlib-inflated scanlines, the five
+  row filters None/Sub/Up/Average/Paeth) — the most common lossless
+  image format a real multimodal pipeline ingests; stdlib ``zlib``
+  covers the compression so no third-party dependency is needed.
+  Decode supports bit-depth-8 gray/RGB/RGBA, encode emits truecolor.
 - WAV (RIFF/WAVE, PCM 16-bit) — the standard uncompressed audio
   container.
 
@@ -28,6 +33,7 @@ Reference provenance: degdb has no media surface; this implements the
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -68,6 +74,18 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+def decode_image(data: bytes) -> np.ndarray:
+    """Format-sniffing image decode: BMP or PNG bytes → RGB uint8
+    (H, W, 3). The single seam every image operator goes through, so
+    adding a codec here lights it up everywhere (pixel stats, aHash,
+    resize, features)."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    raise ValueError("unrecognized image payload (expected BMP or PNG)")
+
+
 def bmp_size(width: int, height: int) -> int:
     """Encoded byte size — 54-byte headers + padded rows. Mirrored in
     contract-query oracle SQL (queries/multimodal_queries.py)."""
@@ -81,6 +99,125 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return pixels[np.ix_(ys, xs)]
+
+
+# ------------------------------------------------------------------ PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) → 8-bit truecolor PNG bytes (color type 2,
+    no interlace, filter 0 on every row, stdlib-zlib deflate). Opens in
+    any external viewer; decode_png round-trips it bit-exactly."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (H, W, 3) uint8")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
+    rows[:, 1:] = pixels.reshape(h, 3 * w)  # leading 0 = filter None
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit PNG bytes → RGB uint8 (H, W, 3), pure stdlib zlib + numpy.
+
+    Walks chunks (CRC-validated), inflates the concatenated IDAT
+    stream, and undoes the five PNG row filters — None/Sub/Up/Average/
+    Paeth (RFC 2083 §6). Supported shapes: bit depth 8, color types 0
+    (grayscale, replicated to RGB), 2 (RGB), 6 (RGBA, alpha dropped),
+    no interlace — what a real training corpus overwhelmingly carries;
+    anything else raises rather than guesses. Sub is vectorized as a
+    per-channel-lane cumulative sum; Average/Paeth are left-dependent
+    so they run one vectorized step per PIXEL (not per byte)."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        size = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        crc = struct.unpack_from(">I", data, pos + 8 + size)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color not in (0, 2, 6):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(scan[y, 0])
+        line = scan[y, 1:].astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub — running sum down each channel lane
+            cur = (
+                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) % 256
+            ).reshape(stride).astype(np.int32)
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth — left-dependent
+            px = line.reshape(w, ch)
+            pv = prev.reshape(w, ch)
+            cv = np.zeros((w, ch), dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)  # left
+            c = np.zeros(ch, dtype=np.int32)  # upper-left
+            for x in range(w):
+                b = pv[x]  # up
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                cv[x] = (px[x] + pred) % 256
+                a = cv[x]
+                c = b
+            cur = cv.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
 
 
 # ------------------------------------------------------------------ WAV

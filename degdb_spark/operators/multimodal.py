@@ -5,8 +5,9 @@ struct, processed by Arrow-batched ``mapInPandas`` operators. The
 codecs are REAL for the formats this container can decode without
 external libraries (degdb_spark.functions.codecs):
 
-- image: BMP (24-bit BI_RGB) — decode, pixel statistics, nearest-
-  neighbor resize, re-encode.
+- image: BMP (24-bit BI_RGB) and PNG (stdlib-zlib inflate + the five
+  row filters) — decode, pixel statistics, nearest-neighbor resize,
+  re-encode, aHash near-dup.
 - audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
   energy features.
 - video: RAWV (documented toy container of raw RGB24 frames) — frame
@@ -14,9 +15,10 @@ external libraries (degdb_spark.functions.codecs):
   ffmpeg in at this seam; the toy container exists so the frame-level
   plumbing is exercised with real bytes, not pretend ones.
 
-Formats outside that set (png/jpeg/mp3/mp4) still gate on PIL/librosa:
-``strict=True`` raises NotImplementedError for them; ``strict=False``
-falls back to a clearly-marked deterministic fake feature vector.
+Formats outside that set (jpeg/mp3/mp4) still gate on PIL/librosa/
+ffmpeg: ``strict=True`` raises NotImplementedError for them;
+``strict=False`` falls back to a clearly-marked deterministic fake
+feature vector.
 
 Scale notes: payload bytes never pass through the driver; mapInPandas
 streams Arrow record batches re-chunked to ``batch_rows`` so executor
@@ -50,7 +52,7 @@ except Exception:  # pragma: no cover
     HAVE_PIL = False
 
 #: formats the pure-numpy codecs handle — real decode, no PIL needed
-NATIVE_FORMATS = {"bmp", "wav", "rawv"}
+NATIVE_FORMATS = {"bmp", "png", "wav", "rawv"}
 
 #: media table schema: binary payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -139,6 +141,22 @@ def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_png_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic all-image media table whose payloads are REAL
+    PNGs (stdlib-zlib deflate, CRC'd chunks): pixel(y,x,c) =
+    (7x + 13y + 31c + i) mod 256 at the same dims formula as the BMP
+    fixtures — so the closed-form pixel oracle is shared, while the
+    Spark side exercises the full inflate + unfilter decode path."""
+
+    def rows():
+        for i in range(n):
+            w, h = _image_dims(i)
+            payload = codecs.encode_png(_image_pixels(i, w, h))
+            yield (i, "image", bytearray(payload), ("png", w, h, None, None))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 # ------------------------------------------------------------- decoding
 
 
@@ -149,6 +167,8 @@ def _sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RAWV":
         return "rawv"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -203,7 +223,7 @@ def _video_features(interval_ms: int, frames: np.ndarray, out_dim: int = FEATURE
 
 def _fake_decode(payload: bytes, out_dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for formats with no in-container codec
-    (png/jpeg/mp3/...): sha256-seeded floats. Clearly a FAKE — only the
+    (jpeg/mp3/...): sha256-seeded floats. Clearly a FAKE — only the
     non-strict fallback path ever uses it."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], dtype="<u4")
@@ -215,8 +235,8 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     native formats; unknown formats raise (strict) or fall back to the
     marked fake (non-strict)."""
     fmt = _sniff_format(payload)
-    if fmt == "bmp":
-        return _image_features(codecs.decode_bmp(payload))
+    if fmt in ("bmp", "png"):
+        return _image_features(codecs.decode_image(payload))
     if fmt == "wav":
         return _audio_features(*codecs.decode_wav(payload))
     if fmt == "rawv":
@@ -224,7 +244,7 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     if strict:
         raise NotImplementedError(
             f"no codec for this payload format in-container (native: {sorted(NATIVE_FORMATS)}; "
-            "png/jpeg/mp3 need PIL/librosa)"
+            "jpeg/mp3/mp4 need PIL/librosa/ffmpeg)"
         )
     return _fake_decode(payload)
 
@@ -286,7 +306,7 @@ def image_pixel_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    px = codecs.decode_bmp(bytes(p))
+                    px = codecs.decode_image(bytes(p))
                     out.append(
                         (
                             mid,
@@ -332,7 +352,7 @@ def image_ahash(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    px = codecs.decode_bmp(bytes(p))
+                    px = codecs.decode_image(bytes(p))
                     h, w = px.shape[0], px.shape[1]
                     gs = px.sum(axis=2, dtype=np.int64)
                     blocks = gs.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
@@ -405,7 +425,7 @@ def resize_images(
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
                     resized = codecs.resize_nearest(
-                        codecs.decode_bmp(bytes(p)), width, height
+                        codecs.decode_image(bytes(p)), width, height
                     )
                     out.append((mid, bytearray(codecs.encode_bmp(resized)), width, height))
                 yield pd.DataFrame(

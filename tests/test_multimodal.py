@@ -1,6 +1,6 @@
 """Multimodal tests: real BMP/WAV/RAWV codec round trips through the
 Arrow mapInPandas operators — plus the strict gate for formats that
-genuinely have no in-container codec (png/jpeg/mp3)."""
+genuinely have no in-container codec (jpeg/mp3/mp4)."""
 
 from __future__ import annotations
 
@@ -55,10 +55,17 @@ def test_strict_mode_works_on_native_formats(media):
 def test_strict_mode_raises_for_foreign_formats():
     if M.HAVE_PIL:
         pytest.skip("codec present")
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JFIF magic, no codec here
     with pytest.raises(NotImplementedError):
-        M.decode_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, strict=True)
+        M.decode_features(jpeg, strict=True)
     # non-strict falls back to the marked fake
-    assert len(M.decode_features(b"\x89PNG" + b"\x00" * 64)) == M.FEATURE_DIM
+    assert len(M.decode_features(jpeg)) == M.FEATURE_DIM
+    # PNG is NATIVE now: a corrupt PNG is a hard decode error in either
+    # mode, never a silent fake-feature fallback
+    with pytest.raises(ValueError):
+        M.decode_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, strict=True)
+    with pytest.raises(ValueError):
+        M.decode_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
 def test_resize_real_pixels(media):
@@ -163,3 +170,52 @@ def test_audio_ahash_bands(media):
         for k in range(4)
     )
     assert hashes[i] == expect
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_png_media_pixel_stats_match_bmp(spark):
+    """Same closed-form pixels through BOTH image codecs: the PNG path
+    (inflate + unfilter) must land on identical integer stats as the
+    BMP path — one oracle certifies two decoders."""
+    bmp_media = M.synthetic_media(spark, 9)  # media_ids 0,3,6 are images
+    png_media = M.synthetic_png_media(spark, 9)  # all 9 are images
+    bmp_stats = {
+        r.media_id: (r.width, r.height, r.n_pixels, r.pixel_sum, r.pixel_min, r.pixel_max)
+        for r in M.image_pixel_stats(bmp_media).collect()
+    }
+    png_stats = {
+        r.media_id: (r.width, r.height, r.n_pixels, r.pixel_sum, r.pixel_min, r.pixel_max)
+        for r in M.image_pixel_stats(png_media).collect()
+    }
+    assert set(bmp_stats) == {0, 3, 6}
+    assert len(png_stats) == 9
+    for mid in bmp_stats:
+        assert png_stats[mid] == bmp_stats[mid]
+
+
+def test_png_strict_features(spark):
+    out = M.extract_features(M.synthetic_png_media(spark, 6), strict=True).collect()
+    assert len(out) == 6
+    assert all(len(r.features) == M.FEATURE_DIM for r in out)
+
+
+def test_ahash_neardup_over_png(spark):
+    """aHash near-dup works over PNG inputs: a PNG re-encode of an image
+    with a one-pixel nudge collides on all four 16-bit bands."""
+    import numpy as np
+
+    w, h = M._image_dims(2)
+    px = M._image_pixels(2, w, h)
+    tweaked = px.copy()
+    tweaked[0, 0, 0] = (int(tweaked[0, 0, 0]) + 1) % 256
+    rows = [
+        (0, "image", bytearray(C.encode_png(px)), ("png", w, h, None, None)),
+        (1, "image", bytearray(C.encode_png(tweaked)), ("png", w, h, None, None)),
+        (2, "image", bytearray(C.encode_png(np.zeros((64, 64, 3), np.uint8))), ("png", 64, 64, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.image_ahash(media).collect()}
+    assert hashes[0] == hashes[1]  # near-identical images collide
+    assert hashes[0] != hashes[2]
