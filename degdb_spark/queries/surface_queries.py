@@ -47,6 +47,47 @@ FROM subs s ORDER BY id
 """
 
 
+def gremlin_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREMLIN fluent-traversal surface, oracle-checked (VERDICT r7 #5
+    — previously pytest-only): a fixed chain over the derived triple
+    graph exercising rooted V(ids), three in_(pred) hops across two
+    predicates, the deterministic orderBy+limit step, an out(pred)
+    hop, and dedup. region/0 → its nations → their members → their
+    orders → first 50 orders lexicographically → those orders'
+    customers. Every step compiles to a Catalyst join on the SAME
+    pattern shapes the reference's traversal uses (graph/gremlin.py;
+    reference declares GREMLIN at protocol/protocol.proto:68-74 but
+    returns ErrNotImplemented, core/query.go:109-112)."""
+    register_all(spark, sf_dir)
+    from degdb_spark.graph.gremlin import G
+
+    g = G(triples_df(spark))
+    trav = (
+        g.V("region/0")
+        .in_("in_region")
+        .in_("in_nation")
+        .in_("by_customer")
+        .limit(50)
+        .out("by_customer")
+        .dedup()
+    )
+    return trav.df().orderBy("node")
+
+
+GREMLIN_SQL = f"""{_CTE},
+nats AS (SELECT DISTINCT subj FROM triples
+         WHERE pred = 'in_region' AND obj = 'region/0'),
+membs AS (SELECT DISTINCT t.subj FROM triples t
+          JOIN nats ON t.obj = nats.subj WHERE t.pred = 'in_nation'),
+ords AS (SELECT DISTINCT t.subj AS node FROM triples t
+         JOIN membs ON t.obj = membs.subj WHERE t.pred = 'by_customer'),
+first50 AS (SELECT node FROM ords ORDER BY node LIMIT 50),
+custs AS (SELECT DISTINCT t.obj AS node FROM triples t
+          JOIN first50 f ON t.subj = f.node WHERE t.pred = 'by_customer')
+SELECT node FROM custs ORDER BY node
+"""
+
+
 def triple_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi-join (the degdb node-sync shape,
     bloom_test.go parity): build a bloom over nation/1's members, use it
@@ -171,6 +212,7 @@ def _emb_separation() -> Query:
 
 QUERIES: dict[str, Query] = {
     "mql_region_nations": Query(mql_region_nations, MQL_SQL),
+    "gremlin_region_orders": Query(gremlin_region_orders, GREMLIN_SQL),
     "triple_bloom_semijoin": Query(triple_bloom_semijoin, BLOOM_SEMI_SQL),
     "triple_canonical_dump": Query(triple_canonical_dump, CANONICAL_SQL),
     "triple_signature_parity": Query(triple_signature_parity, _signature_sql()),
