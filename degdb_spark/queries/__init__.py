@@ -31,87 +31,80 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-7 window (see module docstring). Composition (50 checked
-#: slots), exactly as planned in the round-6 comment / VERDICT r6
-#: "Next round #1": the 24 r1-era rows (all of them — the 20 named in
-#: the r6 plan plus docs_quality_scores / docs_token_stats /
-#: events_dedup_first / events_hourly_rollup, displaced from the r6
-#: tail), plus the 15 surfaces changed in round 7 (DSIR bucketing,
-#: span-key fingerprinting, the MinHash verifier rework and every
-#: query sharing it, the IVF-PQ literal-argmin unification and its
-#: probe-path twin, sf-scoped index retirement, the pluggable pin),
-#: plus the 11 oldest r3-era rows in registry module order.
+#: Round-8 window (see module docstring). Composition (50 checked
+#: slots), exactly as planned in the round-7 comment / VERDICT r7
+#: "Next round #1": the 34 remaining r3-era rows (all of them, named
+#: in the r7 plan), plus the 3 surfaces new or changed in round 8
+#: (gremlin_region_orders and media_png_decode are NEW —
+#: registry grew 217 → 219, the first additions since the freeze,
+#: both genuinely new surfaces per the standing policy;
+#: triple_bloom_semijoin's build path changed to the tree merge and
+#: was already among the 34), plus emb_centroid_separation (the one
+#: r3-era row the r7 plan missed), plus the 13 oldest r4-era rows in
+#: registry module order.
 #:
-#: Round-8 window, planned now so the standing policy stays
-#: executable: the remaining 34 r3-era rows (docs_leakage_safe_split, docs_unigram_logprob, docs_bigram_logprob,
-#: orders_salted_join, lineitem_contract_checks, lineitem_unpivot,
-#: lineitem_profile, lineitem_price_histogram, q15_top_supplier,
-#: q12_late_shipping, q21_waiting_suppliers, q2_min_cost_supplier,
-#: q9_product_profit, q11_important_stock, q20_excess_suppliers,
-#: basket_embedding_power, basket_recommendations, basket_modularity,
-#: basket_edge_churn, basket_sssp_histogram, basket_communities,
-#: basket_kcore, basket_link_prediction, mql_region_nations,
-#: triple_bloom_semijoin, triple_canonical_dump,
-#: triple_signature_parity, events_lag_features, events_scd2_segments,
-#: events_funnel, events_retention, events_decay_score,
-#: events_anomaly_zscore, parts_fuzzy_match) + anything that changes
-#: in round 8 + oldest r4-era rows to fill 50. Overflow evicts
-#: oldest-first.
+#: Round-9 window, planned now so the standing policy stays
+#: executable: the remaining r4-era rows in module order
+#: (q5_local_supplier_volume, q6_revenue_change, q10_returned_items,
+#: top_customers_per_nation, running_order_totals, rollup_revenue,
+#: nations_set_ops, scalar_function_gallery, date_function_gallery,
+#: q4_order_priority if displaced, and the rest of the r4 cohort) +
+#: anything that changes in round 9 + oldest r5-era fill to 50.
+#: Overflow evicts oldest-first.
 _WINDOW = [
-    # --- r1-era rows (24): driver evidence predates three testdata
-    # regenerations; includes the four rows displaced from the r6 tail
-    "docs_quality_scores",
-    "docs_token_stats",
-    "events_dedup_first",
-    "events_hourly_rollup",
-    "above_nation_average",
-    "array_aggregation",
-    "conditional_aggregation",
-    "cube_lineitem_status",
-    "customers_without_orders",
-    "docs_fingerprints",
-    "docs_language_id",
-    "events_json_props",
-    "events_type_pivot",
-    "full_outer_nation_presence",
-    "left_join_order_stats",
-    "orders_with_big_items",
-    "triple_and_not",
-    "triple_insert_dedup",
-    "triple_or_patterns",
-    "triple_predicate_histogram",
-    "events_sessionization",
-    "triple_subject_lookup",
-    "triple_three_hop",
-    "triple_two_hop",
-    # --- changed/new in round 7 (15)
-    "docs_dsir_selection",  # CHANGED r7: hashed 10k-bucket state (paper shape)
-    "docs_span_dedup",  # CHANGED r7: xxhash64 span keys + positional reassembly
-    "docs_dup_rate_by_source",  # CHANGED r7: one-pass dup ids, pruned verifier
-    "docs_quality_vs_dup",  # CHANGED r7: same
-    "docs_neardup_kept",  # CHANGED r7: shared verifier now candidate-pruned
-    "docs_dedup_clusters",  # CHANGED r7: same
-    "docs_incremental_neardups",  # CHANGED r7: same
-    "docs_ngram_jaccard",  # CHANGED r7: same
-    "emb_pq_index_build",  # CHANGED r7: literal-argmin cell assignment
-    "emb_pq_index_knn",  # CHANGED r7: codegen probe selection (no window)
-    "emb_ivfpq_knn",  # CHANGED r7: same
-    "emb_semantic_dedup",  # CHANGED r7: pluggable pin
-    "docs_phrase_search_indexed",  # CHANGED r7: sf-scoped index retirement
-    "docs_proximity_search_indexed",  # CHANGED r7: same
-    "emb_ivf_knn",  # CHANGED r7: lloyd decimal scale follows dp
-    # --- oldest r3-era fill (11, registry module order)
-    "emb_pq_knn",
-    "emb_filtered_knn",
-    "emb_ivf_fixed_knn",
-    "docs_mixture_sample",
-    "lineitem_quantile_sketch",
-    "events_hll_distinct",
-    "basket_triangle_count",
-    "basket_clustering_top",
-    "docs_chunking",
-    "docs_bpe_pair_counts",
-    "docs_bpe_encode",
+    # --- r3-era rows (35 = the 34 named in the r7 plan + the one it missed)
+    "docs_leakage_safe_split",
+    "docs_unigram_logprob",
+    "docs_bigram_logprob",
+    "orders_salted_join",
+    "lineitem_contract_checks",
+    "lineitem_unpivot",
+    "lineitem_profile",
+    "lineitem_price_histogram",
+    "q15_top_supplier",
+    "q12_late_shipping",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_suppliers",
+    "basket_embedding_power",
+    "basket_recommendations",
+    "basket_modularity",
+    "basket_edge_churn",
+    "basket_sssp_histogram",
+    "basket_communities",
+    "basket_kcore",
+    "basket_link_prediction",
+    "mql_region_nations",
+    "triple_bloom_semijoin",  # ALSO CHANGED r8: tree-merged bitset build
+    "triple_canonical_dump",
+    "triple_signature_parity",
+    "events_lag_features",
+    "events_scd2_segments",
+    "events_funnel",
+    "events_retention",
+    "events_decay_score",
+    "events_anomaly_zscore",
+    "parts_fuzzy_match",
+    "emb_centroid_separation",
+    # --- new in round 8 (2)
+    "gremlin_region_orders",  # NEW r8: fluent-traversal surface, oracle-checked
+    "media_png_decode",  # NEW r8: stdlib-zlib PNG decode vs closed-form pixels
+    # --- oldest r4-era fill (13, registry module order)
+    "docs_weighted_sample",
+    "events_join_size_estimate",
+    "events_kmv_setops",
+    "docs_setsim_join",
+    "docs_zipf_fit",
+    "docs_vocab_drift",
+    "docs_lsh_calibration",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
 ]
 
 
