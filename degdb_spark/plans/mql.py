@@ -33,10 +33,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def query_mql(triples: DataFrame, template: Mapping[str, Any]) -> list[dict]:
-    """Resolve an MQL-ish template; returns completed dicts."""
+#: Driver-collect guard: MQL's API contract is return-results-to-caller
+#: (same as the HTTP surface), so each nesting level necessarily
+#: collects one row per subject. An UNROOTED template over an unbounded
+#: subject set would make that a driver OOM — the guard fails loudly at
+#: this many results per level instead of truncating silently (a
+#: truncated MQL answer is a WRONG answer). Callers with genuinely huge
+#: result sets should stream through the DataFrame surfaces instead.
+MQL_MAX_RESULTS = 100_000
+
+
+def query_mql(
+    triples: DataFrame,
+    template: Mapping[str, Any],
+    max_results: int | None = MQL_MAX_RESULTS,
+) -> list[dict]:
+    """Resolve an MQL-ish template; returns completed dicts.
+    ``max_results`` bounds the per-level driver collect (None
+    disables)."""
     subjects = _matching_subjects(triples, template)
-    filled = _resolve_level(triples, subjects, template)
+    filled = _resolve_level(triples, subjects, template, max_results)
     return [filled[s] for s in sorted(filled)]
 
 
@@ -56,7 +72,10 @@ def _matching_subjects(triples: DataFrame, template: Mapping[str, Any]) -> DataF
 
 
 def _resolve_level(
-    triples: DataFrame, subjects: DataFrame, template: Mapping[str, Any]
+    triples: DataFrame,
+    subjects: DataFrame,
+    template: Mapping[str, Any],
+    max_results: int | None = MQL_MAX_RESULTS,
 ) -> dict[str, dict]:
     """Fill ``template`` for every subject in one plan (one collect);
     recurse once per nesting level for dict-valued predicates."""
@@ -77,7 +96,19 @@ def _resolve_level(
         level = subjects.join(props, on="subj", how="left")
     else:
         level = subjects.withColumn("pm", F.lit(None).cast("map<string,array<string>>"))
-    rows = level.collect()  # the ONE action for this nesting level
+    if max_results is not None:
+        # limit+1 keeps the probe cheap (CollectLimit, not a full
+        # count) while still distinguishing "exactly at the cap" from
+        # "over it"
+        rows = level.limit(max_results + 1).collect()
+        if len(rows) > max_results:
+            raise ValueError(
+                f"MQL level matched more than max_results={max_results} "
+                "subjects; refusing a driver-sized collect. Narrow the "
+                "template or raise/disable max_results."
+            )
+    else:
+        rows = level.collect()  # the ONE action for this nesting level
 
     have: dict[str, dict[str, list[str]]] = {
         r["subj"]: dict(r["pm"] or {}) for r in rows
@@ -95,7 +126,7 @@ def _resolve_level(
                 child_df = triples.sparkSession.createDataFrame(
                     [(c,) for c in children], ["subj"]
                 )
-                nested[pred] = _resolve_level(triples, child_df, want)
+                nested[pred] = _resolve_level(triples, child_df, want, max_results)
             else:
                 nested[pred] = {}
 

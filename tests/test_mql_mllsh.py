@@ -112,3 +112,17 @@ def test_ml_brp_neighbors_shape(spark):
     for rows in by_q.values():
         ds = [r.eucl_dist for r in sorted(rows, key=lambda r: r.rank)]
         assert ds == sorted(ds)
+
+
+def test_max_results_guard(tri):
+    """The per-level driver collect fails LOUDLY past max_results —
+    never a silent truncation (a truncated MQL answer is wrong) and
+    never an unbounded collect (VERDICT r7 watch #3)."""
+    with pytest.raises(ValueError, match="max_results"):
+        query_mql(tri, {"id": None, "/type/object/name": None}, max_results=2)
+    # at the cap exactly: fine (3 subjects, cap 3)
+    out = query_mql(tri, {"id": None, "/type/object/name": None}, max_results=3)
+    assert len(out) == 3
+    # None disables the guard
+    out = query_mql(tri, {"id": None, "/type/object/name": None}, max_results=None)
+    assert len(out) == 3
