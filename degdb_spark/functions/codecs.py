@@ -75,15 +75,19 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Format-sniffing image decode: BMP or PNG bytes → RGB uint8
-    (H, W, 3). The single seam every image operator goes through, so
-    adding a codec here lights it up everywhere (pixel stats, aHash,
-    resize, features)."""
+    """Format-sniffing image decode: BMP, PNG or baseline JPEG bytes →
+    RGB uint8 (H, W, 3). The single seam every image operator goes
+    through, so adding a codec here lights it up everywhere (pixel
+    stats, aHash, resize, features)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
-    raise ValueError("unrecognized image payload (expected BMP or PNG)")
+    if data[:3] == b"\xff\xd8\xff":
+        from degdb_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unrecognized image payload (expected BMP, PNG or JPEG)")
 
 
 def bmp_size(width: int, height: int) -> int:

@@ -5,9 +5,10 @@ struct, processed by Arrow-batched ``mapInPandas`` operators. The
 codecs are REAL for the formats this container can decode without
 external libraries (degdb_spark.functions.codecs):
 
-- image: BMP (24-bit BI_RGB) and PNG (stdlib-zlib inflate + the five
-  row filters) — decode, pixel statistics, nearest-neighbor resize,
-  re-encode, aHash near-dup.
+- image: BMP (24-bit BI_RGB), PNG (stdlib-zlib inflate + the five
+  row filters) and baseline JPEG (pure-numpy DCT + canonical-Huffman
+  entropy coding, functions/jpeg.py) — decode, pixel statistics,
+  nearest-neighbor resize, re-encode, aHash near-dup.
 - audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
   energy features.
 - video: RAWV (documented toy container of raw RGB24 frames) — frame
@@ -15,8 +16,8 @@ external libraries (degdb_spark.functions.codecs):
   ffmpeg in at this seam; the toy container exists so the frame-level
   plumbing is exercised with real bytes, not pretend ones.
 
-Formats outside that set (jpeg/mp3/mp4) still gate on PIL/librosa/
-ffmpeg: ``strict=True`` raises NotImplementedError for them;
+Formats outside that set (mp3/mp4 — compressed AUDIO/VIDEO) still
+gate on librosa/ffmpeg: ``strict=True`` raises NotImplementedError;
 ``strict=False`` falls back to a clearly-marked deterministic fake
 feature vector.
 
@@ -42,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from degdb_spark.functions import codecs
+from degdb_spark.functions import codecs, jpeg
 
 try:  # real-world compressed-format codecs, absent in this container
     from PIL import Image  # noqa: F401
@@ -52,7 +53,7 @@ except Exception:  # pragma: no cover
     HAVE_PIL = False
 
 #: formats the pure-numpy codecs handle — real decode, no PIL needed
-NATIVE_FORMATS = {"bmp", "png", "wav", "rawv"}
+NATIVE_FORMATS = {"bmp", "png", "jpeg", "wav", "rawv"}
 
 #: media table schema: binary payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -157,6 +158,43 @@ def synthetic_png_media(spark: SparkSession, n: int = 60) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def jpeg_exact_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """The quantization-exact JPEG fixture: per-8×8-block-constant GRAY
+    pixels, pixel(y, x, c) = 2·((3·(x//8) + 5·(y//8) + 7·i) mod 128)
+    for every channel. Gray ⇒ every chroma coefficient quantizes to
+    zero; block-constant with even values ⇒ the luma DC (8·(v−128)) is
+    divisible by its quality-50 quantizer (16); so the LOSSY codec
+    round-trips these bit-exactly and a SQL oracle can replay the
+    pixels in closed form (functions/jpeg.py module docstring)."""
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    v = (2 * ((3 * bx[None, :] + 5 * by[:, None] + 7 * i) % 128)).astype(np.uint8)
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+def synthetic_jpeg_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic all-image media table whose payloads are REAL
+    baseline JPEGs (4:2:0, quality 50, odd rows with restart markers —
+    the full marker/entropy surface): jpeg_exact_pixels patterns at
+    dims w = 56 + (i mod 9)·12, h = 56 + (i mod 7)·12, chosen so MCUs
+    land partially off-image and the edge-replication padding path is
+    exercised too."""
+
+    def rows():
+        for i in range(n):
+            w = 56 + (i % 9) * 12
+            h = 56 + (i % 7) * 12
+            payload = jpeg.encode_jpeg(
+                jpeg_exact_pixels(i, w, h),
+                quality=50,
+                subsample=True,
+                restart_interval=4 if i % 2 else 0,
+            )
+            yield (i, "image", bytearray(payload), ("jpeg", w, h, None, None))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 # ------------------------------------------------------------- decoding
 
 
@@ -169,6 +207,8 @@ def _sniff_format(payload: bytes) -> str | None:
         return "rawv"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -223,7 +263,7 @@ def _video_features(interval_ms: int, frames: np.ndarray, out_dim: int = FEATURE
 
 def _fake_decode(payload: bytes, out_dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for formats with no in-container codec
-    (jpeg/mp3/...): sha256-seeded floats. Clearly a FAKE — only the
+    (mp3/mp4/...): sha256-seeded floats. Clearly a FAKE — only the
     non-strict fallback path ever uses it."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], dtype="<u4")
@@ -235,7 +275,7 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     native formats; unknown formats raise (strict) or fall back to the
     marked fake (non-strict)."""
     fmt = _sniff_format(payload)
-    if fmt in ("bmp", "png"):
+    if fmt in ("bmp", "png", "jpeg"):
         return _image_features(codecs.decode_image(payload))
     if fmt == "wav":
         return _audio_features(*codecs.decode_wav(payload))
@@ -244,7 +284,7 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     if strict:
         raise NotImplementedError(
             f"no codec for this payload format in-container (native: {sorted(NATIVE_FORMATS)}; "
-            "jpeg/mp3/mp4 need PIL/librosa/ffmpeg)"
+            "mp3/mp4 need librosa/ffmpeg)"
         )
     return _fake_decode(payload)
 

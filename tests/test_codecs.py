@@ -239,3 +239,229 @@ def test_decode_image_dispatch():
     assert (C.decode_image(C.encode_png(px)) == px).all()
     with pytest.raises(ValueError):
         C.decode_image(b"RAWV....")
+
+
+# ----------------------------------------------------------------- JPEG
+
+
+def _block_constant_gray(w: int, h: int, i: int = 0) -> np.ndarray:
+    """The quantization-exact fixture (see functions/jpeg.py module
+    docstring): per-8×8-block-constant gray with EVEN values."""
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    v = (2 * ((3 * bx[None, :] + 5 * by[:, None] + 7 * i) % 128)).astype(np.uint8)
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (56, 56), (92, 68), (45, 61), (33, 17)])
+@pytest.mark.parametrize("subsample", [True, False])
+def test_jpeg_block_constant_gray_exact(w, h, subsample):
+    """The lossy codec is provably LOSSLESS on this fixture — chroma
+    coefficients all quantize to zero and the luma DC is divisible by
+    its quality-50 quantizer — so the round trip must be bit-exact
+    (this is the contract media_jpeg_decode's SQL oracle relies on)."""
+    from degdb_spark.functions import jpeg as J
+
+    px = _block_constant_gray(w, h, i=3)
+    enc = J.encode_jpeg(px, quality=50, subsample=subsample)
+    assert enc[:3] == b"\xff\xd8\xff"
+    assert (J.decode_jpeg(enc) == px).all()
+    assert (C.decode_image(enc) == px).all()  # the shared seam sniffs it
+
+
+def _scalar_jpeg_reference(px: np.ndarray, quality: int) -> np.ndarray:
+    """Independent 4:4:4 reference reconstruction: scalar cos-formula
+    DCT straight from T.81 §A.3.3 (no shared matrix), same quantize /
+    dequantize / round conventions. Validates the ENTIRE entropy layer
+    of encode→decode — any Huffman/stuffing/zigzag/DC-prediction bug
+    yields wildly different pixels, not off-by-one."""
+    from degdb_spark.functions import jpeg as J
+
+    def cos_dct(block):
+        out = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (
+                            block[x, y]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[u, v] = 0.25 * cu * cv * s
+        return out
+
+    def cos_idct(coef):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * coef[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = 0.25 * s
+        return out
+
+    h, w, _ = px.shape
+    luma_q, chroma_q = J.quality_scaled_tables(quality)
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    planes = [
+        (0.299 * r + 0.587 * g + 0.114 * b, luma_q),
+        (128.0 + (-0.168736 * r - 0.331264 * g + 0.5 * b), chroma_q),
+        (128.0 + (0.5 * r - 0.418688 * g - 0.081312 * b), chroma_q),
+    ]
+    recon = []
+    for plane, qt in planes:
+        ph, pw = (-h) % 8, (-w) % 8
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
+        out = np.zeros_like(p)
+        for by in range(p.shape[0] // 8):
+            for bx in range(p.shape[1] // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.round(cos_dct(blk) / qt)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = cos_idct(q * qt)
+        recon.append(out[:h, :w] + 128.0)
+    y_p, cb_p, cr_p = recon[0], recon[1] - 128.0, recon[2] - 128.0
+    rgb = np.stack(
+        [
+            y_p + 1.402 * cr_p,
+            y_p - 0.344136 * cb_p - 0.714136 * cr_p,
+            y_p + 1.772 * cb_p,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_matches_independent_scalar_reference():
+    from degdb_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 21, 3), dtype=np.uint8)
+    for quality in (50, 85):
+        got = J.decode_jpeg(J.encode_jpeg(px, quality=quality, subsample=False))
+        want = _scalar_jpeg_reference(px, quality)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # only last-ulp float divergence between matrix and scalar DCT
+        # can survive; an entropy-layer bug produces diffs in the 100s
+        assert diff.max() <= 1, diff.max()
+        assert (diff == 0).mean() > 0.99
+
+
+def test_jpeg_restart_markers_pixel_identical():
+    """DRI/RSTn only resets DC predictors — the same quantized
+    coefficients must reconstruct, so restart encodings decode
+    pixel-identically to the restart-free stream."""
+    from degdb_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for subsample in (True, False):
+        base = J.decode_jpeg(J.encode_jpeg(px, quality=70, subsample=subsample))
+        for ri in (1, 3):
+            enc = J.encode_jpeg(px, quality=70, subsample=subsample, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI present
+            assert (J.decode_jpeg(enc) == base).all()
+
+
+def test_jpeg_grayscale_single_component():
+    """1-component baseline files decode (gray replicated to RGB) —
+    assembled by hand from the module's own primitives since the
+    encoder always writes 3 components."""
+    import struct
+
+    from degdb_spark.functions import jpeg as J
+
+    luma_q, _ = J.quality_scaled_tables(50)
+    v = 96  # even -> exact under the block-constant argument
+    plane = np.full((8, 16), float(v))
+    zz, by, bx = J._quantized_blocks(plane, luma_q)
+    dc = J._huff_encode_table(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac = J._huff_encode_table(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    bw = J._BitWriter()
+    pred = 0
+    for i in range(by * bx):
+        pred = J._encode_block(bw, zz[i], pred, dc, ac)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(x) for x in luma_q.reshape(64)[J._ZIGZAG]))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(J._DC_LUMA_BITS) + bytes(J._DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(J._AC_LUMA_BITS) + bytes(J._AC_LUMA_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    out = J.decode_jpeg(data)
+    assert out.shape == (8, 16, 3)
+    assert (out == v).all()
+
+
+def test_jpeg_rejects_malformed():
+    import struct
+
+    from degdb_spark.functions import jpeg as J
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"hello world")
+    # progressive (SOF2) gates loudly
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    data = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2) + sof2
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(data)
+    # 16-bit quant tables gate loudly
+    dqt = bytes([0x10]) + bytes(128)
+    data = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xDB, len(dqt) + 2) + dqt
+    with pytest.raises(ValueError, match="16-bit"):
+        J.decode_jpeg(data)
+    # truncated entropy stream
+    px = _block_constant_gray(32, 32)
+    enc = J.encode_jpeg(px, quality=50)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(enc[: len(enc) // 2])
+    # wrong shape into the encoder
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_jpeg_quality_tracks_error():
+    """Higher quality must not reconstruct a smooth gradient worse —
+    the quality knob scales the Annex K tables in the right direction."""
+    from degdb_spark.functions import jpeg as J
+
+    x = np.linspace(0, 255, 48)
+    px = np.clip(
+        np.round(
+            np.stack(
+                [
+                    np.add.outer(x * 0.5, x * 0.5),
+                    np.add.outer(x * 0.3, x * 0.6) + 30,
+                    np.add.outer(x * 0.2, x * 0.4) + 60,
+                ],
+                axis=2,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    errs = []
+    for q in (30, 60, 90):
+        out = J.decode_jpeg(J.encode_jpeg(px, quality=q, subsample=False))
+        errs.append(float(np.abs(out.astype(int) - px.astype(int)).mean()))
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 1.0

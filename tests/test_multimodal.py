@@ -1,6 +1,6 @@
-"""Multimodal tests: real BMP/WAV/RAWV codec round trips through the
-Arrow mapInPandas operators — plus the strict gate for formats that
-genuinely have no in-container codec (jpeg/mp3/mp4)."""
+"""Multimodal tests: real BMP/PNG/JPEG/WAV/RAWV codec round trips
+through the Arrow mapInPandas operators — plus the strict gate for
+formats that genuinely have no in-container codec (mp3/mp4)."""
 
 from __future__ import annotations
 
@@ -53,19 +53,22 @@ def test_strict_mode_works_on_native_formats(media):
 
 
 def test_strict_mode_raises_for_foreign_formats():
-    if M.HAVE_PIL:
-        pytest.skip("codec present")
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JFIF magic, no codec here
+    # mp3 (ID3 container) has no in-container codec
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 64
     with pytest.raises(NotImplementedError):
-        M.decode_features(jpeg, strict=True)
+        M.decode_features(mp3, strict=True)
     # non-strict falls back to the marked fake
-    assert len(M.decode_features(jpeg)) == M.FEATURE_DIM
-    # PNG is NATIVE now: a corrupt PNG is a hard decode error in either
-    # mode, never a silent fake-feature fallback
+    assert len(M.decode_features(mp3)) == M.FEATURE_DIM
+    # PNG and JPEG are NATIVE now: corrupt payloads are hard decode
+    # errors in either mode, never a silent fake-feature fallback
     with pytest.raises(ValueError):
         M.decode_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, strict=True)
     with pytest.raises(ValueError):
         M.decode_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        M.decode_features(b"\xff\xd8\xff\xe0" + b"\x00" * 64, strict=True)
+    with pytest.raises(ValueError):
+        M.decode_features(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
 
 def test_resize_real_pixels(media):
@@ -218,4 +221,63 @@ def test_ahash_neardup_over_png(spark):
     media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
     hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.image_ahash(media).collect()}
     assert hashes[0] == hashes[1]  # near-identical images collide
+    assert hashes[0] != hashes[2]
+
+
+def test_jpeg_media_pixel_stats_match_closed_form(spark):
+    """The quantization-exact JPEG fixture decodes BIT-EXACTLY (see
+    functions/jpeg.py), so integer pixel stats through the full Arrow
+    mapInPandas path must equal the closed-form pattern — the same
+    contract media_jpeg_decode's DuckDB oracle checks."""
+    import numpy as np
+
+    n = 10
+    media = M.synthetic_jpeg_media(spark, n)
+    got = {
+        r.media_id: (r.width, r.height, r.n_pixels, r.pixel_sum, r.pixel_min, r.pixel_max)
+        for r in M.image_pixel_stats(media).collect()
+    }
+    assert len(got) == n
+    for i in range(n):
+        w = 56 + (i % 9) * 12
+        h = 56 + (i % 7) * 12
+        px = M.jpeg_exact_pixels(i, w, h)
+        want = (w, h, px.size, int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
+        assert got[i] == want
+
+
+def test_jpeg_strict_features(spark):
+    out = M.extract_features(M.synthetic_jpeg_media(spark, 6), strict=True).collect()
+    assert len(out) == 6
+    assert all(len(r.features) == M.FEATURE_DIM for r in out)
+
+
+def test_ahash_neardup_over_jpeg(spark):
+    """aHash near-dup works across LOSSY re-encodes: the same smooth
+    image as JPEG and as PNG must collide on all four 16-bit bands
+    (that robustness is aHash's whole job), while a reversed gradient
+    must not."""
+    import numpy as np
+
+    from degdb_spark.functions.jpeg import encode_jpeg
+
+    ramp = np.linspace(20, 235, 64)
+    px = np.clip(
+        np.round(
+            np.stack(
+                [np.add.outer(ramp, ramp) / 2] * 3,
+                axis=2,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    rows = [
+        (0, "image", bytearray(encode_jpeg(px, quality=90, subsample=False)), ("jpeg", 64, 64, None, None)),
+        (1, "image", bytearray(C.encode_png(px)), ("png", 64, 64, None, None)),
+        (2, "image", bytearray(C.encode_png(px[::-1].copy())), ("png", 64, 64, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.image_ahash(media).collect()}
+    assert hashes[0] == hashes[1]  # lossy vs lossless of the SAME image
     assert hashes[0] != hashes[2]
