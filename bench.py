@@ -160,12 +160,13 @@ HEADLINE = [
     # round 6: added after the explode/groupBy SimHash rewrite (the
     # old nested-HOF fingerprint was ~118 s at sf0.1 — worth tracking)
     "docs_simhash_neardups",
-    # round 8: the three new surfaces (fluent-traversal compile path;
-    # PNG inflate+unfilter and baseline-JPEG entropy decode through
-    # Arrow batches)
+    # round 8: the four new surfaces (fluent-traversal compile path;
+    # PNG inflate+unfilter, baseline-JPEG entropy decode and GIF LZW
+    # decode through Arrow batches)
     "gremlin_region_orders",
     "media_png_decode",
     "media_jpeg_decode",
+    "media_gif_decode",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -87,7 +87,11 @@ def decode_image(data: bytes) -> np.ndarray:
         from degdb_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
-    raise ValueError("unrecognized image payload (expected BMP, PNG or JPEG)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from degdb_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
+    raise ValueError("unrecognized image payload (expected BMP, PNG, JPEG or GIF)")
 
 
 def bmp_size(width: int, height: int) -> int:

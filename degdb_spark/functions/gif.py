@@ -1,0 +1,268 @@
+"""Pure-Python GIF (87a/89a) encoder and decoder.
+
+GIF rounds out the real-format image codecs (BMP/PNG/JPEG in
+functions/codecs.py and functions/jpeg.py): it is the web's dominant
+legacy/animation format, it needs nothing beyond the stdlib (LZW is
+~60 lines), and — unlike JPEG — it is LOSSLESS for palettized content,
+so round trips are bit-exact whenever an image has ≤256 distinct
+colors. That makes the contract oracle trivial: any ≤256-color
+closed-form pattern must survive encode→decode unchanged.
+
+Scope:
+
+- encode: single-frame GIF89a from an RGB image with ≤256 distinct
+  colors (the honest constraint — real GIF is palettized; an encoder
+  that silently quantized would make round-trip tests meaningless).
+  Full LZW with dictionary resets at 4096 codes.
+- decode: GIF87a/89a, global and local color tables, interlaced and
+  non-interlaced frames, graphic-control/comment/application
+  extensions skipped, variable-width LZW with deferred clear codes.
+  Multi-frame (animated) files: ``decode_gif`` renders the FIRST
+  frame onto the logical screen; ``decode_gif_frames`` yields every
+  frame's rendered RGB for frame-level operators. Transparency is
+  ignored (pixels take their palette color) — this seam feeds pixel
+  statistics and perceptual hashing, not compositing.
+
+Reference provenance: degdb has no media surface; this extends the
+"multimodal columns" requirement of the training-pipeline extension
+(SURVEY.md §2.6). Format facts from the public GIF89a specification
+(CompuServe, 1990).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+# ------------------------------------------------------------------ LZW
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF variable-width LZW → list of palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended without END code — tolerate
+            acc |= data[pos] << nbits  # LSB-first per GIF
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = dictionary[code]
+        elif code < len(dictionary):
+            entry = dictionary[code]
+            if len(dictionary) < 4096:  # deferred clear: stop growing at 12 bits
+                dictionary.append(prev + [entry[0]])
+        elif code == len(dictionary) and len(dictionary) < 4096:  # KwKwK
+            entry = prev + [prev[0]]
+            dictionary.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream (code beyond dictionary)")
+        out.extend(entry)
+        prev = entry
+        # widen BEFORE the next read once the next append would overflow
+        if len(dictionary) >= (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Palette indices → GIF variable-width LZW bytes (with the
+    spec-required leading clear code and dictionary resets at 4096)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    dictionary: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev: tuple[int, ...] = ()
+    for ix in indices.tolist():
+        cand = prev + (ix,)
+        if cand in dictionary:
+            prev = cand
+            continue
+        emit(dictionary[prev], width)
+        if next_code >= 4096:  # table full: clear BEFORE assigning code 4096
+            emit(clear, width)
+            dictionary = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        else:
+            dictionary[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        prev = (ix,)
+    if prev:
+        emit(dictionary[prev], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- codec
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) with ≤256 distinct colors → single-frame
+    GIF89a bytes. Raises if the palette would overflow — GIF is a
+    palettized format and silent quantization would break the
+    lossless round-trip contract."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_gif expects (H, W, 3) uint8")
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise ValueError(f"encode_gif: {n_colors} distinct colors (GIF caps at 256)")
+    # color table size: power of two ≥ max(2, n_colors)
+    ct_bits = max(1, int(np.ceil(np.log2(max(2, n_colors)))))
+    ct_size = 1 << ct_bits
+    table = np.zeros((ct_size, 3), dtype=np.uint8)
+    table[:n_colors] = palette
+
+    min_code_size = max(2, ct_bits)  # spec: at least 2
+    lzw = _lzw_encode(indices.astype(np.int64), min_code_size)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(min_code_size)
+    for i in range(0, len(lzw), 255):  # data sub-blocks
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[np.array(order)] = rows
+    return out
+
+
+def _parse_frames(data: bytes):
+    """Yield (left, top, w, h, rgb_frame) per image descriptor."""
+    if data[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension: label + sub-blocks, all skippable
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            table = global_table
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            indices = _lzw_decode(bytes(lzw), min_code_size)
+            if len(indices) < w * h:
+                raise ValueError("GIF frame pixel data truncated")
+            idx = np.asarray(indices[: w * h], dtype=np.int64).reshape(h, w)
+            if idx.max(initial=0) >= len(table):
+                raise ValueError("GIF index outside color table")
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            yield left, top, w, h, table[idx]
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → RGB uint8 (H, W, 3) of the FIRST frame rendered on
+    the logical screen (undrawn area, if the frame is smaller, stays
+    black)."""
+    sw, sh = struct.unpack_from("<HH", data[:13], 6) if data[:6] in _GIF_MAGICS else (0, 0)
+    for left, top, w, h, rgb in _parse_frames(data):
+        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+        screen[top : top + h, left : left + w] = rgb
+        return screen
+    raise ValueError("GIF contains no image frame")
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """All frames, each rendered independently on the logical screen —
+    the frame-level seam for animated inputs (no inter-frame disposal
+    compositing: this feeds per-frame stats/hashing, not playback)."""
+    sw, sh = struct.unpack_from("<HH", data[:13], 6) if data[:6] in _GIF_MAGICS else (0, 0)
+    frames = []
+    for left, top, w, h, rgb in _parse_frames(data):
+        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+        screen[top : top + h, left : left + w] = rgb
+        frames.append(screen)
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames

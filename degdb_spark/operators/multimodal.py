@@ -6,9 +6,10 @@ codecs are REAL for the formats this container can decode without
 external libraries (degdb_spark.functions.codecs):
 
 - image: BMP (24-bit BI_RGB), PNG (stdlib-zlib inflate + the five
-  row filters) and baseline JPEG (pure-numpy DCT + canonical-Huffman
-  entropy coding, functions/jpeg.py) — decode, pixel statistics,
-  nearest-neighbor resize, re-encode, aHash near-dup.
+  row filters), baseline JPEG (pure-numpy DCT + canonical-Huffman
+  entropy coding, functions/jpeg.py) and GIF (pure-Python LZW,
+  functions/gif.py) — decode, pixel statistics, nearest-neighbor
+  resize, re-encode, aHash near-dup.
 - audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
   energy features.
 - video: RAWV (documented toy container of raw RGB24 frames) — frame
@@ -43,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from degdb_spark.functions import codecs, jpeg
+from degdb_spark.functions import codecs, gif, jpeg
 
 try:  # real-world compressed-format codecs, absent in this container
     from PIL import Image  # noqa: F401
@@ -53,7 +54,7 @@ except Exception:  # pragma: no cover
     HAVE_PIL = False
 
 #: formats the pure-numpy codecs handle — real decode, no PIL needed
-NATIVE_FORMATS = {"bmp", "png", "jpeg", "wav", "rawv"}
+NATIVE_FORMATS = {"bmp", "png", "jpeg", "gif", "wav", "rawv"}
 
 #: media table schema: binary payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -158,6 +159,24 @@ def synthetic_png_media(spark: SparkSession, n: int = 60) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_gif_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic all-image media table whose payloads are REAL
+    GIF89a files (pure-Python LZW): the standard fixture pattern
+    pixel(y,x,c) = (7x + 13y + 31c + i) mod 256 happens to contain
+    exactly ≤256 distinct RGB triples (the triple is a function of
+    (7x+13y+i) mod 256 alone), so the palettized format round-trips it
+    bit-exactly and the SAME closed-form oracle that checks BMP and
+    PNG checks the LZW + palette path too."""
+
+    def rows():
+        for i in range(n):
+            w, h = _image_dims(i)
+            payload = gif.encode_gif(_image_pixels(i, w, h))
+            yield (i, "image", bytearray(payload), ("gif", w, h, None, None))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 def jpeg_exact_pixels(i: int, w: int, h: int) -> np.ndarray:
     """The quantization-exact JPEG fixture: per-8×8-block-constant GRAY
     pixels, pixel(y, x, c) = 2·((3·(x//8) + 5·(y//8) + 7·i) mod 128)
@@ -209,6 +228,8 @@ def _sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -275,7 +296,7 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     native formats; unknown formats raise (strict) or fall back to the
     marked fake (non-strict)."""
     fmt = _sniff_format(payload)
-    if fmt in ("bmp", "png", "jpeg"):
+    if fmt in ("bmp", "png", "jpeg", "gif"):
         return _image_features(codecs.decode_image(payload))
     if fmt == "wav":
         return _audio_features(*codecs.decode_wav(payload))

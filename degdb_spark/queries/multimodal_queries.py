@@ -35,6 +35,7 @@ from degdb_spark.operators.multimodal import (
     image_pixel_stats,
     resize_images,
     sample_video_frames,
+    synthetic_gif_media,
     synthetic_jpeg_media,
     synthetic_media,
     synthetic_png_media,
@@ -176,6 +177,42 @@ px AS (
   SELECT m.media_id, m.w, m.h,
          (7 * xs.x + 13 * ys.y + 31 * cs.c + m.media_id) % 256 AS v
   FROM pngs m,
+       LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cs
+)
+SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+FROM px GROUP BY media_id ORDER BY media_id
+"""
+
+
+_N_GIF = 60
+
+
+def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode verified bit-exactly: the standard closed-form
+    pixels (which contain ≤256 distinct RGB triples, so the palettized
+    format is lossless on them) -> pure-Python LZW GIF89a encode ->
+    Arrow batches -> block walk + variable-width LZW decode + palette
+    lookup (via the decode_image seam) -> integer pixel stats; the
+    oracle replays pixel(y,x,c) = (7x+13y+31c+i) mod 256 in SQL — the
+    SAME oracle arithmetic as BMP and PNG, now certifying a third
+    compression (LZW) against it."""
+    media = synthetic_gif_media(spark, _N_GIF)
+    return image_pixel_stats(media).orderBy("media_id")
+
+
+GIF_DECODE_SQL = f"""
+WITH gifs AS (
+  SELECT i AS media_id, 64 + (i % 8) * 16 AS w, 64 + (i % 5) * 16 AS h
+  FROM generate_series(0, {_N_GIF - 1}) t(i)
+),
+px AS (
+  SELECT m.media_id, m.w, m.h,
+         (7 * xs.x + 13 * ys.y + 31 * cs.c + m.media_id) % 256 AS v
+  FROM gifs m,
        LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
        LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys,
        LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cs
@@ -499,6 +536,7 @@ QUERIES: dict[str, Query] = {
     "media_image_decode": Query(media_image_decode, IMAGE_DECODE_SQL),
     "media_png_decode": Query(media_png_decode, PNG_DECODE_SQL),
     "media_jpeg_decode": Query(media_jpeg_decode, JPEG_DECODE_SQL),
+    "media_gif_decode": Query(media_gif_decode, GIF_DECODE_SQL),
     "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),

@@ -465,3 +465,137 @@ def test_jpeg_quality_tracks_error():
         errs.append(float(np.abs(out.astype(int) - px.astype(int)).mean()))
     assert errs[0] >= errs[1] >= errs[2]
     assert errs[2] < 1.0
+
+
+# ------------------------------------------------------------------ GIF
+
+
+def _pal_pixels(w, h, i=0):
+    """The BMP/PNG fixture pattern — its RGB triple is a function of
+    (7x+13y+i) mod 256 alone, so it always has ≤256 distinct colors
+    (random pixels don't, and GIF rightly rejects them)."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((7 * x + 13 * y + 31 * c + i) % 256).astype(np.uint8)
+
+
+def test_gif_round_trip_palettized():
+    """GIF is lossless for ≤256-color content — the BMP/PNG fixture
+    pattern qualifies (its RGB triple is a function of one mod-256
+    base), so round trips must be bit-exact."""
+    from degdb_spark.functions import gif as G
+
+    for w, h in [(1, 1), (8, 5), (64, 64), (97, 41)]:
+        px = _pal_pixels(w, h)
+        enc = G.encode_gif(px)
+        assert enc[:6] == b"GIF89a"
+        assert (G.decode_gif(enc) == px).all()
+        assert (C.decode_image(enc) == px).all()  # seam dispatch
+
+
+def test_gif_lzw_dictionary_reset():
+    """A large high-entropy palettized image pushes LZW past 4096
+    codes, forcing mid-stream clear codes — the reset path on both
+    sides must agree."""
+    import numpy as np
+
+    from degdb_spark.functions import gif as G
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)  # distinct rows (np.unique sorts)
+    img = pal[rng.integers(0, len(pal), (200, 300))]
+    assert (G.decode_gif(G.encode_gif(img)) == img).all()
+
+
+def test_gif_interlaced_decode():
+    """Hand-assembled interlaced frame (the four-pass row order written
+    directly, per the GIF89a spec) — the decoder must reorder it back."""
+    import struct
+
+    import numpy as np
+
+    from degdb_spark.functions import gif as G
+
+    h, w = 13, 9  # odd height exercises ragged pass boundaries
+    px = _pal_pixels(w, h)
+    flat = px.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    idx = indices.reshape(h, w)
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, h, step)]
+    interlaced = idx[np.array(order)]
+    ct_bits = 8
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    lzw = G._lzw_encode(interlaced.reshape(-1).astype(np.int64), 8)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    out.append(8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    assert (G.decode_gif(bytes(out)) == px).all()
+
+
+def test_gif_multiframe_and_extensions():
+    """Two frames + a graphic-control extension: decode_gif returns the
+    FIRST frame on the logical screen; decode_gif_frames returns both.
+    The second frame is smaller and offset — undrawn screen stays 0."""
+    import numpy as np
+
+    from degdb_spark.functions import gif as G
+
+    a = _pal_pixels(16, 12)
+    b = _pal_pixels(8, 6, i=7)
+    enc_a = G.encode_gif(a)
+    enc_b = G.encode_gif(b)
+    # splice: header+screen+GCT from a, then a's descriptor block, a GCE,
+    # then b's descriptor re-offset to (4, 3), then trailer
+    screen_end = 13 + 256 * 3  # a's global table is padded to 256? no —
+    # locate a's image descriptor instead of assuming table size
+    ia = enc_a.index(b"\x2c")
+    ib = enc_b.index(b"\x2c")
+    import struct
+
+    b_desc = bytearray(enc_b[ib:-1])  # strip trailer
+    struct.pack_into("<HH", b_desc, 1, 4, 3)  # left=4, top=3
+    # b's frame must carry its own palette: rewrite descriptor to include
+    # a local color table copied from b's global one
+    b_packed_global = enc_b[10]
+    b_ct_bits = (b_packed_global & 0x07) + 1
+    b_table = enc_b[13 : 13 + (1 << b_ct_bits) * 3]
+    b_desc[9] = 0x80 | (b_ct_bits - 1)  # local color table flag + size
+    b_desc[10:10] = b_table
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, all zeros
+    data = enc_a[:-1] + gce + bytes(b_desc) + b"\x3b"
+    first = G.decode_gif(data)
+    assert (first == a).all()
+    frames = G.decode_gif_frames(data)
+    assert len(frames) == 2
+    assert (frames[0] == a).all()
+    want = np.zeros_like(a)
+    want[3 : 3 + 6, 4 : 4 + 8] = b
+    assert (frames[1] == want).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+
+    from degdb_spark.functions import gif as G
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        G.decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    rng = np.random.default_rng(1)
+    with pytest.raises(ValueError, match="256"):
+        G.encode_gif(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        G.encode_gif(np.zeros((4, 4), dtype=np.uint8))  # no channel dim
+    # truncated pixel data
+    enc = G.encode_gif(_pal_pixels(32, 32))
+    with pytest.raises(ValueError):
+        G.decode_gif(enc[: len(enc) // 2])

@@ -281,3 +281,28 @@ def test_ahash_neardup_over_jpeg(spark):
     hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.image_ahash(media).collect()}
     assert hashes[0] == hashes[1]  # lossy vs lossless of the SAME image
     assert hashes[0] != hashes[2]
+
+
+def test_gif_media_pixel_stats_match_bmp(spark):
+    """Same closed-form pixels through a THIRD compression: the GIF
+    path (LZW + palette) must land on identical integer stats as the
+    BMP and PNG paths — one oracle now certifies three decoders."""
+    bmp_media = M.synthetic_media(spark, 9)  # media_ids 0,3,6 are images
+    gif_media = M.synthetic_gif_media(spark, 9)
+    bmp_stats = {
+        r.media_id: (r.width, r.height, r.n_pixels, r.pixel_sum, r.pixel_min, r.pixel_max)
+        for r in M.image_pixel_stats(bmp_media).collect()
+    }
+    gif_stats = {
+        r.media_id: (r.width, r.height, r.n_pixels, r.pixel_sum, r.pixel_min, r.pixel_max)
+        for r in M.image_pixel_stats(gif_media).collect()
+    }
+    assert len(gif_stats) == 9
+    for mid in bmp_stats:
+        assert gif_stats[mid] == bmp_stats[mid]
+
+
+def test_gif_strict_features(spark):
+    out = M.extract_features(M.synthetic_gif_media(spark, 6), strict=True).collect()
+    assert len(out) == 6
+    assert all(len(r.features) == M.FEATURE_DIM for r in out)
