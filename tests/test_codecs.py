@@ -599,3 +599,77 @@ def test_gif_rejects_malformed():
     enc = G.encode_gif(_pal_pixels(32, 32))
     with pytest.raises(ValueError):
         G.decode_gif(enc[: len(enc) // 2])
+
+
+# --------------------------------------------- codec property tier
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 200).flatmap(
+        lambda alphabet: st.tuples(
+            st.just(alphabet),
+            st.lists(st.integers(0, alphabet - 1), min_size=1, max_size=3000),
+        )
+    )
+)
+def test_lzw_round_trip_property(case):
+    """Definitional property: GIF LZW decode(encode(s)) == s for any
+    index sequence over any alphabet — including sequences long enough
+    to force code-width growth."""
+    import numpy as np
+
+    from degdb_spark.functions.gif import _lzw_decode, _lzw_encode
+
+    alphabet, seq = case
+    mcs = max(2, int(np.ceil(np.log2(max(2, alphabet)))))
+    idx = np.asarray(seq, dtype=np.int64)
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == seq
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 255),
+    st.randoms(use_true_random=False),
+)
+def test_gif_round_trip_property(w, h, base, rnd):
+    """GIF is lossless for palettized content: any image drawn from a
+    ≤16-color palette round-trips bit-exactly."""
+    import numpy as np
+
+    from degdb_spark.functions import gif as G
+
+    rng = np.random.default_rng(rnd.randrange(2**31))
+    pal = np.unique(rng.integers(0, 256, (16, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (h, w))]
+    assert (G.decode_gif(G.encode_gif(img)) == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_block_constant_exactness_property(bw, bh, subsample, rnd):
+    """The quantization-exactness argument, falsified over RANDOM
+    block grids: at quality 75 the luma DC quantizer is 8, so 8·(v−128)
+    is divisible by it for ANY integer v — every block-constant gray
+    image (any values, any grid) must round-trip bit-exactly."""
+    import numpy as np
+
+    from degdb_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(rnd.randrange(2**31))
+    grid = rng.integers(0, 256, (bh, bw))
+    v = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1).astype(np.uint8)
+    img = np.repeat(v[:, :, None], 3, axis=2)
+    enc = J.encode_jpeg(img, quality=75, subsample=subsample)
+    assert (J.decode_jpeg(enc) == img).all()
