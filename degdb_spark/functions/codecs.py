@@ -74,20 +74,42 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Format-sniffing image decode: BMP, PNG or baseline JPEG bytes →
-    RGB uint8 (H, W, 3). The single seam every image operator goes
-    through, so adding a codec here lights it up everywhere (pixel
-    stats, aHash, resize, features)."""
+def sniff_format(data: bytes) -> str | None:
+    """Magic-byte format sniff for EVERY native codec — the single
+    magic table. decode_image routes by it and so does the multimodal
+    operator layer (operators/multimodal.py::_sniff_format delegates
+    here), so a codec added in one place can never silently fall
+    through to the fake-feature path in the other."""
     if data[:2] == b"BM":
-        return decode_bmp(data)
+        return "bmp"
     if data[:8] == _PNG_SIG:
-        return decode_png(data)
+        return "png"
     if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"RAWV":
+        return "rawv"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Format-sniffing image decode: BMP, PNG, baseline JPEG or GIF
+    bytes → RGB uint8 (H, W, 3). The single seam every image operator
+    goes through, so adding a codec here lights it up everywhere
+    (pixel stats, aHash, resize, features)."""
+    fmt = sniff_format(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
         from degdb_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
+    if fmt == "gif":
         from degdb_spark.functions.gif import decode_gif
 
         return decode_gif(data)
@@ -159,6 +181,10 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         size = struct.unpack_from(">I", data, pos)[0]
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + size > len(data):
+            # truncation is ValueError like every other malformed case —
+            # callers quarantine bad media by catching ValueError
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
         body = data[pos + 8 : pos + 8 + size]
         crc = struct.unpack_from(">I", data, pos + 8 + size)[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:

@@ -189,7 +189,13 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def _parse_frames(data: bytes):
-    """Yield (left, top, w, h, rgb_frame) per image descriptor."""
+    """Yield (left, top, w, h, rgb_frame) per image descriptor.
+
+    Iterate via _frames_checked (the public decoders do): raw iteration
+    surfaces IndexError/struct.error on truncated payloads, and the
+    codec contract is ValueError for ANY malformed input — callers
+    quarantine bad media by catching ValueError, and a leaked
+    IndexError would kill a whole mapInPandas batch instead."""
     if data[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -241,12 +247,29 @@ def _parse_frames(data: bytes):
             raise ValueError(f"unknown GIF block 0x{block:02x}")
 
 
+def _frames_checked(data: bytes):
+    """_parse_frames with the ValueError contract enforced: truncation
+    anywhere in the block walk maps to ValueError, never IndexError."""
+    it = _parse_frames(data)
+    while True:
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+        except (IndexError, struct.error) as e:
+            raise ValueError("GIF payload truncated or corrupt") from e
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → RGB uint8 (H, W, 3) of the FIRST frame rendered on
     the logical screen (undrawn area, if the frame is smaller, stays
     black)."""
-    sw, sh = struct.unpack_from("<HH", data[:13], 6) if data[:6] in _GIF_MAGICS else (0, 0)
-    for left, top, w, h, rgb in _parse_frames(data):
+    sw, sh = (
+        struct.unpack_from("<HH", data, 6)
+        if data[:6] in _GIF_MAGICS and len(data) >= 13
+        else (0, 0)
+    )
+    for left, top, w, h, rgb in _frames_checked(data):
         screen = np.zeros((sh, sw, 3), dtype=np.uint8)
         screen[top : top + h, left : left + w] = rgb
         return screen
@@ -257,9 +280,13 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     """All frames, each rendered independently on the logical screen —
     the frame-level seam for animated inputs (no inter-frame disposal
     compositing: this feeds per-frame stats/hashing, not playback)."""
-    sw, sh = struct.unpack_from("<HH", data[:13], 6) if data[:6] in _GIF_MAGICS else (0, 0)
+    sw, sh = (
+        struct.unpack_from("<HH", data, 6)
+        if data[:6] in _GIF_MAGICS and len(data) >= 13
+        else (0, 0)
+    )
     frames = []
-    for left, top, w, h, rgb in _parse_frames(data):
+    for left, top, w, h, rgb in _frames_checked(data):
         screen = np.zeros((sh, sw, 3), dtype=np.uint8)
         screen[top : top + h, left : left + w] = rgb
         frames.append(screen)

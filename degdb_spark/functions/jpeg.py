@@ -564,7 +564,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
-        while data[pos + 1] == 0xFF:  # legal fill bytes before a marker
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:  # legal fill bytes
             pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI

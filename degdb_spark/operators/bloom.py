@@ -111,7 +111,10 @@ def build_bloom(
     partials = hashed.mapInPandas(part, "bits binary")
     merged = _tree_or(partials, hashed.rdd.getNumPartitions(), fanin)
     rows = merged.collect()
-    assert len(rows) <= 1, f"tree merge must leave ≤1 bitset, got {len(rows)}"
+    if len(rows) > 1:  # explicit raise, not assert: a partial-bitset
+        # filter would produce FALSE NEGATIVES, and `python -O` strips
+        # asserts — this contract must hold even under optimization
+        raise RuntimeError(f"bloom tree merge must leave ≤1 bitset, got {len(rows)}")
     if not rows:
         return BloomFilter(bytes(n_bytes), m_bits, k)
     return BloomFilter(bytes(rows[0]["bits"]), m_bits, k)

@@ -218,19 +218,9 @@ def synthetic_jpeg_media(spark: SparkSession, n: int = 48) -> DataFrame:
 
 
 def _sniff_format(payload: bytes) -> str | None:
-    if payload[:2] == b"BM":
-        return "bmp"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return "wav"
-    if payload[:4] == b"RAWV":
-        return "rawv"
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png"
-    if payload[:3] == b"\xff\xd8\xff":
-        return "jpeg"
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return "gif"
-    return None
+    # single magic table in codecs.sniff_format — a codec added there
+    # can never silently take the fake-feature fallback here
+    return codecs.sniff_format(payload)
 
 
 def _image_features(px: np.ndarray, out_dim: int = FEATURE_DIM) -> np.ndarray:

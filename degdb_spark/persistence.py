@@ -83,8 +83,12 @@ def default_pin_mode(df: DataFrame) -> str:
     job failure, so off-local the replicated-persist flavor is the
     safe default and executor-local checkpointing becomes the opt-in
     (VERDICT r7 "What's wrong" #2). The explicit ``spark.degdb.pin``
-    conf always wins."""
-    return "local" if _master(df).startswith("local") else "persist"
+    conf always wins. ``local-cluster[...]`` (Spark's multi-JVM
+    pseudo-cluster) runs REAL separate executor JVMs, so it gets the
+    cluster-safe default too — only single-JVM ``local``/``local[*]``
+    masters keep executor-local checkpoints."""
+    m = _master(df)
+    return "local" if m.startswith("local") and not m.startswith("local-cluster") else "persist"
 
 
 def pin(df: DataFrame, eager: bool = False) -> DataFrame:

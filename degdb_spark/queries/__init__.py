@@ -89,7 +89,7 @@ _WINDOW = [
     "events_anomaly_zscore",
     "parts_fuzzy_match",
     "emb_centroid_separation",
-    # --- new in round 8 (3)
+    # --- new in round 8 (4)
     "gremlin_region_orders",  # NEW r8: fluent-traversal surface, oracle-checked
     "media_png_decode",  # NEW r8: stdlib-zlib PNG decode vs closed-form pixels
     "media_jpeg_decode",  # NEW r8: pure-numpy baseline JPEG vs quant-exact oracle

@@ -673,3 +673,34 @@ def test_jpeg_block_constant_exactness_property(bw, bh, subsample, rnd):
     img = np.repeat(v[:, :, None], 3, axis=2)
     enc = J.encode_jpeg(img, quality=75, subsample=subsample)
     assert (J.decode_jpeg(enc) == img).all()
+
+
+def test_truncation_always_valueerror():
+    """Error contract: EVERY truncation point of every native image
+    format raises ValueError (never IndexError/struct.error) — callers
+    quarantine bad media by catching ValueError, and anything else
+    would kill a whole mapInPandas batch. (A few cuts that only drop
+    the trailer after complete pixel data decode leniently, like real
+    tools do.)"""
+    import numpy as np
+
+    from degdb_spark.functions.gif import encode_gif
+    from degdb_spark.functions.jpeg import encode_jpeg
+
+    px = _pal_pixels(24, 20)
+    payloads = [
+        C.encode_bmp(px),
+        C.encode_png(px),
+        encode_jpeg(px, quality=50),
+        encode_gif(px),
+    ]
+    for data in payloads:
+        full = C.decode_image(data)
+        for cut in range(len(data)):
+            try:
+                out = C.decode_image(data[:cut])
+                # lenient decode (trailer-only truncation) must still
+                # be the COMPLETE image, byte-identical to a full decode
+                assert (out == full).all()
+            except ValueError:
+                pass  # the contract

@@ -60,7 +60,14 @@ def test_default_pin_mode_follows_master(spark, monkeypatch):
 
     monkeypatch.setattr(persistence, "_master", lambda f: "spark://host:7077")
     assert persistence.default_pin_mode(df) == "persist"
+    # local-cluster runs REAL separate executor JVMs — it must get the
+    # cluster-safe default despite the "local" prefix
+    monkeypatch.setattr(persistence, "_master", lambda f: "local-cluster[2,1,1024]")
+    assert persistence.default_pin_mode(df) == "persist"
+    monkeypatch.setattr(persistence, "_master", lambda f: "local[8]")
+    assert persistence.default_pin_mode(df) == "local"
     # unset knob on a "cluster" master → the pin really persists
+    monkeypatch.setattr(persistence, "_master", lambda f: "spark://host:7077")
     out = persistence.pin(df.withColumn("x", F.col("id") + 1), eager=True)
     try:
         assert out.storageLevel.replication == 2
