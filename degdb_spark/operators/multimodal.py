@@ -579,3 +579,99 @@ def media_embedding_topk(media: DataFrame, k: int = 3) -> DataFrame:
     )
     queries = feats.limit(k)
     return brute_force_topk(feats, queries, k=k)
+
+
+# ----------------------------------------------- perceptual near-dup
+
+
+def banded_neardup_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded candidate join + hamming re-rank over a (media_id,
+    b0..b3) fingerprint table: candidate pairs share ≥1 unchanged
+    16-bit band (never all-pairs), the full 64-bit hamming distance is
+    computed only on candidates, near_dup at ≤16 differing bits.
+    Shared by the image and audio perceptual-dedup queries AND the
+    streaming index twin (streaming/media.py)."""
+    hashes = hashes.localCheckpoint(eager=False)
+    bands = _hash_bands(hashes)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(F.col("x.media_id").alias("id_a"), F.col("y.media_id").alias("id_b"))
+        .distinct()
+    )
+    return _hamming_rerank(cand, hashes)
+
+
+def incremental_banded_neardup_pairs(
+    new_hashes: DataFrame, old_hashes: DataFrame
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the new increment only: new×new and
+    new×old candidates via the banded join, old×old pairs never
+    re-derived — so sequential increments' emissions union to exactly
+    the full-corpus pair set with no pair emitted twice (each pair
+    surfaces in the increment that completes it). Old media
+    participate through their 4×16-bit fingerprints alone: historical
+    payloads are never re-decoded."""
+    tagged = new_hashes.withColumn("_new", F.lit(1)).unionByName(
+        old_hashes.withColumn("_new", F.lit(0))
+    )
+    tagged = tagged.localCheckpoint(eager=False)
+    bands = _hash_bands(tagged.select("media_id", "b0", "b1", "b2", "b3", "_new"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .filter((F.col("x._new") == 1) | (F.col("y._new") == 1))
+        .select(F.col("x.media_id").alias("id_a"), F.col("y.media_id").alias("id_b"))
+        .distinct()
+    )
+    return _hamming_rerank(cand, tagged.drop("_new"))
+
+
+def _hash_bands(hashes: DataFrame) -> DataFrame:
+    """(media_id, b0..b3[, extras]) → exploded (media_id, band_idx,
+    val[, extras]) for the LSH candidate join."""
+    extras = [c for c in hashes.columns if c not in ("media_id", "b0", "b1", "b2", "b3")]
+    return hashes.select(
+        "media_id",
+        *extras,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("val"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", *extras, "band.band_idx", "band.val")
+
+
+def _hamming_rerank(cand: DataFrame, hashes: DataFrame) -> DataFrame:
+    ha = hashes.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming)
+        .withColumn("near_dup", (F.col("hamming") <= 16).cast("int"))
+        .select("id_a", "id_b", "hamming", "near_dup")
+        .orderBy("id_a", "id_b")
+    )

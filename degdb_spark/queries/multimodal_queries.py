@@ -349,53 +349,12 @@ FROM vids ORDER BY media_id
 
 
 def _banded_neardup_pairs(hashes) -> DataFrame:
-    """Shared banded candidate join + hamming re-rank over a
-    (media_id, b0..b3) fingerprint table — used by both the image and
-    audio perceptual-hash near-dup queries."""
-    hashes = hashes.localCheckpoint(eager=False)
-    bands = hashes.select(
-        "media_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("val"))
-                    for k in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("media_id", "band.band_idx", "band.val")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.media_id") < F.col("y.media_id")),
-        )
-        .select(
-            F.col("x.media_id").alias("id_a"), F.col("y.media_id").alias("id_b")
-        )
-        .distinct()
-    )
-    ha = hashes.select(
-        F.col("media_id").alias("id_a"),
-        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
-    )
-    hb = hashes.select(
-        F.col("media_id").alias("id_b"),
-        *[F.col(f"b{k}").alias(f"b{k}") for k in range(4)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)
-    ).cast("long")
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .withColumn("hamming", hamming)
-        .withColumn("near_dup", (F.col("hamming") <= 16).cast("int"))
-        .select("id_a", "id_b", "hamming", "near_dup")
-        .orderBy("id_a", "id_b")
-    )
+    """Moved to operators/multimodal.banded_neardup_pairs so the
+    streaming aHash index twin (streaming/media.py) shares the exact
+    join + re-rank; this alias keeps the query wiring unchanged."""
+    from degdb_spark.operators.multimodal import banded_neardup_pairs
+
+    return banded_neardup_pairs(hashes)
 
 
 def media_audio_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Streaming maintenance of the perceptual-hash (aHash) media index.
+
+The multimodal member of the streaming-twin family (band index, BM25
+postings, span index, ANN codes, SemDeDup assignment — streaming/
+dedup.py and streaming/ann.py): media payloads stream in, each
+micro-batch decodes ONLY its own payloads into 4×16-bit aHash bands
+(operators/multimodal.image_ahash) and lands them in its own
+``batch=N`` partition of the index. Near-dup pairs touching the batch
+are derived from the INDEX alone (new×new and new×old via the banded
+candidate join) — historical payloads are never re-decoded; old media
+participate through 32 bytes of fingerprint each.
+
+Replay safety: the micro-batch id IS the partition key and the probe
+reads only ``batch < batch_id``, so a crashed-and-retried batch
+overwrites its own partitions with identical rows (same contract as
+span_index_stream). Union of per-batch pair emissions == the
+full-corpus banded_neardup_pairs set, each pair emitted exactly once —
+in the batch that completes it (pytest-pinned parity + replay
+convergence in tests/test_streaming.py).
+
+At 100 TB: per-batch cost is the increment's decode + a banded
+equi-join against fingerprints (which are ~32 B × corpus — itself
+shuffled only on the 16-bit band keys, never all-pairs). The decode
+is per-payload Python inside Arrow batches; a TB/s deployment swaps
+libjpeg-turbo in behind the same decode seam (SCALE.md "Multimodal").
+
+Media ids must be unique across the stream (the same contract every
+index twin has): a pair is emitted by the batch containing its
+later-streamed member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INDEX_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def ahash_index_stream(
+    media: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+):
+    """Maintain the aHash fingerprint index + incremental near-dup
+    pair emissions from a media stream. Returns the started
+    availableNow StreamingQuery."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        _ahash_index_step(batch, int(batch_id), index_path, pairs_path)
+
+    return (
+        media.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ahash_index_step(
+    batch: DataFrame, batch_id: int, index_path: str, pairs_path: str
+) -> None:
+    """One micro-batch, module-level so the replay contract is
+    directly testable (the span/ANN twins' convention)."""
+    from degdb_spark.operators.multimodal import (
+        image_ahash,
+        incremental_banded_neardup_pairs,
+    )
+
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)  # feeds hash + both writes
+    new_hashes = image_ahash(batch).localCheckpoint(eager=True)
+
+    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        old_hashes = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .filter(F.col("batch") < F.lit(batch_id))
+            .select("media_id", "b0", "b1", "b2", "b3")
+        )
+    else:  # genuinely the first batch
+        old_hashes = spark.createDataFrame([], _INDEX_SCHEMA)
+
+    pairs = incremental_banded_neardup_pairs(new_hashes, old_hashes)
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+    new_hashes.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")

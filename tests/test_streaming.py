@@ -1055,3 +1055,87 @@ def test_span_index_step_rejects_pre_128bit_index(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="span_h1"):
         _span_index_step(batch, 1, idx, str(tmp_path / "clean"))
+
+
+def test_ahash_index_stream_equals_full_pairs(spark, tmp_path):
+    """Streaming aHash media index: three file-batches of images
+    stream through ahash_index_stream; the union of per-batch pair
+    emissions must equal the full-corpus banded_neardup_pairs set
+    exactly, with no pair emitted twice — including pairs whose
+    members arrive in DIFFERENT batches (derived from the fingerprint
+    index alone, old payloads never re-decoded). Then batch 0 replays
+    through the module-level step and the batch-keyed overwrite
+    partitions must converge to the identical single-run state."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import _ahash_index_step, ahash_index_stream
+
+    # 12 images: 4 smooth "families" of 3 near-identical variants each,
+    # members spread across batches by id % 3 so every family crosses
+    # batch boundaries
+    ramp = np.linspace(10, 245, 64)
+    rows = []
+    for mid in range(12):
+        fam, var = mid % 4, mid // 4
+        base = np.clip(
+            np.round(np.add.outer(ramp, ramp[::-1] if fam % 2 else ramp) / 2) + fam * 11,
+            0,
+            255,
+        ).astype(np.uint8)
+        px = np.repeat(base[:, :, None], 3, axis=2).copy()
+        px[0, 0, 0] = (int(px[0, 0, 0]) + var) % 256  # tiny per-variant nudge
+        rows.append(
+            (mid, "image", bytearray(C.encode_png(px)), ("png", 64, 64, None, None))
+        )
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+
+    full = {
+        (r.id_a, r.id_b): (r.hamming, r.near_dup)
+        for r in M.banded_neardup_pairs(M.image_ahash(media)).collect()
+    }
+    assert full  # the families must actually collide
+    assert any(a % 3 != b % 3 for a, b in full)  # ...across batches
+
+    src = tmp_path / "media_in"
+    src.mkdir()
+    for i in range(3):
+        media.filter(F.col("media_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+    index_path = str(tmp_path / "ahash_index")
+    pairs_path = str(tmp_path / "ahash_pairs")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = ahash_index_stream(
+        stream, index_path, pairs_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    idx = spark.read.option("basePath", index_path).parquet(index_path)
+    assert idx.count() == 12  # every image fingerprinted exactly once
+    streamed = spark.read.option("basePath", pairs_path).parquet(pairs_path)
+    got_rows = streamed.collect()
+    got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
+    assert len(got_rows) == len(got)  # no pair emitted twice
+    assert got == full
+
+    # replay convergence: re-run batch 0 through the module-level step
+    b0_ids = {r.media_id for r in media.filter(F.col("media_id") % 3 == 0).collect()}
+    pre = sorted((r.id_a, r.id_b) for r in streamed.filter(F.col("batch") == 0).collect())
+    # the driver feeds foreachBatch whatever files the trigger grouped;
+    # replay with the same logical batch
+    replay = media.filter(F.col("media_id").isin(list(b0_ids)))
+    _ahash_index_step(replay, 0, index_path, pairs_path)
+    idx2 = spark.read.option("basePath", index_path).parquet(index_path)
+    assert idx2.count() == 12
+    streamed2 = spark.read.option("basePath", pairs_path).parquet(pairs_path)
+    got2 = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in streamed2.collect()}
+    assert got2 == full
+    post = sorted((r.id_a, r.id_b) for r in streamed2.filter(F.col("batch") == 0).collect())
+    assert post == pre
