@@ -167,6 +167,7 @@ HEADLINE = [
     "media_png_decode",
     "media_jpeg_decode",
     "media_gif_decode",
+    "media_gif_frame_extract",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -12,14 +12,18 @@ Scope:
 
 - encode: single-frame GIF89a from an RGB image with ≤256 distinct
   colors (the honest constraint — real GIF is palettized; an encoder
-  that silently quantized would make round-trip tests meaningless).
-  Full LZW with dictionary resets at 4096 codes.
+  that silently quantized would make round-trip tests meaningless),
+  and ANIMATED GIF89a from a frame stack (encode_gif_frames: one
+  graphic-control delay + local color table per frame). Full LZW with
+  dictionary resets at 4096 codes.
 - decode: GIF87a/89a, global and local color tables, interlaced and
   non-interlaced frames, graphic-control/comment/application
   extensions skipped, variable-width LZW with deferred clear codes.
   Multi-frame (animated) files: ``decode_gif`` renders the FIRST
   frame onto the logical screen; ``decode_gif_frames`` yields every
-  frame's rendered RGB for frame-level operators. Transparency is
+  frame's rendered RGB for frame-level operators; ``decode_gif_video``
+  also returns per-frame delays for the video seam
+  (operators/multimodal.extract_video_frames). Transparency is
   ignored (pixels take their palette color) — this seam feeds pixel
   statistics and perceptual hashing, not compositing.
 
@@ -177,6 +181,64 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _palettize(pixels: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(table, indices, ct_bits) for one ≤256-color frame."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    if n_colors > 256:
+        raise ValueError(f"GIF frame has {n_colors} distinct colors (caps at 256)")
+    ct_bits = max(1, int(np.ceil(np.log2(max(2, n_colors)))))
+    table = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    table[:n_colors] = palette
+    return table, indices.reshape(h, w), ct_bits
+
+
+def _frame_blocks(pixels: np.ndarray, left: int = 0, top: int = 0) -> bytes:
+    """Image descriptor + LOCAL color table + LZW sub-blocks for one
+    frame (local tables per frame, so an animation's frames don't have
+    to share one 256-color budget)."""
+    h, w, _ = pixels.shape
+    table, idx, ct_bits = _palettize(pixels)
+    min_code_size = max(2, ct_bits)
+    lzw = _lzw_encode(idx.reshape(-1).astype(np.int64), min_code_size)
+    out = bytearray()
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x80 | (ct_bits - 1))
+    out += table.tobytes()
+    out.append(min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_frames(frames: np.ndarray, frame_interval_ms: int) -> bytes:
+    """(F, H, W, 3) uint8 frame stack → ANIMATED GIF89a bytes: one
+    graphic-control extension (delay in centiseconds) + image
+    descriptor with a local color table per frame. Each frame must be
+    ≤256 colors (same honest constraint as encode_gif). This makes
+    animated GIF the REAL video container behind the frame-extraction
+    seam — the toy RAWV stays only as the raw-RGB24 stand-in for
+    formats that genuinely need ffmpeg."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_gif_frames expects (F, H, W, 3) uint8")
+    if frames.shape[0] == 0:
+        raise ValueError("encode_gif_frames expects at least one frame")
+    _, h, w, _ = frames.shape
+    delay_cs = max(0, int(frame_interval_ms) // 10)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    for f in range(frames.shape[0]):
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += _frame_blocks(frames[f])
+    out += b"\x3b"
+    return bytes(out)
+
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -206,13 +268,19 @@ def _parse_frames(data: bytes):
         global_table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
 
+    delay_ms = 0  # from the most recent graphic-control extension
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
             return
-        if block == 0x21:  # extension: label + sub-blocks, all skippable
+        if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 3:
+                # graphic control: packed, delay u16le (centiseconds),
+                # transparent index — we keep the delay for the video seam
+                delay_ms = (data[pos + 2] | (data[pos + 3] << 8)) * 10
             while data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -242,7 +310,8 @@ def _parse_frames(data: bytes):
                 raise ValueError("GIF index outside color table")
             if ipacked & 0x40:
                 idx = _deinterlace(idx)
-            yield left, top, w, h, table[idx]
+            yield left, top, w, h, table[idx], delay_ms
+            delay_ms = 0  # a GCE applies to ONE following frame
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
 
@@ -269,7 +338,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         if data[:6] in _GIF_MAGICS and len(data) >= 13
         else (0, 0)
     )
-    for left, top, w, h, rgb in _frames_checked(data):
+    for left, top, w, h, rgb, _delay in _frames_checked(data):
         screen = np.zeros((sh, sw, 3), dtype=np.uint8)
         screen[top : top + h, left : left + w] = rgb
         return screen
@@ -286,10 +355,32 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
         else (0, 0)
     )
     frames = []
-    for left, top, w, h, rgb in _frames_checked(data):
+    for left, top, w, h, rgb, _delay in _frames_checked(data):
         screen = np.zeros((sh, sw, 3), dtype=np.uint8)
         screen[top : top + h, left : left + w] = rgb
         frames.append(screen)
     if not frames:
         raise ValueError("GIF contains no image frame")
     return frames
+
+
+def decode_gif_video(data: bytes) -> tuple[list[int], list[np.ndarray]]:
+    """Animated GIF → (per-frame delay_ms list, rendered frames). The
+    decode seam extract_video_frames uses: frame f's timestamp is the
+    cumulative sum of the delays BEFORE it (frame 0 shows at t=0; its
+    own delay is how long it stays up)."""
+    sw, sh = (
+        struct.unpack_from("<HH", data, 6)
+        if data[:6] in _GIF_MAGICS and len(data) >= 13
+        else (0, 0)
+    )
+    delays: list[int] = []
+    frames: list[np.ndarray] = []
+    for left, top, w, h, rgb, delay in _frames_checked(data):
+        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+        screen[top : top + h, left : left + w] = rgb
+        frames.append(screen)
+        delays.append(delay)
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return delays, frames

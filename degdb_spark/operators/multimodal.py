@@ -12,10 +12,11 @@ external libraries (degdb_spark.functions.codecs):
   resize, re-encode, aHash near-dup.
 - audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
   energy features.
-- video: RAWV (documented toy container of raw RGB24 frames) — frame
-  extraction with real per-frame pixel access. A real deployment swaps
-  ffmpeg in at this seam; the toy container exists so the frame-level
-  plumbing is exercised with real bytes, not pretend ones.
+- video: ANIMATED GIF (real container: per-frame LZW + graphic-
+  control delays, functions/gif.py) and RAWV (documented toy container
+  of raw RGB24 frames) — frame extraction with real per-frame pixel
+  access and real timestamps. A real deployment swaps ffmpeg in at
+  this seam for mp4; RAWV remains the raw-RGB24 stand-in.
 
 Formats outside that set (mp3/mp4 — compressed AUDIO/VIDEO) still
 gate on librosa/ffmpeg: ``strict=True`` raises NotImplementedError;
@@ -177,6 +178,29 @@ def synthetic_gif_media(spark: SparkSession, n: int = 60) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_gif_video_media(spark: SparkSession, n: int = 33) -> DataFrame:
+    """Deterministic all-video media table whose payloads are REAL
+    animated GIFs (per-frame LZW + 500 ms graphic-control delays) of
+    the SAME closed-form frames as the RAWV fixtures — each frame has
+    ≤256 distinct RGB triples (channel offsets of one mod-256 base),
+    so the container is lossless and the frame-extraction oracle
+    replays (11f + 7x + 13y + 31c + i) mod 256 in SQL."""
+
+    def rows():
+        for i in range(n):
+            duration_ms = 1000 + i * 37
+            frames = _video_frames(i, duration_ms)
+            payload = gif.encode_gif_frames(frames, VIDEO_FRAME_INTERVAL_MS)
+            yield (
+                i,
+                "video",
+                bytearray(payload),
+                ("gif", VIDEO_FRAME_W, VIDEO_FRAME_H, duration_ms, None),
+            )
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 def jpeg_exact_pixels(i: int, w: int, h: int) -> np.ndarray:
     """The quantization-exact JPEG fixture: per-8×8-block-constant GRAY
     pixels, pixel(y, x, c) = 2·((3·(x//8) + 5·(y//8) + 7·i) mod 128)
@@ -286,7 +310,12 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     native formats; unknown formats raise (strict) or fall back to the
     marked fake (non-strict)."""
     fmt = _sniff_format(payload)
-    if fmt in ("bmp", "png", "jpeg", "gif"):
+    if fmt == "gif":
+        delays, frames = gif.decode_gif_video(payload)
+        if len(frames) > 1:  # animated: the video-feature path
+            return _video_features(delays[0], np.stack(frames))
+        return _image_features(frames[0])
+    if fmt in ("bmp", "png", "jpeg"):
         return _image_features(codecs.decode_image(payload))
     if fmt == "wav":
         return _audio_features(*codecs.decode_wav(payload))
@@ -539,9 +568,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
 
 
 def extract_video_frames(media: DataFrame, batch_rows: int = 16) -> DataFrame:
-    """REAL frame extraction from RAWV payloads: one row per frame with
-    its timestamp and each frame re-encoded as a standalone BMP payload
-    — the decode-side twin of sample_video_frames."""
+    """REAL frame extraction: one row per frame with its timestamp and
+    each frame re-encoded as a standalone BMP payload — the decode-side
+    twin of sample_video_frames. Animated GIF payloads decode through
+    the real container (timestamps from the graphic-control delays);
+    RAWV payloads through the toy raw-RGB24 container."""
     vids = media.filter(F.col("kind") == "video")
     schema = "media_id long, frame_idx int, frame_ts_ms int, frame_bmp binary"
 
@@ -551,16 +582,26 @@ def extract_video_frames(media: DataFrame, batch_rows: int = 16) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    interval, frames = codecs.decode_rawv(bytes(p))
-                    for fi in range(frames.shape[0]):
-                        out.append(
-                            (
-                                mid,
-                                fi,
-                                fi * interval,
-                                bytearray(codecs.encode_bmp(frames[fi])),
+                    p = bytes(p)
+                    if codecs.sniff_format(p) == "gif":  # real animated container
+                        delays, glist = gif.decode_gif_video(p)
+                        ts = 0
+                        for fi, fr in enumerate(glist):
+                            out.append(
+                                (mid, fi, ts, bytearray(codecs.encode_bmp(fr)))
                             )
-                        )
+                            ts += delays[fi]
+                    else:
+                        interval, frames = codecs.decode_rawv(p)
+                        for fi in range(frames.shape[0]):
+                            out.append(
+                                (
+                                    mid,
+                                    fi,
+                                    fi * interval,
+                                    bytearray(codecs.encode_bmp(frames[fi])),
+                                )
+                            )
                 yield pd.DataFrame(
                     out, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_bmp"]
                 )

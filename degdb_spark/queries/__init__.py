@@ -34,20 +34,21 @@ class Query(NamedTuple):
 #: Round-8 window (see module docstring). Composition (50 checked
 #: slots), exactly as planned in the round-7 comment / VERDICT r7
 #: "Next round #1": the 34 remaining r3-era rows (all of them, named
-#: in the r7 plan), plus the 5 surfaces new or changed in round 8
-#: (gremlin_region_orders, media_png_decode, media_jpeg_decode and
-#: media_gif_decode are NEW — registry grew 217 → 221, the first
-#: additions since the freeze, all genuinely new surfaces per the
-#: standing policy;
+#: in the r7 plan), plus the 6 surfaces new or changed in round 8
+#: (gremlin_region_orders, media_png_decode, media_jpeg_decode,
+#: media_gif_decode and media_gif_frame_extract are NEW — registry
+#: grew 217 → 222, the first additions since the freeze, all genuinely
+#: new surfaces per the standing policy;
 #: triple_bloom_semijoin's build path changed to the tree merge and
 #: was already among the 34), plus emb_centroid_separation (the one
-#: r3-era row the r7 plan missed), plus the 11 oldest r4-era rows in
+#: r3-era row the r7 plan missed), plus the 10 oldest r4-era rows in
 #: registry module order.
 #:
 #: Round-9 window, planned now so the standing policy stays
 #: executable: the remaining r4-era rows in module order
-#: (q6_revenue_change and q10_returned_items — displaced from this
-#: window by the two extra codec surfaces — then top_customers_per_nation,
+#: (q5_local_supplier_volume, q6_revenue_change, q10_returned_items —
+#: displaced from this window by the extra codec surfaces — then
+#: top_customers_per_nation,
 #: running_order_totals, rollup_revenue, nations_set_ops,
 #: scalar_function_gallery, date_function_gallery, and the rest of
 #: the r4 cohort) + anything that changes in round 9 + oldest r5-era
@@ -89,12 +90,13 @@ _WINDOW = [
     "events_anomaly_zscore",
     "parts_fuzzy_match",
     "emb_centroid_separation",
-    # --- new in round 8 (4)
+    # --- new in round 8 (5)
     "gremlin_region_orders",  # NEW r8: fluent-traversal surface, oracle-checked
     "media_png_decode",  # NEW r8: stdlib-zlib PNG decode vs closed-form pixels
     "media_jpeg_decode",  # NEW r8: pure-numpy baseline JPEG vs quant-exact oracle
     "media_gif_decode",  # NEW r8: pure-Python LZW GIF vs the shared pixel oracle
-    # --- oldest r4-era fill (11, registry module order)
+    "media_gif_frame_extract",  # NEW r8: animated-GIF video seam vs per-frame pixels
+    # --- oldest r4-era fill (10, registry module order)
     "docs_weighted_sample",
     "events_join_size_estimate",
     "events_kmv_setops",
@@ -105,7 +107,6 @@ _WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier_volume",
 ]
 
 

@@ -36,6 +36,7 @@ from degdb_spark.operators.multimodal import (
     resize_images,
     sample_video_frames,
     synthetic_gif_media,
+    synthetic_gif_video_media,
     synthetic_jpeg_media,
     synthetic_media,
     synthetic_png_media,
@@ -220,6 +221,72 @@ px AS (
 SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
        COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS pixel_sum,
        CAST(MIN(v) AS INT) AS pixel_min, CAST(MAX(v) AS INT) AS pixel_max
+FROM px GROUP BY media_id ORDER BY media_id
+"""
+
+
+_N_GIFV = 33
+
+
+def media_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame extraction verified at the PIXEL level:
+    closed-form frames -> per-frame LZW + graphic-control delays ->
+    extract_video_frames (timestamps from the real container's delay
+    chain) -> each re-encoded frame BMP decoded again -> per-video
+    frame count, last timestamp, and total pixel sum; the oracle
+    replays pixel(f,y,x,c) = (11f + 7x + 13y + 31c + i) mod 256 over
+    every frame in SQL. Upgrades the video seam from the toy RAWV
+    container to a real interchange format."""
+    media = synthetic_gif_video_media(spark, _N_GIFV)
+    frames = extract_video_frames(media)
+    per_frame = image_pixel_stats(
+        frames.select(
+            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("frame_bmp").alias("payload"),
+        ).withColumn(
+            "meta",
+            F.struct(
+                F.lit("bmp").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ),
+        )
+    )
+    ts = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
+    )
+    px = (
+        per_frame.withColumn("vid", (F.col("media_id") / 1000).cast("long"))
+        .groupBy("vid")
+        .agg(F.sum("pixel_sum").alias("pixel_sum"))
+        .withColumnRenamed("vid", "media_id")
+    )
+    return ts.join(px, "media_id").select(
+        "media_id", "n_frames", "last_ts_ms", "pixel_sum"
+    ).orderBy("media_id")
+
+
+GIF_FRAMES_SQL = f"""
+WITH vids AS (
+  SELECT i AS media_id, (1000 + i * 37) // 500 + 1 AS n_frames
+  FROM generate_series(0, {_N_GIFV - 1}) t(i)
+),
+px AS (
+  SELECT v.media_id, v.n_frames,
+         (11 * fs.f + 7 * xs.x + 13 * ys.y + 31 * cs.c + v.media_id) % 256 AS val
+  FROM vids v,
+       LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1)) AS f) fs,
+       LATERAL (SELECT unnest(generate_series(0, 31)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, 23)) AS y) ys,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) cs
+)
+SELECT media_id, MAX(n_frames) AS n_frames,
+       CAST((MAX(n_frames) - 1) * 500 AS BIGINT) AS last_ts_ms,
+       CAST(SUM(val) AS BIGINT) AS pixel_sum
 FROM px GROUP BY media_id ORDER BY media_id
 """
 
@@ -496,6 +563,7 @@ QUERIES: dict[str, Query] = {
     "media_png_decode": Query(media_png_decode, PNG_DECODE_SQL),
     "media_jpeg_decode": Query(media_jpeg_decode, JPEG_DECODE_SQL),
     "media_gif_decode": Query(media_gif_decode, GIF_DECODE_SQL),
+    "media_gif_frame_extract": Query(media_gif_frame_extract, GIF_FRAMES_SQL),
     "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),

@@ -704,3 +704,31 @@ def test_truncation_always_valueerror():
                 assert (out == full).all()
             except ValueError:
                 pass  # the contract
+
+
+def test_gif_animated_round_trip():
+    """Animated GIF: encode_gif_frames → decode_gif_video recovers
+    every frame bit-exactly plus the graphic-control delays;
+    decode_gif still returns the first frame, decode_gif_frames all."""
+    import numpy as np
+
+    from degdb_spark.functions import gif as G
+
+    f = np.arange(5)[:, None, None, None]
+    x = np.arange(16)[None, None, :, None]
+    y = np.arange(24)[None, :, None, None]
+    c = np.arange(3)[None, None, None, :]
+    frames = ((11 * f + 7 * x + 13 * y + 31 * c + 3) % 256).astype(np.uint8)
+    data = G.encode_gif_frames(frames, 500)
+    delays, out = G.decode_gif_video(data)
+    assert delays == [500] * 5
+    assert len(out) == 5
+    for a, b in zip(out, frames):
+        assert (a == b).all()
+    assert (G.decode_gif(data) == frames[0]).all()
+    assert len(G.decode_gif_frames(data)) == 5
+    # delay below the 10 ms centisecond grid floors, not rounds up
+    d2, _ = G.decode_gif_video(G.encode_gif_frames(frames[:2], 37))
+    assert d2 == [30, 30]
+    with pytest.raises(ValueError):
+        G.encode_gif_frames(frames[:0], 500)  # empty stack

@@ -306,3 +306,38 @@ def test_gif_strict_features(spark):
     out = M.extract_features(M.synthetic_gif_media(spark, 6), strict=True).collect()
     assert len(out) == 6
     assert all(len(r.features) == M.FEATURE_DIM for r in out)
+
+
+def test_gif_video_frames_match_rawv(spark):
+    """Animated GIF through the video seam: the SAME closed-form frame
+    stacks through the real container must produce byte-identical
+    extracted frames (ts + re-encoded BMP) as the toy RAWV container —
+    one oracle, two containers, and the real one carries its
+    timestamps in graphic-control delays."""
+    rawv = M.synthetic_media(spark, 9)  # media_ids 2,5,8 are video
+    gifv = M.synthetic_gif_video_media(spark, 9)
+
+    def frames_of(media, ids):
+        return {
+            (r.media_id, r.frame_idx): (r.frame_ts_ms, bytes(r.frame_bmp))
+            for r in M.extract_video_frames(media).collect()
+            if r.media_id in ids
+        }
+
+    got_rawv = frames_of(rawv, {2, 5, 8})
+    got_gif = frames_of(gifv, {2, 5, 8})
+    assert got_rawv and got_gif == got_rawv
+
+    # feature path: animated GIF routes to the VIDEO features and they
+    # equal the RAWV features for the same frames
+    raw_feats = {
+        r.media_id: tuple(r.features)
+        for r in M.extract_features(rawv, strict=True).collect()
+        if r.media_id in {2, 5, 8}
+    }
+    gif_feats = {
+        r.media_id: tuple(r.features)
+        for r in M.extract_features(gifv, strict=True).collect()
+        if r.media_id in {2, 5, 8}
+    }
+    assert gif_feats == raw_feats
