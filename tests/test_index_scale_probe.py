@@ -227,3 +227,57 @@ def test_semdedup_increment_scan_audit(spark, tmp_path):
     # every emitted decision touches a new vector (old-vs-old never re-paired)
     pairs = [(r.drop_id, r.keep_id) for r in out.collect()]
     assert all(a >= 18 or b >= 18 for a, b in pairs)
+
+
+def test_ahash_index_increment_after_corpus_deletion(spark, tmp_path):
+    """The sixth index lifecycle (streaming aHash media index): build
+    the fingerprint index from batch 0, DELETE batch 0's media files,
+    then run a larger increment — incremental pairs must still surface
+    every cross-batch near-dup, proving old media participate through
+    the 32-byte index rows alone (historical payloads never
+    re-decoded: they no longer exist)."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import _ahash_index_step
+
+    ramp = np.linspace(10, 245, 64)
+
+    def img_row(mid, fam, var):
+        base = np.clip(
+            np.round(np.add.outer(ramp, ramp) / 2) + fam * 13, 0, 255
+        ).astype(np.uint8)
+        px = np.repeat(base[:, :, None], 3, axis=2).copy()
+        px[0, 0, 0] = (int(px[0, 0, 0]) + var) % 256
+        return (mid, "image", bytearray(C.encode_png(px)), ("png", 64, 64, None, None))
+
+    # batch 0: one member of each of 3 families
+    b0 = spark.createDataFrame(
+        [img_row(i, i, 0) for i in range(3)], schema=M.MEDIA_SCHEMA
+    )
+    b0_dir = str(tmp_path / "media_b0.parquet")
+    b0.write.parquet(b0_dir)
+    index_path = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    _ahash_index_step(spark.read.parquet(b0_dir), 0, index_path, pairs_path)
+
+    shutil.rmtree(b0_dir)  # old payloads GONE — the increment can't read them
+
+    # batch 1: 2 more variants per family (10x-ish increment shape)
+    b1 = spark.createDataFrame(
+        [img_row(100 + 10 * f + v, f, v + 1) for f in range(3) for v in range(2)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    _ahash_index_step(b1, 1, index_path, pairs_path)
+
+    all_pairs = spark.read.option("basePath", pairs_path).parquet(pairs_path)
+    got = {
+        (r.id_a, r.id_b)
+        for r in all_pairs.filter("near_dup = 1 and batch = 1").collect()
+    }
+    for f in range(3):  # every old member pairs with both new variants
+        assert (f, 100 + 10 * f) in got
+        assert (f, 101 + 10 * f) in got
+    # batch 1 never re-derives old-vs-old pairs (batch 0 owns those)
+    assert not any(a < 3 and b < 3 for a, b in got)
