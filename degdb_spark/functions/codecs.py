@@ -275,6 +275,11 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     pos, sample_rate, samples = 12, None, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
+        if pos + 8 + size > len(data):
+            # a short chunk must fail LOUDLY: a silently shortened
+            # `data` chunk would hand back fewer samples than the file
+            # declares — truncated audio masquerading as complete
+            raise ValueError(f"WAV chunk {cid!r} truncated")
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)

@@ -705,6 +705,24 @@ def test_truncation_always_valueerror():
             except ValueError:
                 pass  # the contract
 
+    # audio and video containers carry the same contract — and a short
+    # WAV data chunk must NOT silently hand back fewer samples
+    samples = ((np.arange(500) * 5) % 4096 - 2048).astype(np.int16)
+    wav = C.encode_wav(samples, 16000)
+    for cut in range(len(wav)):
+        try:
+            _, out = C.decode_wav(wav[:cut])
+            assert len(out) == len(samples) and (out == samples).all()
+        except ValueError:
+            pass
+    rawv = C.encode_rawv(_pal_pixels(16, 8)[None].repeat(3, axis=0), 500)
+    for cut in range(len(rawv)):
+        try:
+            interval, frames = C.decode_rawv(rawv[:cut])
+            assert frames.shape[0] == 3
+        except ValueError:
+            pass
+
 
 def test_gif_animated_round_trip():
     """Animated GIF: encode_gif_frames → decode_gif_video recovers
