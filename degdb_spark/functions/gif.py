@@ -147,38 +147,23 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
 
 def encode_gif(pixels: np.ndarray) -> bytes:
     """RGB uint8 (H, W, 3) with ≤256 distinct colors → single-frame
-    GIF89a bytes. Raises if the palette would overflow — GIF is a
+    GIF89a bytes (local color table — same frame writer the animated
+    encoder uses). Raises if the palette would overflow — GIF is a
     palettized format and silent quantization would break the
     lossless round-trip contract."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_gif expects (H, W, 3) uint8")
     h, w, _ = pixels.shape
-    flat = pixels.reshape(-1, 3)
-    palette, indices = np.unique(flat, axis=0, return_inverse=True)
-    n_colors = len(palette)
-    if n_colors > 256:
-        raise ValueError(f"encode_gif: {n_colors} distinct colors (GIF caps at 256)")
-    # color table size: power of two ≥ max(2, n_colors)
-    ct_bits = max(1, int(np.ceil(np.log2(max(2, n_colors)))))
-    ct_size = 1 << ct_bits
-    table = np.zeros((ct_size, 3), dtype=np.uint8)
-    table[:n_colors] = palette
-
-    min_code_size = max(2, ct_bits)  # spec: at least 2
-    lzw = _lzw_encode(indices.astype(np.int64), min_code_size)
-
-    out = bytearray()
-    out += b"GIF89a"
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1), 0, 0)
-    out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-    out.append(min_code_size)
-    for i in range(0, len(lzw), 255):  # data sub-blocks
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"  # block terminator + trailer
-    return bytes(out)
+    try:
+        frame = _frame_blocks(pixels)
+    except ValueError as e:
+        raise ValueError(f"encode_gif: {e}") from e
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+        + frame
+        + b"\x3b"
+    )
 
 
 def _palettize(pixels: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:

@@ -554,23 +554,13 @@ def test_gif_multiframe_and_extensions():
     b = _pal_pixels(8, 6, i=7)
     enc_a = G.encode_gif(a)
     enc_b = G.encode_gif(b)
-    # splice: header+screen+GCT from a, then a's descriptor block, a GCE,
-    # then b's descriptor re-offset to (4, 3), then trailer
-    screen_end = 13 + 256 * 3  # a's global table is padded to 256? no —
-    # locate a's image descriptor instead of assuming table size
-    ia = enc_a.index(b"\x2c")
-    ib = enc_b.index(b"\x2c")
+    # splice: a's file minus trailer, a GCE, then b's (self-contained,
+    # local-color-table) frame re-offset to (4, 3), then trailer
     import struct
 
-    b_desc = bytearray(enc_b[ib:-1])  # strip trailer
+    ib = enc_b.index(b"\x2c")
+    b_desc = bytearray(enc_b[ib:-1])  # descriptor + local table + data
     struct.pack_into("<HH", b_desc, 1, 4, 3)  # left=4, top=3
-    # b's frame must carry its own palette: rewrite descriptor to include
-    # a local color table copied from b's global one
-    b_packed_global = enc_b[10]
-    b_ct_bits = (b_packed_global & 0x07) + 1
-    b_table = enc_b[13 : 13 + (1 << b_ct_bits) * 3]
-    b_desc[9] = 0x80 | (b_ct_bits - 1)  # local color table flag + size
-    b_desc[10:10] = b_table
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, all zeros
     data = enc_a[:-1] + gce + bytes(b_desc) + b"\x3b"
     first = G.decode_gif(data)

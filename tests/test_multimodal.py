@@ -341,3 +341,72 @@ def test_gif_video_frames_match_rawv(spark):
         if r.media_id in {2, 5, 8}
     }
     assert gif_feats == raw_feats
+
+
+def test_incremental_pairs_match_full_under_random_splits(spark):
+    """Definitional property of the incremental banded join (the
+    streaming twin's core): for RANDOM corpora and RANDOM batch
+    boundaries, the union of sequential incremental emissions equals
+    the full-corpus pair set exactly, each pair exactly once."""
+    import numpy as np
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.randoms(use_true_random=False))
+    def prop(rnd):
+        rng = np.random.default_rng(rnd.randrange(2**31))
+        n = int(rng.integers(4, 10))
+        # random smooth images, some duplicated with a tiny nudge so
+        # real collisions exist
+        ramp = np.linspace(0, 255, 32)
+        base_imgs = []
+        for i in range(n):
+            g = np.clip(
+                np.round(np.add.outer(ramp, ramp * float(rng.uniform(0.3, 1.0))) / 2)
+                + float(rng.integers(0, 60)),
+                0,
+                255,
+            ).astype(np.uint8)
+            base_imgs.append(np.repeat(g[:, :, None], 3, axis=2))
+        hashes_rows = []
+        for mid in range(n):
+            src = base_imgs[mid if rng.random() < 0.5 else int(rng.integers(0, n))]
+            px = src.copy()
+            px[0, 0, 0] = (int(px[0, 0, 0]) + int(rng.integers(0, 3))) % 256
+            hashes_rows.append((mid, px))
+        media = spark.createDataFrame(
+            [
+                (mid, "image", bytearray(C.encode_png(px)), ("png", 32, 32, None, None))
+                for mid, px in hashes_rows
+            ],
+            schema=M.MEDIA_SCHEMA,
+        )
+        hashes = M.image_ahash(media).localCheckpoint(eager=True)
+        full = {
+            (r.id_a, r.id_b): (r.hamming, r.near_dup)
+            for r in M.banded_neardup_pairs(hashes).collect()
+        }
+        # random split into 1-3 sequential batches
+        cuts = sorted(rng.choice(range(n + 1), size=int(rng.integers(0, 3))).tolist())
+        bounds = [0, *cuts, n]
+        got = {}
+        emitted = 0
+        for k in range(len(bounds) - 1):
+            lo, hi = bounds[k], bounds[k + 1]
+            new = hashes.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+            old = hashes.filter(F.col("media_id") < lo)
+            rows = M.incremental_banded_neardup_pairs(new, old).collect()
+            emitted += len(rows)
+            got.update({(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in rows})
+        assert got == full
+        assert emitted == len(full)  # exactly once across batches
+
+    prop()
