@@ -214,6 +214,11 @@ def encode_gif_frames(frames: np.ndarray, frame_interval_ms: int) -> bytes:
         raise ValueError("encode_gif_frames expects at least one frame")
     _, h, w, _ = frames.shape
     delay_cs = max(0, int(frame_interval_ms) // 10)
+    if delay_cs > 0xFFFF:
+        raise ValueError(
+            f"frame_interval_ms={frame_interval_ms} overflows GIF's 16-bit "
+            "centisecond delay (max 655350 ms)"
+        )
     out = bytearray()
     out += b"GIF89a"
     out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
@@ -318,35 +323,14 @@ def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → RGB uint8 (H, W, 3) of the FIRST frame rendered on
     the logical screen (undrawn area, if the frame is smaller, stays
     black)."""
-    sw, sh = (
-        struct.unpack_from("<HH", data, 6)
-        if data[:6] in _GIF_MAGICS and len(data) >= 13
-        else (0, 0)
-    )
-    for left, top, w, h, rgb, _delay in _frames_checked(data):
-        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
-        screen[top : top + h, left : left + w] = rgb
-        return screen
-    raise ValueError("GIF contains no image frame")
+    return decode_gif_video(data)[1][0]
 
 
 def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     """All frames, each rendered independently on the logical screen —
     the frame-level seam for animated inputs (no inter-frame disposal
     compositing: this feeds per-frame stats/hashing, not playback)."""
-    sw, sh = (
-        struct.unpack_from("<HH", data, 6)
-        if data[:6] in _GIF_MAGICS and len(data) >= 13
-        else (0, 0)
-    )
-    frames = []
-    for left, top, w, h, rgb, _delay in _frames_checked(data):
-        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
-        screen[top : top + h, left : left + w] = rgb
-        frames.append(screen)
-    if not frames:
-        raise ValueError("GIF contains no image frame")
-    return frames
+    return decode_gif_video(data)[1]
 
 
 def decode_gif_video(data: bytes) -> tuple[list[int], list[np.ndarray]]:

@@ -313,7 +313,10 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     if fmt == "gif":
         delays, frames = gif.decode_gif_video(payload)
         if len(frames) > 1:  # animated: the video-feature path
-            return _video_features(delays[0], np.stack(frames))
+            # mean of the container's delays — delays[0] alone would be
+            # 0 for GCE-less GIF87a animations and wrong for
+            # variable-delay files, diverging from the RAWV twin
+            return _video_features(sum(delays) // len(delays), np.stack(frames))
         return _image_features(frames[0])
     if fmt in ("bmp", "png", "jpeg"):
         return _image_features(codecs.decode_image(payload))

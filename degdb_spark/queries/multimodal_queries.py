@@ -238,7 +238,9 @@ def media_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     every frame in SQL. Upgrades the video seam from the toy RAWV
     container to a real interchange format."""
     media = synthetic_gif_video_media(spark, _N_GIFV)
-    frames = extract_video_frames(media)
+    # pin: BOTH branches below (timestamp agg + pixel stats) consume the
+    # frame extraction — uncached, the 33-GIF LZW decode would run twice
+    frames = extract_video_frames(media).localCheckpoint(eager=False)
     per_frame = image_pixel_stats(
         frames.select(
             (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),

@@ -69,14 +69,22 @@ def _ahash_index_step(
     )
 
     spark = batch.sparkSession
-    batch = batch.localCheckpoint(eager=True)  # feeds hash + both writes
+    # batch feeds only the hash job; pinning the payload bytes would be
+    # pure memory pressure — the hashes below are what both writes and
+    # the probe reuse
     new_hashes = image_ahash(batch).localCheckpoint(eager=True)
 
     root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(root):
+        # EXPLICIT schema: if the first index write crashed mid-commit,
+        # the directory exists with only _temporary files — schema
+        # inference would throw on every replay and wedge the stream;
+        # with the schema supplied, zero committed files read as an
+        # empty frame and the retry converges
         old_hashes = (
-            spark.read.option("basePath", index_path)
+            spark.read.schema(_INDEX_SCHEMA + ", batch int")
+            .option("basePath", index_path)
             .parquet(index_path)
             .filter(F.col("batch") < F.lit(batch_id))
             .select("media_id", "b0", "b1", "b2", "b3")
