@@ -128,9 +128,9 @@ def _semantic_index_step(
 
     spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)
-    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(root):
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    if has_committed_parquet(spark, index_path):
         existing = (
             spark.read.option("basePath", index_path)
             .parquet(index_path)

@@ -139,9 +139,9 @@ def _neardup_index_step(
 
     spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)  # feeds probe + index write
-    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(root):
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    if has_committed_parquet(spark, index_path):
         existing = (
             spark.read.option("basePath", index_path)
             .parquet(index_path)
@@ -292,9 +292,9 @@ def _span_index_step(
 
     spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)  # feeds probe + both writes
-    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(root):
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    if has_committed_parquet(spark, index_path):
         idx = spark.read.option("basePath", index_path).parquet(index_path)
         if not {"span_h1", "span_h2"} <= set(idx.columns):
             # a pre-128-bit index (single span/span_hash column) must

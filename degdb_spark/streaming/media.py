@@ -74,9 +74,9 @@ def _ahash_index_step(
     # the probe reuse
     new_hashes = image_ahash(batch).localCheckpoint(eager=True)
 
-    root = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(root):
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    if has_committed_parquet(spark, index_path):
         # EXPLICIT schema: if the first index write crashed mid-commit,
         # the directory exists with only _temporary files — schema
         # inference would throw on every replay and wedge the stream;

@@ -1139,3 +1139,37 @@ def test_ahash_index_stream_equals_full_pairs(spark, tmp_path):
     assert got2 == full
     post = sorted((r.id_a, r.id_b) for r in streamed2.filter(F.col("batch") == 0).collect())
     assert post == pre
+
+
+def test_index_stream_survives_crashed_first_write(spark, tmp_path):
+    """If the FIRST index write crashes mid-commit, the directory
+    exists holding only _temporary files. A bare existence check would
+    send every replay into schema inference over zero data files and
+    wedge the stream permanently; has_committed_parquet routes the
+    replay back to the first-batch branch, which overwrites its own
+    partition and converges."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import _ahash_index_step
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    index_path = tmp_path / "idx"
+    # simulate the crash artifact: directory with ONLY uncommitted files
+    (index_path / "batch=0" / "_temporary" / "0").mkdir(parents=True)
+    (index_path / "batch=0" / "_temporary" / "0" / "part-00000").write_bytes(b"junk")
+    assert not has_committed_parquet(spark, str(index_path))
+
+    ramp = np.linspace(10, 245, 64)
+    g = np.clip(np.round(np.add.outer(ramp, ramp) / 2), 0, 255).astype(np.uint8)
+    px = np.repeat(g[:, :, None], 3, axis=2)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(C.encode_png(px)), ("png", 64, 64, None, None))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    # the replay of batch 0 must take the first-batch branch and succeed
+    _ahash_index_step(media, 0, str(index_path), str(tmp_path / "pairs"))
+    assert has_committed_parquet(spark, str(index_path))
+    idx = spark.read.option("basePath", str(index_path)).parquet(str(index_path))
+    assert idx.count() == 1
