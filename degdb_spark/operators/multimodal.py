@@ -25,9 +25,12 @@ feature vector.
 
 Scale notes: payload bytes never pass through the driver; mapInPandas
 streams Arrow record batches re-chunked to ``batch_rows`` so executor
-memory is bounded by batch_rows × max payload size; repartitioning is
-done on media_id before any decode so one straggler file can't skew a
-partition of heavyweight payloads.
+memory is bounded by batch_rows × max payload size. The decode
+operators deliberately PRESERVE the input partitioning (forcing a
+payload shuffle would double the heaviest column's IO when the scan
+partitioning is already fine — the common case); if a source's
+payload-size distribution is skewed, `repartition("media_id")`
+upstream of the operator, or let AQE split the skewed partitions.
 
 Reference provenance: degdb (the reference) has no media surface; this
 implements the multimodal-columns requirement of the training-pipeline
