@@ -42,13 +42,17 @@ def ahash_index_stream(
     index_path: str,
     pairs_path: str,
     checkpoint_dir: str,
+    kind: str = "image",
 ):
-    """Maintain the aHash fingerprint index + incremental near-dup
-    pair emissions from a media stream. Returns the started
+    """Maintain the perceptual-fingerprint index + incremental near-dup
+    pair emissions from a media stream — ``kind="image"`` hashes via
+    image_ahash, ``kind="audio"`` via audio_ahash (the energy-envelope
+    fingerprint); both band into the same (b0..b3) index schema, so
+    one lifecycle serves both modalities. Returns the started
     availableNow StreamingQuery."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        _ahash_index_step(batch, int(batch_id), index_path, pairs_path)
+        _ahash_index_step(batch, int(batch_id), index_path, pairs_path, kind)
 
     return (
         media.writeStream.foreachBatch(step)
@@ -59,20 +63,28 @@ def ahash_index_stream(
 
 
 def _ahash_index_step(
-    batch: DataFrame, batch_id: int, index_path: str, pairs_path: str
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    kind: str = "image",
 ) -> None:
     """One micro-batch, module-level so the replay contract is
     directly testable (the span/ANN twins' convention)."""
     from degdb_spark.operators.multimodal import (
+        audio_ahash,
         image_ahash,
         incremental_banded_neardup_pairs,
     )
 
+    if kind not in ("image", "audio"):
+        raise ValueError(f"ahash_index_stream kind must be image|audio, got {kind!r}")
+    hash_op = image_ahash if kind == "image" else audio_ahash
     spark = batch.sparkSession
     # batch feeds only the hash job; pinning the payload bytes would be
     # pure memory pressure — the hashes below are what both writes and
     # the probe reuse
-    new_hashes = image_ahash(batch).localCheckpoint(eager=True)
+    new_hashes = hash_op(batch).localCheckpoint(eager=True)
 
     from degdb_spark.streaming.util import has_committed_parquet
 

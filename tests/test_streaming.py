@@ -1173,3 +1173,58 @@ def test_index_stream_survives_crashed_first_write(spark, tmp_path):
     assert has_committed_parquet(spark, str(index_path))
     idx = spark.read.option("basePath", str(index_path)).parquet(str(index_path))
     assert idx.count() == 1
+
+
+def test_audio_ahash_index_stream_equals_full_pairs(spark, tmp_path):
+    """The audio modality of the fingerprint index twin: WAV clips
+    stream in three batches; union of incremental pair emissions ==
+    the full-corpus audio near-dup pair set, cross-batch families
+    included, derived from the energy-envelope index alone."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import ahash_index_stream
+
+    rows = []
+    for mid in range(9):
+        fam, var = mid % 3, mid // 3
+        t = np.arange(16000)
+        s = (((t * (fam + 3)) % 4096) - 2048).astype(np.int16)
+        s = s.copy()
+        s[:4] = s[:4] + var  # tiny per-variant nudge
+        rows.append(
+            (mid, "audio", bytearray(C.encode_wav(s, 16000)),
+             ("wav", None, None, 1000, 16000))
+        )
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    full = {
+        (r.id_a, r.id_b): (r.hamming, r.near_dup)
+        for r in M.banded_neardup_pairs(M.audio_ahash(media)).collect()
+    }
+    # batches split by mid // 3 so every family (mid % 3) crosses them
+    assert full and any(a // 3 != b // 3 for a, b in full)
+
+    src = tmp_path / "audio_in"
+    src.mkdir()
+    for i in range(3):
+        media.filter((F.col("media_id") / F.lit(3)).cast("int") == i).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = ahash_index_stream(
+        stream, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), kind="audio",
+    )
+    q.awaitTermination(120)
+    got_rows = spark.read.option("basePath", str(tmp_path / "pairs")).parquet(
+        str(tmp_path / "pairs")
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
+    assert len(got_rows) == len(got)
+    assert got == full
