@@ -10,8 +10,9 @@ need nothing beyond struct + numpy:
   image format a real multimodal pipeline ingests; stdlib ``zlib``
   covers the compression so no third-party dependency is needed.
   Decode supports bit-depth-8 gray/RGB/RGBA, encode emits truecolor.
-- WAV (RIFF/WAVE, PCM 16-bit) — the standard uncompressed audio
-  container.
+- WAV (RIFF/WAVE) — PCM 16-bit, the standard uncompressed audio
+  container, plus G.711 mu-law (format tag 7 — the standard telephony
+  coding, expanded to int16 on decode).
 
 Plus one explicitly-toy container for video plumbing:
 
@@ -267,8 +268,51 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(payload)) + payload
 
 
+#: G.711 mu-law constants (public ITU-T G.711 spec)
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 G.711 mu-law codes, vectorized integer math
+    (segment = position of the leading bit of the biased magnitude,
+    4-bit mantissa below it, ones-complement output per the spec)."""
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent: index of the highest set bit in mag >> 7 (0..7)
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1 == 1, np.maximum(exp, e), exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 mu-law codes → int16 PCM (the exact spec expansion;
+    decode(encode(x)) is the canonical mu-law quantization of x)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE bytes with G.711 mu-law coding
+    (format tag 7, 8 bits/sample — the standard telephony container)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_ulaw expects 1-D int16 samples")
+    data = ulaw_encode(samples).tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8)
+    payload = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(payload)) + payload
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM16 mono bytes → (sample_rate, int16 samples).
+    """RIFF/WAVE mono bytes → (sample_rate, int16 samples): PCM16
+    (format 1) or G.711 mu-law (format 7, expanded to int16).
     Walks RIFF chunks, so extra chunks (LIST etc.) are tolerated."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -284,14 +328,19 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or channels != 1 or bits != 16:
-                raise ValueError("unsupported WAV variant (need PCM16 mono)")
+            if channels != 1 or (audio_fmt, bits) not in ((1, 16), (7, 8)):
+                raise ValueError(
+                    "unsupported WAV variant (need PCM16 or mu-law mono)"
+                )
         elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2").astype(np.int16)
+            raw = body  # fmt chunk may follow data in odd writers: defer
+            samples = raw
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return sample_rate, samples
+    if audio_fmt == 7:
+        return sample_rate, ulaw_decode(np.frombuffer(samples, dtype=np.uint8))
+    return sample_rate, np.frombuffer(samples, dtype="<i2").astype(np.int16)
 
 
 def wav_size(n_samples: int) -> int:

