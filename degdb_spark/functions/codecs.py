@@ -11,8 +11,9 @@ need nothing beyond struct + numpy:
   covers the compression so no third-party dependency is needed.
   Decode supports bit-depth-8 gray/RGB/RGBA, encode emits truecolor.
 - WAV (RIFF/WAVE) — PCM 16-bit, the standard uncompressed audio
-  container, plus G.711 mu-law (format tag 7 — the standard telephony
-  coding, expanded to int16 on decode).
+  container, plus G.711 mu-law (format tag 7) and A-law (format tag
+  6) — the two standard telephony codings, expanded to int16 on
+  decode.
 
 Plus one explicitly-toy container for video plumbing:
 
@@ -299,6 +300,47 @@ def ulaw_decode(codes: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, -mag, mag).astype(np.int16)
 
 
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 G.711 A-law codes (the European telephony
+    sibling of mu-law), the classic public-domain g711.c form
+    vectorized: 13-bit input, 8 segments, 0x55/0xD5 xor masks."""
+    x13 = samples.astype(np.int64) >> 3  # arithmetic shift to 13 bits
+    mask = np.where(x13 >= 0, 0xD5, 0x55)
+    v = np.where(x13 >= 0, x13, -x13 - 1)
+    seg = np.zeros_like(v)
+    for bound in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        seg += (v > bound).astype(np.int64)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((v >> shift) & 0x0F)
+    return ((np.where(seg >= 8, 0x7F, aval)) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 A-law codes → int16 PCM (g711.c expansion: segment
+    midpoints in the 16-bit domain; the sign bit AFTER the 0x55 xor
+    marks POSITIVE values)."""
+    a = codes.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_alaw(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE bytes with G.711 A-law coding
+    (format tag 6, 8 bits/sample)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_alaw expects 1-D int16 samples")
+    data = alaw_encode(samples).tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 6, 1, sample_rate, sample_rate, 1, 8)
+    payload = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(payload)) + payload
+
+
 def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 mono samples → RIFF/WAVE bytes with G.711 mu-law coding
     (format tag 7, 8 bits/sample — the standard telephony container)."""
@@ -328,9 +370,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if channels != 1 or (audio_fmt, bits) not in ((1, 16), (7, 8)):
+            if channels != 1 or (audio_fmt, bits) not in ((1, 16), (6, 8), (7, 8)):
                 raise ValueError(
-                    "unsupported WAV variant (need PCM16 or mu-law mono)"
+                    "unsupported WAV variant (need PCM16, A-law or mu-law mono)"
                 )
         elif cid == b"data":
             raw = body  # fmt chunk may follow data in odd writers: defer
@@ -340,6 +382,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("WAV missing fmt/data chunk")
     if audio_fmt == 7:
         return sample_rate, ulaw_decode(np.frombuffer(samples, dtype=np.uint8))
+    if audio_fmt == 6:
+        return sample_rate, alaw_decode(np.frombuffer(samples, dtype=np.uint8))
     return sample_rate, np.frombuffer(samples, dtype="<i2").astype(np.int16)
 
 

@@ -791,3 +791,59 @@ def test_wav_ulaw_container_round_trip():
     assert int(np.abs(out.astype(int) - s.astype(int)).max()) <= 1024
     with pytest.raises(ValueError):
         C.encode_wav_ulaw(s.astype(np.int32), 8000)
+
+
+def test_alaw_matches_g711_reference():
+    """Vectorized G.711 A-law equals a scalar transcription of the
+    public-domain g711.c for every int16 value and every codeword;
+    unlike mu-law there is no +/-0 pair, so A-law is idempotent at the
+    CODE level too."""
+    SEG_AEND = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def enc1(pcm):
+        pcm >>= 3
+        if pcm >= 0:
+            mask = 0xD5
+        else:
+            mask = 0x55
+            pcm = -pcm - 1
+        seg = 8
+        for i, b in enumerate(SEG_AEND):
+            if pcm <= b:
+                seg = i
+                break
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (pcm >> 1) & 0xF if seg < 2 else (pcm >> seg) & 0xF
+        return aval ^ mask
+
+    def dec1(c):
+        a = c ^ 0x55
+        t = (a & 0xF) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    xs = np.concatenate(
+        [np.arange(-32768, 32768, 251), np.array([0, 1, -1, 7, -8, 32767, -32768])]
+    ).astype(np.int16)
+    assert (C.alaw_encode(xs) == [enc1(int(x)) for x in xs]).all()
+    codes = np.arange(256, dtype=np.uint8)
+    dec = C.alaw_decode(codes)
+    assert (dec == [dec1(int(c)) for c in codes]).all()
+    assert (C.alaw_encode(dec) == codes).all()  # full code idempotence
+
+
+def test_wav_alaw_container_round_trip():
+    t = np.arange(2000)
+    s = (((t * 7) % 4096) - 2048).astype(np.int16)
+    rate, out = C.decode_wav(C.encode_wav_alaw(s, 8000))
+    assert rate == 8000
+    assert (out == C.alaw_decode(C.alaw_encode(s))).all()
+    assert int(np.abs(out.astype(int) - s.astype(int)).max()) <= 512
