@@ -410,3 +410,29 @@ def test_incremental_pairs_match_full_under_random_splits(spark):
         assert emitted == len(full)  # exactly once across batches
 
     prop()
+
+
+def test_telephony_wav_through_feature_path(spark):
+    """mu-law and A-law WAV payloads flow through the strict feature
+    path (sniffed as wav, expanded to int16 by the same decode seam) —
+    and their features approximate the PCM16 original's (bounded
+    quantization error, not a fake-feature fallback)."""
+    import numpy as np
+
+    t = np.arange(16000)
+    s = (((t * 5) % 4096) - 2048).astype(np.int16)
+    rows = [
+        (0, "audio", bytearray(C.encode_wav(s, 16000)), ("wav", None, None, 1000, 16000)),
+        (1, "audio", bytearray(C.encode_wav_ulaw(s, 16000)), ("wav", None, None, 1000, 16000)),
+        (2, "audio", bytearray(C.encode_wav_alaw(s, 16000)), ("wav", None, None, 1000, 16000)),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    feats = {
+        r.media_id: np.array(r.features)
+        for r in M.extract_features(media, strict=True).collect()
+    }
+    assert len(feats) == 3
+    for mid in (1, 2):
+        # same signal through a telephony quantizer: close, not equal
+        assert float(np.abs(feats[mid] - feats[0]).max()) < 0.05
+        assert not np.array_equal(feats[mid], feats[0])
