@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.graph.pregel import pregel
 from degdb_spark.queries.rounding import dround
+from degdb_spark.persistence import lineage_cut, pin
 
 
 def graph_view(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -143,7 +144,7 @@ def hash_min_components(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     # initial component = own id
     state = vertices.withColumn("component", F.col("id"))
@@ -164,7 +165,7 @@ def hash_min_components(
                 F.least(F.col("component"), F.coalesce("min_neighbor", "component")),
             )
             .select("id", "component", "new_component")
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut, eager=False)
         )
         changed = step.filter(F.col("new_component") != F.col("component")).count()
         state = step.select("id", F.col("new_component").alias("component"))
@@ -204,7 +205,7 @@ def sssp_weighted(
     contain both directions if the graph is undirected.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst", "w").transform(pin, eager=True)
     dist = spark.createDataFrame([(source, 0)], ["id", "dist"]).withColumn(
         "dist", F.col("dist").cast("long")
     )
@@ -221,7 +222,7 @@ def sssp_weighted(
                 F.min("dist").alias("new_dist"),
                 F.min(F.when(F.col("_old"), F.col("dist"))).alias("old_dist"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut, eager=False)
         )
         improved = step.filter(
             F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
@@ -245,7 +246,7 @@ def label_propagation(
     replays it exactly. One groupBy + one window shuffle per iteration.
     ``edges`` must contain both directions for undirected graphs.
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=True)
     labels = vertices.select("id").withColumn("label", F.col("id"))
     for _ in range(max_iter):
         votes = (
@@ -264,7 +265,7 @@ def label_propagation(
             .select(
                 "id", F.coalesce("new_label", "label").alias("label")
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut, eager=False)
         )
     return labels
 
@@ -286,9 +287,9 @@ def kcore_peel(
     action per round, same discipline as sssp_weighted). ``edges`` must
     contain both directions for undirected graphs.
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=True)
     alive = (
-        edges.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=False)
+        edges.select(F.col("src").alias("id")).distinct().transform(lineage_cut, eager=False)
     )
     n_alive = alive.count()
     for _ in range(max_rounds):
@@ -298,7 +299,7 @@ def kcore_peel(
         deg = surviving.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("deg")
         )
-        alive = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=False)
+        alive = deg.filter(F.col("deg") >= k).select("id").transform(lineage_cut, eager=False)
         n_next = alive.count()
         if n_next == n_alive:
             break
@@ -323,7 +324,7 @@ def bfs_distances(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     # one materialization; every BFS level joins the same edge frame
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(pin, eager=True)
     spark = triples.sparkSession
     visited = spark.createDataFrame([(source, 0)], ["id", "dist"])
     frontier = visited
@@ -338,7 +339,7 @@ def bfs_distances(
         # lazy checkpoint + full count = one job per level (the count both
         # materialises the frontier and decides termination); limit(1)
         # would risk a partially-materialised checkpoint.
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.transform(lineage_cut, eager=False)
         if nxt.count() == 0:
             break
         visited = visited.union(nxt)
@@ -360,7 +361,7 @@ def multi_source_bfs(
     convergence action — every superstep is deterministic, which is
     what the unrolled-CTE oracle replays.
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=True)
     dist = sources.select(
         F.col("source"), F.col("source").alias("id"), F.lit(0).cast("long").alias("dist")
     )
@@ -377,5 +378,5 @@ def multi_source_bfs(
         # (frontier join + union) — checkpoint those; the final state
         # feeds only the caller's single aggregation, so skip it there
         if i < max_hops - 1:
-            dist = dist.localCheckpoint(eager=False)
+            dist = dist.transform(lineage_cut, eager=False)
     return dist

@@ -8,7 +8,7 @@ join(vertices, edges) → per-destination aggregation → vertex update.
 Scale discipline (SURVEY.md §7 risk 1): the edge frame is materialized
 ONCE before the loop (every superstep joins it; leaving it lazy re-runs
 the upstream scan/derivation per superstep), and the vertex frame is
-localCheckpoint()ed every ``checkpoint_every`` supersteps — default 1,
+lineage_cut() every ``checkpoint_every`` supersteps — default 1,
 because update() typically references the state twice (main branch +
 an aggregate branch like dangling mass), so an unmaterialized state
 recomputes its whole inter-checkpoint lineage twice per superstep;
@@ -23,6 +23,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from degdb_spark.persistence import lineage_cut, pin
 
 
 def pregel(
@@ -45,7 +46,7 @@ def pregel(
     - aggregate(messages)     -> one row per ``dst`` (grouped agg)
     - update(vertices, aggd)  -> next vertex state (left join on id)
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(pin, eager=True)
     state = initial(vertices)
     for i in range(max_iter):
         joined = edges.join(
@@ -56,5 +57,5 @@ def pregel(
         aggd = aggregate(messages)
         state = update(state, aggd)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(lineage_cut, eager=True)
     return state

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from degdb_spark.operators.balance import rebalance_for_compute
 from degdb_spark.operators.text import fingerprint, let, ngrams, tokens
 from degdb_spark.queries.rounding import dround
+from degdb_spark.persistence import pin
 
 MERSENNE_P = (1 << 61) - 1
 
@@ -628,7 +629,7 @@ def incremental_lsh_candidates(
     """
     nb = band_table(
         new_docs, text_col, id_col, shingle_k, num_hashes, bands
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     old_new = (
         existing_bands.alias("l")
         .join(

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from degdb_spark.queries.rounding import dround
+from degdb_spark.persistence import pin
 
 
 def vocab_kl_drift(
@@ -96,7 +97,7 @@ def psi_bins(
     )
     # 1 row; read by BOTH sides' binning — left lazy, each side replans
     # the reference percentile pass
-    bounds = bounds.localCheckpoint()
+    bounds = bounds.transform(pin)
 
     def binned(df, name):
         j = df.select(col).crossJoin(F.broadcast(bounds))
@@ -111,7 +112,7 @@ def psi_bins(
         .na.fill(0, ["n_ref", "n_cur"])
         # <= n_bins rows; read by the totals rollup AND the share
         # projection
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = both.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
     rs = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))

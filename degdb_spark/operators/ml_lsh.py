@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from degdb_spark.operators.text import shingle_fingerprints
+from degdb_spark.persistence import pin
 
 #: dimensionality of the shingle-hash space for the sparse set vectors
 SHINGLE_SPACE = 1 << 18
@@ -89,10 +90,10 @@ def ml_minhash_neardups(
     # deep higher-order-function tree).
     hashes = df.select(
         F.col(id_col), shingle_fingerprints(text_col, shingle_k).alias("_hashes")
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     feats = hashes.select(
         F.col(id_col), to_vec(F.col("_hashes")).alias("features")
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     ).fit(feats)
@@ -123,10 +124,10 @@ def ml_brp_neighbors(
     eucl_dist, rank)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dense_features(vec_col)
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dense_features(vec_col)
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     model = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -275,7 +276,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _dense_features(vec_col),
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(c)
     assigned = model.transform(c).select(
         "neighbor_id", "cvec", F.col("prediction").alias("cell")
@@ -616,7 +617,7 @@ def incremental_semantic_dedup(
     semantic_drop_pairs set — parity-tested."""
     nc = _semantic_assigned(
         new_vecs, centroids, id_col, vec_col, round_dp
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     combined = (
         existing_cells.select(
             F.col(id_col).alias("vid"), "cell", "csim", F.lit(False).alias("is_new")

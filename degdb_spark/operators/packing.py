@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from degdb_spark.operators.text import token_count
+from degdb_spark.persistence import pin
 
 
 def pack_documents(
@@ -54,7 +55,7 @@ def pack_documents(
     parted = (
         sized.repartitionByRange(num_partitions, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")

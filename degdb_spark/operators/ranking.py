@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from degdb_spark.persistence import pin
 
 
 def global_row_number(
@@ -35,7 +36,7 @@ def global_row_number(
     order given by ``order_cols`` (Column sort expressions, e.g.
     ``[F.col("n").desc(), F.col("token")]``).
 
-    The frame is materialized once (eager localCheckpoint): it feeds
+    The frame is materialized once (eager pin()): it feeds
     both the local-rank branch and the totals aggregate, and the range
     partitioner's sampled boundaries are not guaranteed stable across
     re-evaluations — divergent boundaries would desync ``_pid``
@@ -44,7 +45,7 @@ def global_row_number(
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = parted.withColumn("_local_rank", F.row_number().over(w_local))
@@ -82,7 +83,7 @@ def global_running_sum(
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")

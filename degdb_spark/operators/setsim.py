@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from degdb_spark.queries.rounding import dround
+from degdb_spark.persistence import pin
 
 
 def _rarest_first_sets(
@@ -73,7 +74,7 @@ def _rarest_first_sets(
             ).alias("toks"),
             F.count(F.lit(1)).alias("sz"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.operators.balance import rebalance_for_compute
 from degdb_spark.queries.rounding import dround
+from degdb_spark.persistence import pin
 
 
 def _dot(a, b):
@@ -354,7 +355,7 @@ def incremental_embedding_neardups(
     """
     nb = srp_bucket_table(
         new_vecs, id_col, vec_col, dim, n_tables, n_planes
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     probe = (
         existing_buckets.alias("l")
         .join(

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from degdb_spark.persistence import pin
 
 
 def _cell(key: Column, row: int, width: int) -> Column:
@@ -223,7 +224,7 @@ def histogram_quantiles(
     # read it - left lazy, each consumer replans the histogram build
     # and its corpus scans (measured 12 FileScans for a 5-quantile
     # report; 2 after)
-    binned = binned.localCheckpoint()
+    binned = binned.transform(pin)
     w = Window.orderBy("bin")
     cum = binned.withColumn("cum", F.sum("c").over(w)).withColumn(
         "prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0))
@@ -295,7 +296,7 @@ def histogram_quantiles_by(
     )
     # groups x n_bins rows (bounded); same replanned-consumer fix as
     # histogram_quantiles
-    binned = binned.localCheckpoint()
+    binned = binned.transform(pin)
     w = Window.partitionBy(group_col).orderBy("bin")
     cum = binned.withColumn("cum", F.sum("c").over(w)).withColumn(
         "prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0))

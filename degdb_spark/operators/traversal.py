@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from degdb_spark.plans.pattern import ArrayOp, compile_array_op
+from degdb_spark.persistence import lineage_cut
 
 
 def chain_steps(
@@ -64,7 +65,7 @@ def k_hop(
 ) -> DataFrame:
     """All nodes reachable in exactly k hops along ``pred`` edges.
 
-    Iterative frontier expansion; lineage is truncated with localCheckpoint
+    Iterative frontier expansion; lineage is truncated with lineage_cut()
     every ``checkpoint_every`` hops (risk §7.1 of SURVEY.md).
     """
     spark = store_df.sparkSession
@@ -83,7 +84,7 @@ def k_hop(
             .distinct()
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            frontier = frontier.transform(lineage_cut, eager=True)
     return frontier.select(F.col("subj").alias("node"))
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.plans.pattern import ArrayOp, compile_array_op, compile_pattern
 from degdb_spark.schemas import TRIPLE_KEY, TRIPLE_SCHEMA
+from degdb_spark.persistence import lineage_cut
 
 
 class TripleStore:
@@ -84,7 +85,7 @@ class TripleStore:
         # dropDuplicates survivor choice are non-deterministic per action,
         # so without this the counted rows could differ from what later
         # queries actually see.
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(lineage_cut, eager=True)
         added = fresh.count()
         self._df = self._df.unionByName(fresh)
         # each insert nests the previous anti-join inside the next one's
@@ -92,7 +93,7 @@ class TripleStore:
         # insert count (measured: 10 single-row inserts → 11 s each).
         self._inserts_since_checkpoint = getattr(self, "_inserts_since_checkpoint", 0) + 1
         if self._inserts_since_checkpoint >= 4:
-            self._df = self._df.localCheckpoint(eager=True)
+            self._df = self._df.transform(lineage_cut, eager=True)
             self._inserts_since_checkpoint = 0
         return added
 

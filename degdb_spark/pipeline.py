@@ -12,7 +12,7 @@ executes nightly:
 Every stage is the operator documented in SCALE.md (no new plan
 shapes); the pipeline's own contribution is the staging discipline:
 
-- each stage's survivor frame is eagerly localCheckpointed before the
+- each stage's survivor frame is eagerly pin()ned before the
   next stage (stages 3-5 each consume the prior frame 2-3 times — the
   same 3x-recompute trap setsim_join had);
 - stage counts come from the checkpointed frames, so the audit report
@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from degdb_spark.persistence import pin
 
 
 def curate(
@@ -65,7 +66,7 @@ def curate(
     report: list[dict] = []
 
     def audit(stage: str, df: DataFrame) -> DataFrame:
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(pin, eager=True)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from degdb_spark.catalog import load_table
 from degdb_spark.queries import Query
 from degdb_spark.queries.rounding import dround, dsum, sql_dround, sql_dsum
+from degdb_spark.persistence import pin
 
 #: funnel stage order: browse → engage → convert.
 _FUNNEL_STAGES = ("view", "click", "purchase")
@@ -372,7 +373,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the (k²-row) matrix once: without this, the
         # totals branch re-runs the whole window+aggregate pipeline —
         # a second full scan of events at scale
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
     return (

@@ -17,6 +17,7 @@ from degdb_spark.operators.sampling import md5_bucket
 from degdb_spark.operators.timeseries import asof_join
 from degdb_spark.queries import Query
 from degdb_spark.queries.rounding import dround, dsum, sql_dround, sql_dsum
+from degdb_spark.persistence import pin
 
 _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR(64))), 1, 8)) AS BIGINT) % 100"
 
@@ -152,8 +153,8 @@ def basket_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection (see _edge_intersections) so the wedge stream is never
     shuffled row-at-a-time.
     """
-    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
-    oe = _degree_oriented_edges(e, _degrees(e)).localCheckpoint(eager=True)
+    e = _basket_edges(spark, sf_dir).transform(pin, eager=True)
+    oe = _degree_oriented_edges(e, _degrees(e)).transform(pin, eager=True)
     tri = _edge_intersections(oe).agg(
         F.sum(F.size("common")).alias("n_triangles")
     )
@@ -175,9 +176,9 @@ def basket_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan for degrees; closures come from the degree-oriented adjacency
     intersection (each triangle contributes once to each of its three
     vertices regardless of orientation)."""
-    e = _basket_edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = _degrees(e).localCheckpoint(eager=True)
-    oe = _degree_oriented_edges(e, deg).localCheckpoint(eager=True)
+    e = _basket_edges(spark, sf_dir).transform(pin, eager=True)
+    deg = _degrees(e).transform(pin, eager=True)
+    oe = _degree_oriented_edges(e, deg).transform(pin, eager=True)
     # per-edge adjacency intersection, exploded only to the actual
     # triangles (1.9M rows at sf0.1, vs the 49M-row wedge stream)
     tri = _edge_intersections(oe).select(

@@ -21,6 +21,7 @@ from degdb_spark.operators import similarity as S
 from degdb_spark.queries import Query
 from degdb_spark.queries.naming import sf_segment as _sf_segment
 from degdb_spark.queries.rounding import dround
+from degdb_spark.persistence import pin
 
 
 def _embedding_dim(default: int = 64) -> int:
@@ -1155,7 +1156,7 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg loop replans the whole pairwise cosine 4x — 8 corpus scans in
     # the executed plan); the 1-row result is checkpointed and fanned
     # back out to one row per threshold
-    one = pairs.agg(*aggs).localCheckpoint()
+    one = pairs.agg(*aggs).transform(pin)
     rows = None
     for t in ts:
         k = int(t * 100)

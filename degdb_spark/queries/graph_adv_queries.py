@@ -23,6 +23,7 @@ from degdb_spark.queries.coverage_queries import (
     _edge_intersections,
 )
 from degdb_spark.queries.rounding import dround, sql_dround
+from degdb_spark.persistence import lineage_cut, pin
 
 _SSSP_HOPS = 6
 _LPA_ITERS = 5
@@ -87,7 +88,7 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             wedges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
         )
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
 
 
@@ -480,7 +481,7 @@ def basket_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiny (the <20 customers' parts); read by the scoring join AND
         # the already-owned anti-join — left lazy, the 3-table owned
         # build plans twice (6 scans in the executed plan, 3 after)
-        .localCheckpoint()
+        .transform(pin)
     )
     edges = _weighted_edges(spark, sf_dir)
     scored = (
@@ -581,7 +582,7 @@ def basket_embedding_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(pin, eager=True)
     for _ in range(_EMB_ITERS):
         msg = (
             edges.join(x.withColumnRenamed("id", "src"), on="src")
@@ -592,7 +593,7 @@ def basket_embedding_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             msg.join(deg, "id")
             .withColumn("x", F.expr("s div deg"))
             .select("id", "d", "x")
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut, eager=False)
         )
     wide = x.groupBy("id").agg(
         *[
@@ -708,18 +709,18 @@ def basket_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out-degree rides ON the edge frame, materialized once — four
     # supersteps would otherwise re-run the degree aggregation + join
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = edges.join(deg, on="src").localCheckpoint(eager=True)
+    edges = edges.join(deg, on="src").transform(pin, eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     seeds = nodes.orderBy("id").limit(_PPR_SOURCES)
     ns = seeds.agg(F.count(F.lit(1)).alias("_ns"))
     teleport = (
         seeds.crossJoin(F.broadcast(ns))
         .select("id", (F.lit(1.0) / F.col("_ns")).alias("tp"))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     base = nodes.join(teleport, on="id", how="left").select(
         "id", F.coalesce("tp", F.lit(0.0)).alias("tp")
-    ).localCheckpoint(eager=True)
+    ).transform(pin, eager=True)
     r = base.select("id", dround(F.col("tp"), 12).alias("r"))
     for i in range(_PPR_ITERS):
         contrib = (
@@ -743,7 +744,7 @@ def basket_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
         if i < _PPR_ITERS - 1:
-            r = r.localCheckpoint(eager=False)
+            r = r.transform(lineage_cut, eager=False)
     return (
         r.select("id", dround(F.col("r"), 9).alias("ppr"))
         .orderBy(F.col("ppr").desc(), "id")
@@ -865,11 +866,11 @@ def basket_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         _weighted_edges(spark, sf_dir)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     # survivors carry their fixed orientation: (a, b) oriented, with
     # canonical (u, v) = (least, greatest)
-    oe = _degree_oriented_edges(e0, _degrees(e0)).localCheckpoint(eager=True)
+    oe = _degree_oriented_edges(e0, _degrees(e0)).transform(lineage_cut, eager=True)
 
     def count_row(df: DataFrame, rnd: int) -> DataFrame:
         return df.agg(
@@ -888,7 +889,7 @@ def basket_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("v", F.greatest("a", "b"))
             .join(keep, on=["u", "v"], how="left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut, eager=True)
         )
         out = out.unionByName(count_row(oe, rnd))
     return out.orderBy("round")

@@ -15,6 +15,7 @@ from degdb_spark.catalog import register_all
 from degdb_spark.graph import algorithms as G
 from degdb_spark.queries import Query
 from degdb_spark.sources.triples import TRIPLES_SQL, triples_df
+from degdb_spark.persistence import pin
 
 _CTE = f"WITH triples AS ({TRIPLES_SQL})"
 
@@ -26,7 +27,7 @@ def _triples(spark: SparkSession, sf_dir: str, materialize: bool = False) -> Dat
     union derivation; one materialization amortizes them all."""
     register_all(spark, sf_dir)
     t = triples_df(spark)
-    return t.localCheckpoint(eager=False) if materialize else t
+    return t.transform(pin, eager=False) if materialize else t
 
 
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ from degdb_spark.catalog import load_table
 from degdb_spark.operators import search as S
 from degdb_spark.queries import Query
 from degdb_spark.queries.naming import sf_segment as _sf_segment
+from degdb_spark.persistence import pin
 
 #: Fixed benchmark query: one rare term ('dup' ~ 2.6% df) + two common
 #: ones, so idf actually differentiates and the candidate filter prunes.
@@ -198,7 +199,7 @@ def parts_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read by both blocking sides AND both attribute fetches — left
     # lazy, each consumer replans the canonicalization (part scan +
     # dedup join): 8 scans in the executed plan, 0 after
-    canon = canon.localCheckpoint()
+    canon = canon.transform(pin)
     cand = blocked_pairs(canon, "id", "name")
     attrs_a = canon.select(
         F.col("id").alias("id_a"), F.col("p_brand").alias("brand_a"), F.col("p_type").alias("type_a")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from degdb_spark.catalog import register_all
 from degdb_spark.queries import Query
 from degdb_spark.sources.triples import TRIPLES_SQL, triples_df
+from degdb_spark.persistence import pin
 
 _CTE = f"WITH triples AS ({TRIPLES_SQL})"
 
@@ -99,7 +100,7 @@ def triple_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark, sf_dir)
     from degdb_spark.operators.bloom import build_bloom, might_contain, optimal_params
 
-    t = triples_df(spark).localCheckpoint(eager=False)
+    t = triples_df(spark).transform(pin, eager=False)
     members = (
         t.filter((F.col("pred") == "in_nation") & (F.col("obj") == "nation/1"))
         .select("subj")

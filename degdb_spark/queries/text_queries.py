@@ -14,6 +14,7 @@ from degdb_spark.operators import dedup as D
 from degdb_spark.operators import text as X
 from degdb_spark.queries import Query
 from degdb_spark.queries.rounding import dround, dsum, sql_davg, sql_dsum
+from degdb_spark.persistence import pin
 
 # DuckDB-side token expression mirroring operators/text.tokens
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -407,7 +408,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(X.tokens("text")).alias("pos", "token")
-    ).localCheckpoint()
+    ).transform(pin)
     c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
     total = tok.agg(F.count(F.lit(1)).alias("n_total"))
     prev = tok.select(
@@ -1149,13 +1150,13 @@ def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     bi_all = (
         docs.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint()
+        .transform(pin)
     )
     bi = bi_all.filter(F.col("c_ab") >= 5)
     n1 = uni.agg(F.sum("c").alias("n1"))
@@ -1657,7 +1658,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # vocab x 10 rows, feeds 2 aggs
+        .transform(pin, eager=False)  # vocab x 10 rows, feeds 2 aggs
     )
     occ = tb.groupBy("bucket").agg(F.sum("c").alias("n_occ"))
     nova = (

@@ -17,6 +17,7 @@ from degdb_spark.operators.triplestore import TripleStore
 from degdb_spark.plans.pattern import ArrayOp, compile_array_op
 from degdb_spark.queries import Query
 from degdb_spark.sources.triples import TRIPLES_SQL, triples_df
+from degdb_spark.persistence import pin
 
 _CTE = f"WITH triples AS ({TRIPLES_SQL})"
 
@@ -192,7 +193,7 @@ def predicate_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pairs, marginals, and the subject total all derive from this
         # frame — materialize once instead of re-running the scan +
         # distinct + collect per branch
-        .localCheckpoint(eager=True)
+        .transform(pin, eager=True)
     )
     ns = capped.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     marg = (

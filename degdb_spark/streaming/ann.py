@@ -20,6 +20,7 @@ re-read.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from degdb_spark.persistence import pin
 
 
 def ann_index_stream(
@@ -38,7 +39,7 @@ def ann_index_stream(
     spark = vecs.sparkSession
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(pin, eager=True)
         # refresh only when the WHOLE artifact exists: if batch 0
         # crashed after the code table landed but before the
         # codebook/centroids sidecars, the retry must re-run the build
@@ -127,7 +128,7 @@ def _semantic_index_step(
     )
 
     spark = batch.sparkSession
-    batch = batch.localCheckpoint(eager=True)
+    batch = batch.transform(pin, eager=True)
     from degdb_spark.streaming.util import has_committed_parquet
 
     if has_committed_parquet(spark, index_path):

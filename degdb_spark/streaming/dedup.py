@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.operators.dedup import minhash_band_hashes
 from degdb_spark.operators.text import fingerprint
+from degdb_spark.persistence import pin
 
 
 def exact_dedup_stream(
@@ -138,7 +139,7 @@ def _neardup_index_step(
     from degdb_spark.operators.dedup import band_table, incremental_lsh_candidates
 
     spark = batch.sparkSession
-    batch = batch.localCheckpoint(eager=True)  # feeds probe + index write
+    batch = batch.transform(pin, eager=True)  # feeds probe + index write
     from degdb_spark.streaming.util import has_committed_parquet
 
     if has_committed_parquet(spark, index_path):
@@ -191,7 +192,7 @@ def postings_index_stream(
     spark = docs.sparkSession
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(pin, eager=True)
         if spark.catalog.tableExists(table):
             refresh_postings_index(batch, table, text_col, batch_id=int(batch_id))
         else:
@@ -229,7 +230,7 @@ def positional_index_stream(
     spark = docs.sparkSession
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(pin, eager=True)
         if spark.catalog.tableExists(table):
             refresh_positional_index(batch, table, text_col, batch_id=int(batch_id))
         else:
@@ -291,7 +292,7 @@ def _span_index_step(
     from degdb_spark.operators.dedup import incremental_span_dedup
 
     spark = batch.sparkSession
-    batch = batch.localCheckpoint(eager=True)  # feeds probe + both writes
+    batch = batch.transform(pin, eager=True)  # feeds probe + both writes
     from degdb_spark.streaming.util import has_committed_parquet
 
     if has_committed_parquet(spark, index_path):
@@ -338,7 +339,7 @@ def dsir_counts_stream(
         from degdb_spark.operators.text import dsir_occurrences, dsir_word_counts
 
         dsir_word_counts(
-            dsir_occurrences(batch.localCheckpoint(eager=True)), target
+            dsir_occurrences(batch.transform(pin, eager=True)), target
         ).write.mode("overwrite").parquet(f"{counts_path}/batch={batch_id}")
 
     return (

@@ -81,6 +81,60 @@ def test_default_pin_mode_follows_master(spark, monkeypatch):
     assert out_local.count() == 5
 
 
+def test_lineage_cut_modes_bit_identical(spark, tmp_path):
+    """lineage_cut's two flavors (executor-local / reliable checkpoint)
+    must produce bit-identical results on an iterative algorithm —
+    connected_components exercises both the pinned base edges and the
+    per-superstep state cuts."""
+    from degdb_spark.graph.algorithms import hash_min_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 99)], ["id"]
+    )
+    want = sorted(tuple(r) for r in hash_min_components(vertices, edges).collect())
+    try:
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        spark.conf.set("spark.degdb.lineage_cut", "reliable")
+        got = sorted(tuple(r) for r in hash_min_components(vertices, edges).collect())
+    finally:
+        spark.conf.unset("spark.degdb.lineage_cut")
+    assert got == want
+
+
+def test_lineage_cut_reliable_requires_checkpoint_dir(spark, monkeypatch):
+    """'reliable' without setCheckpointDir must fail LOUDLY with the
+    fix, and a typo'd knob must raise — never silently degrade to the
+    executor-local flavor the knob exists to avoid. Also: the UNSET
+    knob follows the master like pin (local → localCheckpoint, cluster
+    → reliable)."""
+    from degdb_spark import persistence
+
+    df = spark.range(5)
+    had_dir = not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+    if not had_dir:
+        spark.conf.set("spark.degdb.lineage_cut", "reliable")
+        try:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                persistence.lineage_cut(df)
+        finally:
+            spark.conf.unset("spark.degdb.lineage_cut")
+    spark.conf.set("spark.degdb.lineage_cut", "relaible")  # typo'd
+    try:
+        with pytest.raises(ValueError, match="lineage_cut"):
+            persistence.lineage_cut(df)
+    finally:
+        spark.conf.unset("spark.degdb.lineage_cut")
+    # unset knob: local master → 'local'; cluster master → 'reliable'
+    assert persistence.lineage_cut(df, eager=True).count() == 5
+    monkeypatch.setattr(persistence, "_master", lambda f: "spark://host:7077")
+    if not had_dir:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            persistence.lineage_cut(df)
+
+
 def test_persist_ring_prunes_stopped_sessions(spark, _clean_knob, monkeypatch):
     """Ring entries whose owning session has stopped are dropped on the
     next pin instead of being kept alive until 16 newer pins displace
