@@ -109,7 +109,14 @@ def build_bloom(
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     partials = hashed.mapInPandas(part, "bits binary")
-    merged = _tree_or(partials, hashed.rdd.getNumPartitions(), fanin)
+    # schedule basis: an ESTIMATE of the partial count is enough —
+    # _or_partition ORs incrementally (peak ~2 bitsets per task), so an
+    # undercount only widens one merge round, never breaks correctness
+    # (the ≤1-bitset raise below still guards the collect). Using
+    # defaultParallelism avoids instantiating the RDD lineage that
+    # hashed.rdd.getNumPartitions() would force.
+    est_partials = df.sparkSession.sparkContext.defaultParallelism
+    merged = _tree_or(partials, est_partials, fanin)
     rows = merged.collect()
     if len(rows) > 1:  # explicit raise, not assert: a partial-bitset
         # filter would produce FALSE NEGATIVES, and `python -O` strips
