@@ -92,6 +92,8 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:4] == b"RAWV":
         return "rawv"
     return None
@@ -116,6 +118,39 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_gif(data)
     raise ValueError("unrecognized image payload (expected BMP, PNG, JPEG or GIF)")
+
+
+def decode_video_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
+    """Format-sniffing video decode: animated GIF, MJPEG-AVI or RAWV
+    bytes → ([per-frame timestamp ms], [RGB uint8 (H, W, 3) frames]).
+    The video twin of decode_image — the single seam every video
+    operator (frame extraction, video aHash, feature extraction) goes
+    through, so adding a container here lights it up everywhere.
+    Timestamps come from each container's OWN clock: GIF graphic-
+    control delays (ts(f) = Σ delays[:f]), AVI dwScale/dwRate, RAWV's
+    fixed interval header."""
+    fmt = sniff_format(data)
+    if fmt == "gif":
+        from degdb_spark.functions.gif import decode_gif_video
+
+        delays, frames = decode_gif_video(data)
+        ts, acc = [], 0
+        for d in delays:
+            ts.append(acc)
+            acc += d
+        return ts, frames
+    if fmt == "avi":
+        from degdb_spark.functions.avi import decode_avi
+
+        interval, frames = decode_avi(data)
+        return [f * interval for f in range(len(frames))], frames
+    if fmt == "rawv":
+        interval, stack = decode_rawv(data)
+        return (
+            [f * interval for f in range(stack.shape[0])],
+            [stack[f] for f in range(stack.shape[0])],
+        )
+    raise ValueError("unrecognized video payload (expected GIF, AVI or RAWV)")
 
 
 def bmp_size(width: int, height: int) -> int:
@@ -277,7 +312,15 @@ _ULAW_CLIP = 32635
 def ulaw_encode(samples: np.ndarray) -> np.ndarray:
     """int16 PCM → uint8 G.711 mu-law codes, vectorized integer math
     (segment = position of the leading bit of the biased magnitude,
-    4-bit mantissa below it, ones-complement output per the spec)."""
+    4-bit mantissa below it, ones-complement output per the spec).
+
+    Boundary rounding: negative values exactly on segment boundaries
+    encode one code up from the Sun g711.c/audioop encoder (381 of
+    65536 inputs, e.g. -31611 → 0x01 vs Sun's 0x00). Deliberate:
+    round-trip stays idempotent, ``ulaw_decode`` matches audioop
+    bit-exactly, and reconstruction error is slightly LOWER than the
+    Sun form — but byte-level comparison against externally encoded
+    mu-law fixtures may differ on those inputs."""
     x = samples.astype(np.int64)
     sign = np.where(x < 0, 0x80, 0x00)
     mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
@@ -354,7 +397,8 @@ def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE mono bytes → (sample_rate, int16 samples): PCM16
-    (format 1) or G.711 mu-law (format 7, expanded to int16).
+    (format 1), G.711 A-law (format 6) or G.711 mu-law (format 7),
+    the G.711 variants expanded to int16.
     Walks RIFF chunks, so extra chunks (LIST etc.) are tolerated."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")

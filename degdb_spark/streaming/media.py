@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from degdb_spark.persistence import pin
 
 _INDEX_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long"
 
@@ -47,9 +48,10 @@ def ahash_index_stream(
     """Maintain the perceptual-fingerprint index + incremental near-dup
     pair emissions from a media stream — ``kind="image"`` hashes via
     image_ahash, ``kind="audio"`` via audio_ahash (the energy-envelope
-    fingerprint); both band into the same (b0..b3) index schema, so
-    one lifecycle serves both modalities. Returns the started
-    availableNow StreamingQuery."""
+    fingerprint), ``kind="video"`` via video_ahash (temporal-mean
+    frame hash over the real GIF/AVI/RAWV containers); all three band
+    into the same (b0..b3) index schema, so one lifecycle serves every
+    modality. Returns the started availableNow StreamingQuery."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
         _ahash_index_step(batch, int(batch_id), index_path, pairs_path, kind)
@@ -75,16 +77,20 @@ def _ahash_index_step(
         audio_ahash,
         image_ahash,
         incremental_banded_neardup_pairs,
+        video_ahash,
     )
 
-    if kind not in ("image", "audio"):
-        raise ValueError(f"ahash_index_stream kind must be image|audio, got {kind!r}")
-    hash_op = image_ahash if kind == "image" else audio_ahash
+    ops = {"image": image_ahash, "audio": audio_ahash, "video": video_ahash}
+    if kind not in ops:
+        raise ValueError(
+            f"ahash_index_stream kind must be image|audio|video, got {kind!r}"
+        )
+    hash_op = ops[kind]
     spark = batch.sparkSession
     # batch feeds only the hash job; pinning the payload bytes would be
     # pure memory pressure — the hashes below are what both writes and
     # the probe reuse
-    new_hashes = hash_op(batch).localCheckpoint(eager=True)
+    new_hashes = hash_op(batch).transform(pin, eager=True)
 
     from degdb_spark.streaming.util import has_committed_parquet
 

@@ -847,3 +847,81 @@ def test_wav_alaw_container_round_trip():
     assert rate == 8000
     assert (out == C.alaw_decode(C.alaw_encode(s))).all()
     assert int(np.abs(out.astype(int) - s.astype(int)).max()) <= 512
+
+
+# ------------------------------------------------------------------ AVI
+
+
+def test_avi_mjpeg_round_trip_quant_exact():
+    """MJPEG-in-AVI: quantization-exact frames (per-8x8-block-constant
+    even gray) survive the encode -> RIFF container -> decode path
+    bit-exactly, with the frame interval recovered from the stream
+    header's dwScale/dwRate clock, and restart markers changing bytes
+    but not pixels."""
+    import numpy as np
+
+    from degdb_spark.functions import avi
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    fr = avi_exact_frames(5, 68, 80, 4)
+    data = avi.encode_avi_mjpeg(fr, 250)
+    interval, out = avi.decode_avi(data)
+    assert interval == 250
+    assert len(out) == 4
+    assert all((a == b).all() for a, b in zip(fr, out))
+    assert avi.frame_timestamps_ms(250, 1000, 4) == [0, 250, 500, 750]
+    # restart markers: different bytes, identical pixels
+    data_rst = avi.encode_avi_mjpeg(fr, 250, restart_interval=2)
+    assert data_rst != data
+    _, out_rst = avi.decode_avi(data_rst)
+    assert all((a == b).all() for a, b in zip(fr, out_rst))
+    # size helper matches the real encoding
+    assert avi.avi_mjpeg_size([]) < len(data)
+    import degdb_spark.functions.codecs as C2
+
+    assert C2.sniff_format(data) == "avi"
+    ts, frames2 = C2.decode_video_frames(data)
+    assert ts == [0, 250, 500, 750]
+    assert all((a == b).all() for a, b in zip(fr, frames2))
+
+
+def test_avi_rejects_malformed():
+    import numpy as np
+
+    from degdb_spark.functions import avi
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    fr = avi_exact_frames(1, 56, 56, 2)
+    data = avi.encode_avi_mjpeg(fr, 500)
+    with pytest.raises(ValueError):
+        avi.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        avi.decode_avi(data[:40])  # truncated header
+    # RIFF size field inflated beyond the payload
+    bad = bytearray(data)
+    bad[4:8] = (len(data) + 100).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        avi.decode_avi(bytes(bad))
+    # zero dwRate (clock division)
+    zr = bytearray(data)
+    strh_off = data.index(b"strh") + 8
+    zr[strh_off + 24 : strh_off + 28] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        avi.decode_avi(bytes(zr))
+    with pytest.raises(ValueError):
+        avi.encode_avi_mjpeg(fr.astype(np.int16), 500)  # wrong dtype
+    with pytest.raises(ValueError):
+        avi.encode_avi_mjpeg(fr, 0)  # nonpositive interval
+
+
+def test_avi_truncation_always_valueerror():
+    """The shared quarantine contract for the AVI container: every
+    truncation point raises ValueError (the RIFF size check makes any
+    cut payload invalid — there is no lenient-trailer case)."""
+    from degdb_spark.functions import avi
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    data = avi.encode_avi_mjpeg(avi_exact_frames(2, 56, 56, 3), 500)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            avi.decode_avi(data[:cut])

@@ -281,3 +281,56 @@ def test_ahash_index_increment_after_corpus_deletion(spark, tmp_path):
         assert (f, 101 + 10 * f) in got
     # batch 1 never re-derives old-vs-old pairs (batch 0 owns those)
     assert not any(a < 3 and b < 3 for a, b in got)
+
+
+def test_video_ahash_index_increment_after_corpus_deletion(spark, tmp_path):
+    """The seventh index lifecycle (video fingerprints): build the
+    temporal-mean aHash index from batch 0's video clips, DELETE batch
+    0's media files, then run a larger increment — incremental pairs
+    must still surface every cross-batch near-dup, proving historical
+    video payloads are never re-decoded (they no longer exist; old
+    clips participate through 32 index bytes each)."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import _ahash_index_step
+
+    ramp = np.linspace(5, 250, 32)
+
+    def vid_row(mid, fam, var):
+        base = np.clip(
+            np.round(np.add.outer(np.linspace(5, 250, 24), ramp) / 2) + fam * 17,
+            0, 255,
+        ).astype(np.uint8)
+        frames = np.repeat(base[None, :, :, None], 3, axis=3).repeat(4, axis=0).copy()
+        frames[0, 0, 0, 0] = (int(frames[0, 0, 0, 0]) + var) % 256
+        return (mid, "video", bytearray(C.encode_rawv(frames, 500)),
+                ("rawv", 32, 24, 1500, None))
+
+    b0 = spark.createDataFrame(
+        [vid_row(i, i, 0) for i in range(3)], schema=M.MEDIA_SCHEMA
+    )
+    b0_dir = str(tmp_path / "video_b0.parquet")
+    b0.write.parquet(b0_dir)
+    index_path = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    _ahash_index_step(spark.read.parquet(b0_dir), 0, index_path, pairs_path, kind="video")
+
+    shutil.rmtree(b0_dir)  # old payloads GONE — the increment can't read them
+
+    b1 = spark.createDataFrame(
+        [vid_row(100 + 10 * f + v, f, v + 1) for f in range(3) for v in range(2)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    _ahash_index_step(b1, 1, index_path, pairs_path, kind="video")
+
+    all_pairs = spark.read.option("basePath", pairs_path).parquet(pairs_path)
+    got = {
+        (r.id_a, r.id_b)
+        for r in all_pairs.filter("near_dup = 1 and batch = 1").collect()
+    }
+    for f in range(3):
+        assert (f, 100 + 10 * f) in got
+        assert (f, 101 + 10 * f) in got
+    assert not any(a < 3 and b < 3 for a, b in got)

@@ -175,6 +175,22 @@ def test_audio_ahash_bands(media):
     assert hashes[i] == expect
 
 
+def test_audio_ahash_rejects_degenerate_clips(spark):
+    """A clip shorter than 64 samples must raise, not fingerprint
+    all-zero (which would spuriously near-dup every degenerate clip)."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    wav = C.encode_wav(np.arange(10, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [Row(media_id=0, kind="audio", payload=bytearray(wav))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="64 samples"):
+        M.audio_ahash(df).collect()
+
+
 # ------------------------------------------------------------------ PNG
 
 
@@ -436,3 +452,90 @@ def test_telephony_wav_through_feature_path(spark):
         # same signal through a telephony quantizer: close, not equal
         assert float(np.abs(feats[mid] - feats[0]).max()) < 0.05
         assert not np.array_equal(feats[mid], feats[0])
+
+
+# ------------------------------------------------------------------ video
+
+
+def test_video_ahash_bands(media):
+    """video_ahash over the RAWV fixtures: replay the temporal-mean
+    fingerprint arithmetic independently for one clip."""
+    import numpy as np
+
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.video_ahash(media).collect()}
+    n_video = media.filter(media.kind == "video").count()
+    assert len(hashes) == n_video
+    assert all(0 <= b <= 0xFFFF for bands in hashes.values() for b in bands)
+    i = 2  # media_id 2 is a video
+    fr = M._video_frames(i, 1000 + 37 * i).astype(np.int64)
+    gs = fr.sum(axis=(0, 3))  # sum over frames and channels -> (H, W)
+    h, w = gs.shape
+    blocks = gs.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    bits = (blocks.reshape(64) * 64 > blocks.sum()).astype(int)
+    expect = tuple(
+        int(sum(int(b) << j for j, b in enumerate(bits[16 * k : 16 * k + 16])))
+        for k in range(4)
+    )
+    assert hashes[i] == expect
+
+
+def test_video_ahash_identical_across_containers(spark):
+    """The SAME frame stack through RAWV and MJPEG-AVI must produce the
+    SAME fingerprint: the quantization-exact frames make the AVI's
+    lossy JPEG path lossless, so the two containers are byte-equal at
+    the frame level and hash-equal at the fingerprint level."""
+    from degdb_spark.functions import avi as A
+
+    from pyspark.sql import Row
+
+    frames = M.avi_exact_frames(7, 56, 56, 3)
+    rows = [
+        Row(media_id=0, kind="video",
+            payload=bytearray(C.encode_rawv(frames, 500)),
+            meta=("rawv", 56, 56, 1000, None)),
+        Row(media_id=1, kind="video",
+            payload=bytearray(A.encode_avi_mjpeg(frames, 500)),
+            meta=("avi", 56, 56, 1000, None)),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.video_ahash(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_avi_frame_extract_matches_rawv_twin(spark):
+    """Two-container byte-identity: extract_video_frames over an AVI
+    and a RAWV of the SAME frames emits identical (frame_idx,
+    frame_ts_ms, frame_bmp) rows — the container seam changes the
+    bytes on disk, never the extracted frames."""
+    from degdb_spark.functions import avi as A
+
+    from pyspark.sql import Row
+
+    frames = M.avi_exact_frames(4, 68, 56, 4)
+    rows = [
+        Row(media_id=0, kind="video",
+            payload=bytearray(C.encode_rawv(frames, 500)),
+            meta=("rawv", 68, 56, 1500, None)),
+        Row(media_id=1, kind="video",
+            payload=bytearray(A.encode_avi_mjpeg(frames, 500)),
+            meta=("avi", 68, 56, 1500, None)),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.extract_video_frames(df).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = (r.frame_ts_ms, bytes(r.frame_bmp))
+    assert set(by_vid[0]) == set(by_vid[1]) == {0, 1, 2, 3}
+    for fi in range(4):
+        assert by_vid[0][fi] == by_vid[1][fi]
+
+
+def test_avi_strict_features(spark):
+    """AVI is a NATIVE format: strict-mode feature extraction decodes
+    it for real (no fake fallback), and corrupt AVI payloads raise."""
+    media = M.synthetic_avi_media(spark, 6)
+    out = M.extract_features(media, strict=True).collect()
+    assert len(out) == 6
+    assert all(len(r.features) == M.FEATURE_DIM for r in out)
+    with pytest.raises(ValueError):
+        M.decode_features(b"RIFF\x40\x00\x00\x00AVI " + b"\x00" * 64, strict=True)

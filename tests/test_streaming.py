@@ -1228,3 +1228,60 @@ def test_audio_ahash_index_stream_equals_full_pairs(spark, tmp_path):
     got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
     assert len(got_rows) == len(got)
     assert got == full
+
+
+def test_video_ahash_index_stream_equals_full_pairs(spark, tmp_path):
+    """The video modality of the fingerprint index twin: clips stream
+    in three batches; union of incremental pair emissions == the
+    full-corpus video near-dup pair set, cross-batch families
+    included, derived from the temporal-mean index alone."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import ahash_index_stream
+
+    ramp = np.linspace(5, 250, 32)
+    rows = []
+    for mid in range(9):
+        fam, var = mid % 3, mid // 3
+        base = np.clip(
+            np.round(np.add.outer(np.linspace(5, 250, 24), ramp) / 2) + fam * 17,
+            0, 255,
+        ).astype(np.uint8)
+        frames = np.repeat(base[None, :, :, None], 3, axis=3).repeat(4, axis=0).copy()
+        frames[0, 0, 0, 0] = (int(frames[0, 0, 0, 0]) + var) % 256
+        rows.append(
+            (mid, "video", bytearray(C.encode_rawv(frames, 500)),
+             ("rawv", 32, 24, 1500, None))
+        )
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    full = {
+        (r.id_a, r.id_b): (r.hamming, r.near_dup)
+        for r in M.banded_neardup_pairs(M.video_ahash(media)).collect()
+    }
+    assert full and any(a // 3 != b // 3 for a, b in full)
+
+    src = tmp_path / "video_in"
+    src.mkdir()
+    for i in range(3):
+        media.filter((F.col("media_id") / F.lit(3)).cast("int") == i).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = ahash_index_stream(
+        stream, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), kind="video",
+    )
+    q.awaitTermination(120)
+    got_rows = spark.read.option("basePath", str(tmp_path / "pairs")).parquet(
+        str(tmp_path / "pairs")
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
+    assert len(got_rows) == len(got)
+    assert got == full
