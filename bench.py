@@ -168,6 +168,11 @@ HEADLINE = [
     "media_jpeg_decode",
     "media_gif_decode",
     "media_gif_frame_extract",
+    # round 9: the two new surfaces (temporal-mean video fingerprint +
+    # banded near-dup; MJPEG-in-AVI container extraction — per-frame
+    # JPEG entropy decode through the shared video seam)
+    "media_video_neardups",
+    "media_avi_frame_extract",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -31,82 +31,88 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-8 window (see module docstring). Composition (50 checked
-#: slots), exactly as planned in the round-7 comment / VERDICT r7
-#: "Next round #1": the 34 remaining r3-era rows (all of them, named
-#: in the r7 plan), plus the 6 surfaces new or changed in round 8
-#: (gremlin_region_orders, media_png_decode, media_jpeg_decode,
-#: media_gif_decode and media_gif_frame_extract are NEW — registry
-#: grew 217 → 222, the first additions since the freeze, all genuinely
-#: new surfaces per the standing policy;
-#: triple_bloom_semijoin's build path changed to the tree merge and
-#: was already among the 34), plus emb_centroid_separation (the one
-#: r3-era row the r7 plan missed), plus the 10 oldest r4-era rows in
-#: registry module order.
+#: Round-9 window (see module docstring). Composition (50 checked
+#: slots), exactly as planned in the round-8 comment / VERDICT r8
+#: "Next round #1": ALL 37 remaining r4-era rows (the full cohort fits
+#: this round — q5/q6/q10 and the galleries displaced from r8 are
+#: here), plus the 2 surfaces NEW in round 9 (media_video_neardups —
+#: temporal-mean video fingerprint + banded near-dup, and
+#: media_avi_frame_extract — the MJPEG-in-AVI container; registry grew
+#: 222 → 224, both genuinely new surfaces per the standing freeze
+#: policy), plus the 2 surfaces CHANGED in round 9
+#: (media_gif_frame_extract and media_frame_extract — their operator
+#: extract_video_frames now routes through the single
+#: codecs.decode_video_frames seam that also serves AVI), plus the 9
+#: oldest r5-era rows in registry module order. (The round-9 pin
+#: migration touched many query files but is mode-identity by
+#: construction — the default knob value still localCheckpoints — and
+#: is covered by the full local oracle sweep + the
+#: test_persistence.py bit-identity properties.)
 #:
-#: Round-9 window, planned now so the standing policy stays
-#: executable: the remaining r4-era rows in module order
-#: (q5_local_supplier_volume, q6_revenue_change, q10_returned_items —
-#: displaced from this window by the extra codec surfaces — then
-#: top_customers_per_nation,
-#: running_order_totals, rollup_revenue, nations_set_ops,
-#: scalar_function_gallery, date_function_gallery, and the rest of
-#: the r4 cohort) + anything that changes in round 9 + oldest r5-era
-#: fill to 50. Overflow evicts oldest-first.
+#: Round-10 window, planned now so the standing policy stays
+#: executable: the remaining 36 r5-era rows in module order
+#: (docs_token_budget_selection, docs_stratified_sample,
+#: lineitem_quantiles_by_flag, events_ohlc_bars, the media decode
+#: quartet, the docs_* text cohort, basket_ktruss/assortativity/
+#: personalized_pagerank/harmonic_centrality, the events stats
+#: family) + anything that changes in round 10 + oldest r6-era fill
+#: to 50. Overflow evicts oldest-first.
 _WINDOW = [
-    # --- r3-era rows (35 = the 34 named in the r7 plan + the one it missed)
-    "docs_leakage_safe_split",
-    "docs_unigram_logprob",
-    "docs_bigram_logprob",
-    "orders_salted_join",
-    "lineitem_contract_checks",
-    "lineitem_unpivot",
-    "lineitem_profile",
-    "lineitem_price_histogram",
-    "q15_top_supplier",
-    "q12_late_shipping",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_excess_suppliers",
-    "basket_embedding_power",
-    "basket_recommendations",
-    "basket_modularity",
-    "basket_edge_churn",
-    "basket_sssp_histogram",
-    "basket_communities",
-    "basket_kcore",
-    "basket_link_prediction",
-    "mql_region_nations",
-    "triple_bloom_semijoin",  # ALSO CHANGED r8: tree-merged bitset build
-    "triple_canonical_dump",
-    "triple_signature_parity",
-    "events_lag_features",
-    "events_scd2_segments",
-    "events_funnel",
-    "events_retention",
-    "events_decay_score",
-    "events_anomaly_zscore",
-    "parts_fuzzy_match",
-    "emb_centroid_separation",
-    # --- new in round 8 (5)
-    "gremlin_region_orders",  # NEW r8: fluent-traversal surface, oracle-checked
-    "media_png_decode",  # NEW r8: stdlib-zlib PNG decode vs closed-form pixels
-    "media_jpeg_decode",  # NEW r8: pure-numpy baseline JPEG vs quant-exact oracle
-    "media_gif_decode",  # NEW r8: pure-Python LZW GIF vs the shared pixel oracle
-    "media_gif_frame_extract",  # NEW r8: animated-GIF video seam vs per-frame pixels
-    # --- oldest r4-era fill (10, registry module order)
-    "docs_weighted_sample",
-    "events_join_size_estimate",
-    "events_kmv_setops",
-    "docs_setsim_join",
-    "docs_zipf_fit",
-    "docs_vocab_drift",
-    "docs_lsh_calibration",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
+    # --- the full remaining r4-era cohort (37, registry module order)
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q10_returned_items",
+    "top_customers_per_nation",
+    "running_order_totals",
+    "rollup_revenue",
+    "nations_set_ops",
+    "scalar_function_gallery",
+    "date_function_gallery",
+    "grouping_sets_revenue",
+    "lineitem_correlations",
+    "lineitem_ols",
+    "orders_benford_audit",
+    "lineitem_snapshot_diff",
+    "orders_kanonymity",
+    "lineitem_ols_by_flag",
+    "lineitem_chi_square",
+    "lineitem_equidepth_bins",
+    "lineitem_psi",
+    "orders_skew_report",
+    "price_percentiles",
+    "regexp_gallery",
+    "window_function_gallery",
+    "moving_average_revenue",
+    "q16_supplier_variety",
+    "q22_dormant_rich_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discount_brackets",
+    "events_markov_transitions",
+    "docs_bm25_search",
+    "docs_phrase_search",
+    "parts_linkage_scores",
+    # --- new in round 9 (2)
+    "media_video_neardups",  # NEW r9: video aHash + banded near-dup, pixel oracle
+    "media_avi_frame_extract",  # NEW r9: MJPEG-in-AVI container, quant-exact oracle
+    # --- changed in round 9 (2): extract_video_frames now routes
+    # through codecs.decode_video_frames (the shared GIF/AVI/RAWV seam)
+    "media_gif_frame_extract",
+    "media_frame_extract",
+    # --- oldest r5-era fill (9, registry module order)
+    "emb_knn_label_accuracy",
+    "emb_centroid_outliers",
+    "emb_threshold_curve",
+    "emb_jl_distortion",
+    "emb_ann_recall",
+    "emb_knn_topk",
+    "emb_neardup",
+    "graph_degree_powerlaw",
+    "docs_source_quota_selection",
 ]
 
 
