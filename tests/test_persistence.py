@@ -34,6 +34,31 @@ def test_pin_modes_bit_identical(spark, tmp_path, _clean_knob):
     assert _dsir_rows(spark) == want
 
 
+def test_pin_persist_mode_covers_migrated_paths(spark, _clean_knob):
+    """After the round-9 migration, pin() sits under MLlib fit inputs
+    (ml_lsh — where an unmaterialized Python-UDF tree historically
+    threw INTERNAL_ERROR), graph base-edge frames, and the setsim
+    prefix build. Run one query of each shape under pin=persist — the
+    cluster default — and compare to the local-checkpoint rows."""
+    from degdb_spark.queries.graph_adv_queries import QUERIES as COV
+    from degdb_spark.queries.text_queries import QUERIES as TXT
+
+    def rows(name, q):
+        return sorted(tuple(r) for r in q.spark(spark, SF).collect())
+
+    for name, q in (
+        ("docs_minhash_neardups", TXT["docs_minhash_neardups"]),
+        ("basket_kcore", COV["basket_kcore"]),
+        ("docs_setsim_join", TXT["docs_setsim_join"]),
+    ):
+        want = rows(name, q)
+        spark.conf.set("spark.degdb.pin", "persist")
+        try:
+            assert rows(name, q) == want, name
+        finally:
+            spark.conf.unset("spark.degdb.pin")
+
+
 def test_pin_persist_mode_uses_storage(spark, _clean_knob):
     from degdb_spark.persistence import pin
 
