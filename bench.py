@@ -168,11 +168,13 @@ HEADLINE = [
     "media_jpeg_decode",
     "media_gif_decode",
     "media_gif_frame_extract",
-    # round 9: the two new surfaces (temporal-mean video fingerprint +
-    # banded near-dup; MJPEG-in-AVI container extraction — per-frame
-    # JPEG entropy decode through the shared video seam)
+    # round 9: the three new surfaces (temporal-mean video fingerprint
+    # + banded near-dup; MJPEG-in-AVI container extraction — per-frame
+    # JPEG entropy decode through the shared video seam; in-plan BPE
+    # tokenizer training over the word histogram)
     "media_video_neardups",
     "media_avi_frame_extract",
+    "docs_bpe_train",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

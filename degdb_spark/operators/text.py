@@ -346,6 +346,79 @@ def bpe_encode(col: Column | str, merges: list[tuple[str, str]] | None = None) -
     return F.split(x, sep)
 
 
+def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 8) -> DataFrame:
+    """In-plan BPE tokenizer TRAINING: learn ``n_merges`` merges from
+    the corpus — the text analog of the in-plan trained IVF (ml_lsh
+    Lloyd): the model artifact is learned inside the query, not pinned.
+
+    Scale shape (the one real BPE trainers use — Sennrich et al. 2016
+    train on word histograms, not the raw corpus): the corpus is
+    scanned ONCE into a (word, n) frequency table, bounded by the
+    distinct-word count (Heaps' law: ~10⁶-10⁷ even at 100 TB), and
+    every merge round runs over that histogram only — one pair-count
+    shuffle of ≤|vocab| rows per round, plus a single-row argmax
+    collect (the Lloyd-centroid pattern: O(1) driver rows per round).
+
+    Merge semantics are EXACT reference BPE via a boundary-anchored
+    string form: each token is encoded ``|tok·``, so the round's
+    winning pair is the plain substring ``|a·|b·`` and one global
+    left-to-right non-overlapping ``replace`` to ``|ab·`` is exactly
+    the simultaneous leftmost merge — prefix/suffix false matches are
+    impossible (every token carries its own ``|``/``·`` delimiters)
+    and same-token runs merge with correct parity
+    (property-tested against a pure-Python reference trainer). Plain
+    ``replace`` on both engines keeps the oracle closed-form: DuckDB
+    replays each round's argmax with scalar subqueries — no lookarounds,
+    which its RE2 engine lacks.
+
+    Ties break by (count DESC, anchored-pair ASC) — byte-order
+    comparison on both engines. Returns (merge_rank, lhs, rhs, n),
+    ``n_merges`` rows; raises if the corpus runs out of pairs (pick a
+    smaller ``n_merges`` — the fixed-depth oracle unrolls exactly)."""
+    from degdb_spark.persistence import lineage_cut
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc = words.select(
+        F.regexp_replace("w", "(.)", "|$1·").alias("s"), "n"
+    ).transform(lineage_cut, eager=True)  # the ONE corpus scan
+    # let-bind the split so it evaluates once per row, not three times
+    # (the `let` device above — free variables in HOF lambdas re-eval)
+    pair_expr = F.expr(
+        "element_at(transform(array(split(s, '·')), l ->"
+        " zip_with(slice(l, 1, size(l) - 2), slice(l, 2, size(l) - 2),"
+        "          (a, b) -> concat(a, '·', b, '·'))), 1)"
+    )
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            enc.select(F.explode(pair_expr).alias("p"), "n")
+            .groupBy("p")
+            .agg(F.sum("n").alias("n"))
+            .orderBy(F.col("n").desc(), "p")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"bpe_train: corpus exhausted at merge {rank} of {n_merges}"
+            )
+        p, cnt = top[0]["p"], int(top[0]["n"])
+        lhs, rhs = (t.lstrip("|") for t in p.split("·")[:2])
+        out.append((rank, lhs, rhs, cnt))
+        enc = enc.withColumn(
+            "s", F.replace(F.col("s"), F.lit(p), F.lit(p.replace("·|", "")))
+        ).transform(lineage_cut, eager=False)
+    return spark.createDataFrame(out, "merge_rank int, lhs string, rhs string, n long")
+
+
 #: DSIR hashed-bucket count, exactly the paper's device (Xie et al.
 #: 2023, arXiv:2302.03169 §3: "hashed n-gram features ... 10,000
 #: buckets"): tokens hash into a FIXED bucket space, so the count /

@@ -1550,6 +1550,63 @@ BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan BPE tokenizer training (operators/text.bpe_train): learn
+    the top-8 merges from the corpus word histogram — the trained-model
+    complement of docs_bpe_pair_counts (statistics) and docs_bpe_encode
+    (inference with a pinned table). The oracle unrolls all 8 rounds as
+    CTEs, each re-deriving the pair histogram over the boundary-anchored
+    string form and picking the argmax with scalar subqueries — so a
+    hash match certifies the full data-dependent training loop, like
+    the unrolled-Lloyd oracle does for IVF."""
+    from degdb_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and e{k}
+    # referencing e{k-1} (plus two scalar subqueries on m{k}) would
+    # re-evaluate the whole chain exponentially — measured 300 s
+    # inlined vs 0.06 s materialized for the same 8-round unroll
+    parts = ["""words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE LENGTH(w) >= 1 GROUP BY w
+),
+e0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1·', 'g') AS s, n FROM words)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT p, CAST(SUM(n) AS BIGINT) AS n FROM (
+    SELECT UNNEST(list_transform(range(1, len(string_split(s, '·')) - 1),
+           i -> string_split(s, '·')[i] || '·' || string_split(s, '·')[i + 1] || '·')) AS p,
+           n
+    FROM e{k - 1}
+  ) GROUP BY p
+),
+m{k} AS MATERIALIZED (SELECT p, n FROM p{k} ORDER BY n DESC, p LIMIT 1),
+e{k} AS MATERIALIZED (
+  SELECT replace(s, (SELECT p FROM m{k}), (SELECT replace(p, '·|', '') FROM m{k})) AS s, n
+  FROM e{k - 1}
+)""")
+        # the last eK is unused but keeps the generator uniform
+    selects = [
+        f"SELECT {k} AS merge_rank,"
+        f" ltrim(string_split(p, '·')[1], '|') AS lhs,"
+        f" ltrim(string_split(p, '·')[2], '|') AS rhs, n FROM m{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_rank"
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
 def setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.95 self-join via rarest-first prefix
     filtering (operators/setsim.py) — lossless candidate generation,
@@ -1868,6 +1925,7 @@ QUERIES: dict[str, Query] = {
     "docs_dsir_selection": Query(dsir_selection, DSIR_SQL),
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
+    "docs_bpe_train": Query(bpe_train_merges, BPE_TRAIN_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),

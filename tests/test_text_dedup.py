@@ -595,3 +595,75 @@ def test_bpe_encode_matches_python_replica(spark, words):
     df = spark.createDataFrame([(w,) for w in words], "w string")
     got = {r.w: list(r.toks) for r in df.select("w", bpe_encode("w").alias("toks")).collect()}
     assert got == {w: py_bpe(w) for w in words}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abct", min_size=1, max_size=7),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_bpe_train_matches_python_reference(spark, words):
+    """In-plan BPE training (operators/text.bpe_train) must equal a
+    straightforward pure-Python reference trainer — overlapping pair
+    COUNTS, but non-overlapping leftmost MERGING per round, ties by
+    (count desc, pair asc in the anchored-string order) — on random
+    corpora over a tiny alphabet, where same-token runs and
+    prefix/suffix-ambiguous tokens are common."""
+    from degdb_spark.operators.text import bpe_train
+
+    def ref_train(corpus, n_merges):
+        from collections import Counter
+
+        hist = Counter()
+        for w in corpus:
+            w = "".join(ch for ch in w.lower() if ch.isalpha())
+            if w:
+                hist[tuple(w)] += 1
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for toks, n in hist.items():
+                for i in range(len(toks) - 1):
+                    pairs[(toks[i], toks[i + 1])] += n
+            if not pairs:
+                return merges, True  # exhausted
+            # tie-break = anchored-string byte order: "|a·|b·"
+            best = min(
+                pairs.items(),
+                key=lambda kv: (-kv[1], f"|{kv[0][0]}·|{kv[0][1]}·"),
+            )
+            (a, b), n = best
+            merges.append((rank, a, b, n))
+            new_hist = Counter()
+            for toks, cnt in hist.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_hist[tuple(out)] += cnt
+            hist = new_hist
+        return merges, False
+
+    n_merges = 4
+    want, exhausted = ref_train(words, n_merges)
+    df = spark.createDataFrame([(w,) for w in words], "doc_id string").toDF("text")
+    if exhausted:
+        with pytest.raises(Exception, match="exhausted"):
+            bpe_train(df, n_merges=n_merges).collect()
+        return
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.n)
+        for r in bpe_train(df, n_merges=n_merges).collect()
+    ]
+    assert got == want
