@@ -130,9 +130,19 @@ def _walk_chunks(data: bytes, pos: int, end: int):
 
 def decode_avi(data: bytes) -> tuple[int, list[np.ndarray]]:
     """RIFF AVI (MJPG video stream) bytes → (frame_interval_ms,
-    [uint8 (H, W, 3) frames]). The interval comes from the stream
-    header's dwScale/dwRate clock; per-frame timestamps are
-    f·1000·dwScale // dwRate (see frame_timestamps_ms). Non-video
+    [uint8 (H, W, 3) frames]) — the container-summary view; the
+    interval is the clock's integer ms period (dwScale·1000 // dwRate).
+    For EXACT per-frame timestamps use decode_avi_clock +
+    frame_timestamps_ms: f·1000·dwScale // dwRate does NOT drift,
+    whereas f·interval does for clocks where dwRate ∤ 1000·dwScale
+    (NTSC 1001/30000 → 33 ms truncated, ~1.1 s/min of drift)."""
+    scale, rate, frames = decode_avi_clock(data)
+    return scale * 1000 // rate, frames
+
+
+def decode_avi_clock(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """RIFF AVI (MJPG video stream) bytes → (dwScale, dwRate,
+    [uint8 (H, W, 3) frames]) — the exact-clock view. Non-video
     streams and unknown chunks (idx1, JUNK, INFO) are skipped — RIFF
     walking tolerates extras, exactly like decode_wav."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -170,8 +180,7 @@ def decode_avi(data: bytes) -> tuple[int, list[np.ndarray]]:
         raise ValueError("AVI missing a 'vids' stream header or 'movi' list")
     if rate == 0 or scale == 0:
         raise ValueError("AVI stream clock dwScale/dwRate must be nonzero")
-    interval_ms = scale * 1000 // rate
-    return interval_ms, frames
+    return scale, rate, frames
 
 
 def frame_timestamps_ms(scale: int, rate: int, n_frames: int) -> list[int]:

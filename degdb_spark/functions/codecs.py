@@ -140,10 +140,12 @@ def decode_video_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
             acc += d
         return ts, frames
     if fmt == "avi":
-        from degdb_spark.functions.avi import decode_avi
+        from degdb_spark.functions.avi import decode_avi_clock, frame_timestamps_ms
 
-        interval, frames = decode_avi(data)
-        return [f * interval for f in range(len(frames))], frames
+        scale, rate, frames = decode_avi_clock(data)
+        # exact container clock: f·1000·scale // rate — NOT f·interval,
+        # which drifts when rate ∤ 1000·scale (NTSC 1001/30000)
+        return frame_timestamps_ms(scale, rate, len(frames)), frames
     if fmt == "rawv":
         interval, stack = decode_rawv(data)
         return (

@@ -71,9 +71,13 @@ def _or_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _tree_or(partials: DataFrame, n_partials: int, fanin: int = 16) -> DataFrame:
     """OR-merge a frame of bitset rows down to AT MOST ONE row through
     repartition+mapInPandas rounds of fan-in ``fanin`` — the
-    treeAggregate shape. Peak bitset count anywhere (any merge task,
-    and later the driver's collect) is ``fanin``+1, independent of
-    ``n_partials``; rounds are ⌈log_fanin(n_partials)⌉."""
+    treeAggregate shape. ``n_partials`` may be an ESTIMATE (≥2 for any
+    possibly-multi-partition input): the final round is always a
+    repartition(1) that merges everything, and an undercounted
+    schedule only means some merge task receives more than ``fanin``
+    rows — memory stays ~2 bitsets per task because _or_partition ORs
+    incrementally as rows stream in. With an exact count the classic
+    bound holds: ≤ ``fanin`` rows per task, ⌈log_fanin(n)⌉ rounds."""
     n = max(1, n_partials)
     while n > 1:
         n = math.ceil(n / fanin)
@@ -111,11 +115,16 @@ def build_bloom(
     partials = hashed.mapInPandas(part, "bits binary")
     # schedule basis: an ESTIMATE of the partial count is enough —
     # _or_partition ORs incrementally (peak ~2 bitsets per task), so an
-    # undercount only widens one merge round, never breaks correctness
+    # undercount only widens a merge round, never breaks correctness
     # (the ≤1-bitset raise below still guards the collect). Using
     # defaultParallelism avoids instantiating the RDD lineage that
-    # hashed.rdd.getNumPartitions() would force.
-    est_partials = df.sparkSession.sparkContext.defaultParallelism
+    # hashed.rdd.getNumPartitions() would force. The max(2, ...) is
+    # load-bearing: an estimate of 1 would skip merging entirely and
+    # trip the raise whenever the input really has >1 partition (e.g.
+    # a repartitioned frame on a local[1] master), while any estimate
+    # ≥2 ends in a repartition(1) round that merges EVERYTHING
+    # regardless of the true count.
+    est_partials = max(2, df.sparkSession.sparkContext.defaultParallelism)
     merged = _tree_or(partials, est_partials, fanin)
     rows = merged.collect()
     if len(rows) > 1:  # explicit raise, not assert: a partial-bitset

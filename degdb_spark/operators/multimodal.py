@@ -371,8 +371,12 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
     if fmt == "rawv":
         return _video_features(*codecs.decode_rawv(payload))
     if fmt == "avi":  # MJPEG-in-AVI: interval from the container clock
-        ts, frames = codecs.decode_video_frames(payload)
-        interval = ts[1] - ts[0] if len(ts) > 1 else 0
+        from degdb_spark.functions.avi import decode_avi
+
+        # header-derived interval (scale·1000//rate), like the RAWV
+        # twin's header field — a timestamp DIFF would be 0 for a
+        # single-frame clip and diverge from the same content in RAWV
+        interval, frames = decode_avi(payload)
         return _video_features(interval, np.stack(frames))
     if strict:
         raise NotImplementedError(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from degdb_spark.operators.text import token_count
-from degdb_spark.persistence import pin
+from degdb_spark.persistence import lineage_cut
 
 
 def pack_documents(
@@ -48,14 +48,16 @@ def pack_documents(
     sized = df.select(
         F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
     )
-    # materialized ONCE: the frame feeds both the local scan and the
-    # totals aggregate, and the range partitioner's sampled boundaries
-    # are not guaranteed stable across re-evaluations — two divergent
-    # boundary sets would desync _pid between the branches
+    # materialized ONCE by a TRUE lineage cut (not pin): the frame
+    # feeds both the local scan and the totals aggregate, the range
+    # partitioner's sampled boundaries are not stable across
+    # re-evaluations, and _pid reads the physical partition — a
+    # persist-mode pin could silently recompute divergent boundaries
+    # after replica loss and desync _pid between the branches
     parted = (
         sized.repartitionByRange(num_partitions, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .transform(pin, eager=True)
+        .transform(lineage_cut, eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from degdb_spark.persistence import pin
+from degdb_spark.persistence import lineage_cut
 
 
 def global_row_number(
@@ -36,16 +36,20 @@ def global_row_number(
     order given by ``order_cols`` (Column sort expressions, e.g.
     ``[F.col("n").desc(), F.col("token")]``).
 
-    The frame is materialized once (eager pin()): it feeds
-    both the local-rank branch and the totals aggregate, and the range
-    partitioner's sampled boundaries are not guaranteed stable across
-    re-evaluations — divergent boundaries would desync ``_pid``
-    between the branches.
+    The frame is materialized once by a TRUE lineage cut
+    (lineage_cut, not pin): it feeds both the local-rank branch and
+    the totals aggregate, the range partitioner's sampled boundaries
+    are not guaranteed stable across re-evaluations, and ``_pid`` is a
+    physical-partition read — so a persist-mode pin would be UNSAFE:
+    persist keeps the plan, and a recompute after replica loss could
+    re-sample divergent boundaries and silently desync ``_pid``
+    between the branches. A lineage cut removes the recompute path
+    entirely (reliable checkpoint on clusters).
     """
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .transform(pin, eager=True)
+        .transform(lineage_cut, eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     local = parted.withColumn("_local_rank", F.row_number().over(w_local))
@@ -83,7 +87,7 @@ def global_running_sum(
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .transform(pin, eager=True)
+        .transform(lineage_cut, eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")

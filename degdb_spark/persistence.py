@@ -22,14 +22,21 @@ master: ``local`` on a local[*] master (cheapest, and executor loss
 is process death anyway), ``persist`` on anything else — so a cluster
 deployment gets the fault-tolerant flavor without opting in.
 
-SCOPE: pin() is for one-shot multi-consumer intermediates ONLY — not
-for iterative lineage truncation. ``persist`` caches data but KEEPS
-the logical plan, so a superstep loop pinned this way would still grow
-its plan exponentially; iterative state (pregel supersteps, BFS
-frontiers, k-core survivor sets, triple-store insert accumulation)
-goes through ``lineage_cut()`` instead — a TRUE plan cut with its own
-cluster-safety knob (``spark.degdb.lineage_cut``: executor-local by
-default on local masters, reliable ``checkpoint()`` off-local).
+SCOPE: pin() is for one-shot multi-consumer DETERMINISTIC
+intermediates ONLY. Everything else goes through ``lineage_cut()`` —
+a TRUE plan cut with its own cluster-safety knob
+(``spark.degdb.lineage_cut``: executor-local by default on local
+masters, reliable ``checkpoint()`` off-local) — because ``persist``
+caches data but KEEPS the logical plan, which is wrong in two cases:
+
+- iterative state (pregel supersteps, BFS frontiers, k-core survivor
+  sets, triple-store insert accumulation): a persisted loop still
+  grows its plan exponentially;
+- recompute-sensitive frames (anything reading spark_partition_id
+  over a repartitionByRange, whose sampled boundaries can differ
+  across re-evaluations — operators/ranking.py, packing.py): losing
+  both persist replicas silently RECOMPUTES, fine for deterministic
+  plans, silent _pid desync for order-sensitive ones.
 
 Both helpers are the ONLY place in the package allowed to call
 ``DataFrame.localCheckpoint``/``checkpoint`` directly — a CI gate

@@ -925,3 +925,46 @@ def test_avi_truncation_always_valueerror():
     for cut in range(len(data)):
         with pytest.raises(ValueError):
             avi.decode_avi(data[:cut])
+
+
+def test_avi_ntsc_clock_exact_timestamps():
+    """Per-frame timestamps must use the exact container clock
+    f*1000*dwScale // dwRate, not f*interval_ms — an NTSC clock
+    (1001/30000) drifts ~1.1 s/min under the truncated-interval form."""
+    from degdb_spark.functions import avi
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    data = bytearray(avi.encode_avi_mjpeg(avi_exact_frames(3, 56, 56, 4), 500))
+    strh_off = bytes(data).index(b"strh") + 8
+    data[strh_off + 20 : strh_off + 24] = (1001).to_bytes(4, "little")  # dwScale
+    data[strh_off + 24 : strh_off + 28] = (30000).to_bytes(4, "little")  # dwRate
+    scale, rate, frames = avi.decode_avi_clock(bytes(data))
+    assert (scale, rate, len(frames)) == (1001, 30000, 4)
+    ts, _ = C.decode_video_frames(bytes(data))
+    assert ts == [f * 1000 * 1001 // 30000 for f in range(4)]  # 0,33,66,100
+    assert ts == avi.frame_timestamps_ms(1001, 30000, 4)
+    # the summary view truncates per-interval — documented, not used
+    # for timestamps
+    interval, _ = avi.decode_avi(bytes(data))
+    assert interval == 33
+
+
+def test_bloom_tree_or_underestimated_schedule():
+    """_tree_or must reach ONE row even when the scheduled partial
+    count underestimates reality (build_bloom passes max(2, default
+    parallelism) — a 1-estimate would skip merging and trip the
+    ≤1-bitset raise on any multi-partition input)."""
+    import numpy as np
+    import pandas as pd
+
+    from degdb_spark.operators.bloom import _tree_or
+    from degdb_spark.session import get_spark
+
+    spark = get_spark()
+    rows = [(bytes([1 << (i % 8)]) * 4,) for i in range(8)]
+    partials = spark.createDataFrame(rows, "bits binary").repartition(8)
+    for est in (2, 3, 8):
+        out = _tree_or(partials, est).collect()
+        assert len(out) == 1, est
+        got = np.frombuffer(bytes(out[0]["bits"]), dtype=np.uint8)
+        assert (got == 0xFF).all()
