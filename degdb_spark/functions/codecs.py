@@ -94,6 +94,8 @@ def sniff_format(data: bytes) -> str | None:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return "mp4"
     if data[:4] == b"RAWV":
         return "rawv"
     return None
@@ -121,14 +123,16 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def decode_video_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
-    """Format-sniffing video decode: animated GIF, MJPEG-AVI or RAWV
-    bytes → ([per-frame timestamp ms], [RGB uint8 (H, W, 3) frames]).
-    The video twin of decode_image — the single seam every video
-    operator (frame extraction, video aHash, feature extraction) goes
-    through, so adding a container here lights it up everywhere.
-    Timestamps come from each container's OWN clock: GIF graphic-
-    control delays (ts(f) = Σ delays[:f]), AVI dwScale/dwRate, RAWV's
-    fixed interval header."""
+    """Format-sniffing video decode: animated GIF, MJPEG-AVI,
+    MJPEG-MP4 or RAWV bytes → ([per-frame timestamp ms], [RGB uint8
+    (H, W, 3) frames]). The video twin of decode_image — the single
+    seam every video operator (frame extraction, video aHash, feature
+    extraction) goes through, so adding a container here lights it up
+    everywhere. Timestamps come from each container's OWN clock: GIF
+    graphic-control delays (ts(f) = Σ delays[:f]), AVI dwScale/dwRate,
+    MP4 mdhd timescale + stts deltas, RAWV's fixed interval header.
+    An mp4 whose track codec is not MJPEG raises NotImplementedError
+    (H.264 et al. genuinely need ffmpeg)."""
     fmt = sniff_format(data)
     if fmt == "gif":
         from degdb_spark.functions.gif import decode_gif_video
@@ -146,6 +150,11 @@ def decode_video_frames(data: bytes) -> tuple[list[int], list[np.ndarray]]:
         # exact container clock: f·1000·scale // rate — NOT f·interval,
         # which drifts when rate ∤ 1000·scale (NTSC 1001/30000)
         return frame_timestamps_ms(scale, rate, len(frames)), frames
+    if fmt == "mp4":
+        from degdb_spark.functions.mp4 import decode_mp4_clock
+
+        timescale, ticks, frames = decode_mp4_clock(data)
+        return [t * 1000 // timescale for t in ticks], frames
     if fmt == "rawv":
         interval, stack = decode_rawv(data)
         return (

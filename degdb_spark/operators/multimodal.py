@@ -13,15 +13,18 @@ external libraries (degdb_spark.functions.codecs):
 - audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
   energy features.
 - video: ANIMATED GIF (real container: per-frame LZW + graphic-
-  control delays, functions/gif.py) and RAWV (documented toy container
-  of raw RGB24 frames) — frame extraction with real per-frame pixel
-  access and real timestamps. A real deployment swaps ffmpeg in at
-  this seam for mp4; RAWV remains the raw-RGB24 stand-in.
+  control delays, functions/gif.py), MJPEG-in-AVI (RIFF headers +
+  per-frame JPEG '00dc' chunks, functions/avi.py), MJPEG-in-MP4
+  (ISO-BMFF sample tables + 'jpeg' sample entries, functions/mp4.py)
+  and RAWV (documented toy container of raw RGB24 frames) — frame
+  extraction with real per-frame pixel access and timestamps from
+  each container's own clock, all through the single
+  codecs.decode_video_frames seam.
 
-Formats outside that set (mp3/mp4 — compressed AUDIO/VIDEO) still
-gate on librosa/ffmpeg: ``strict=True`` raises NotImplementedError;
-``strict=False`` falls back to a clearly-marked deterministic fake
-feature vector.
+Formats outside that set (mp3; mp4 tracks whose codec is not MJPEG,
+e.g. H.264) still gate on librosa/ffmpeg: ``strict=True`` raises
+NotImplementedError; ``strict=False`` falls back to a clearly-marked
+deterministic fake feature vector.
 
 Scale notes: payload bytes never pass through the driver; mapInPandas
 streams Arrow record batches re-chunked to ``batch_rows`` so executor
@@ -58,8 +61,10 @@ try:  # real-world compressed-format codecs, absent in this container
 except Exception:  # pragma: no cover
     HAVE_PIL = False
 
-#: formats the pure-numpy codecs handle — real decode, no PIL needed
-NATIVE_FORMATS = {"bmp", "png", "jpeg", "gif", "wav", "avi", "rawv"}
+#: formats the pure-numpy codecs handle — real decode, no PIL needed.
+#: "mp4" is native for MJPEG tracks only ('jpeg' stsd entry); any
+#: other mp4 codec raises NotImplementedError in strict mode.
+NATIVE_FORMATS = {"bmp", "png", "jpeg", "gif", "wav", "avi", "mp4", "rawv"}
 
 #: media table schema: binary payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -247,6 +252,33 @@ def synthetic_avi_media(spark: SparkSession, n: int = 33) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
+    """Deterministic all-video media table whose payloads are REAL
+    MJPEG-in-MP4 files (functions/mp4.py — ISO-BMFF ftyp/mdat/moov
+    with stts/stsz/stsc/stco sample tables and a 'jpeg' sample entry,
+    half with restart markers): the SAME quantization-exact frames as
+    the AVI fixtures (avi_exact_frames), so one closed-form oracle
+    certifies both interchange containers. Timestamps ride the mdhd
+    timescale + stts delta tables."""
+    from degdb_spark.functions import mp4
+
+    def rows():
+        for i in range(n):
+            duration_ms = 1000 + i * 37
+            w = 56 + (i % 9) * 12
+            h = 56 + (i % 7) * 12
+            nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
+            payload = mp4.encode_mp4_mjpeg(
+                avi_exact_frames(i, w, h, nf),
+                VIDEO_FRAME_INTERVAL_MS,
+                quality=50,
+                restart_interval=4 if i % 2 else 0,
+            )
+            yield (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 def jpeg_exact_pixels(i: int, w: int, h: int) -> np.ndarray:
     """The quantization-exact JPEG fixture: per-8×8-block-constant GRAY
     pixels, pixel(y, x, c) = 2·((3·(x//8) + 5·(y//8) + 7·i) mod 128)
@@ -378,10 +410,20 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
         # single-frame clip and diverge from the same content in RAWV
         interval, frames = decode_avi(payload)
         return _video_features(interval, np.stack(frames))
+    if fmt == "mp4":  # MJPEG-in-MP4 decodes; other codecs stay gated
+        from degdb_spark.functions.mp4 import decode_mp4
+
+        try:
+            interval, frames = decode_mp4(payload)
+        except NotImplementedError:
+            if strict:
+                raise
+            return _fake_decode(payload)  # e.g. an avc1/H.264 track
+        return _video_features(interval, np.stack(frames))
     if strict:
         raise NotImplementedError(
             f"no codec for this payload format in-container (native: {sorted(NATIVE_FORMATS)}; "
-            "mp3/mp4 need librosa/ffmpeg)"
+            "mp3 and non-MJPEG mp4 need librosa/ffmpeg)"
         )
     return _fake_decode(payload)
 

@@ -699,9 +699,63 @@ FROM px GROUP BY media_id ORDER BY media_id
 """
 
 
+_N_MP4 = 33
+
+
+def media_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-MP4 frame extraction verified at the PIXEL level:
+    the same quantization-exact frames as the AVI fixture, packed into
+    an ISO-BMFF container (ftyp/mdat/moov with stts/stsz/stsc/stco
+    sample tables, 'jpeg' sample entry) -> extract_video_frames
+    (timestamps from the mdhd timescale + stts delta tables) -> each
+    re-encoded frame BMP decoded again -> per-video frame count, last
+    timestamp, and total pixel sum. The THIRD real interchange video
+    container through the one decode_video_frames seam; non-MJPEG mp4
+    (H.264 etc.) stays honestly gated. Oracle = the AVI oracle
+    arithmetic (same frames, same clock period)."""
+    from degdb_spark.operators.multimodal import synthetic_mp4_media
+
+    media = synthetic_mp4_media(spark, _N_MP4)
+    frames = extract_video_frames(media).transform(pin, eager=False)
+    per_frame = image_pixel_stats(
+        frames.select(
+            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("frame_bmp").alias("payload"),
+        ).withColumn(
+            "meta",
+            F.struct(
+                F.lit("bmp").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ),
+        )
+    )
+    ts = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
+    )
+    px = (
+        per_frame.withColumn("vid", (F.col("media_id") / 1000).cast("long"))
+        .groupBy("vid")
+        .agg(F.sum("pixel_sum").alias("pixel_sum"))
+        .withColumnRenamed("vid", "media_id")
+    )
+    return ts.join(px, "media_id").select(
+        "media_id", "n_frames", "last_ts_ms", "pixel_sum"
+    ).orderBy("media_id")
+
+
+# same frames, same 500 ms clock — the AVI oracle replays MP4 too
+MP4_FRAMES_SQL = AVI_FRAMES_SQL
+
+
 QUERIES: dict[str, Query] = {
     "media_video_neardups": Query(media_video_neardups, VIDEO_NEARDUP_SQL),
     "media_avi_frame_extract": Query(media_avi_frame_extract, AVI_FRAMES_SQL),
+    "media_mp4_frame_extract": Query(media_mp4_frame_extract, MP4_FRAMES_SQL),
     "media_audio_neardups": Query(media_audio_neardups, AUDIO_NEARDUP_SQL),
     "media_phash_neardups": Query(media_phash_neardups, PHASH_SQL),
     "media_frame_sample": Query(media_frame_sample, FRAME_SQL),

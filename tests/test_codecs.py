@@ -968,3 +968,88 @@ def test_bloom_tree_or_underestimated_schedule():
         assert len(out) == 1, est
         got = np.frombuffer(bytes(out[0]["bits"]), dtype=np.uint8)
         assert (got == 0xFF).all()
+
+
+# ------------------------------------------------------------------ MP4
+
+
+def test_mp4_mjpeg_round_trip_quant_exact():
+    """MJPEG-in-MP4 (ISO-BMFF): quantization-exact frames survive the
+    encode -> sample-table container -> decode path bit-exactly, with
+    per-frame ticks from the stts delta table and the mdhd timescale."""
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    fr = avi_exact_frames(5, 68, 80, 4)
+    data = mp4.encode_mp4_mjpeg(fr, 250)
+    timescale, ticks, out = mp4.decode_mp4_clock(data)
+    assert timescale == 1000
+    assert ticks == [0, 250, 500, 750]
+    assert len(out) == 4
+    assert all((a == b).all() for a, b in zip(fr, out))
+    # restart markers: different bytes, identical pixels
+    data_rst = mp4.encode_mp4_mjpeg(fr, 250, restart_interval=2)
+    assert data_rst != data
+    _, _, out_rst = mp4.decode_mp4_clock(data_rst)
+    assert all((a == b).all() for a, b in zip(fr, out_rst))
+    assert C.sniff_format(data) == "mp4"
+    ts, frames2 = C.decode_video_frames(data)
+    assert ts == [0, 250, 500, 750]
+    assert all((a == b).all() for a, b in zip(fr, frames2))
+
+
+def test_mp4_ntsc_timescale_exact_timestamps():
+    """Non-ms clocks must resolve exactly: patch the fixture to an
+    NTSC-style stts delta 1001 at timescale 30000 and check ts(f) =
+    f*1001*1000 // 30000 — no per-interval truncation drift."""
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    data = bytearray(mp4.encode_mp4_mjpeg(avi_exact_frames(2, 56, 56, 4), 500))
+    raw = bytes(data)
+    # mdhd body: version/flags(4) + creation/modification(8) -> timescale
+    mdhd_off = raw.index(b"mdhd") + 4
+    data[mdhd_off + 12 : mdhd_off + 16] = (30000).to_bytes(4, "big")
+    # stts body: version/flags(4) + entry_count(4) + count(4) -> delta
+    stts_off = raw.index(b"stts") + 4
+    data[stts_off + 12 : stts_off + 16] = (1001).to_bytes(4, "big")
+    timescale, ticks, frames = mp4.decode_mp4_clock(bytes(data))
+    assert (timescale, ticks) == (30000, [0, 1001, 2002, 3003])
+    ts, _ = C.decode_video_frames(bytes(data))
+    assert ts == [t * 1000 // 30000 for t in ticks]  # 0, 33, 66, 100
+
+
+def test_mp4_rejects_malformed_and_gates_foreign_codecs():
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    data = mp4.encode_mp4_mjpeg(avi_exact_frames(1, 56, 56, 2), 500)
+    with pytest.raises(ValueError):
+        mp4.decode_mp4(b"\x00" * 32)  # no ftyp
+    with pytest.raises(ValueError):
+        mp4.decode_mp4(data[:40])  # truncated
+    # an avc1 (H.264) sample entry must gate with NotImplementedError
+    avc = bytearray(data)
+    off = bytes(data).index(b"jpeg", bytes(data).index(b"stsd"))
+    avc[off : off + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4.decode_mp4(bytes(avc))
+    # zero timescale
+    zt = bytearray(data)
+    mdhd_off = bytes(data).index(b"mdhd") + 4
+    zt[mdhd_off + 12 : mdhd_off + 16] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        mp4.decode_mp4(bytes(zt))
+
+
+def test_mp4_truncation_always_valueerror():
+    """The shared quarantine contract for the MP4 container: every
+    truncation point raises ValueError (box sizes make any cut payload
+    structurally invalid — a cut can only drop/shear boxes)."""
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    data = mp4.encode_mp4_mjpeg(avi_exact_frames(2, 56, 56, 3), 500)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            mp4.decode_mp4(data[:cut])

@@ -539,3 +539,62 @@ def test_avi_strict_features(spark):
     assert all(len(r.features) == M.FEATURE_DIM for r in out)
     with pytest.raises(ValueError):
         M.decode_features(b"RIFF\x40\x00\x00\x00AVI " + b"\x00" * 64, strict=True)
+
+
+def test_mp4_frame_extract_matches_avi_and_rawv_twins(spark):
+    """Three-container byte-identity: extract_video_frames over an MP4,
+    an AVI and a RAWV of the SAME quantization-exact frames emits
+    identical (frame_idx, frame_ts_ms, frame_bmp) rows."""
+    from degdb_spark.functions import avi as A
+    from degdb_spark.functions import mp4 as M4
+
+    from pyspark.sql import Row
+
+    frames = M.avi_exact_frames(9, 68, 56, 4)
+    rows = [
+        Row(media_id=0, kind="video",
+            payload=bytearray(C.encode_rawv(frames, 500)),
+            meta=("rawv", 68, 56, 1500, None)),
+        Row(media_id=1, kind="video",
+            payload=bytearray(A.encode_avi_mjpeg(frames, 500)),
+            meta=("avi", 68, 56, 1500, None)),
+        Row(media_id=2, kind="video",
+            payload=bytearray(M4.encode_mp4_mjpeg(frames, 500)),
+            meta=("mp4", 68, 56, 1500, None)),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.extract_video_frames(df).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = (r.frame_ts_ms, bytes(r.frame_bmp))
+    assert set(by_vid) == {0, 1, 2}
+    for fi in range(4):
+        assert by_vid[0][fi] == by_vid[1][fi] == by_vid[2][fi]
+    # and the fingerprint is container-invariant too
+    hashes = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in M.video_ahash(df).collect()}
+    assert hashes[0] == hashes[1] == hashes[2]
+
+
+def test_mp4_strict_features(spark):
+    """MJPEG-MP4 is native (strict decodes for real); an H.264 track in
+    the same container raises in strict mode and falls back to the
+    marked fake otherwise — the honest gate narrowed to the codec, not
+    the container."""
+    from degdb_spark.functions import mp4 as M4
+
+    media = M.synthetic_mp4_media(spark, 6)
+    out = M.extract_features(media, strict=True).collect()
+    assert len(out) == 6
+    assert all(len(r.features) == M.FEATURE_DIM for r in out)
+    data = M4.encode_mp4_mjpeg(M.avi_exact_frames(1, 56, 56, 2), 500)
+    avc = bytearray(data)
+    off = bytes(data).index(b"jpeg", bytes(data).index(b"stsd"))
+    avc[off : off + 4] = b"avc1"
+    with pytest.raises(NotImplementedError):
+        M.decode_features(bytes(avc), strict=True)
+    assert len(M.decode_features(bytes(avc))) == M.FEATURE_DIM  # marked fake
+    # truncated/corrupt MJPEG-mp4 is a hard ValueError in either mode
+    with pytest.raises(ValueError):
+        M.decode_features(data[:60], strict=True)
+    with pytest.raises(ValueError):
+        M.decode_features(data[:60])
