@@ -217,19 +217,7 @@ def decode_mp4_clock(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
                 f"mp4 codec {fourcc!r} needs ffmpeg (only 'jpeg' MJPEG "
                 "tracks decode in-container)"
             )
-        # stts: run-length (count, delta) pairs → per-sample tick offsets
-        s, z = boxes[b"stts"]
-        b = _full_body(data, s, s + z)
-        (n_runs,) = struct.unpack_from(">I", data, b)
-        if s + z < b + 4 + 8 * n_runs:
-            raise ValueError("mp4 stts truncated")
-        ticks, t_acc = [], 0
-        for r in range(n_runs):
-            cnt, delta = struct.unpack_from(">II", data, b + 4 + 8 * r)
-            for _ in range(cnt):
-                ticks.append(t_acc)
-                t_acc += delta
-        # stsz
+        # stsz first: its sample count bounds the stts expansion below
         s, z = boxes[b"stsz"]
         b = _full_body(data, s, s + z)
         fixed, n_samples = struct.unpack_from(">II", data, b)
@@ -239,6 +227,23 @@ def decode_mp4_clock(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
             if s + z < b + 8 + 4 * n_samples:
                 raise ValueError("mp4 stsz truncated")
             sizes = list(struct.unpack_from(f">{n_samples}I", data, b + 8))
+        # stts: run-length (count, delta) pairs → per-sample tick
+        # offsets. Run counts are attacker-controlled 32-bit ints: cap
+        # the expansion at the stsz sample count so a crafted file
+        # can't balloon a multi-GB tick list before the mismatch check
+        s, z = boxes[b"stts"]
+        b = _full_body(data, s, s + z)
+        (n_runs,) = struct.unpack_from(">I", data, b)
+        if s + z < b + 4 + 8 * n_runs:
+            raise ValueError("mp4 stts truncated")
+        ticks, t_acc = [], 0
+        for r in range(n_runs):
+            cnt, delta = struct.unpack_from(">II", data, b + 4 + 8 * r)
+            if len(ticks) + cnt > n_samples:
+                raise ValueError("mp4 stts declares more samples than stsz")
+            for _ in range(cnt):
+                ticks.append(t_acc)
+                t_acc += delta
         # stco (+stsc samples-per-chunk; this encoder writes 1 per chunk,
         # but honor the general contiguous-chunk layout)
         s, z = boxes[b"stco"]
