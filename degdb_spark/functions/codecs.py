@@ -320,19 +320,33 @@ _ULAW_BIAS = 0x84
 _ULAW_CLIP = 32635
 
 
-def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+def ulaw_encode(samples: np.ndarray, sun_compat: bool = False) -> np.ndarray:
     """int16 PCM → uint8 G.711 mu-law codes, vectorized integer math
     (segment = position of the leading bit of the biased magnitude,
     4-bit mantissa below it, ones-complement output per the spec).
 
-    Boundary rounding: negative values exactly on segment boundaries
-    encode one code up from the Sun g711.c/audioop encoder (381 of
-    65536 inputs, e.g. -31611 → 0x01 vs Sun's 0x00). Deliberate:
-    round-trip stays idempotent, ``ulaw_decode`` matches audioop
-    bit-exactly, and reconstruction error is slightly LOWER than the
-    Sun form — but byte-level comparison against externally encoded
-    mu-law fixtures may differ on those inputs."""
+    Boundary rounding (default form): negative values exactly on
+    segment boundaries encode one code up from the Sun g711.c/audioop
+    encoder (381 of 65536 inputs, e.g. -31611 → 0x01 vs Sun's 0x00).
+    Deliberate: round-trip stays idempotent, ``ulaw_decode`` matches
+    audioop bit-exactly, and reconstruction error is slightly LOWER
+    than the Sun form. When BYTE parity with externally encoded
+    fixtures matters, pass ``sun_compat=True`` for the exact Sun
+    14-bit-shift algorithm (bit-identical to audioop.lin2ulaw on all
+    65536 inputs — property-tested)."""
     x = samples.astype(np.int64)
+    if sun_compat:
+        # the Sun g711.c form: drop to 14 bits FIRST, negate after —
+        # that truncation order is where the 381 boundary codes differ
+        x14 = x >> 2
+        mask = np.where(x14 < 0, 0x7F, 0xFF)
+        mag = np.minimum(np.where(x14 < 0, -x14, x14), 8159) + 33
+        seg = np.zeros_like(mag)  # bit_length(mag >> 6), capped at 8
+        for e in range(8, 0, -1):
+            seg = np.where((mag >> (e + 5)) & 1 == 1, np.maximum(seg, e), seg)
+        uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+        out = np.where(seg >= 8, 0x7F, uval) ^ mask
+        return (out & 0xFF).astype(np.uint8)
     sign = np.where(x < 0, 0x80, 0x00)
     mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
     # exponent: index of the highest set bit in mag >> 7 (0..7)

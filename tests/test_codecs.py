@@ -1053,3 +1053,29 @@ def test_mp4_truncation_always_valueerror():
     for cut in range(len(data)):
         with pytest.raises(ValueError):
             mp4.decode_mp4(data[:cut])
+
+
+def test_ulaw_sun_compat_matches_audioop_exhaustively():
+    """ulaw_encode(sun_compat=True) is the exact Sun g711.c 14-bit
+    form: bit-identical to audioop.lin2ulaw on ALL 65536 int16 inputs
+    (ADVICE r8: the default form trades 381 boundary codes for lower
+    reconstruction error; the compat flag buys byte parity with
+    externally encoded fixtures)."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    got = C.ulaw_encode(x, sun_compat=True)
+    want = np.frombuffer(
+        audioop.lin2ulaw(x.astype("<i2").tobytes(), 2), dtype=np.uint8
+    )
+    assert (got == want).all()
+    # the documented default-form divergence stays exactly 381 codes
+    assert int((C.ulaw_encode(x) != want).sum()) == 381
+    # both forms decode-idempotent through the shared expander
+    assert (C.ulaw_encode(C.ulaw_decode(got), sun_compat=True) == got).all()
