@@ -229,18 +229,14 @@ FROM px GROUP BY media_id ORDER BY media_id
 _N_GIFV = 33
 
 
-def media_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL animated-GIF frame extraction verified at the PIXEL level:
-    closed-form frames -> per-frame LZW + graphic-control delays ->
-    extract_video_frames (timestamps from the real container's delay
-    chain) -> each re-encoded frame BMP decoded again -> per-video
-    frame count, last timestamp, and total pixel sum; the oracle
-    replays pixel(f,y,x,c) = (11f + 7x + 13y + 31c + i) mod 256 over
-    every frame in SQL. Upgrades the video seam from the toy RAWV
-    container to a real interchange format."""
-    media = synthetic_gif_video_media(spark, _N_GIFV)
-    # pin: BOTH branches below (timestamp agg + pixel stats) consume the
-    # frame extraction — uncached, the 33-GIF LZW decode would run twice
+def _frame_extract_summary(media: DataFrame) -> DataFrame:
+    """Shared body of the three container frame-extract contract
+    queries (GIF / AVI / MP4): run extract_video_frames, re-decode
+    every emitted frame BMP through image_pixel_stats, and summarize
+    per video as (media_id, n_frames, last_ts_ms, pixel_sum). The
+    extraction is pinned because BOTH branches (timestamp agg + pixel
+    stats) consume it — uncached, the per-frame entropy decode would
+    run twice."""
     frames = extract_video_frames(media).transform(pin, eager=False)
     per_frame = image_pixel_stats(
         frames.select(
@@ -271,6 +267,19 @@ def media_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.join(px, "media_id").select(
         "media_id", "n_frames", "last_ts_ms", "pixel_sum"
     ).orderBy("media_id")
+
+
+def media_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame extraction verified at the PIXEL level:
+    closed-form frames -> per-frame LZW + graphic-control delays ->
+    extract_video_frames (timestamps from the real container's delay
+    chain) -> each re-encoded frame BMP decoded again -> per-video
+    frame count, last timestamp, and total pixel sum; the oracle
+    replays pixel(f,y,x,c) = (11f + 7x + 13y + 31c + i) mod 256 over
+    every frame in SQL. Upgrades the video seam from the toy RAWV
+    container to a real interchange format."""
+    media = synthetic_gif_video_media(spark, _N_GIFV)
+    return _frame_extract_summary(media)
 
 
 GIF_FRAMES_SQL = f"""
@@ -644,38 +653,7 @@ def media_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from degdb_spark.operators.multimodal import synthetic_avi_media
 
     media = synthetic_avi_media(spark, _N_AVI)
-    # pin: both branches (timestamp agg + pixel stats) consume the
-    # frame extraction — uncached, the 33-AVI JPEG decode would run twice
-    frames = extract_video_frames(media).transform(pin, eager=False)
-    per_frame = image_pixel_stats(
-        frames.select(
-            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
-            F.lit("image").alias("kind"),
-            F.col("frame_bmp").alias("payload"),
-        ).withColumn(
-            "meta",
-            F.struct(
-                F.lit("bmp").alias("format"),
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                F.lit(None).cast("int").alias("duration_ms"),
-                F.lit(None).cast("int").alias("sample_rate"),
-            ),
-        )
-    )
-    ts = frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames"),
-        F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
-    )
-    px = (
-        per_frame.withColumn("vid", (F.col("media_id") / 1000).cast("long"))
-        .groupBy("vid")
-        .agg(F.sum("pixel_sum").alias("pixel_sum"))
-        .withColumnRenamed("vid", "media_id")
-    )
-    return ts.join(px, "media_id").select(
-        "media_id", "n_frames", "last_ts_ms", "pixel_sum"
-    ).orderBy("media_id")
+    return _frame_extract_summary(media)
 
 
 AVI_FRAMES_SQL = f"""
@@ -716,36 +694,7 @@ def media_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from degdb_spark.operators.multimodal import synthetic_mp4_media
 
     media = synthetic_mp4_media(spark, _N_MP4)
-    frames = extract_video_frames(media).transform(pin, eager=False)
-    per_frame = image_pixel_stats(
-        frames.select(
-            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
-            F.lit("image").alias("kind"),
-            F.col("frame_bmp").alias("payload"),
-        ).withColumn(
-            "meta",
-            F.struct(
-                F.lit("bmp").alias("format"),
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                F.lit(None).cast("int").alias("duration_ms"),
-                F.lit(None).cast("int").alias("sample_rate"),
-            ),
-        )
-    )
-    ts = frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames"),
-        F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
-    )
-    px = (
-        per_frame.withColumn("vid", (F.col("media_id") / 1000).cast("long"))
-        .groupBy("vid")
-        .agg(F.sum("pixel_sum").alias("pixel_sum"))
-        .withColumnRenamed("vid", "media_id")
-    )
-    return ts.join(px, "media_id").select(
-        "media_id", "n_frames", "last_ts_ms", "pixel_sum"
-    ).orderBy("media_id")
+    return _frame_extract_summary(media)
 
 
 # same frames, same 500 ms clock — the AVI oracle replays MP4 too
