@@ -1607,6 +1607,133 @@ e{k} AS MATERIALIZED (
 BPE_TRAIN_SQL = _bpe_train_sql()
 
 
+#: decision-tree feature grids — ascending literals, the histogram
+#: device of distributed GBDT: split search is counting per
+#: (candidate, side), never a feature sort
+_TREE_GRIDS = {
+    "n_chars": [100 * k for k in range(1, 17)],
+    "n_spaces": [20 * k for k in range(1, 17)],
+    "stop_the": list(range(16)),
+}
+
+
+def docs_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan decision-tree TRAINING (operators/tree.py): recover a
+    PLANTED depth-2 quality concept — label = (n_spaces > 60 AND
+    stop_the >= 1), a conjunction no single split can express — from
+    three integer text features over fixed candidate grids (the grids
+    contain the planted thresholds, so a correct trainer reaches pure
+    leaves). The third trained-model family member (IVF: unrolled
+    Lloyd; BPE: unrolled argmax merges); the oracle unrolls all three
+    data-dependent split searches as MATERIALIZED CTEs with
+    scalar-subquery argmaxes, so a hash match certifies the full
+    training loop: exact integer split objective (floor-scaled
+    sum-of-squares), tie-breaks, node routing, and leaf majorities."""
+    from degdb_spark.operators.tree import train_depth2_tree
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_the = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    ).cast("long")
+    n_spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    feats = docs.select(
+        stop_the.alias("stop_the"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_spaces.alias("n_spaces"),
+        F.when((n_spaces > 60) & (stop_the >= 1), 1).otherwise(0).alias("label"),
+    )
+    return train_depth2_tree(feats, _TREE_GRIDS).orderBy("node")
+
+
+def _tree_sql() -> str:
+    grid_rows = ", ".join(
+        f"('{feat}', {t})" for feat in sorted(_TREE_GRIDS) for t in _TREE_GRIDS[feat]
+    )
+    sc = (
+        "CASE WHEN {p} + {n} = 0 THEN 0::HUGEINT "
+        "ELSE ({p}::HUGEINT * {p} + {n}::HUGEINT * {n}) * 1000000 // ({p} + {n}) END"
+    )
+    score = (
+        sc.format(p="l_pos", n="l_neg") + " + " + sc.format(p="r_pos", n="r_neg")
+    )
+
+    def split_cte2(k: int, src: str) -> str:
+        return f"""s{k} AS MATERIALIZED (
+  SELECT g.feature, g.threshold,
+         COALESCE(SUM(CASE WHEN (CASE g.feature WHEN 'n_chars' THEN d.n_chars WHEN 'n_spaces' THEN d.n_spaces ELSE d.stop_the END) <= g.threshold AND d.label = 1 THEN 1 END), 0) AS l_pos,
+         COALESCE(SUM(CASE WHEN (CASE g.feature WHEN 'n_chars' THEN d.n_chars WHEN 'n_spaces' THEN d.n_spaces ELSE d.stop_the END) <= g.threshold AND d.label = 0 THEN 1 END), 0) AS l_neg,
+         COALESCE(SUM(CASE WHEN (CASE g.feature WHEN 'n_chars' THEN d.n_chars WHEN 'n_spaces' THEN d.n_spaces ELSE d.stop_the END) > g.threshold AND d.label = 1 THEN 1 END), 0) AS r_pos,
+         COALESCE(SUM(CASE WHEN (CASE g.feature WHEN 'n_chars' THEN d.n_chars WHEN 'n_spaces' THEN d.n_spaces ELSE d.stop_the END) > g.threshold AND d.label = 0 THEN 1 END), 0) AS r_neg
+  FROM grid g LEFT JOIN {src} d ON TRUE
+  GROUP BY g.feature, g.threshold
+),
+m{k} AS MATERIALIZED (
+  SELECT feature, threshold, ({score}) AS score
+  FROM s{k} ORDER BY score DESC, feature, threshold LIMIT 1
+)"""
+
+    fv_m = lambda k: (
+        f"(CASE (SELECT feature FROM m{k}) WHEN 'n_chars' THEN n_chars "
+        f"WHEN 'n_spaces' THEN n_spaces ELSE stop_the END)"
+    )
+    return f"""WITH grid AS MATERIALIZED (
+  SELECT * FROM (VALUES {grid_rows}) g(feature, threshold)
+),
+docs0 AS MATERIALIZED (
+  SELECT (LENGTH(text) - LENGTH(replace(text, ' the ', ''))) // 5 AS stop_the,
+         n_chars,
+         LENGTH(text) - LENGTH(replace(text, ' ', '')) AS n_spaces,
+         CASE WHEN LENGTH(text) - LENGTH(replace(text, ' ', '')) > 60
+                   AND (LENGTH(text) - LENGTH(replace(text, ' the ', ''))) // 5 >= 1
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+{split_cte2(0, "docs0")},
+d1 AS MATERIALIZED (SELECT * FROM docs0 WHERE {fv_m(0)} <= (SELECT threshold FROM m0)),
+d2 AS MATERIALIZED (SELECT * FROM docs0 WHERE {fv_m(0)} > (SELECT threshold FROM m0)),
+{split_cte2(1, "d1")},
+{split_cte2(2, "d2")},
+leafstats AS MATERIALIZED (
+  SELECT
+    CASE WHEN in_left THEN (CASE WHEN in_l2 THEN 'LL' ELSE 'LR' END)
+         ELSE (CASE WHEN in_r2 THEN 'RL' ELSE 'RR' END) END AS node,
+    label
+  FROM (
+    SELECT label,
+           {fv_m(0)} <= (SELECT threshold FROM m0) AS in_left,
+           {fv_m(1)} <= (SELECT threshold FROM m1) AS in_l2,
+           {fv_m(2)} <= (SELECT threshold FROM m2) AS in_r2
+    FROM docs0
+  )
+)
+SELECT * FROM (
+  SELECT 'root' AS node, (SELECT feature FROM m0) AS feature,
+         CAST((SELECT threshold FROM m0) AS BIGINT) AS threshold,
+         CAST((SELECT COUNT(*) FROM docs0) AS BIGINT) AS n,
+         CAST((SELECT COALESCE(SUM(label), 0) FROM docs0) AS BIGINT) AS n_pos,
+         CAST(NULL AS INT) AS pred
+  UNION ALL
+  SELECT 'L', (SELECT feature FROM m1), CAST((SELECT threshold FROM m1) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM d1) AS BIGINT), CAST((SELECT COALESCE(SUM(label), 0) FROM d1) AS BIGINT),
+         CAST(NULL AS INT)
+  UNION ALL
+  SELECT 'R', (SELECT feature FROM m2), CAST((SELECT threshold FROM m2) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM d2) AS BIGINT), CAST((SELECT COALESCE(SUM(label), 0) FROM d2) AS BIGINT),
+         CAST(NULL AS INT)
+  UNION ALL
+  SELECT l.node, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(COUNT(ls.label) AS BIGINT), CAST(COALESCE(SUM(ls.label), 0) AS BIGINT),
+         CAST(CASE WHEN 2 * COALESCE(SUM(ls.label), 0) > COUNT(ls.label) THEN 1 ELSE 0 END AS INT)
+  FROM (VALUES ('LL'), ('LR'), ('RL'), ('RR')) l(node)
+  LEFT JOIN leafstats ls ON ls.node = l.node
+  GROUP BY l.node
+) ORDER BY node
+"""
+
+
+TREE_SQL = _tree_sql()
+
+
 def setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.95 self-join via rarest-first prefix
     filtering (operators/setsim.py) — lossless candidate generation,
@@ -1926,6 +2053,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_bpe_train": Query(bpe_train_merges, BPE_TRAIN_SQL),
+    "docs_decision_tree": Query(docs_decision_tree, TREE_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),

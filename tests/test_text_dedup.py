@@ -667,3 +667,74 @@ def test_bpe_train_matches_python_reference(spark, words):
         for r in bpe_train(df, n_merges=n_merges).collect()
     ]
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_decision_tree_matches_python_reference(spark, rows):
+    """train_depth2_tree must equal a straightforward Python replica —
+    same floor-scaled integer split objective, same (score desc,
+    feature asc, threshold asc) tie-break, same empty-node fallback —
+    on random data including empty inputs, pure nodes, and ties."""
+    from degdb_spark.operators.tree import train_depth2_tree
+
+    grids = {"f1": [0, 3, 6, 9, 12], "f2": [50, 100, 200, 300]}
+    cand = [(f, t) for f in sorted(grids) for t in grids[f]]
+
+    def sc(p, n):
+        return 0 if p + n == 0 else (p * p + n * n) * 1_000_000 // (p + n)
+
+    def best(data):
+        scored = []
+        for f, t in cand:
+            fi = 0 if f == "f1" else 1
+            lp = sum(1 for r in data if r[fi] <= t and r[2] == 1)
+            ln = sum(1 for r in data if r[fi] <= t and r[2] == 0)
+            rp = sum(1 for r in data if r[fi] > t and r[2] == 1)
+            rn = sum(1 for r in data if r[fi] > t and r[2] == 0)
+            scored.append((-(sc(lp, ln) + sc(rp, rn)), f, t))
+        return min(scored)[1:] if scored and data else cand[0]
+
+    def ref(data):
+        f0, t0 = best(data)
+        idx0 = 0 if f0 == "f1" else 1
+        left = [r for r in data if r[idx0] <= t0]
+        right = [r for r in data if r[idx0] > t0]
+        f1_, t1_ = best(left)
+        f2_, t2_ = best(right)
+        out = [
+            ("root", f0, t0, len(data), sum(r[2] for r in data), None),
+            ("L", f1_, t1_, len(left), sum(r[2] for r in left), None),
+            ("R", f2_, t2_, len(right), sum(r[2] for r in right), None),
+        ]
+        i1, i2 = (0 if f1_ == "f1" else 1), (0 if f2_ == "f1" else 1)
+        for name, part in (
+            ("LL", [r for r in left if r[i1] <= t1_]),
+            ("LR", [r for r in left if r[i1] > t1_]),
+            ("RL", [r for r in right if r[i2] <= t2_]),
+            ("RR", [r for r in right if r[i2] > t2_]),
+        ):
+            n, p = len(part), sum(r[2] for r in part)
+            out.append((name, None, None, n, p, 1 if 2 * p > n else 0))
+        return sorted(out)
+
+    df = spark.createDataFrame(rows or [], "f1 long, f2 long, label int")
+    got = sorted(
+        (r.node, r.feature, r.threshold, r.n, r.n_pos, r.pred)
+        for r in train_depth2_tree(df, grids).collect()
+    )
+    assert got == ref(rows)
