@@ -375,10 +375,16 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 8) -> Dat
     comparison on both engines. Returns (merge_rank, lhs, rhs, n),
     ``n_merges`` rows; raises if the corpus runs out of pairs (pick a
     smaller ``n_merges`` — the fixed-depth oracle unrolls exactly)."""
-    from degdb_spark.persistence import lineage_cut
+    words = word_histogram(docs, text_col)
+    return bpe_train_from_hist(words, n_merges=n_merges)
 
-    spark = docs.sparkSession
-    words = (
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) frequency table — the Heaps-bounded training state
+    bpe_train runs on, and the thing the streaming index twin
+    (streaming/wordhist.py) maintains incrementally so retraining
+    never re-reads historical documents."""
+    return (
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
         )
@@ -386,9 +392,19 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 8) -> Dat
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def bpe_train_from_hist(words: DataFrame, n_merges: int = 8) -> DataFrame:
+    """bpe_train's training loop over an existing (word, n) histogram —
+    the retrain-from-index entry point: histograms are additive, so
+    the streaming word-count index can be summed per word and handed
+    here without touching any document."""
+    from degdb_spark.persistence import lineage_cut
+
+    spark = words.sparkSession
     enc = words.select(
         F.regexp_replace("w", "(.)", "|$1·").alias("s"), "n"
-    ).transform(lineage_cut, eager=True)  # the ONE corpus scan
+    ).transform(lineage_cut, eager=True)  # the ONE corpus/index scan
     # let-bind the split so it evaluates once per row, not three times
     # (the `let` device above — free variables in HOF lambdas re-eval)
     pair_expr = F.expr(

@@ -334,3 +334,47 @@ def test_video_ahash_index_increment_after_corpus_deletion(spark, tmp_path):
         assert (f, 100 + 10 * f) in got
         assert (f, 101 + 10 * f) in got
     assert not any(a < 3 and b < 3 for a, b in got)
+
+
+def test_bpe_retrain_after_corpus_deletion(spark, tmp_path):
+    """The eighth index lifecycle (word histogram → BPE retrain):
+    build the histogram index from streamed batches, DELETE every
+    source document, then retrain — the merges must equal the
+    full-corpus training run, proving the index is a sufficient
+    statistic and retraining never re-reads historical documents
+    (they no longer exist)."""
+    from degdb_spark.operators.text import bpe_train, bpe_train_from_hist
+    from degdb_spark.streaming.wordhist import (
+        _wordhist_index_step,
+        merged_histogram,
+    )
+
+    texts = [
+        "stream the table stream the join",
+        "the fast hash join wins the day",
+        "slow scans stall the fast merge",
+        "hash the keys then join the runs",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        batch = spark.read.parquet(src).filter(
+            (F.col("doc_id") / F.lit(2)).cast("int") == b
+        )
+        _wordhist_index_step(batch, b, idx)
+
+    shutil.rmtree(src)  # corpus GONE — retraining can't read it
+
+    got = [
+        tuple(r)
+        for r in bpe_train_from_hist(
+            merged_histogram(spark, idx), n_merges=4
+        ).collect()
+    ]
+    assert got == want

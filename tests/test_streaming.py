@@ -1285,3 +1285,66 @@ def test_video_ahash_index_stream_equals_full_pairs(spark, tmp_path):
     got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
     assert len(got_rows) == len(got)
     assert got == full
+
+
+def test_wordhist_index_stream_retrains_bpe_exactly(spark, tmp_path):
+    """The word-histogram index twin: documents stream in three
+    batches; BPE retrained from the merged index alone equals
+    full-corpus bpe_train — histograms are additive, so the index is
+    a sufficient statistic for tokenizer training."""
+    from degdb_spark.operators.text import bpe_train, bpe_train_from_hist
+    from degdb_spark.streaming.wordhist import (
+        merged_histogram,
+        word_histogram_index_stream,
+    )
+
+    texts = [
+        "the table joins the fast table",
+        "hash join beats sort merge join",
+        "a slow scan is a slow scan after all",
+        "the hash table wins again and again",
+        "sort the rows then merge the runs",
+        "fast hash fast table fast join",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i in range(3):
+        docs.filter((F.col("doc_id") / F.lit(2)).cast("int") == i).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = word_histogram_index_stream(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    hist = merged_histogram(spark, str(tmp_path / "idx"))
+    got = [tuple(r) for r in bpe_train_from_hist(hist, n_merges=4).collect()]
+    assert got == want
+
+
+def test_wordhist_index_step_replay_idempotent(spark, tmp_path):
+    """A crashed-and-retried batch overwrites its own partition with
+    identical rows — replaying a step changes nothing."""
+    from degdb_spark.streaming.wordhist import (
+        _wordhist_index_step,
+        merged_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    _wordhist_index_step(docs, 0, str(tmp_path / "idx"))
+    before = sorted(tuple(r) for r in merged_histogram(spark, str(tmp_path / "idx")).collect())
+    _wordhist_index_step(docs, 0, str(tmp_path / "idx"))  # replay
+    after = sorted(tuple(r) for r in merged_histogram(spark, str(tmp_path / "idx")).collect())
+    assert before == after == [("a", 2), ("b", 2), ("c", 1)]
