@@ -170,8 +170,47 @@ def decode_mp4_clock(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
     [uint8 (H, W, 3) frames]). Walks moov/trak/mdia for the first
     video track; requires the ``stsd`` sample entry to be ``jpeg``
     (raises NotImplementedError naming the codec otherwise — H.264 et
-    al. genuinely need ffmpeg); reads the stts/stsz/stco tables and
-    decodes each sample from its absolute file offset."""
+    al. genuinely need ffmpeg); reads the stts/stsz/stsc/stco tables
+    and decodes each sample from its absolute file offset.
+
+    Error split: STRUCTURAL damage (truncated boxes/tables, overrun
+    samples, trailing garbage) raises ValueError — the quarantine
+    contract; VALID-but-unsupported shapes (non-MJPEG codec, no video
+    track, fragmented mp4 without sample tables) raise
+    NotImplementedError — the honest gate, so a permissive pipeline
+    can route e.g. an m4a to the fake-feature fallback instead of
+    killing the whole Arrow batch."""
+    timescale, deltas, frames = _parse_mp4(data)
+    ticks, acc = [], 0
+    for d in deltas:
+        ticks.append(acc)
+        acc += d
+    return timescale, ticks, frames
+
+
+def decode_mp4(data: bytes) -> tuple[int, list[np.ndarray]]:
+    """Summary view: (frame_interval_ms, frames) — the FIRST stts delta
+    scaled to ms (well-defined even for a single-frame file, so the
+    feature interval stays container-invariant vs the AVI/RAWV twins).
+    Exact per-frame timestamps via decode_mp4_clock."""
+    timescale, deltas, frames = _parse_mp4(data)
+    interval = deltas[0] * 1000 // timescale if deltas else 0
+    return interval, frames
+
+
+def _table(data: bytes, boxes: dict, name: bytes, fixed_hdr: int) -> tuple[int, int]:
+    """Body start of full-box ``name`` with its box-LOCAL end — every
+    table read below is bounds-checked against the enclosing box, not
+    the whole buffer, so an undersized box raises ValueError instead
+    of leaking struct.error or silently parsing the neighbor's bytes."""
+    s, z = boxes[name]
+    b = _full_body(data, s, s + z)
+    if s + z < b + fixed_hdr:
+        raise ValueError(f"mp4 {name.decode()} truncated")
+    return b, s + z
+
+
+def _parse_mp4(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
     if len(data) < 12:
         raise ValueError("not an mp4 payload")
     # validate the top-level walk & ftyp presence up front
@@ -195,17 +234,27 @@ def decode_mp4_clock(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
         mdhd_s, mdhd_e = _find(data, ts_, ts_ + tz, [b"mdia", b"mdhd"])
         b = _full_body(data, mdhd_s, mdhd_e)
         version = data[mdhd_s]
-        if version == 1:
-            timescale = struct.unpack_from(">I", data, b + 16)[0]
-        else:
-            timescale = struct.unpack_from(">I", data, b + 8)[0]
+        need = 32 if version == 1 else 20
+        if mdhd_e < b + need:
+            raise ValueError("mp4 mdhd truncated")
+        timescale = struct.unpack_from(">I", data, b + (16 if version == 1 else 8))[0]
         if timescale == 0:
             raise ValueError("mp4 mdhd timescale must be nonzero")
-        stbl_s, stbl_e = _find(data, ts_, ts_ + tz, [b"mdia", b"minf", b"stbl"])
+        try:
+            stbl_s, stbl_e = _find(data, ts_, ts_ + tz, [b"mdia", b"minf", b"stbl"])
+        except ValueError:
+            # a video trak without sample tables = fragmented mp4
+            # (moof-carried samples) — valid format, unsupported shape
+            raise NotImplementedError(
+                "fragmented mp4 (no stbl sample tables) needs ffmpeg"
+            ) from None
         boxes = {t: (s, z) for t, s, z in _walk_boxes(data, stbl_s, stbl_e)}
-        for need in (b"stsd", b"stts", b"stsz", b"stco"):
-            if need not in boxes:
-                raise ValueError(f"mp4 stbl missing {need!r}")
+        missing = [n for n in (b"stsd", b"stts", b"stsz", b"stco") if n not in boxes]
+        if missing:
+            raise NotImplementedError(
+                f"mp4 without {missing[0].decode()} sample table (fragmented/"
+                "non-standard layout) needs ffmpeg"
+            )
         # codec gate
         s, z = boxes[b"stsd"]
         entry_s = _full_body(data, s, s + z) + 4  # skip entry_count
@@ -218,54 +267,63 @@ def decode_mp4_clock(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
                 "tracks decode in-container)"
             )
         # stsz first: its sample count bounds the stts expansion below
-        s, z = boxes[b"stsz"]
-        b = _full_body(data, s, s + z)
+        b, end = _table(data, boxes, b"stsz", 8)
         fixed, n_samples = struct.unpack_from(">II", data, b)
+        # a sample is ≥1 byte of mdat, so n_samples > len(data) is
+        # structurally impossible — reject BEFORE any allocation (an
+        # attacker-controlled 32-bit count could otherwise balloon a
+        # multi-GB size list on the fixed-size path)
+        if n_samples > len(data):
+            raise ValueError("mp4 stsz declares more samples than the payload holds")
         if fixed:
             sizes = [fixed] * n_samples
         else:
-            if s + z < b + 8 + 4 * n_samples:
+            if end < b + 8 + 4 * n_samples:
                 raise ValueError("mp4 stsz truncated")
             sizes = list(struct.unpack_from(f">{n_samples}I", data, b + 8))
-        # stts: run-length (count, delta) pairs → per-sample tick
-        # offsets. Run counts are attacker-controlled 32-bit ints: cap
-        # the expansion at the stsz sample count so a crafted file
-        # can't balloon a multi-GB tick list before the mismatch check
-        s, z = boxes[b"stts"]
-        b = _full_body(data, s, s + z)
+        # stts: run-length (count, delta) pairs → per-sample deltas.
+        # Run counts are attacker-controlled: cap the expansion at the
+        # (already-bounded) stsz sample count
+        b, end = _table(data, boxes, b"stts", 4)
         (n_runs,) = struct.unpack_from(">I", data, b)
-        if s + z < b + 4 + 8 * n_runs:
+        if end < b + 4 + 8 * n_runs:
             raise ValueError("mp4 stts truncated")
-        ticks, t_acc = [], 0
+        deltas: list[int] = []
         for r in range(n_runs):
             cnt, delta = struct.unpack_from(">II", data, b + 4 + 8 * r)
-            if len(ticks) + cnt > n_samples:
+            if len(deltas) + cnt > n_samples:
                 raise ValueError("mp4 stts declares more samples than stsz")
-            for _ in range(cnt):
-                ticks.append(t_acc)
-                t_acc += delta
-        # stco (+stsc samples-per-chunk; this encoder writes 1 per chunk,
-        # but honor the general contiguous-chunk layout)
-        s, z = boxes[b"stco"]
-        b = _full_body(data, s, s + z)
+            deltas.extend([delta] * cnt)
+        if len(deltas) != n_samples:
+            raise ValueError("mp4 stts/stsz sample-count mismatch")
+        # stco chunk offsets
+        b, end = _table(data, boxes, b"stco", 4)
         (n_chunks,) = struct.unpack_from(">I", data, b)
-        if s + z < b + 4 + 4 * n_chunks:
+        if end < b + 4 + 4 * n_chunks:
             raise ValueError("mp4 stco truncated")
         chunk_offs = list(struct.unpack_from(f">{n_chunks}I", data, b + 4))
-        spc = 1
+        # stsc: (first_chunk, samples_per_chunk, desc) runs — chunk ci
+        # uses the spc of the LAST entry with first_chunk <= ci (the
+        # spec's run-length semantics; this encoder writes one entry
+        # but third-party files legitimately vary chunking)
+        stsc_entries: list[tuple[int, int]] = [(1, 1)]
         if b"stsc" in boxes:
-            s, z = boxes[b"stsc"]
-            b = _full_body(data, s, s + z)
+            b, end = _table(data, boxes, b"stsc", 4)
             (n_ent,) = struct.unpack_from(">I", data, b)
+            if end < b + 4 + 12 * n_ent:
+                raise ValueError("mp4 stsc truncated")
             if n_ent >= 1:
-                spc = struct.unpack_from(">III", data, b + 4)[1]
-        if len(ticks) != n_samples:
-            raise ValueError("mp4 stts/stsz sample-count mismatch")
+                stsc_entries = []
+                for i in range(n_ent):
+                    first, spc, _desc = struct.unpack_from(">III", data, b + 4 + 12 * i)
+                    stsc_entries.append((first, spc))
         frames: list[np.ndarray] = []
-        si = 0
-        for ci in range(n_chunks):
-            off = chunk_offs[ci]
-            for _ in range(spc):
+        si, ei = 0, 0
+        for ci in range(1, n_chunks + 1):
+            while ei + 1 < len(stsc_entries) and stsc_entries[ei + 1][0] <= ci:
+                ei += 1
+            off = chunk_offs[ci - 1]
+            for _ in range(stsc_entries[ei][1]):
                 if si >= n_samples:
                     break
                 sz = sizes[si]
@@ -276,16 +334,7 @@ def decode_mp4_clock(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
                 si += 1
         if si != n_samples:
             raise ValueError("mp4 chunk tables cover fewer samples than declared")
-        return timescale, ticks, frames
-    raise ValueError("mp4 has no video track")
-
-
-def decode_mp4(data: bytes) -> tuple[int, list[np.ndarray]]:
-    """Summary view: (frame_interval_ms, frames) — the first stts delta
-    scaled to ms. Exact per-frame timestamps via decode_mp4_clock."""
-    timescale, ticks, frames = decode_mp4_clock(data)
-    if len(ticks) > 1:
-        interval = (ticks[1] - ticks[0]) * 1000 // timescale
-    else:
-        interval = 0
-    return interval, frames
+        return timescale, deltas, frames
+    raise NotImplementedError(
+        "mp4 has no video track (audio-only/m4a needs librosa/ffmpeg)"
+    )

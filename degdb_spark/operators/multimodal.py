@@ -737,11 +737,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
 def extract_video_frames(media: DataFrame, batch_rows: int = 16) -> DataFrame:
     """REAL frame extraction: one row per frame with its timestamp and
     each frame re-encoded as a standalone BMP payload — the decode-side
-    twin of sample_video_frames. All three containers route through
+    twin of sample_video_frames. All four containers route through
     the single codecs.decode_video_frames seam: animated GIF
-    (timestamps from the graphic-control delays), MJPEG-AVI
-    (timestamps from the stream header's dwScale/dwRate clock) and
-    RAWV (fixed-interval header)."""
+    (timestamps from the graphic-control delays), MJPEG-AVI (the
+    stream header's dwScale/dwRate clock), MJPEG-MP4 (mdhd timescale +
+    stts deltas) and RAWV (fixed-interval header)."""
     vids = media.filter(F.col("kind") == "video")
     schema = "media_id long, frame_idx int, frame_ts_ms int, frame_bmp binary"
 

@@ -46,7 +46,7 @@ class Query(NamedTuple):
 #: (media_gif_frame_extract and media_frame_extract — their operator
 #: extract_video_frames now routes through the single
 #: codecs.decode_video_frames seam that also serves AVI/MP4), plus
-#: the 7 oldest r5-era rows in registry module order. (The round-9 pin
+#: the 6 oldest r5-era rows in registry module order. (The round-9 pin
 #: migration touched many query files but is mode-identity by
 #: construction — the default knob value still localCheckpoints — and
 #: is covered by the full local oracle sweep + the

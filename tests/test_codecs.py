@@ -1079,3 +1079,146 @@ def test_ulaw_sun_compat_matches_audioop_exhaustively():
     assert int((C.ulaw_encode(x) != want).sum()) == 381
     # both forms decode-idempotent through the shared expander
     assert (C.ulaw_encode(C.ulaw_decode(got), sun_compat=True) == got).all()
+
+
+def test_mp4_unsupported_shapes_gate_not_crash():
+    """VALID-but-unsupported mp4 shapes (audio-only m4a, fragmented,
+    missing tables) raise NotImplementedError — the honest gate — not
+    ValueError, so permissive feature extraction can quarantine to the
+    fake vector instead of killing the Arrow batch. Structural damage
+    stays ValueError."""
+    import struct as S
+
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators import multimodal as M
+
+    def box(t, body):
+        return S.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, body):
+        return box(t, b"\x00\x00\x00\x00" + body)
+
+    # minimal audio-only m4a: ftyp + moov/trak/mdia/hdlr('soun')
+    hdlr = full(b"hdlr", S.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"x\x00")
+    mdia = box(b"mdia", hdlr)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    m4a = box(b"ftyp", b"M4A " + S.pack(">I", 0) + b"M4A ") + moov
+    with pytest.raises(NotImplementedError, match="no video track"):
+        mp4.decode_mp4(m4a)
+    # permissive feature extraction takes the marked fake; strict raises
+    assert len(M.decode_features(m4a)) == M.FEATURE_DIM
+    with pytest.raises(NotImplementedError):
+        M.decode_features(m4a, strict=True)
+    # a video trak WITHOUT stbl (fragmented shape) gates too
+    vhdlr = full(b"hdlr", S.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"x\x00")
+    vmdia = box(b"mdia", full(b"mdhd", S.pack(">IIII", 0, 0, 1000, 0) + S.pack(">HH", 0, 0)) + vhdlr)
+    frag = box(b"ftyp", b"isom" + S.pack(">I", 0) + b"isom") + box(
+        b"moov", box(b"trak", vmdia)
+    )
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mp4.decode_mp4(frag)
+
+
+def test_mp4_table_bounds_and_allocation_guards():
+    """Table reads are bounds-checked against the ENCLOSING BOX (an
+    undersized stsz raises ValueError, never struct.error / neighbor
+    bytes), and the fixed-size stsz path rejects an impossible sample
+    count BEFORE allocating (a crafted 32-bit count must not balloon
+    memory)."""
+    import struct as S
+
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    data = mp4.encode_mp4_mjpeg(avi_exact_frames(1, 56, 56, 2), 500)
+    raw = bytes(data)
+
+    # shrink the stsz box to header-only (size 12): body too short
+    stsz_box = raw.index(b"stsz") - 4
+    short = bytearray(raw)
+    # rewrite the box as size-12 'stsz' followed by a free box filling the gap
+    old_size = S.unpack_from(">I", raw, stsz_box)[0]
+    short[stsz_box : stsz_box + 4] = S.pack(">I", 12)
+    short[stsz_box + 12 : stsz_box + 16] = S.pack(">I", old_size - 12)
+    short[stsz_box + 16 : stsz_box + 20] = b"free"
+    with pytest.raises(ValueError):
+        mp4.decode_mp4(bytes(short))
+
+    # fixed-size stsz with an absurd n_samples: ValueError, fast
+    bomb = bytearray(raw)
+    b = raw.index(b"stsz") + 4  # body start (after size+type): version/flags
+    bomb[b + 4 : b + 8] = S.pack(">I", 4)  # fixed sample size
+    bomb[b + 8 : b + 12] = S.pack(">I", 0xFFFFFFF0)  # n_samples
+    with pytest.raises(ValueError, match="more samples than the payload"):
+        mp4.decode_mp4(bytes(bomb))
+
+
+def test_mp4_multi_entry_stsc():
+    """stsc run-length semantics: chunk ci uses the spc of the last
+    entry with first_chunk <= ci. A valid file chunked as [1 sample,
+    then 2 per chunk] must decode all samples from the right offsets."""
+    import struct as S
+
+    from degdb_spark.functions import jpeg as J
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    frames = avi_exact_frames(6, 56, 56, 3)
+    payloads = [J.encode_jpeg(frames[f], quality=50, subsample=True) for f in range(3)]
+
+    def box(t, body):
+        return S.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, body):
+        return box(t, b"\x00\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"isom" + S.pack(">I", 512) + b"isommp41")
+    mdat_body = b"".join(payloads)
+    base = len(ftyp) + 8
+    # chunk 1 = sample 0; chunk 2 = samples 1,2
+    offs = [base, base + len(payloads[0])]
+    jpeg_entry = box(
+        b"jpeg",
+        b"\x00" * 6 + S.pack(">H", 1) + b"\x00" * 16 + S.pack(">HH", 56, 56)
+        + S.pack(">II", 0x480000, 0x480000) + b"\x00" * 4 + S.pack(">H", 1)
+        + b"\x00" * 32 + S.pack(">Hh", 24, -1),
+    )
+    stbl = box(
+        b"stbl",
+        full(b"stsd", S.pack(">I", 1) + jpeg_entry)
+        + full(b"stts", S.pack(">III", 1, 3, 500))
+        + full(b"stsc", S.pack(">I", 2) + S.pack(">III", 1, 1, 1) + S.pack(">III", 2, 2, 1))
+        + full(b"stsz", S.pack(">II", 0, 3) + b"".join(S.pack(">I", len(p)) for p in payloads))
+        + full(b"stco", S.pack(">I", 2) + b"".join(S.pack(">I", o) for o in offs)),
+    )
+    hdlr = full(b"hdlr", S.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"x\x00")
+    mdhd = full(b"mdhd", S.pack(">IIII", 0, 0, 1000, 1500) + S.pack(">HH", 0x55C4, 0))
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    data = ftyp + box(b"mdat", mdat_body) + moov
+    ts, ticks, out = mp4.decode_mp4_clock(data)
+    assert ticks == [0, 500, 1000]
+    assert all((a == b).all() for a, b in zip(frames, out))
+
+
+def test_mp4_single_frame_interval_container_invariant():
+    """A single-frame clip keeps its clock interval (first stts delta),
+    so features stay container-invariant vs the AVI/RAWV twins."""
+    import numpy as np
+
+    from degdb_spark.functions import avi as A
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    fr = avi_exact_frames(3, 56, 56, 1)
+    m = mp4.encode_mp4_mjpeg(fr, 500)
+    a = A.encode_avi_mjpeg(fr, 500)
+    r = C.encode_rawv(fr, 500)
+    assert mp4.decode_mp4(m)[0] == 500
+    f_m = M.decode_features(m)
+    f_a = M.decode_features(a)
+    f_r = M.decode_features(r)
+    assert np.allclose(f_m, f_a) and np.allclose(f_m, f_r)
