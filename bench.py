@@ -168,16 +168,18 @@ HEADLINE = [
     "media_jpeg_decode",
     "media_gif_decode",
     "media_gif_frame_extract",
-    # round 9: the five new surfaces (temporal-mean video fingerprint
+    # round 9: the six new surfaces (temporal-mean video fingerprint
     # + banded near-dup; MJPEG-in-AVI and MJPEG-in-MP4 container
     # extraction — per-frame JPEG entropy decode through the shared
     # video seam; in-plan BPE tokenizer training over the word
-    # histogram; in-plan depth-2 tree training, histogram split search)
+    # histogram; in-plan depth-2 tree training, histogram split
+    # search; mp3 header-walk metadata probe)
     "media_video_neardups",
     "media_avi_frame_extract",
     "media_mp4_frame_extract",
     "docs_bpe_train",
     "docs_decision_tree",
+    "media_mp3_probe",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

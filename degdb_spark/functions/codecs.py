@@ -98,6 +98,12 @@ def sniff_format(data: bytes) -> str | None:
         return "mp4"
     if data[:4] == b"RAWV":
         return "rawv"
+    # mp3 LAST: its 11-bit frame sync (0xFFE) is the weakest magic
+    # (JPEG's 0xFFD8FF already matched above); ID3v2 tags are mp3-family
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     return None
 
 

@@ -279,6 +279,63 @@ def synthetic_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_mp3_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic all-audio media table whose payloads are
+    structurally valid CBR MPEG-1 Layer III streams (real sync/
+    bitrate/sample-rate headers, zeroed payload — functions/mp3.py):
+    38 + 3i frames at bitrate [96, 128, 160, 192][i mod 4], 44.1 kHz.
+    The PROBE fixture: sample decode stays strict-gated; header-walk
+    metadata (frame count, duration, bitrate) is real and closed-form
+    for the oracle."""
+    from degdb_spark.functions import mp3
+
+    def rows():
+        for i in range(n):
+            nf = 38 + 3 * i
+            br = (96, 128, 160, 192)[i % 4]
+            payload = mp3.encode_mp3_cbr_silence(nf, bitrate_kbps=br)
+            duration = nf * 1152 * 1000 // 44100
+            yield (i, "audio", bytearray(payload), ("mp3", None, None, duration, 44100))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
+def mp3_probe_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL mp3 metadata via the header walk (functions/mp3.probe_mp3,
+    NO sample decode — the ffprobe-without-ffmpeg split): per payload,
+    first-frame bitrate, sample rate, frame count and exact integer
+    duration. At 100 TB this is how an audio pipeline filters by
+    duration/bitrate without paying for decode."""
+    audio = media.filter(F.col("kind") == "audio")
+    schema = (
+        "media_id long, bitrate_kbps int, sample_rate int, "
+        "n_frames long, duration_ms long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from degdb_spark.functions import mp3
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    info = mp3.probe_mp3(bytes(p))
+                    out.append(
+                        (mid, info.bitrate_kbps, info.sample_rate,
+                         info.n_frames, info.duration_ms)
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id", "bitrate_kbps", "sample_rate",
+                        "n_frames", "duration_ms",
+                    ],
+                )
+
+    return audio.select("media_id", "payload").mapInPandas(op, schema)
+
+
 def jpeg_exact_pixels(i: int, w: int, h: int) -> np.ndarray:
     """The quantization-exact JPEG fixture: per-8×8-block-constant GRAY
     pixels, pixel(y, x, c) = 2·((3·(x//8) + 5·(y//8) + 7·i) mod 128)

@@ -701,10 +701,41 @@ def media_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 MP4_FRAMES_SQL = AVI_FRAMES_SQL
 
 
+_N_MP3 = 40
+
+
+def media_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mp3 metadata extraction WITHOUT decode: structurally valid
+    CBR MPEG-1 Layer III fixtures (real sync/bitrate/sample-rate
+    headers) -> Arrow batches -> header walk (functions/mp3.probe_mp3)
+    -> first-frame bitrate, sample rate, frame count, exact integer
+    duration. The ffprobe-without-ffmpeg split: sample DECODE stays
+    honestly strict-gated, but duration/bitrate filtering — what a
+    100 TB audio pipeline actually needs before paying for decode —
+    is real. Oracle replays n_frames = 38 + 3i, the rotating bitrate
+    table, and duration = n_frames·1152·1000 // 44100 in SQL."""
+    from degdb_spark.operators.multimodal import mp3_probe_stats, synthetic_mp3_media
+
+    media = synthetic_mp3_media(spark, _N_MP3)
+    return mp3_probe_stats(media).orderBy("media_id")
+
+
+MP3_PROBE_SQL = f"""
+SELECT i AS media_id,
+       CAST(CASE i % 4 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 160 ELSE 192 END AS INT) AS bitrate_kbps,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(38 + 3 * i AS BIGINT) AS n_frames,
+       CAST((38 + 3 * i) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms
+FROM generate_series(0, {_N_MP3 - 1}) t(i)
+ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "media_video_neardups": Query(media_video_neardups, VIDEO_NEARDUP_SQL),
     "media_avi_frame_extract": Query(media_avi_frame_extract, AVI_FRAMES_SQL),
     "media_mp4_frame_extract": Query(media_mp4_frame_extract, MP4_FRAMES_SQL),
+    "media_mp3_probe": Query(media_mp3_probe, MP3_PROBE_SQL),
     "media_audio_neardups": Query(media_audio_neardups, AUDIO_NEARDUP_SQL),
     "media_phash_neardups": Query(media_phash_neardups, PHASH_SQL),
     "media_frame_sample": Query(media_frame_sample, FRAME_SQL),

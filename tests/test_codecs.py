@@ -1222,3 +1222,57 @@ def test_mp4_single_frame_interval_container_invariant():
     f_a = M.decode_features(a)
     f_r = M.decode_features(r)
     assert np.allclose(f_m, f_a) and np.allclose(f_m, f_r)
+
+
+# ------------------------------------------------------------------ MP3
+
+
+def test_mp3_probe_header_walk():
+    """The mp3 PROBE (no sample decode): frame count, first-frame
+    bitrate, exact integer duration from the header walk; ID3v2 tags
+    skipped via the syncsafe size; VBR streams accept per-frame
+    bitrate changes."""
+    from degdb_spark.functions import mp3
+
+    data = mp3.encode_mp3_cbr_silence(38, bitrate_kbps=160)
+    info = mp3.probe_mp3(data)
+    assert info == (160, 44100, 38, 38 * 1152 * 1000 // 44100)
+    # ID3v2 tag in front (10-byte header + 10-byte body)
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + data
+    assert mp3.probe_mp3(tagged) == info
+    # VBR: splice two CBR runs at different bitrates — per-frame
+    # lengths follow each frame's own index; summary bitrate = first
+    vbr = mp3.encode_mp3_cbr_silence(5, 96) + mp3.encode_mp3_cbr_silence(7, 192)
+    vinfo = mp3.probe_mp3(vbr)
+    assert (vinfo.bitrate_kbps, vinfo.n_frames) == (96, 12)
+
+
+def test_mp3_probe_rejects_malformed():
+    from degdb_spark.functions import mp3
+
+    data = mp3.encode_mp3_cbr_silence(4)
+    with pytest.raises(ValueError, match="sync"):
+        mp3.probe_mp3(b"\x00\x00\x00\x00" + data)
+    with pytest.raises(ValueError, match="no audio frames"):
+        mp3.probe_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00")  # tag only
+    with pytest.raises(ValueError, match="overruns"):
+        mp3.probe_mp3(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f")  # huge tag
+    # a cut INSIDE a frame raises; a cut at a frame boundary is a
+    # VALID shorter stream (mp3 has no length header — streams are
+    # cuttable by design), reporting fewer frames
+    frame_len = 144 * 128000 // 44100
+    with pytest.raises(ValueError, match="overruns"):
+        mp3.probe_mp3(data[: frame_len + 10])
+    assert mp3.probe_mp3(data[: 2 * frame_len]).n_frames == 2
+    # MPEG-2 / Layer II variants gate loudly
+    import struct as S
+
+    h = bytearray(data)
+    h[1] = 0xF3  # version bits -> MPEG-2
+    with pytest.raises(ValueError, match="MPEG-1 Layer III"):
+        mp3.probe_mp3(bytes(h))
+    # reserved sample-rate index
+    sr = bytearray(data)
+    sr[2] = (sr[2] & 0xF3) | 0x0C
+    with pytest.raises(ValueError, match="sample-rate"):
+        mp3.probe_mp3(bytes(sr))
