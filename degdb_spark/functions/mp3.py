@@ -40,7 +40,10 @@ class Mp3Info(NamedTuple):
 
 def _skip_id3v2(data: bytes) -> int:
     """Byte offset past a leading ID3v2 tag (syncsafe 28-bit size), 0
-    when absent; a declared tag overrunning the payload raises."""
+    when absent; a declared tag overrunning the payload raises. The
+    v2.4 footer flag (0x10) appends 10 bytes NOT counted in the
+    syncsafe size — skipped too, or the frame walk would land on the
+    '3DI' footer and report lost sync on a valid file."""
     if data[:3] != b"ID3":
         return 0
     if len(data) < 10:
@@ -49,7 +52,7 @@ def _skip_id3v2(data: bytes) -> int:
     if any(x & 0x80 for x in b):
         raise ValueError("mp3 ID3v2 size bytes must be syncsafe")
     size = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
-    end = 10 + size
+    end = 10 + size + (10 if data[5] & 0x10 else 0)
     if end > len(data):
         raise ValueError("mp3 ID3v2 tag overruns payload (truncated)")
     return end
@@ -99,8 +102,8 @@ def probe_mp3(data: bytes) -> Mp3Info:
             raise ValueError("mp3 frame overruns payload (truncated)")
         pos += frame_len
         n_frames += 1
-    if n_frames == 0:
-        raise ValueError("mp3 payload has no audio frames")
+    # n_frames >= 1 here: the pre-loop guard raises when no frame
+    # bytes follow the tag, and every loop pass raises or counts
     duration_ms = n_frames * _SAMPLES_PER_FRAME_V1_L3 * 1000 // sample_rate
     return Mp3Info(first_bitrate, sample_rate, n_frames, duration_ms)
 

@@ -269,6 +269,13 @@ def _parse_mp4(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
         # stsz first: its sample count bounds the stts expansion below
         b, end = _table(data, boxes, b"stsz", 8)
         fixed, n_samples = struct.unpack_from(">II", data, b)
+        if n_samples == 0:
+            # present-but-empty sample tables = the fragmented/DASH
+            # layout (samples live in moof fragments) — valid format,
+            # unsupported shape, NOT structural damage
+            raise NotImplementedError(
+                "fragmented mp4 (empty stbl sample tables) needs ffmpeg"
+            )
         # a sample is ≥1 byte of mdat, so n_samples > len(data) is
         # structurally impossible — reject BEFORE any allocation (an
         # attacker-controlled 32-bit count could otherwise balloon a
@@ -317,6 +324,16 @@ def _parse_mp4(data: bytes) -> tuple[int, list[int], list[np.ndarray]]:
                 for i in range(n_ent):
                     first, spc, _desc = struct.unpack_from(">III", data, b + 4 + 12 * i)
                     stsc_entries.append((first, spc))
+                # ISO 14496-12: the runs must start at chunk 1 and be
+                # strictly ascending — anything else leaves chunks with
+                # a guessed samples-per-chunk, i.e. silent mis-decode
+                if stsc_entries[0][0] != 1 or any(
+                    stsc_entries[i][0] >= stsc_entries[i + 1][0]
+                    for i in range(len(stsc_entries) - 1)
+                ):
+                    raise ValueError(
+                        "mp4 stsc runs must start at chunk 1 and ascend"
+                    )
         frames: list[np.ndarray] = []
         si, ei = 0, 0
         for ci in range(1, n_chunks + 1):

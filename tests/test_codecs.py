@@ -1081,6 +1081,16 @@ def test_ulaw_sun_compat_matches_audioop_exhaustively():
     assert (C.ulaw_encode(C.ulaw_decode(got), sun_compat=True) == got).all()
 
 
+def _mp4_box(t: bytes, body: bytes) -> bytes:
+    import struct as S
+
+    return S.pack(">I", 8 + len(body)) + t + body
+
+
+def _mp4_full(t: bytes, body: bytes) -> bytes:
+    return _mp4_box(t, b"\x00\x00\x00\x00" + body)
+
+
 def test_mp4_unsupported_shapes_gate_not_crash():
     """VALID-but-unsupported mp4 shapes (audio-only m4a, fragmented,
     missing tables) raise NotImplementedError — the honest gate — not
@@ -1092,11 +1102,7 @@ def test_mp4_unsupported_shapes_gate_not_crash():
     from degdb_spark.functions import mp4
     from degdb_spark.operators import multimodal as M
 
-    def box(t, body):
-        return S.pack(">I", 8 + len(body)) + t + body
-
-    def full(t, body):
-        return box(t, b"\x00\x00\x00\x00" + body)
+    box, full = _mp4_box, _mp4_full
 
     # minimal audio-only m4a: ftyp + moov/trak/mdia/hdlr('soun')
     hdlr = full(b"hdlr", S.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"x\x00")
@@ -1167,11 +1173,7 @@ def test_mp4_multi_entry_stsc():
     frames = avi_exact_frames(6, 56, 56, 3)
     payloads = [J.encode_jpeg(frames[f], quality=50, subsample=True) for f in range(3)]
 
-    def box(t, body):
-        return S.pack(">I", 8 + len(body)) + t + body
-
-    def full(t, body):
-        return box(t, b"\x00\x00\x00\x00" + body)
+    box, full = _mp4_box, _mp4_full
 
     ftyp = box(b"ftyp", b"isom" + S.pack(">I", 512) + b"isommp41")
     mdat_body = b"".join(payloads)
@@ -1276,3 +1278,58 @@ def test_mp3_probe_rejects_malformed():
     sr[2] = (sr[2] & 0xF3) | 0x0C
     with pytest.raises(ValueError, match="sample-rate"):
         mp3.probe_mp3(bytes(sr))
+
+
+def test_mp4_empty_tables_and_invalid_stsc():
+    """Present-but-EMPTY sample tables (the fragmented/DASH layout)
+    gate with NotImplementedError — not a numpy crash downstream —
+    and spec-invalid stsc runs (not starting at chunk 1 / not
+    ascending) raise ValueError instead of silently decoding from
+    guessed offsets."""
+    import struct as S
+
+    from degdb_spark.functions import mp4
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.operators.multimodal import avi_exact_frames
+
+    box, full = _mp4_box, _mp4_full
+    jpeg_entry = box(
+        b"jpeg",
+        b"\x00" * 6 + S.pack(">H", 1) + b"\x00" * 16 + S.pack(">HH", 56, 56)
+        + S.pack(">II", 0x480000, 0x480000) + b"\x00" * 4 + S.pack(">H", 1)
+        + b"\x00" * 32 + S.pack(">Hh", 24, -1),
+    )
+    stbl = box(
+        b"stbl",
+        full(b"stsd", S.pack(">I", 1) + jpeg_entry)
+        + full(b"stts", S.pack(">I", 0))
+        + full(b"stsz", S.pack(">II", 0, 0))
+        + full(b"stco", S.pack(">I", 0)),
+    )
+    hdlr = full(b"hdlr", S.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"x\x00")
+    mdhd = full(b"mdhd", S.pack(">IIII", 0, 0, 1000, 0) + S.pack(">HH", 0x55C4, 0))
+    moov = box(b"moov", box(b"trak", box(b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+    empty = box(b"ftyp", b"isom" + S.pack(">I", 0) + b"isom") + moov
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        mp4.decode_mp4(empty)
+    # permissive feature extraction routes it to the marked fake
+    assert len(M.decode_features(empty)) == M.FEATURE_DIM
+
+    # invalid stsc: single run starting at chunk 2
+    data = bytearray(mp4.encode_mp4_mjpeg(avi_exact_frames(1, 56, 56, 2), 500))
+    off = bytes(data).index(b"stsc") + 8  # body: entry_count then runs
+    data[off + 4 : off + 8] = S.pack(">I", 2)  # first_chunk = 2
+    with pytest.raises(ValueError, match="chunk 1"):
+        mp4.decode_mp4(bytes(data))
+
+
+def test_mp3_id3v24_footer_flag():
+    """The ID3v2.4 footer flag appends 10 bytes NOT counted in the
+    syncsafe size — the walk must skip them or a valid footer-bearing
+    file reports lost sync."""
+    from degdb_spark.functions import mp3
+
+    audio = mp3.encode_mp3_cbr_silence(3)
+    tag = b"ID3\x04\x00\x10\x00\x00\x00\x0a" + b"\x00" * 10 + b"3DI\x04\x00\x10\x00\x00\x00\x0a"
+    info = mp3.probe_mp3(tag + audio)
+    assert info.n_frames == 3
