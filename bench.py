@@ -168,18 +168,21 @@ HEADLINE = [
     "media_jpeg_decode",
     "media_gif_decode",
     "media_gif_frame_extract",
-    # round 9: the six new surfaces (temporal-mean video fingerprint
+    # round 9: the new surfaces (temporal-mean video fingerprint
     # + banded near-dup; MJPEG-in-AVI and MJPEG-in-MP4 container
     # extraction — per-frame JPEG entropy decode through the shared
     # video seam; in-plan BPE tokenizer training over the word
     # histogram; in-plan depth-2 tree training, histogram split
-    # search; mp3 header-walk metadata probe)
+    # search; mp3 header-walk metadata probe; DTMF digit decoding
+    # via the Goertzel/DFT bank through the G.711 mu-law path)
     "media_video_neardups",
     "media_avi_frame_extract",
     "media_mp4_frame_extract",
     "docs_bpe_train",
     "docs_decision_tree",
     "media_mp3_probe",
+    "media_audio_tone_probe",
+    "media_scene_cuts",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

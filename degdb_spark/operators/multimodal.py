@@ -336,6 +336,163 @@ def mp3_probe_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return audio.select("media_id", "payload").mapInPandas(op, schema)
 
 
+def synthetic_dtmf_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic all-audio media table whose payloads are REAL
+    G.711 mu-law telephony WAVs (format tag 7, 8 kHz) carrying DTMF
+    digit sequences: clip i dials 4 + (i mod 4) digits, digit k =
+    (7i + 3k) mod 10, each an 80 ms ITU-T Q.23 tone pair at amplitude
+    6000 followed by 40 ms of exact silence (functions/dsp.py
+    synth_dtmf). The planted digit string is closed-form in i and k,
+    so the oracle replays the ANSWER in SQL while the Spark side must
+    run the real signal path: mu-law expand → energy gate → single-bin
+    DFT bank → keypad argmax."""
+    from degdb_spark.functions import dsp
+
+    def rows():
+        for i in range(n):
+            length = 4 + (i % 4)
+            digits = [(7 * i + 3 * k) % 10 for k in range(length)]
+            samples = dsp.synth_dtmf(digits, sample_rate=8000)
+            payload = codecs.encode_wav_ulaw(samples, 8000)
+            duration_ms = samples.size * 1000 // 8000
+            yield (i, "audio", bytearray(payload), ("wav", None, None, duration_ms, 8000))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
+def dtmf_probe(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL spectral tone analysis: decode the telephony WAV (G.711
+    expansion in functions/codecs.py), then detect the dialed DTMF
+    digit string (functions/dsp.py: energy-gated segmentation + the
+    eight-frequency single-bin DFT bank + twist-validated keypad
+    argmax). Per clip: digit count and the decoded string.
+
+    Scale: per-payload numpy inside Arrow batches, identical shape to
+    the decode operators — no shuffle, partitioning preserved, driver
+    never sees a sample. A production swap-in (e.g. a SIMD Goertzel)
+    replaces dsp.detect_dtmf behind the same signature."""
+    audio = media.filter(F.col("kind") == "audio")
+    schema = "media_id long, sample_rate int, n_tones int, digits string"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from degdb_spark.functions import dsp
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    rate, s = codecs.decode_wav(bytes(p))
+                    digits = dsp.detect_dtmf(s, rate)
+                    out.append((mid, rate, len(digits), digits))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "sample_rate", "n_tones", "digits"]
+                )
+
+    return audio.select("media_id", "payload").mapInPandas(op, schema)
+
+
+def scene_exact_frames(i: int, w: int, h: int, nf: int, scene_len: int) -> np.ndarray:
+    """Quantization-exact MJPEG frames with PLANTED SCENES: frame f
+    pixel = 2·((3·(x//8) + 5·(y//8) + 7·i + 29·(f//scene_len)) mod
+    128) gray — per-8×8-block-constant even values, so the lossy JPEG
+    path is provably lossless (same argument as jpeg_exact_pixels).
+    Frames within a scene are IDENTICAL (diff exactly 0); consecutive
+    scenes differ by 29 mod 128 in every block, so every scene
+    boundary is a guaranteed hard cut."""
+    bx = np.arange(w)[None, None, :] // 8
+    by = np.arange(h)[None, :, None] // 8
+    s = (np.arange(nf) // scene_len)[:, None, None]
+    v = (2 * ((3 * bx + 5 * by + 7 * i + 29 * s) % 128)).astype(np.uint8)
+    return np.repeat(v[:, :, :, None], 3, axis=3)
+
+
+def synthetic_scene_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
+    """Deterministic all-video media table of REAL MJPEG-in-MP4 files
+    whose frames carry planted scene boundaries (scene_exact_frames,
+    scene length 2 + i mod 3) at the AVI-fixture dims and the 500 ms
+    container clock. The cut positions are closed-form in i, so the
+    oracle replays the ANSWER while the Spark side must run the real
+    detector: container walk → per-frame JPEG decode → inter-frame
+    difference → threshold."""
+    from degdb_spark.functions import mp4
+
+    def rows():
+        for i in range(n):
+            duration_ms = 1000 + i * 37
+            w = 56 + (i % 9) * 12
+            h = 56 + (i % 7) * 12
+            nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
+            payload = mp4.encode_mp4_mjpeg(
+                scene_exact_frames(i, w, h, nf, 2 + i % 3),
+                VIDEO_FRAME_INTERVAL_MS,
+                quality=50,
+                restart_interval=4 if i % 2 else 0,
+            )
+            yield (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
+def video_scene_cuts(
+    media: DataFrame, threshold: float = 8.0, batch_rows: int = 8
+) -> DataFrame:
+    """REAL scene-change detection: decode every frame through the
+    shared codecs.decode_video_frames seam, compute the mean absolute
+    inter-frame pixel difference, and flag frames whose difference
+    from the previous frame exceeds ``threshold`` as hard cuts (the
+    classic frame-differencing detector — at 100 TB this is the shot
+    segmentation pass a video training pipeline runs before sampling
+    frames per shot instead of per fixed interval). Per video: frame
+    count, cut count, first/last cut frame index (-1 when the clip is
+    a single shot) and the sum of cut indices — integer outputs, no
+    float surface.
+
+    Scale: per-payload numpy inside Arrow batches; the frame diff is
+    O(pixels) per adjacent pair, no shuffle, partitioning preserved,
+    frames never leave the executor."""
+    vids = media.filter(F.col("kind") == "video")
+    schema = (
+        "media_id long, n_frames int, n_cuts int, "
+        "first_cut int, last_cut int, cut_sum long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    _, frames = codecs.decode_video_frames(bytes(p))
+                    cuts = []
+                    for fi in range(1, len(frames)):
+                        a = frames[fi].astype(np.int32)
+                        b = frames[fi - 1].astype(np.int32)
+                        if a.shape != b.shape or float(
+                            np.abs(a - b).mean()
+                        ) > threshold:
+                            cuts.append(fi)
+                    out.append(
+                        (
+                            mid,
+                            len(frames),
+                            len(cuts),
+                            cuts[0] if cuts else -1,
+                            cuts[-1] if cuts else -1,
+                            int(sum(cuts)),
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id", "n_frames", "n_cuts",
+                        "first_cut", "last_cut", "cut_sum",
+                    ],
+                )
+
+    return vids.select("media_id", "payload").mapInPandas(op, schema)
+
+
 def jpeg_exact_pixels(i: int, w: int, h: int) -> np.ndarray:
     """The quantization-exact JPEG fixture: per-8×8-block-constant GRAY
     pixels, pixel(y, x, c) = 2·((3·(x//8) + 5·(y//8) + 7·i) mod 128)

@@ -35,29 +35,33 @@ class Query(NamedTuple):
 #: slots), exactly as planned in the round-8 comment / VERDICT r8
 #: "Next round #1": ALL 37 remaining r4-era rows (the full cohort fits
 #: this round — q5/q6/q10 and the galleries displaced from r8 are
-#: here), plus the 6 surfaces NEW in round 9 (media_video_neardups —
+#: here), plus the surfaces NEW in round 9 (media_video_neardups —
 #: temporal-mean video fingerprint + banded near-dup,
 #: media_avi_frame_extract — the MJPEG-in-AVI container,
 #: media_mp4_frame_extract — the MJPEG-in-MP4 / ISO-BMFF container,
-#: docs_bpe_train — in-plan BPE tokenizer training, and
+#: docs_bpe_train — in-plan BPE tokenizer training,
 #: docs_decision_tree — in-plan depth-2 tree training with exact
-#: integer split search, and media_mp3_probe — header-walk mp3
-#: metadata without decode; registry grew 222 → 228, all genuinely
-#: new surfaces per the standing freeze policy), plus the 2 surfaces CHANGED in round 9
+#: integer split search, media_mp3_probe — header-walk mp3
+#: metadata without decode, media_audio_tone_probe — DTMF digit
+#: decoding via an energy-gated Goertzel/DFT bank through the G.711
+#: mu-law telephony path, media_scene_cuts — frame-differencing shot
+#: segmentation over MJPEG-MP4 with planted scene boundaries; all
+#: genuinely new surfaces per the standing
+#: freeze policy), plus the 2 surfaces CHANGED in round 9
 #: (media_gif_frame_extract and media_frame_extract — their operator
 #: extract_video_frames now routes through the single
 #: codecs.decode_video_frames seam that also serves AVI/MP4), plus
-#: the 5 oldest r5-era rows in registry module order. (The round-9 pin
+#: the oldest r5-era rows in registry module order as fill to 50. (The round-9 pin
 #: migration touched many query files but is mode-identity by
 #: construction — the default knob value still localCheckpoints — and
 #: is covered by the full local oracle sweep + the
 #: test_persistence.py bit-identity properties.)
 #:
 #: Round-10 window, planned now so the standing policy stays
-#: executable: the remaining 40 r5-era rows in module order
-#: (emb_knn_topk, emb_neardup, graph_degree_powerlaw and
-#: docs_source_quota_selection first, displaced from this window by
-#: the round-9 additions, then
+#: executable: the remaining r5-era rows in module order
+#: (emb_jl_distortion, emb_ann_recall, emb_knn_topk, emb_neardup,
+#: graph_degree_powerlaw and docs_source_quota_selection first,
+#: displaced from this window by the round-9 additions, then
 #: docs_token_budget_selection, docs_stratified_sample,
 #: lineitem_quantiles_by_flag, events_ohlc_bars, the media decode
 #: quartet, the docs_* text cohort, basket_ktruss/assortativity/
@@ -110,6 +114,8 @@ _WINDOW = [
     "media_mp3_probe",  # NEW r9: mp3 header-walk metadata, closed-form oracle
     "docs_bpe_train",  # NEW r9: in-plan BPE training vs unrolled argmax oracle
     "docs_decision_tree",  # NEW r9: in-plan tree training, planted-concept recovery
+    "media_audio_tone_probe",  # NEW r9: DTMF via Goertzel bank through G.711 mu-law
+    "media_scene_cuts",  # NEW r9: shot segmentation over MJPEG-MP4, planted cuts
     # --- changed in round 9 (2): extract_video_frames now routes
     # through codecs.decode_video_frames (the shared GIF/AVI/RAWV seam)
     "media_gif_frame_extract",
@@ -118,8 +124,6 @@ _WINDOW = [
     "emb_knn_label_accuracy",
     "emb_centroid_outliers",
     "emb_threshold_curve",
-    "emb_jl_distortion",
-    "emb_ann_recall",
 ]
 
 

@@ -731,7 +731,82 @@ ORDER BY media_id
 """
 
 
+_N_DTMF = 40
+
+
+def media_audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis through the REAL telephony codec: G.711
+    mu-law WAV fixtures (format tag 7, 8 kHz) carrying planted ITU-T
+    Q.23 DTMF digit sequences -> Arrow batches -> mu-law expansion ->
+    energy-gated segmentation -> eight-frequency single-bin DFT bank
+    (the Goertzel receiver, functions/dsp.py) -> twist-validated
+    keypad argmax -> dialed digit string. The oracle replays the
+    planted ANSWER (digit k of clip i = (7i + 3k) mod 10) in closed
+    form; a hash match therefore certifies the whole signal path —
+    container walk, G.711 expansion, gating, DFT, keypad mapping —
+    because no stage of it is replayed on the oracle side."""
+    from degdb_spark.operators.multimodal import dtmf_probe, synthetic_dtmf_media
+
+    media = synthetic_dtmf_media(spark, _N_DTMF)
+    return dtmf_probe(media).orderBy("media_id")
+
+
+TONE_PROBE_SQL = f"""
+WITH dialed AS (
+  SELECT i AS media_id,
+         unnest(generate_series(0, 4 + (i % 4) - 1)) AS k
+  FROM generate_series(0, {_N_DTMF - 1}) t(i)
+)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(COUNT(*) AS INT) AS n_tones,
+       string_agg(CAST((7 * media_id + 3 * k) % 10 AS VARCHAR), '' ORDER BY k) AS digits
+FROM dialed GROUP BY media_id ORDER BY media_id
+"""
+
+
+_N_SCENE = 33
+
+
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL shot segmentation over the REAL interchange container:
+    MJPEG-in-MP4 fixtures with PLANTED scene boundaries (scene length
+    2 + i mod 3, quantization-exact frames so the lossy JPEG path is
+    bit-faithful) -> ISO-BMFF sample-table walk -> per-frame JPEG
+    decode -> mean-absolute frame differencing -> threshold cuts. The
+    oracle replays the planted cut arithmetic (cuts at multiples of
+    the scene length) in closed form; the Spark side must recover it
+    from pixels. Integer outputs only — no float surface."""
+    from degdb_spark.operators.multimodal import (
+        synthetic_scene_mp4_media,
+        video_scene_cuts,
+    )
+
+    media = synthetic_scene_mp4_media(spark, _N_SCENE)
+    return video_scene_cuts(media).orderBy("media_id")
+
+
+SCENE_CUTS_SQL = f"""
+WITH m AS (
+  SELECT i AS media_id,
+         (1000 + 37 * i) // 500 + 1 AS nf,
+         2 + (i % 3) AS sl
+  FROM generate_series(0, {_N_SCENE - 1}) t(i)
+),
+c AS (SELECT media_id, nf, sl, (nf - 1) // sl AS nc FROM m)
+SELECT media_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(nc AS INT) AS n_cuts,
+       CAST(CASE WHEN nc > 0 THEN sl ELSE -1 END AS INT) AS first_cut,
+       CAST(CASE WHEN nc > 0 THEN sl * nc ELSE -1 END AS INT) AS last_cut,
+       CAST(sl * nc * (nc + 1) // 2 AS BIGINT) AS cut_sum
+FROM c ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "media_audio_tone_probe": Query(media_audio_tone_probe, TONE_PROBE_SQL),
+    "media_scene_cuts": Query(media_scene_cuts, SCENE_CUTS_SQL),
     "media_video_neardups": Query(media_video_neardups, VIDEO_NEARDUP_SQL),
     "media_avi_frame_extract": Query(media_avi_frame_extract, AVI_FRAMES_SQL),
     "media_mp4_frame_extract": Query(media_mp4_frame_extract, MP4_FRAMES_SQL),

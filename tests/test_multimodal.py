@@ -598,3 +598,130 @@ def test_mp4_strict_features(spark):
         M.decode_features(data[:60], strict=True)
     with pytest.raises(ValueError):
         M.decode_features(data[:60])
+
+
+# ------------------------------------------------------------------ DTMF
+
+
+def test_dtmf_detector_all_digits_pcm():
+    """Every keypad digit round-trips through synth -> detect on raw
+    PCM, in one clip, in order."""
+    import numpy as np
+
+    from degdb_spark.functions import dsp
+
+    digits = list(range(10))
+    s = dsp.synth_dtmf(digits, sample_rate=8000)
+    assert s.dtype == np.int16
+    assert dsp.detect_dtmf(s, 8000) == "0123456789"
+
+
+def test_dtmf_survives_mulaw_roundtrip():
+    """The detector must read digits AFTER G.711 mu-law quantization —
+    the real telephony path (encode_wav_ulaw -> decode_wav)."""
+    from degdb_spark.functions import dsp
+
+    for i in (0, 3, 17):
+        digits = [(7 * i + 3 * k) % 10 for k in range(4 + i % 4)]
+        wav = C.encode_wav_ulaw(dsp.synth_dtmf(digits, sample_rate=8000), 8000)
+        rate, s = C.decode_wav(wav)
+        assert rate == 8000
+        assert dsp.detect_dtmf(s, rate) == "".join(map(str, digits))
+
+
+def test_dtmf_talk_off_rejects_non_dtmf_tone():
+    """A single 1000 Hz tone is energy but not a valid (row, col)
+    pair: the twist check must emit '?' instead of hallucinating a
+    digit (ITU-T Q.24 talk-off posture)."""
+    import numpy as np
+
+    from degdb_spark.functions import dsp
+
+    t = np.arange(8000 * 80 // 1000) / 8000
+    tone = np.round(9000 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.int16)
+    clip = np.concatenate([tone, np.zeros(320, dtype=np.int16)])
+    assert dsp.detect_dtmf(clip, 8000) == "?"
+
+
+def test_dtmf_probe_matches_planted(spark):
+    """The Spark operator over the mu-law fixture table recovers the
+    planted digit strings for every clip."""
+    media = M.synthetic_dtmf_media(spark, 12)
+    got = {r.media_id: (r.n_tones, r.digits) for r in M.dtmf_probe(media).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        want = "".join(str((7 * i + 3 * k) % 10) for k in range(4 + i % 4))
+        assert got[i] == (len(want), want), i
+
+
+def test_dtmf_empty_and_silence_clips():
+    """No active segment -> empty digit string, not an error."""
+    import numpy as np
+
+    from degdb_spark.functions import dsp
+
+    assert dsp.detect_dtmf(np.zeros(4000, dtype=np.int16), 8000) == ""
+    assert dsp.detect_dtmf(np.zeros(0, dtype=np.int16), 8000) == ""
+
+
+# ------------------------------------------------------------- scene cuts
+
+
+def test_scene_cuts_match_planted(spark):
+    """Planted scene boundaries recovered from real MJPEG-MP4 pixels:
+    cuts at every multiple of the scene length, nothing in between."""
+    media = M.synthetic_scene_mp4_media(spark, 9)
+    got = {
+        r.media_id: (r.n_frames, r.n_cuts, r.first_cut, r.last_cut, r.cut_sum)
+        for r in M.video_scene_cuts(media).collect()
+    }
+    assert len(got) == 9
+    for i in range(9):
+        nf = (1000 + 37 * i) // 500 + 1
+        sl = 2 + i % 3
+        nc = (nf - 1) // sl
+        want = (
+            nf,
+            nc,
+            sl if nc else -1,
+            sl * nc if nc else -1,
+            sl * nc * (nc + 1) // 2,
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_scene_cuts_single_shot_sentinels(spark):
+    """A clip whose frames are all one scene reports zero cuts and the
+    -1 sentinels."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    frames = M.scene_exact_frames(2, 56, 56, 4, 100)  # scene_len > nf
+    payload = C.encode_rawv(frames, 500)
+    df = spark.createDataFrame(
+        [Row(media_id=7, kind="video", payload=bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    [r] = M.video_scene_cuts(df).collect()
+    assert (r.n_frames, r.n_cuts, r.first_cut, r.last_cut, r.cut_sum) == (4, 0, -1, -1, 0)
+
+
+def test_scene_cuts_container_invariant(spark):
+    """The same planted frames through MP4 and RAWV yield identical
+    cut reports — the detector sees pixels, not containers."""
+    import numpy as np
+
+    from degdb_spark.functions import mp4 as M4
+    from pyspark.sql import Row
+
+    frames = M.scene_exact_frames(3, 56, 56, 5, 2)
+    rows = [
+        Row(media_id=0, kind="video",
+            payload=bytearray(M4.encode_mp4_mjpeg(frames, 500, quality=50))),
+        Row(media_id=1, kind="video", payload=bytearray(C.encode_rawv(frames, 500))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: (r.n_frames, r.n_cuts, r.first_cut, r.last_cut, r.cut_sum)
+           for r in M.video_scene_cuts(df).collect()}
+    assert out[0] == out[1] == (5, 2, 2, 4, 6)
