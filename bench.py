@@ -183,6 +183,7 @@ HEADLINE = [
     "media_mp3_probe",
     "media_audio_tone_probe",
     "media_scene_cuts",
+    "docs_naive_bayes",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -1,0 +1,123 @@
+"""In-plan multinomial Naive Bayes training + scoring.
+
+The fourth trained-model family member (IVF: unrolled Lloyd, BPE:
+unrolled argmax merges, tree: exact integer split search): train a
+multinomial NB text classifier and score a held-out split entirely as
+ONE Catalyst plan — token counting, Laplace smoothing, log-prior and
+log-likelihood accumulation, and the per-document argmax are all
+DataFrame operations; nothing is collected to the driver.
+
+Cross-engine exactness: every log term is quantized to integer
+micronats (floor(ln(x)·10⁶ + 0.5)) BEFORE summation, so scores are
+exact integers — summation order cannot drift them, and the per-doc
+argmax (with the label-ascending tie-break) is bit-stable between
+Spark and the DuckDB oracle. Unseen test tokens (absent from the
+training vocabulary) are ignored, the standard multinomial NB choice;
+in-vocabulary tokens unseen for a PARTICULAR class get the Laplace
+pseudo-count.
+
+Scale shape: token counts are one groupBy over the exploded train
+corpus (map-side partial agg); the likelihood table is |vocab|·|labels|
+rows (bounded by the vocabulary, never by the corpus); scoring is one
+equi-join of test tokens against that table plus one groupBy — at
+100 TB the likelihood table is broadcast-sized for any real label set
+and the corpus passes stay fully parallel.
+
+Reference provenance: degdb has no ML surface; this implements the
+in-plan model-training leg of the training-pipeline extension
+(SURVEY.md §2.6), companion to operators/tree.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.sampling import md5_bucket
+from degdb_spark.operators.text import tokens
+from degdb_spark.persistence import pin
+
+#: micronat quantization scale for log terms (see module docstring)
+LOG_SCALE = 1_000_000
+
+
+def _qlog(col) -> F.Column:
+    """floor(ln(x)·10⁶ + 0.5) as BIGINT — the integer micronat."""
+    return F.floor(F.log(col) * LOG_SCALE + F.lit(0.5)).cast("long")
+
+
+def train_predict_nb(
+    docs: DataFrame, label_col: str = "lang", test_pct: int = 20
+) -> DataFrame:
+    """Train multinomial NB on the deterministic md5 train split and
+    score the held-out docs; returns the confusion matrix
+    (actual, predicted, n_docs) ordered by both labels."""
+    split = F.when(md5_bucket("doc_id", 100) < test_pct, "test").otherwise("train")
+    base = docs.select(
+        "doc_id", F.col(label_col).alias("actual"), split.alias("split")
+    )
+    # five consumers read the exploded token frame (counts, totals,
+    # vocab, and the test-scoring join) — pin one materialization
+    tok = pin(
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .join(base, "doc_id")
+    )
+    train_tok = tok.filter(F.col("split") == "train")
+    test_tok = tok.filter(F.col("split") == "test").select("doc_id", "token")
+
+    counts = train_tok.groupBy("actual", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumnRenamed("actual", "cand")
+    totals = train_tok.groupBy("actual").agg(
+        F.count(F.lit(1)).alias("total")
+    ).withColumnRenamed("actual", "cand")
+    vocab = train_tok.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))  # 1 row, stays in-plan
+
+    loglik = (
+        vocab.crossJoin(totals)
+        .join(counts, ["cand", "token"], "left")
+        .fillna({"cnt": 0})
+        .crossJoin(vsize)
+        .select(
+            "cand",
+            "token",
+            _qlog(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("total") + F.col("v")).cast("double")
+            ).alias("llq"),
+        )
+    )
+
+    train_docs = base.filter(F.col("split") == "train")
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("nt"))  # 1 row
+    priors = (
+        train_docs.groupBy("actual")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(n_train)
+        .select(
+            F.col("actual").alias("cand"),
+            _qlog(F.col("nd").cast("double") / F.col("nt").cast("double")).alias("pq"),
+        )
+    )
+
+    cand_scores = (
+        test_tok.join(loglik, "token")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("llq").alias("ts"))
+    )
+    test_docs = base.filter(F.col("split") == "test").select("doc_id", "actual")
+    scored = (
+        test_docs.crossJoin(priors)
+        .join(cand_scores, ["doc_id", "cand"], "left")
+        .fillna({"ts": 0})
+        .withColumn("score", F.col("ts") + F.col("pq"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

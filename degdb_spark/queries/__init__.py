@@ -45,7 +45,9 @@ class Query(NamedTuple):
 #: metadata without decode, media_audio_tone_probe — DTMF digit
 #: decoding via an energy-gated Goertzel/DFT bank through the G.711
 #: mu-law telephony path, media_scene_cuts — frame-differencing shot
-#: segmentation over MJPEG-MP4 with planted scene boundaries; all
+#: segmentation over MJPEG-MP4 with planted scene boundaries,
+#: docs_naive_bayes — in-plan multinomial NB training with an
+#: integer-micronat cross-engine-exact argmax; all
 #: genuinely new surfaces per the standing
 #: freeze policy), plus the 2 surfaces CHANGED in round 9
 #: (media_gif_frame_extract and media_frame_extract — their operator
@@ -59,8 +61,9 @@ class Query(NamedTuple):
 #:
 #: Round-10 window, planned now so the standing policy stays
 #: executable: the remaining r5-era rows in module order
-#: (emb_jl_distortion, emb_ann_recall, emb_knn_topk, emb_neardup,
-#: graph_degree_powerlaw and docs_source_quota_selection first,
+#: (emb_threshold_curve, emb_jl_distortion, emb_ann_recall,
+#: emb_knn_topk, emb_neardup, graph_degree_powerlaw and
+#: docs_source_quota_selection first,
 #: displaced from this window by the round-9 additions, then
 #: docs_token_budget_selection, docs_stratified_sample,
 #: lineitem_quantiles_by_flag, events_ohlc_bars, the media decode
@@ -116,6 +119,7 @@ _WINDOW = [
     "docs_decision_tree",  # NEW r9: in-plan tree training, planted-concept recovery
     "media_audio_tone_probe",  # NEW r9: DTMF via Goertzel bank through G.711 mu-law
     "media_scene_cuts",  # NEW r9: shot segmentation over MJPEG-MP4, planted cuts
+    "docs_naive_bayes",  # NEW r9: in-plan NB training, micronat-exact argmax
     # --- changed in round 9 (2): extract_video_frames now routes
     # through codecs.decode_video_frames (the shared GIF/AVI/RAWV seam)
     "media_gif_frame_extract",
@@ -123,7 +127,6 @@ _WINDOW = [
     # --- oldest r5-era fill (5, registry module order)
     "emb_knn_label_accuracy",
     "emb_centroid_outliers",
-    "emb_threshold_curve",
 ]
 
 

@@ -2048,7 +2048,80 @@ ORDER BY dsir_score DESC, doc_id LIMIT 20
 """
 
 
+def docs_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan multinomial Naive Bayes (operators/nb.py): train a
+    lang classifier on the 80% md5 train split, score the held-out
+    20%, return the confusion matrix — token counting, Laplace
+    smoothing, integer-micronat log accumulation, and the per-doc
+    argmax all in ONE Catalyst plan with nothing collected. The
+    synthetic corpus's lang signal is deliberately weak (all tokens
+    occur in all langs); what the oracle certifies is the TRAINER —
+    the exact smoothed counts, quantized log terms, prior handling,
+    and tie-breaks — replayed end-to-end in SQL."""
+    from degdb_spark.operators.nb import train_predict_nb
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_predict_nb(docs, label_col="lang", test_pct=20)
+
+
+_NB_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR(64))), 1, 8)) AS BIGINT) % 100"
+
+NB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang AS actual,
+         CASE WHEN {_NB_BUCKET} < 20 THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT b.doc_id, b.actual, b.split, x.token
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) x
+  JOIN base b USING (doc_id)
+  WHERE x.token <> ''
+),
+counts AS (
+  SELECT actual AS cand, token, COUNT(*) AS cnt
+  FROM tok WHERE split = 'train' GROUP BY actual, token
+),
+totals AS (
+  SELECT actual AS cand, COUNT(*) AS total FROM tok WHERE split = 'train' GROUP BY actual
+),
+vocab AS (SELECT DISTINCT token FROM tok WHERE split = 'train'),
+vsize AS (SELECT COUNT(*) AS v FROM vocab),
+loglik AS (
+  SELECT t.cand, vb.token,
+         CAST(FLOOR(LN((COALESCE(c.cnt, 0) + 1)::DOUBLE / (t.total + vs.v)) * 1000000 + 0.5) AS BIGINT) AS llq
+  FROM vocab vb CROSS JOIN totals t CROSS JOIN vsize vs
+  LEFT JOIN counts c ON c.cand = t.cand AND c.token = vb.token
+),
+priors AS (
+  SELECT actual AS cand,
+         CAST(FLOOR(LN(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM base WHERE split = 'train')) * 1000000 + 0.5) AS BIGINT) AS pq
+  FROM base WHERE split = 'train' GROUP BY actual
+),
+cand_scores AS (
+  SELECT tt.doc_id, l.cand, CAST(SUM(l.llq) AS BIGINT) AS ts
+  FROM tok tt JOIN loglik l ON l.token = tt.token
+  WHERE tt.split = 'test'
+  GROUP BY tt.doc_id, l.cand
+),
+scored AS (
+  SELECT td.doc_id, td.actual, p.cand, COALESCE(cs.ts, 0) + p.pq AS score
+  FROM (SELECT doc_id, actual FROM base WHERE split = 'test') td
+  CROSS JOIN priors p
+  LEFT JOIN cand_scores cs ON cs.doc_id = td.doc_id AND cs.cand = p.cand
+),
+pred AS (
+  SELECT actual, cand AS predicted
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) = 1
+)
+SELECT actual, predicted, COUNT(*) AS n_docs
+FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_naive_bayes": Query(docs_naive_bayes, NB_SQL),
     "docs_dsir_selection": Query(dsir_selection, DSIR_SQL),
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),

@@ -738,3 +738,60 @@ def test_decision_tree_matches_python_reference(spark, rows):
         for r in train_depth2_tree(df, grids).collect()
     )
     assert got == ref(rows)
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """train_predict_nb must equal a straightforward Python replica —
+    same md5 split, same Laplace smoothing, same integer-micronat
+    quantization, same (score desc, label asc) argmax — on a small
+    corpus with a real separable signal plus shared noise tokens."""
+    import hashlib
+    import math
+
+    from degdb_spark.operators.nb import LOG_SCALE, train_predict_nb
+
+    rows = []
+    for i in range(60):
+        lab = "a" if i % 2 == 0 else "b"
+        word = "alpha" if lab == "a" else "bravo"
+        n_rep = 1 + i % 3
+        text = " ".join([word] * n_rep + ["noise", "shared"])
+        rows.append((i, text, lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def qlog(x):
+        return math.floor(math.log(x) * LOG_SCALE + 0.5)
+
+    train = [(d, t, l) for d, t, l in rows if bucket(d) >= 20]
+    test = [(d, t, l) for d, t, l in rows if bucket(d) < 20]
+    counts, totals = {}, {}
+    vocab = set()
+    for _, t, l in train:
+        for tok in t.split():
+            counts[(l, tok)] = counts.get((l, tok), 0) + 1
+            totals[l] = totals.get(l, 0) + 1
+            vocab.add(tok)
+    v = len(vocab)
+    nd = {l: sum(1 for r in train if r[2] == l) for l in totals}
+    expect = {}
+    for d, t, actual in test:
+        scores = []
+        for l in sorted(totals):
+            s = qlog(nd[l] / len(train))
+            for tok in t.split():
+                if tok in vocab:
+                    s += qlog((counts.get((l, tok), 0) + 1) / (totals[l] + v))
+            scores.append((-s, l))
+        pred = min(scores)[1]
+        expect[(actual, pred)] = expect.get((actual, pred), 0) + 1
+
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in train_predict_nb(df, label_col="lang", test_pct=20).collect()
+    }
+    assert got == expect
+    # the planted signal is separable: every prediction is correct
+    assert all(a == p for a, p in got)
