@@ -184,6 +184,7 @@ HEADLINE = [
     "media_audio_tone_probe",
     "media_scene_cuts",
     "docs_naive_bayes",
+    "events_autocorrelation",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -47,7 +47,9 @@ class Query(NamedTuple):
 #: mu-law telephony path, media_scene_cuts — frame-differencing shot
 #: segmentation over MJPEG-MP4 with planted scene boundaries,
 #: docs_naive_bayes — in-plan multinomial NB training with an
-#: integer-micronat cross-engine-exact argmax; all
+#: integer-micronat cross-engine-exact argmax,
+#: events_autocorrelation — dense-hourly-grid ACF at lags 1..6 with
+#: integer-exact sums; all
 #: genuinely new surfaces per the standing
 #: freeze policy), plus the 2 surfaces CHANGED in round 9
 #: (media_gif_frame_extract and media_frame_extract — their operator
@@ -61,9 +63,9 @@ class Query(NamedTuple):
 #:
 #: Round-10 window, planned now so the standing policy stays
 #: executable: the remaining r5-era rows in module order
-#: (emb_threshold_curve, emb_jl_distortion, emb_ann_recall,
-#: emb_knn_topk, emb_neardup, graph_degree_powerlaw and
-#: docs_source_quota_selection first,
+#: (emb_centroid_outliers, emb_threshold_curve, emb_jl_distortion,
+#: emb_ann_recall, emb_knn_topk, emb_neardup, graph_degree_powerlaw
+#: and docs_source_quota_selection first,
 #: displaced from this window by the round-9 additions, then
 #: docs_token_budget_selection, docs_stratified_sample,
 #: lineitem_quantiles_by_flag, events_ohlc_bars, the media decode
@@ -120,13 +122,13 @@ _WINDOW = [
     "media_audio_tone_probe",  # NEW r9: DTMF via Goertzel bank through G.711 mu-law
     "media_scene_cuts",  # NEW r9: shot segmentation over MJPEG-MP4, planted cuts
     "docs_naive_bayes",  # NEW r9: in-plan NB training, micronat-exact argmax
+    "events_autocorrelation",  # NEW r9: dense-grid hourly ACF, integer-exact sums
     # --- changed in round 9 (2): extract_video_frames now routes
     # through codecs.decode_video_frames (the shared GIF/AVI/RAWV seam)
     "media_gif_frame_extract",
     "media_frame_extract",
     # --- oldest r5-era fill (5, registry module order)
     "emb_knn_label_accuracy",
-    "emb_centroid_outliers",
 ]
 
 

@@ -168,7 +168,121 @@ FROM events GROUP BY DATE_TRUNC('day', ts) ORDER BY day
 """
 
 
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the dense hourly event-count series
+    at lags 1..6 — the periodicity probe that tells a pipeline whether
+    its traffic has hourly/daily structure before fitting anything
+    seasonal. The series is densified over the full min..max hour grid
+    (missing hours count 0, otherwise lags silently misalign across
+    gaps). Cross-engine exactness: every aggregate is an exact integer
+    sum (pair products, head/tail sums, Σx, Σx², n) and the final
+    r_k = (P_k − x̄(H_k+T_k) + (n−k)x̄²) / (Σx² − n·x̄²) is the same
+    left-associated double expression on both sides, then dround(6).
+
+    Scale: the hourly series is |hours|-sized (bounded by time span,
+    not event volume — a year is 8,760 rows at ANY corpus size); the
+    only corpus-sized pass is the first groupBy(hour), map-side
+    combined. The lag join runs on the tiny series frame."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return hourly_acf(spark, counts)
+
+
+def hourly_acf(spark: SparkSession, counts: DataFrame, max_lag: int = 6) -> DataFrame:
+    """ACF core over an (h timestamp, x long) hourly-count frame; see
+    events_autocorrelation for the densification and exactness story."""
+    from degdb_spark.persistence import pin
+    from degdb_spark.queries.rounding import dround
+
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+        "h0",
+    )
+    series = pin(
+        grid.join(counts, "h", "left")
+        .fillna({"x": 0})
+        .select(
+            ((F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600)
+            .cast("long")
+            .alias("i"),
+            "x",
+        )
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a, b = series.alias("a"), series.alias("b")
+    per_lag = (
+        lags.join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("p"),
+            F.sum(F.col("a.x")).alias("hh"),
+            F.sum(F.col("b.x")).alias("tt"),
+        )
+    )
+    xbar = F.col("s").cast("double") / F.col("n")
+    num = (
+        F.col("p").cast("double")
+        - xbar * (F.col("hh") + F.col("tt"))
+        + F.col("n_pairs") * xbar * xbar
+    )
+    den = F.col("q").cast("double") - F.col("n") * xbar * xbar
+    return (
+        per_lag.join(stats, F.lit(True))
+        .select("lag", "n_pairs", dround(num / den, 6).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+ACF_SQL = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM counts),
+grid AS (
+  SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
+                                INTERVAL 1 HOUR)) AS h
+),
+series AS (
+  SELECT date_diff('hour', (SELECT h0 FROM b), g.h) AS i, COALESCE(c.x, 0) AS x
+  FROM grid g LEFT JOIN counts c ON c.h = g.h
+),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q
+  FROM series
+),
+lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+per_lag AS (
+  SELECT l.lag, COUNT(*) AS n_pairs,
+         CAST(SUM(a.x * bb.x) AS BIGINT) AS p,
+         CAST(SUM(a.x) AS BIGINT) AS hh,
+         CAST(SUM(bb.x) AS BIGINT) AS tt
+  FROM lags l
+  JOIN series a ON TRUE
+  JOIN series bb ON bb.i = a.i + l.lag
+  GROUP BY l.lag
+)
+SELECT lag, n_pairs,
+       FLOOR(((CAST(p AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (hh + tt)
+               + n_pairs * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+              / (CAST(q AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+             * 1000000 + 0.5) / 1000000 AS acf
+FROM per_lag CROSS JOIN stats ORDER BY lag
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_autocorrelation": Query(events_autocorrelation, ACF_SQL),
     "events_hourly_rollup": Query(hourly_event_rollup, HOURLY_SQL),
     "events_dedup_first": Query(event_dedup_first, DEDUP_SQL),
     "events_sessionization": Query(user_sessionization, SESSION_SQL),

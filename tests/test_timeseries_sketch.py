@@ -319,3 +319,42 @@ def test_kmv_estimate_matches_python_replica(spark, keys, k):
         want_est, want_k = (k - 1) / hs[k - 1], k
     assert row.k_used == want_k
     assert row.est_distinct == want_est
+
+
+def test_hourly_acf_matches_numpy_reference(spark):
+    """hourly_acf must equal the numpy replica of the same dense-grid
+    formula — including densification of MISSING hours to zero and the
+    6-dp floor-round — on a planted periodic series with gaps."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+
+    from degdb_spark.queries.events_queries import hourly_acf
+
+    base = dt.datetime(2024, 1, 1)
+    # period-3 pattern over 30 hours, with hours 7 and 13 MISSING (x=0)
+    planted = {}
+    for i in range(30):
+        if i in (7, 13):
+            continue
+        planted[i] = 5 + (i % 3) * 4
+    rows = [(base + dt.timedelta(hours=i), x) for i, x in planted.items()]
+    counts = spark.createDataFrame(rows, "h timestamp, x long")
+
+    xs = np.array([planted.get(i, 0) for i in range(30)], dtype=np.int64)
+    n = xs.size
+    s, q = int(xs.sum()), int((xs * xs).sum())
+    xbar = s / n
+    expect = {}
+    for k in range(1, 7):
+        a, b = xs[:-k], xs[k:]
+        p = int((a * b).sum())
+        num = p - xbar * (int(a.sum()) + int(b.sum())) + (n - k) * xbar * xbar
+        den = q - n * xbar * xbar
+        expect[k] = (n - k, math.floor(num / den * 1_000_000 + 0.5) / 1_000_000)
+
+    got = {r.lag: (r.n_pairs, r.acf) for r in hourly_acf(spark, counts).collect()}
+    assert got == expect
+    # period-3 signal: lag-3 autocorrelation dominates lags 1 and 2
+    assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
