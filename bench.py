@@ -185,6 +185,7 @@ HEADLINE = [
     "media_scene_cuts",
     "docs_naive_bayes",
     "events_autocorrelation",
+    "emb_kcenter_selection",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

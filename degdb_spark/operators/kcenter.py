@@ -1,0 +1,95 @@
+"""Greedy k-center (farthest-point) selection over an embedding column.
+
+The diversity-selection primitive of a training-data pipeline: pick k
+points such that every point is close to some pick (the classic 2-OPT
+greedy for the k-center objective, Gonzalez 1985) — used to build
+coresets, seed clusterings, and select maximally-diverse exemplars
+from a near-duplicate-heavy corpus. Dual of SemDeDup: that REMOVES
+near-neighbours, this KEEPS a spread-out skeleton.
+
+Plan shape (the part that matters at 100 TB): the selected centers are
+tiny (k vectors) and ride as an in-plan LITERAL, so each greedy round
+is ONE fully-parallel scan of the embedding table computing
+min-distance-to-centers per point (a higher-order-function expression,
+whole-stage codegen, no shuffle) followed by a 1-row argmax collect —
+the same per-round scalar-collect discipline as BPE training and the
+decision-tree split search. k rounds = k scans; no state is persisted
+between rounds because min-distance is recomputed from the center
+literal (cheaper than materializing an n-row state column, and
+restart-safe for free).
+
+Cross-engine exactness: embeddings are cast float→double BEFORE any
+arithmetic on both engines, the dot-product fold is sequential on both
+(F.aggregate/zip_with here, list_dot_product in DuckDB), and each
+pairwise cosine distance is floor-rounded at 6 dp before the min/
+argmax, so the greedy trajectory is bit-stable and the oracle can
+replay it as an unrolled CTE chain.
+
+Reference provenance: degdb has no embedding surface; this implements
+the similarity-search/data-selection leg of the training-pipeline
+extension (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.ml_lsh import _sql_double
+from degdb_spark.persistence import pin
+
+#: distance rounding (decimal places) applied before every min/argmax
+DIST_DP = 6
+
+
+def _centers_lit(centers: list[list[float]]) -> str:
+    """The selected center vectors as ONE SQL array-of-arrays literal
+    (single F.expr parse — see ml_lsh._centroid_struct_lit for why
+    Column-by-Column literal assembly is a py4j anti-pattern)."""
+    arrays = ", ".join(
+        "array(" + ", ".join(_sql_double(x) for x in c) + ")" for c in centers
+    )
+    return f"array({arrays})"
+
+
+def _mindist_expr(centers: list[list[float]]) -> str:
+    """min over centers of the 6-dp-rounded cosine distance from the
+    point's double vector column ``v`` (with precomputed ``n2`` = |v|²)."""
+    dot = "aggregate(zip_with(v, c, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    c2 = "aggregate(zip_with(c, c, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    dist = f"floor((1.0d - {dot} / (sqrt(n2) * sqrt({c2}))) * 1000000.0d + 0.5d) / 1000000.0d"
+    return f"array_min(transform({_centers_lit(centers)}, c -> {dist}))"
+
+
+def kcenter_select(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Greedy k-center selection; returns (sel_rank, vec_id, dist) where
+    ``dist`` is the selected point's 6-dp cosine distance to the nearest
+    EARLIER pick (the coverage-radius trajectory; 0.0 for the seed,
+    which is the minimum id). Ties in the farthest-point argmax break
+    by ascending id."""
+    spark = emb.sparkSession
+    pts = pin(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn(
+            "n2",
+            F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"),
+        ),
+        eager=True,
+    )
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(seed.vec_id), 0.0)]
+    centers = [list(seed.v)]
+    for rank in range(2, k + 1):
+        nxt = (
+            pts.withColumn("md", F.expr(_mindist_expr(centers)))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rank, int(nxt.vec_id), float(nxt.md)))
+        centers.append(list(nxt.v))
+    return spark.createDataFrame(picks, "sel_rank int, vec_id long, dist double")

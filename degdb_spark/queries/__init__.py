@@ -49,13 +49,15 @@ class Query(NamedTuple):
 #: docs_naive_bayes — in-plan multinomial NB training with an
 #: integer-micronat cross-engine-exact argmax,
 #: events_autocorrelation — dense-hourly-grid ACF at lags 1..6 with
-#: integer-exact sums; all
-#: genuinely new surfaces per the standing
+#: integer-exact sums, emb_kcenter_selection — greedy k-center
+#: (farthest-point) diversity selection with an unrolled-CTE oracle;
+#: all genuinely new surfaces per the standing
 #: freeze policy), plus the 2 surfaces CHANGED in round 9
 #: (media_gif_frame_extract and media_frame_extract — their operator
 #: extract_video_frames now routes through the single
-#: codecs.decode_video_frames seam that also serves AVI/MP4), plus
-#: the oldest r5-era rows in registry module order as fill to 50. (The round-9 pin
+#: codecs.decode_video_frames seam that also serves AVI/MP4). The 11
+#: new + 2 changed + 37 r4-era rows fill the window exactly — no
+#: oldest-era fill slots remain this round. (The round-9 pin
 #: migration touched many query files but is mode-identity by
 #: construction — the default knob value still localCheckpoints — and
 #: is covered by the full local oracle sweep + the
@@ -63,7 +65,8 @@ class Query(NamedTuple):
 #:
 #: Round-10 window, planned now so the standing policy stays
 #: executable: the remaining r5-era rows in module order
-#: (emb_centroid_outliers, emb_threshold_curve, emb_jl_distortion,
+#: (emb_knn_label_accuracy, emb_centroid_outliers,
+#: emb_threshold_curve, emb_jl_distortion,
 #: emb_ann_recall, emb_knn_topk, emb_neardup, graph_degree_powerlaw
 #: and docs_source_quota_selection first,
 #: displaced from this window by the round-9 additions, then
@@ -123,12 +126,11 @@ _WINDOW = [
     "media_scene_cuts",  # NEW r9: shot segmentation over MJPEG-MP4, planted cuts
     "docs_naive_bayes",  # NEW r9: in-plan NB training, micronat-exact argmax
     "events_autocorrelation",  # NEW r9: dense-grid hourly ACF, integer-exact sums
+    "emb_kcenter_selection",  # NEW r9: greedy k-center diversity selection
     # --- changed in round 9 (2): extract_video_frames now routes
     # through codecs.decode_video_frames (the shared GIF/AVI/RAWV seam)
     "media_gif_frame_extract",
     "media_frame_extract",
-    # --- oldest r5-era fill (5, registry module order)
-    "emb_knn_label_accuracy",
 ]
 
 

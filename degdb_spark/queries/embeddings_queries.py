@@ -1325,7 +1325,71 @@ GROUP BY e.label ORDER BY e.label
 """
 
 
+_KC_K = 8
+
+
+def emb_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) selection of 8 maximally-diverse
+    exemplars (operators/kcenter.py) — the diversity-selection dual of
+    SemDeDup, and the fifth trained/greedy-model family member. Each
+    round is one fully-parallel scan computing min-distance to the
+    center literal plus a 1-row argmax collect; the oracle unrolls the
+    full greedy trajectory as materialized CTEs with the same 6-dp
+    floor-rounded cosine distances, so a hash match certifies every
+    pick and tie-break of the data-dependent loop."""
+    from degdb_spark.operators.kcenter import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=_KC_K).orderBy("sel_rank")
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    # every CTE MATERIALIZED — the d{k} chain would otherwise be
+    # re-inlined exponentially (same lesson as the BPE-train oracle)
+    dist = (
+        "FLOOR((1.0 - list_dot_product({pv}, (SELECT v FROM c{j}))"
+        " / (sqrt({pn}) * sqrt((SELECT list_dot_product(v, v) FROM c{j}))))"
+        " * 1000000 + 0.5) / 1000000"
+    )
+    parts = [
+        """emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings
+),
+c1 AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, e.n2, """
+        + dist.format(pv="e.v", pn="e.n2", j=1)
+        + """ AS md
+  FROM emb e
+)"""
+    ]
+    for j in range(2, k + 1):
+        step = dist.format(pv="v", pn="n2", j=j)
+        parts.append(
+            f"""c{j} AS MATERIALIZED (SELECT vec_id, v, md FROM d{j - 1} ORDER BY md DESC, vec_id LIMIT 1),
+d{j} AS MATERIALIZED (
+  SELECT vec_id, v, n2, LEAST(md, {step}) AS md FROM d{j - 1}
+)"""
+        )
+    selects = ["SELECT 1 AS sel_rank, (SELECT vec_id FROM c1) AS vec_id, 0.0 AS dist"]
+    selects += [
+        f"SELECT {j} AS sel_rank, (SELECT vec_id FROM c{j}) AS vec_id, (SELECT md FROM c{j}) AS dist"
+        for j in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY sel_rank"
+    )
+
+
+KCENTER_SQL = _kcenter_sql()
+
+
 QUERIES: dict[str, Query] = {
+    "emb_kcenter_selection": Query(emb_kcenter_selection, KCENTER_SQL),
     "emb_knn_label_accuracy": Query(knn_label_accuracy, KNN_LABEL_ACC_SQL),
     "emb_centroid_outliers": Query(centroid_outliers, CENTROID_OUTLIERS_SQL),
     "emb_threshold_curve": Query(neardup_threshold_curve, THRESHOLD_CURVE_SQL),

@@ -258,3 +258,53 @@ def test_semantic_dedup_empty_corpus(spark, tmp_path):
         [], "vec_id: long, embedding: array<double>, label: int"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     assert semantic_dedup_summary(spark, str(tmp_path)).collect() == []
+
+
+def test_kcenter_select_matches_python_reference(spark):
+    """kcenter_select must equal the straight Python replica of the
+    same greedy — sequential-fold dot products, 6-dp floor-rounded
+    cosine distances, (dist desc, id asc) argmax — on vectors with
+    planted diversity structure and an exact argmax tie."""
+    from degdb_spark.operators.kcenter import kcenter_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [0.0, 0.0, 1.0, 0.0]),    # orthogonal (ties with 2 vs seed)
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # antiparallel — farthest from 0
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def dist(a, n2a, b):
+        d = 1.0 - dot(a, b) / (math.sqrt(n2a) * math.sqrt(dot(b, b)))
+        return math.floor(d * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    pts = {i: v for i, v in rows}
+    n2 = {i: dot(v, v) for i, v in rows}
+    picks, centers = [(1, 0, 0.0)], [pts[0]]
+    for rank in range(2, 5):
+        best = min(
+            (-(min(dist(pts[i], n2[i], c) for c in centers)), i)
+            for i in pts
+        )
+        md, i = -best[0], best[1]
+        picks.append((rank, i, md))
+        centers.append(pts[i])
+
+    got = [
+        (r.sel_rank, r.vec_id, r.dist)
+        for r in kcenter_select(df, k=4).orderBy("sel_rank").collect()
+    ]
+    assert got == picks
+    # structure: the antiparallel point is picked second (farthest),
+    # and the near-dup of the seed is never picked
+    assert got[1][1] == 4
+    assert all(vid != 1 for _, vid, _ in got)
