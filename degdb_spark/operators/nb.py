@@ -75,11 +75,14 @@ def train_predict_nb(
     vocab = train_tok.select("token").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))  # 1 row, stays in-plan
 
+    # the label-axis frames are tiny by construction (|labels| rows, or
+    # 1 row) — broadcast them explicitly so the cross joins are
+    # replicated maps, never a CartesianProduct node
     loglik = (
-        vocab.crossJoin(totals)
+        vocab.crossJoin(F.broadcast(totals))
         .join(counts, ["cand", "token"], "left")
         .fillna({"cnt": 0})
-        .crossJoin(vsize)
+        .crossJoin(F.broadcast(vsize))
         .select(
             "cand",
             "token",
@@ -95,7 +98,7 @@ def train_predict_nb(
     priors = (
         train_docs.groupBy("actual")
         .agg(F.count(F.lit(1)).alias("nd"))
-        .crossJoin(n_train)
+        .crossJoin(F.broadcast(n_train))
         .select(
             F.col("actual").alias("cand"),
             _qlog(F.col("nd").cast("double") / F.col("nt").cast("double")).alias("pq"),
@@ -109,7 +112,7 @@ def train_predict_nb(
     )
     test_docs = base.filter(F.col("split") == "test").select("doc_id", "actual")
     scored = (
-        test_docs.crossJoin(priors)
+        test_docs.crossJoin(F.broadcast(priors))
         .join(cand_scores, ["doc_id", "cand"], "left")
         .fillna({"ts": 0})
         .withColumn("score", F.col("ts") + F.col("pq"))

@@ -219,7 +219,7 @@ def hourly_acf(spark: SparkSession, counts: DataFrame, max_lag: int = 6) -> Data
     lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
     a, b = series.alias("a"), series.alias("b")
     per_lag = (
-        lags.join(a, F.lit(True))
+        F.broadcast(lags).join(a, F.lit(True))
         .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
         .groupBy("lag")
         .agg(
@@ -237,7 +237,7 @@ def hourly_acf(spark: SparkSession, counts: DataFrame, max_lag: int = 6) -> Data
     )
     den = F.col("q").cast("double") - F.col("n") * xbar * xbar
     return (
-        per_lag.join(stats, F.lit(True))
+        per_lag.join(F.broadcast(stats), F.lit(True))
         .select("lag", "n_pairs", dround(num / den, 6).alias("acf"))
         .orderBy("lag")
     )

@@ -775,3 +775,80 @@ def test_no_raw_checkpoint_calls():
         "raw localCheckpoint/checkpoint call(s) outside persistence.py "
         f"(use pin() or lineage_cut()): {offenders}"
     )
+
+
+def test_kcenter_round_scan_no_shuffle_no_python(spark):
+    """One k-center greedy round is a pure scan: the min-distance-to-
+    centers literal is a whole-stage-codegen HOF expression — no
+    Exchange, no Python eval node — so each round costs exactly one
+    parallel pass at any scale."""
+    from degdb_spark.operators.kcenter import _mindist_expr
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "n2",
+        F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"),
+    )
+    centers = [[0.1] * 64, [0.2] * 64]
+    plan = _plan(pts.withColumn("md", F.expr(_mindist_expr(centers))))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no Arrow/Batch Python nodes
+
+
+def test_naive_bayes_plan_no_python_no_cartesian(spark):
+    """NB train+score stays JVM-side end to end (no Python eval nodes)
+    and never falls back to a data-sized cartesian product — the only
+    nested-loop joins are the deliberate 1-row scalar cross joins
+    (priors, vocabulary size, train count)."""
+    from degdb_spark.operators.nb import train_predict_nb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(train_predict_nb(docs))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_prunes_events_to_ts(spark):
+    """The only corpus-sized pass in the ACF is groupBy(hour), and its
+    events scan must read ts alone (column pruning). The full query
+    pins the hourly series (which severs the visible lineage), so the
+    gate inspects the corpus-sized stage exactly as the query builds
+    it — the hourly groupBy straight off load_table."""
+    from degdb_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    plan = _formatted(counts)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans
+    for line in scans:
+        assert "ts" in line
+        for col in ("user_id", "event_type", "props", "value", "event_id"):
+            assert col not in line, (col, line)
+
+
+def test_dtmf_probe_preserves_partitioning(spark):
+    """The tone probe is a pure per-payload map: no Exchange anywhere
+    in the operator's plan (partitioning preserved, like the decode
+    operators)."""
+    from degdb_spark.operators import multimodal as M
+
+    media = M.synthetic_dtmf_media(spark, 6)
+    plan = _plan(M.dtmf_probe(media))
+    assert "Exchange" not in plan
+
+
+def test_scene_cuts_preserves_partitioning(spark):
+    """Scene-cut detection is likewise a pure per-payload map — no
+    Exchange in the operator's plan."""
+    from degdb_spark.operators import multimodal as M
+
+    media = M.synthetic_scene_mp4_media(spark, 4)
+    plan = _plan(M.video_scene_cuts(media))
+    assert "Exchange" not in plan
