@@ -10,16 +10,18 @@ external libraries (degdb_spark.functions.codecs):
   entropy coding, functions/jpeg.py) and GIF (pure-Python LZW,
   functions/gif.py) — decode, pixel statistics, nearest-neighbor
   resize, re-encode, aHash near-dup.
-- audio: WAV (RIFF PCM16 mono) — decode, sample statistics, windowed
-  energy features.
+- audio: WAV (RIFF PCM16 mono, plus G.711 mu-law/A-law telephony) —
+  decode, sample statistics, windowed energy features, and spectral
+  tone analysis (DTMF digit decoding via the single-bin DFT bank in
+  functions/dsp.py).
 - video: ANIMATED GIF (real container: per-frame LZW + graphic-
   control delays, functions/gif.py), MJPEG-in-AVI (RIFF headers +
   per-frame JPEG '00dc' chunks, functions/avi.py), MJPEG-in-MP4
   (ISO-BMFF sample tables + 'jpeg' sample entries, functions/mp4.py)
   and RAWV (documented toy container of raw RGB24 frames) — frame
   extraction with real per-frame pixel access and timestamps from
-  each container's own clock, all through the single
-  codecs.decode_video_frames seam.
+  each container's own clock, plus frame-differencing scene-cut
+  detection, all through the single codecs.decode_video_frames seam.
 
 Formats outside that set (mp3; mp4 tracks whose codec is not MJPEG,
 e.g. H.264) still gate on librosa/ffmpeg: ``strict=True`` raises

@@ -57,11 +57,18 @@ def train_predict_nb(
         "doc_id", F.col(label_col).alias("actual"), split.alias("split")
     )
     # five consumers read the exploded token frame (counts, totals,
-    # vocab, and the test-scoring join) — pin one materialization
+    # vocab, and the test-scoring join) — pin one materialization.
+    # split/label ride INLINE with the explode: the md5 bucket is
+    # re-evaluated once per token occurrence (pure codegen CPU) which
+    # beats shuffling the corpus-sized token frame for a doc_id join
+    # back to the doc-level frame (the DSIR bucket-hash trade-off)
     tok = pin(
-        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-        .filter(F.col("token") != "")
-        .join(base, "doc_id")
+        docs.select(
+            "doc_id",
+            F.col(label_col).alias("actual"),
+            split.alias("split"),
+            F.explode(tokens("text")).alias("token"),
+        ).filter(F.col("token") != "")
     )
     train_tok = tok.filter(F.col("split") == "train")
     test_tok = tok.filter(F.col("split") == "test").select("doc_id", "token")
