@@ -1333,3 +1333,53 @@ def test_mp3_id3v24_footer_flag():
     tag = b"ID3\x04\x00\x10\x00\x00\x00\x0a" + b"\x00" * 10 + b"3DI\x04\x00\x10\x00\x00\x00\x0a"
     info = mp3.probe_mp3(tag + audio)
     assert info.n_frames == 3
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    digits=st.lists(st.integers(0, 9), min_size=0, max_size=12),
+    amplitude=st.integers(500, 12000),
+    tone_ms=st.integers(60, 160),
+    mulaw=st.booleans(),
+)
+def test_dtmf_detect_random_sequences(digits, amplitude, tone_ms, mulaw):
+    """Property: any digit sequence at any reasonable amplitude and
+    tone length survives synth -> (optional mu-law container round
+    trip) -> detect, bit-exactly."""
+    import numpy as np
+
+    from degdb_spark.functions import dsp
+
+    s = dsp.synth_dtmf(digits, sample_rate=8000, tone_ms=tone_ms, amplitude=amplitude)
+    if mulaw:
+        rate, s = C.decode_wav(C.encode_wav_ulaw(s, 8000))
+        assert rate == 8000
+    assert dsp.detect_dtmf(s, 8000) == "".join(str(d) for d in digits)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    i=st.integers(0, 50),
+    nf=st.integers(2, 10),
+    scene_len=st.integers(1, 5),
+)
+def test_scene_frames_planted_cut_structure(i, nf, scene_len):
+    """Property of the planted-scene fixture: adjacent frames are
+    byte-identical within a scene and differ in EVERY 8x8 block across
+    a boundary — the closed-form guarantee the scene-cut oracle rests
+    on — for random clip shapes, through a real RAWV round trip."""
+    import numpy as np
+
+    from degdb_spark.operators.multimodal import scene_exact_frames
+
+    frames = scene_exact_frames(i, 32, 24, nf, scene_len)
+    _, dec = C.decode_video_frames(C.encode_rawv(frames, 500))
+    assert len(dec) == nf
+    for f in range(1, nf):
+        same_scene = (f // scene_len) == ((f - 1) // scene_len)
+        diff = np.abs(dec[f].astype(int) - dec[f - 1].astype(int))
+        if same_scene:
+            assert diff.max() == 0, f
+        else:
+            # every 8x8 block changes: no zero anywhere in the diff
+            assert diff.min() > 0, f
