@@ -168,13 +168,16 @@ HEADLINE = [
     "media_jpeg_decode",
     "media_gif_decode",
     "media_gif_frame_extract",
-    # round 9: the new surfaces (temporal-mean video fingerprint
-    # + banded near-dup; MJPEG-in-AVI and MJPEG-in-MP4 container
-    # extraction — per-frame JPEG entropy decode through the shared
-    # video seam; in-plan BPE tokenizer training over the word
-    # histogram; in-plan depth-2 tree training, histogram split
+    # round 9: the eleven new surfaces (temporal-mean video
+    # fingerprint + banded near-dup; MJPEG-in-AVI and MJPEG-in-MP4
+    # container extraction — per-frame JPEG entropy decode through
+    # the shared video seam; in-plan BPE tokenizer training over the
+    # word histogram; in-plan depth-2 tree training, histogram split
     # search; mp3 header-walk metadata probe; DTMF digit decoding
-    # via the Goertzel/DFT bank through the G.711 mu-law path)
+    # via the Goertzel/DFT bank through the G.711 mu-law path;
+    # scene-cut detection over MJPEG-MP4; in-plan Naive Bayes
+    # training; dense-grid hourly autocorrelation; greedy k-center
+    # diversity selection)
     "media_video_neardups",
     "media_avi_frame_extract",
     "media_mp4_frame_extract",

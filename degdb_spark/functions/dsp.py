@@ -12,7 +12,7 @@ batches on executors.
 Reference provenance: degdb has no audio surface; this implements the
 tone-analysis leg of the brief's multimodal requirement (decode /
 feature-extract as Pandas-UDF plumbing) with a REAL detector: energy
-gating segments the clip, a single-bin DFT bank measures the eight
+gating segments the clip, a single-bin DFT bank measures the seven numeric-keypad
 DTMF frequencies, and the (row, column) argmax pair maps back to the
 keypad digit. Frequencies are the published ITU-T Q.23 assignments.
 """
@@ -108,7 +108,7 @@ def detect_dtmf(
     threshold: int = 100, min_twist_ratio: float = 4.0,
 ) -> str:
     """Decode a DTMF digit string from PCM: energy-gate into tone
-    segments, measure the eight Q.23 frequencies per segment with the
+    segments, measure the seven numeric-keypad Q.23 frequencies per segment with the
     single-bin DFT bank, and take the (row, col) power argmax. A
     segment whose winning row/col tones do not dominate the other
     tones in their group by ``min_twist_ratio`` is rejected (returned

@@ -38,26 +38,49 @@ from pyspark.sql import functions as F
 from degdb_spark.operators.ml_lsh import _sql_double
 from degdb_spark.persistence import pin
 
-#: distance rounding (decimal places) applied before every min/argmax
+#: distance rounding (decimal places) applied before every min/argmax —
+#: both the Spark expression and the oracle SQL derive their scale
+#: from this constant
 DIST_DP = 6
+_DIST_SCALE = 10**DIST_DP
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left fold of the element products — the exact same
+    IEEE operation order as the Spark aggregate/zip_with expression
+    and DuckDB's list_dot_product, so a norm precomputed here is
+    bit-identical to one computed in-plan."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
 
 
 def _centers_lit(centers: list[list[float]]) -> str:
-    """The selected center vectors as ONE SQL array-of-arrays literal
-    (single F.expr parse — see ml_lsh._centroid_struct_lit for why
-    Column-by-Column literal assembly is a py4j anti-pattern)."""
-    arrays = ", ".join(
-        "array(" + ", ".join(_sql_double(x) for x in c) + ")" for c in centers
+    """The selected centers as ONE SQL array-of-structs literal
+    (cv = vector, c2 = |cv|² precomputed via the same sequential
+    fold) — single F.expr parse; see ml_lsh._centroid_struct_lit for
+    why Column-by-Column literal assembly is a py4j anti-pattern and
+    why the norm rides in the literal (a HOF sub-expression over a
+    literal is NOT constant-folded by Catalyst — it would re-run per
+    row per center per scan)."""
+    structs = ", ".join(
+        "named_struct('cv', array("
+        + ", ".join(_sql_double(x) for x in c)
+        + f"), 'c2', {_sql_double(_fold_dot(c, c))})"
+        for c in centers
     )
-    return f"array({arrays})"
+    return f"array({structs})"
 
 
 def _mindist_expr(centers: list[list[float]]) -> str:
-    """min over centers of the 6-dp-rounded cosine distance from the
+    """min over centers of the DIST_DP-rounded cosine distance from the
     point's double vector column ``v`` (with precomputed ``n2`` = |v|²)."""
-    dot = "aggregate(zip_with(v, c, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
-    c2 = "aggregate(zip_with(c, c, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
-    dist = f"floor((1.0d - {dot} / (sqrt(n2) * sqrt({c2}))) * 1000000.0d + 0.5d) / 1000000.0d"
+    dot = "aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    dist = (
+        f"floor((1.0d - {dot} / (sqrt(n2) * sqrt(c.c2)))"
+        f" * {float(_DIST_SCALE)!r}d + 0.5d) / {float(_DIST_SCALE)!r}d"
+    )
     return f"array_min(transform({_centers_lit(centers)}, c -> {dist}))"
 
 

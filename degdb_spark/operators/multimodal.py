@@ -366,7 +366,7 @@ def dtmf_probe(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """REAL spectral tone analysis: decode the telephony WAV (G.711
     expansion in functions/codecs.py), then detect the dialed DTMF
     digit string (functions/dsp.py: energy-gated segmentation + the
-    eight-frequency single-bin DFT bank + twist-validated keypad
+    seven-frequency single-bin DFT bank + twist-validated keypad
     argmax). Per clip: digit count and the decoded string.
 
     Scale: per-payload numpy inside Arrow batches, identical shape to
@@ -467,13 +467,14 @@ def video_scene_cuts(
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
                     _, frames = codecs.decode_video_frames(bytes(p))
                     cuts = []
+                    prev = frames[0].astype(np.int32) if frames else None
                     for fi in range(1, len(frames)):
-                        a = frames[fi].astype(np.int32)
-                        b = frames[fi - 1].astype(np.int32)
-                        if a.shape != b.shape or float(
-                            np.abs(a - b).mean()
+                        cur = frames[fi].astype(np.int32)
+                        if cur.shape != prev.shape or float(
+                            np.abs(cur - prev).mean()
                         ) > threshold:
                             cuts.append(fi)
+                        prev = cur
                     out.append(
                         (
                             mid,

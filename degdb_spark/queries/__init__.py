@@ -115,7 +115,7 @@ _WINDOW = [
     "docs_bm25_search",
     "docs_phrase_search",
     "parts_linkage_scores",
-    # --- new in round 9 (6)
+    # --- new in round 9 (11)
     "media_video_neardups",  # NEW r9: video aHash + banded near-dup, pixel oracle
     "media_avi_frame_extract",  # NEW r9: MJPEG-in-AVI container, quant-exact oracle
     "media_mp4_frame_extract",  # NEW r9: MJPEG-in-MP4 (ISO-BMFF), shared oracle

@@ -1346,10 +1346,12 @@ def emb_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcenter_sql(k: int = _KC_K) -> str:
     # every CTE MATERIALIZED — the d{k} chain would otherwise be
     # re-inlined exponentially (same lesson as the BPE-train oracle)
+    from degdb_spark.operators.kcenter import _DIST_SCALE
+
     dist = (
         "FLOOR((1.0 - list_dot_product({pv}, (SELECT v FROM c{j}))"
         " / (sqrt({pn}) * sqrt((SELECT list_dot_product(v, v) FROM c{j}))))"
-        " * 1000000 + 0.5) / 1000000"
+        f" * {_DIST_SCALE} + 0.5) / {_DIST_SCALE}"
     )
     parts = [
         """emb AS MATERIALIZED (

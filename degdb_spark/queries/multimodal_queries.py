@@ -738,7 +738,7 @@ def media_audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL spectral analysis through the REAL telephony codec: G.711
     mu-law WAV fixtures (format tag 7, 8 kHz) carrying planted ITU-T
     Q.23 DTMF digit sequences -> Arrow batches -> mu-law expansion ->
-    energy-gated segmentation -> eight-frequency single-bin DFT bank
+    energy-gated segmentation -> seven-frequency single-bin DFT bank
     (the Goertzel receiver, functions/dsp.py) -> twist-validated
     keypad argmax -> dialed digit string. The oracle replays the
     planted ANSWER (digit k of clip i = (7i + 3k) mod 10) in closed
