@@ -795,3 +795,76 @@ def test_naive_bayes_matches_python_reference(spark):
     assert got == expect
     # the planted signal is separable: every prediction is correct
     assert all(a == p for a, p in got)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["alpha", "bravo", "carol", "delta", "echo"]),
+                max_size=6,
+            ),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_naive_bayes_matches_python_reference_random(spark, docs):
+    """Hypothesis tier for NB: random small corpora — including empty
+    documents, labels absent from the train split, docs whose tokens
+    are all unseen, and exact score ties — must equal the Python
+    replica (same md5 split, Laplace smoothing, micronat quantization,
+    argmax tie-break)."""
+    import hashlib
+    import math
+
+    from degdb_spark.operators.nb import LOG_SCALE, train_predict_nb
+
+    rows = [(i, " ".join(toks), lab) for i, (toks, lab) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def qlog(x):
+        return math.floor(math.log(x) * LOG_SCALE + 0.5)
+
+    train = [(d, t, l) for d, t, l in rows if bucket(d) >= 20]
+    test = [(d, t, l) for d, t, l in rows if bucket(d) < 20]
+    counts, totals, vocab = {}, {}, set()
+    for _, t, l in train:
+        for tok in t.split():
+            counts[(l, tok)] = counts.get((l, tok), 0) + 1
+            totals[l] = totals.get(l, 0) + 1
+            vocab.add(tok)
+    # labels with ONLY empty docs in train still carry a prior
+    nd = {}
+    for _, _, l in train:
+        nd[l] = nd.get(l, 0) + 1
+    v = len(vocab)
+    expect = {}
+    for d, t, actual in test:
+        scores = []
+        for l in sorted(nd):
+            s = qlog(nd[l] / len(train))
+            total_l = totals.get(l, 0)
+            for tok in t.split():
+                if tok in vocab:
+                    s += qlog((counts.get((l, tok), 0) + 1) / (total_l + v))
+            scores.append((-s, l))
+        if not scores:
+            continue
+        pred = min(scores)[1]
+        expect[(actual, pred)] = expect.get((actual, pred), 0) + 1
+
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in train_predict_nb(df, label_col="lang", test_pct=20).collect()
+    }
+    assert got == expect
