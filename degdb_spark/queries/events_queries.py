@@ -236,9 +236,13 @@ def hourly_acf(spark: SparkSession, counts: DataFrame, max_lag: int = 6) -> Data
         + F.col("n_pairs") * xbar * xbar
     )
     den = F.col("q").cast("double") - F.col("n") * xbar * xbar
+    # a constant series has zero variance: ACF is undefined there, so
+    # emit NULL instead of dividing by zero (ANSI mode errors; the
+    # oracle carries the identical CASE guard)
+    acf = F.when(den != 0.0, dround(num / den, 6))
     return (
         per_lag.join(F.broadcast(stats), F.lit(True))
-        .select("lag", "n_pairs", dround(num / den, 6).alias("acf"))
+        .select("lag", "n_pairs", acf.alias("acf"))
         .orderBy("lag")
     )
 
@@ -273,10 +277,13 @@ per_lag AS (
   GROUP BY l.lag
 )
 SELECT lag, n_pairs,
-       FLOOR(((CAST(p AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (hh + tt)
-               + n_pairs * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-              / (CAST(q AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
-             * 1000000 + 0.5) / 1000000 AS acf
+       CASE WHEN (CAST(q AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) = 0.0
+            THEN NULL
+            ELSE FLOOR(((CAST(p AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (hh + tt)
+                         + n_pairs * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                        / (CAST(q AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+                       * 1000000 + 0.5) / 1000000
+       END AS acf
 FROM per_lag CROSS JOIN stats ORDER BY lag
 """
 

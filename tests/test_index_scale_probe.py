@@ -378,3 +378,61 @@ def test_bpe_retrain_after_corpus_deletion(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_acf_recompute_after_corpus_deletion(spark, tmp_path):
+    """The ninth index lifecycle (hourly counts → ACF recompute):
+    build the count index from streamed batches, DELETE every source
+    event file, then recompute the autocorrelation — it must equal the
+    full-corpus run, proving the index is a sufficient statistic and
+    the recompute never re-reads historical events (they no longer
+    exist). A 10x-style increment (a new batch step) still lands
+    against the index alone."""
+    import datetime as dt
+
+    from degdb_spark.queries.events_queries import hourly_acf
+    from degdb_spark.streaming.hourcount import (
+        _hourcount_index_step,
+        merged_hourly_counts,
+    )
+
+    base = dt.datetime(2024, 4, 1)
+    # (i·13) mod 30 alone fills the 30 hours UNIFORMLY (13 ⊥ 30) — a
+    # constant series, whose ACF is the undefined/NULL case — so add a
+    # skewed tail to give the series real variance
+    rows = [
+        (i, base + dt.timedelta(hours=(i * 13) % 30, minutes=i % 50))
+        for i in range(120)
+    ] + [
+        (500 + i, base + dt.timedelta(hours=(i * 7) % 10, minutes=i % 40))
+        for i in range(60)
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    full_counts = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    want = [tuple(r) for r in hourly_acf(spark, full_counts).collect()]
+
+    src = str(tmp_path / "events.parquet")
+    events.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        batch = spark.read.parquet(src).filter(F.col("event_id") % 2 == b)
+        _hourcount_index_step(batch, b, idx)
+
+    shutil.rmtree(src)  # events GONE — the recompute can't read them
+
+    got = [
+        tuple(r)
+        for r in hourly_acf(spark, merged_hourly_counts(spark, idx)).collect()
+    ]
+    assert got == want
+
+    # increment: a NEW batch lands without touching historical events
+    late = spark.createDataFrame(
+        [(1000 + i, base + dt.timedelta(hours=31, minutes=i)) for i in range(5)],
+        "event_id long, ts timestamp",
+    )
+    _hourcount_index_step(late, 2, idx)
+    merged = {r.h: r.x for r in merged_hourly_counts(spark, idx).collect()}
+    assert merged[base + dt.timedelta(hours=31)] == 5

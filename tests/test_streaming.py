@@ -1348,3 +1348,81 @@ def test_wordhist_index_step_replay_idempotent(spark, tmp_path):
     _wordhist_index_step(docs, 0, str(tmp_path / "idx"))  # replay
     after = sorted(tuple(r) for r in merged_histogram(spark, str(tmp_path / "idx")).collect())
     assert before == after == [("a", 2), ("b", 2), ("c", 1)]
+
+
+def test_hourcount_index_stream_recomputes_acf_exactly(spark, tmp_path):
+    """The hourly-count index twin: events stream in three batches;
+    the ACF recomputed from the merged index alone equals the ACF over
+    the full batch counts — hour histograms are additive, so the index
+    is a sufficient statistic for the autocorrelation."""
+    import datetime as dt
+
+    from degdb_spark.queries.events_queries import hourly_acf
+    from degdb_spark.streaming.hourcount import (
+        hourly_count_index_stream,
+        merged_hourly_counts,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for i in range(36):
+        if i % 7 == 3:  # gap hours exercise densification downstream
+            continue
+        for k in range(1 + (i % 4)):
+            rows.append((eid, base + dt.timedelta(hours=i, minutes=k)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    batch_counts = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    want = [tuple(r) for r in hourly_acf(spark, batch_counts).collect()]
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    for b in range(3):
+        events.filter(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b{b}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = hourly_count_index_stream(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = [
+        tuple(r)
+        for r in hourly_acf(
+            spark, merged_hourly_counts(spark, str(tmp_path / "idx"))
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_hourcount_index_step_replay_idempotent(spark, tmp_path):
+    """A crashed-and-retried micro-batch overwrites its own partition
+    with identical rows — the merged counts are unchanged after a
+    replay (the family contract)."""
+    import datetime as dt
+
+    from degdb_spark.streaming.hourcount import (
+        _hourcount_index_step,
+        merged_hourly_counts,
+    )
+
+    base = dt.datetime(2024, 3, 2)
+    events = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i % 5)) for i in range(20)],
+        "event_id long, ts timestamp",
+    )
+    idx = str(tmp_path / "idx")
+    _hourcount_index_step(events.filter("event_id < 10"), 0, idx)
+    _hourcount_index_step(events.filter("event_id >= 10"), 1, idx)
+    before = sorted(tuple(r) for r in merged_hourly_counts(spark, idx).collect())
+    _hourcount_index_step(events.filter("event_id >= 10"), 1, idx)  # replay
+    after = sorted(tuple(r) for r in merged_hourly_counts(spark, idx).collect())
+    assert after == before

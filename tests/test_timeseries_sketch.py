@@ -358,3 +358,22 @@ def test_hourly_acf_matches_numpy_reference(spark):
     assert got == expect
     # period-3 signal: lag-3 autocorrelation dominates lags 1 and 2
     assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
+
+
+def test_hourly_acf_constant_series_is_null(spark):
+    """Zero-variance (constant) series: the ACF is undefined — every
+    lag emits NULL instead of dividing by zero (ANSI mode would error;
+    the oracle SQL carries the identical CASE guard)."""
+    import datetime as dt
+
+    from degdb_spark.queries.events_queries import hourly_acf
+
+    base = dt.datetime(2024, 5, 1)
+    counts = spark.createDataFrame(
+        [(base + dt.timedelta(hours=i), 7) for i in range(20)],
+        "h timestamp, x long",
+    )
+    rows = hourly_acf(spark, counts).collect()
+    assert len(rows) == 6
+    assert all(r.acf is None for r in rows)
+    assert [r.n_pairs for r in rows] == [19, 18, 17, 16, 15, 14]
