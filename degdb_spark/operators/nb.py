@@ -76,11 +76,31 @@ def train_predict_nb(
     counts = train_tok.groupBy("actual", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     ).withColumnRenamed("actual", "cand")
-    totals = train_tok.groupBy("actual").agg(
-        F.count(F.lit(1)).alias("total")
-    ).withColumnRenamed("actual", "cand")
-    vocab = train_tok.select("token").distinct()
+    nd = (
+        base.filter(F.col("split") == "train")
+        .groupBy("actual")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumnRenamed("actual", "cand")
+    )
+    test_docs = base.filter(F.col("split") == "test").select("doc_id", "actual")
+    return predict_from_stats(counts, nd, test_docs, test_tok)
+
+
+def predict_from_stats(
+    counts: DataFrame, nd: DataFrame, test_docs: DataFrame, test_tok: DataFrame
+) -> DataFrame:
+    """Score documents from the NB sufficient statistics alone:
+    ``counts`` = (cand, token, cnt) train token counts, ``nd`` =
+    (cand, nd) train doc counts, ``test_docs`` = (doc_id, actual),
+    ``test_tok`` = (doc_id, token). Both stats tables are ADDITIVE, so
+    they can come from the full corpus OR from the merged streaming
+    index (streaming/nbcounts.py) — same confusion matrix either way.
+    Totals, vocabulary, and the train doc total all derive from the
+    stats in-plan."""
+    totals = counts.groupBy("cand").agg(F.sum("cnt").alias("total"))
+    vocab = counts.select("token").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))  # 1 row, stays in-plan
+    n_train = nd.agg(F.sum("nd").alias("nt"))  # 1 row
 
     # the label-axis frames are tiny by construction (|labels| rows, or
     # 1 row) — broadcast them explicitly so the cross joins are
@@ -99,17 +119,9 @@ def train_predict_nb(
             ).alias("llq"),
         )
     )
-
-    train_docs = base.filter(F.col("split") == "train")
-    n_train = train_docs.agg(F.count(F.lit(1)).alias("nt"))  # 1 row
-    priors = (
-        train_docs.groupBy("actual")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .crossJoin(F.broadcast(n_train))
-        .select(
-            F.col("actual").alias("cand"),
-            _qlog(F.col("nd").cast("double") / F.col("nt").cast("double")).alias("pq"),
-        )
+    priors = nd.crossJoin(F.broadcast(n_train)).select(
+        "cand",
+        _qlog(F.col("nd").cast("double") / F.col("nt").cast("double")).alias("pq"),
     )
 
     cand_scores = (
@@ -117,7 +129,6 @@ def train_predict_nb(
         .groupBy("doc_id", "cand")
         .agg(F.sum("llq").alias("ts"))
     )
-    test_docs = base.filter(F.col("split") == "test").select("doc_id", "actual")
     scored = (
         test_docs.crossJoin(F.broadcast(priors))
         .join(cand_scores, ["doc_id", "cand"], "left")

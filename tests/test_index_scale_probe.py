@@ -436,3 +436,54 @@ def test_acf_recompute_after_corpus_deletion(spark, tmp_path):
     _hourcount_index_step(late, 2, idx)
     merged = {r.h: r.x for r in merged_hourly_counts(spark, idx).collect()}
     assert merged[base + dt.timedelta(hours=31)] == 5
+
+
+def test_nb_rescore_after_corpus_deletion(spark, tmp_path):
+    """The tenth index lifecycle (NB statistics → retrain/score):
+    build the stats index from streamed training batches, DELETE every
+    training file, then score a held-out set — the confusion matrix
+    must equal the full-corpus training run, proving the index is a
+    sufficient statistic and scoring never re-reads training documents
+    (they no longer exist)."""
+    from degdb_spark.operators.nb import predict_from_stats, train_predict_nb
+    from degdb_spark.operators.sampling import md5_bucket
+    from degdb_spark.operators.text import tokens
+    from degdb_spark.streaming.nbcounts import _nb_index_step, merged_nb_stats
+
+    rows = []
+    for i in range(36):
+        lab = ("x", "y")[i % 2]
+        word = "xeno" if lab == "x" else "yack"
+        rows.append((i, " ".join([word] * (1 + i % 2) + ["common"]), lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    want = [tuple(r) for r in train_predict_nb(docs).collect()]
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        batch = spark.read.parquet(src).filter(F.col("doc_id") % 2 == b)
+        _nb_index_step(batch, b, idx)
+
+    # keep the held-out TEST docs (scoring legitimately reads them),
+    # then delete the training corpus
+    test = docs.filter(md5_bucket("doc_id", 100) < 20)
+    test_docs = test.select("doc_id", F.col("lang").alias("actual")).collect()
+    test_tok = (
+        test.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .collect()
+    )
+    shutil.rmtree(src)  # training corpus GONE — scoring can't read it
+
+    counts, nd = merged_nb_stats(spark, idx)
+    got = [
+        tuple(r)
+        for r in predict_from_stats(
+            counts,
+            nd,
+            spark.createDataFrame(test_docs, "doc_id long, actual string"),
+            spark.createDataFrame(test_tok, "doc_id long, token string"),
+        ).collect()
+    ]
+    assert got == want

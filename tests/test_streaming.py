@@ -1426,3 +1426,82 @@ def test_hourcount_index_step_replay_idempotent(spark, tmp_path):
     _hourcount_index_step(events.filter("event_id >= 10"), 1, idx)  # replay
     after = sorted(tuple(r) for r in merged_hourly_counts(spark, idx).collect())
     assert after == before
+
+
+def _nb_test_frames(spark, docs):
+    """(test_docs, test_tok) exactly as train_predict_nb derives them."""
+    from degdb_spark.operators.sampling import md5_bucket
+    from degdb_spark.operators.text import tokens
+
+    test = docs.filter(md5_bucket("doc_id", 100) < 20)
+    test_docs = test.select("doc_id", F.col("lang").alias("actual"))
+    test_tok = (
+        test.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return test_docs, test_tok
+
+
+def test_nb_stats_index_stream_scores_exactly(spark, tmp_path):
+    """The NB statistics index twin: documents stream in three
+    batches; scoring from the merged index alone equals the full
+    train_predict_nb confusion matrix — token and doc counts are
+    additive sufficient statistics."""
+    from degdb_spark.operators.nb import predict_from_stats, train_predict_nb
+    from degdb_spark.streaming.nbcounts import (
+        merged_nb_stats,
+        nb_stats_index_stream,
+    )
+
+    rows = []
+    for i in range(40):
+        lab = ("a", "b", "c")[i % 3]
+        word = {"a": "alpha", "b": "bravo", "c": "carol"}[lab]
+        rows.append((i, " ".join([word] * (1 + i % 3) + ["shared"]), lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    want = [tuple(r) for r in train_predict_nb(docs).collect()]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b{b}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = nb_stats_index_stream(stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    counts, nd = merged_nb_stats(spark, str(tmp_path / "idx"))
+    test_docs, test_tok = _nb_test_frames(spark, docs)
+    got = [tuple(r) for r in predict_from_stats(counts, nd, test_docs, test_tok).collect()]
+    assert got == want
+
+
+def test_nb_index_step_replay_idempotent(spark, tmp_path):
+    """A crashed-and-retried micro-batch overwrites both its stats
+    partitions with identical rows — merged counts unchanged."""
+    from degdb_spark.streaming.nbcounts import _nb_index_step, merged_nb_stats
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha", ("a", "b")[i % 2]) for i in range(14)],
+        "doc_id long, text string, lang string",
+    )
+    idx = str(tmp_path / "idx")
+    _nb_index_step(docs.filter("doc_id < 7"), 0, idx)
+    _nb_index_step(docs.filter("doc_id >= 7"), 1, idx)
+
+    def snap():
+        counts, nd = merged_nb_stats(spark, idx)
+        return (
+            sorted(tuple(r) for r in counts.collect()),
+            sorted(tuple(r) for r in nd.collect()),
+        )
+
+    before = snap()
+    _nb_index_step(docs.filter("doc_id >= 7"), 1, idx)  # replay
+    assert snap() == before
