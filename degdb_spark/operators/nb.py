@@ -97,7 +97,16 @@ def predict_from_stats(
     index (streaming/nbcounts.py) — same confusion matrix either way.
     Totals, vocabulary, and the train doc total all derive from the
     stats in-plan."""
-    totals = counts.groupBy("cand").agg(F.sum("cnt").alias("total"))
+    # the label axis comes from nd (doc counts), NOT from the token
+    # counts: a label whose training docs are all token-less must still
+    # get a Laplace-smoothed distribution (total = 0 → every token at
+    # 1/(0+V)) — deriving labels from counts would drop it from the
+    # likelihood table and its scores would collapse to the bare prior
+    totals = (
+        nd.select("cand")
+        .join(counts.groupBy("cand").agg(F.sum("cnt").alias("total")), "cand", "left")
+        .fillna({"total": 0})
+    )
     vocab = counts.select("token").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))  # 1 row, stays in-plan
     n_train = nd.agg(F.sum("nd").alias("nt"))  # 1 row

@@ -2083,7 +2083,14 @@ counts AS (
   FROM tok WHERE split = 'train' GROUP BY actual, token
 ),
 totals AS (
-  SELECT actual AS cand, COUNT(*) AS total FROM tok WHERE split = 'train' GROUP BY actual
+  -- label axis from the TRAIN DOCS, not the token counts: a label
+  -- whose training docs are all token-less still gets a smoothed
+  -- distribution (total = 0), mirroring operators/nb.py
+  SELECT b.actual AS cand, COALESCE(t.total, 0) AS total
+  FROM (SELECT DISTINCT actual FROM base WHERE split = 'train') b
+  LEFT JOIN (
+    SELECT actual, COUNT(*) AS total FROM tok WHERE split = 'train' GROUP BY actual
+  ) t ON t.actual = b.actual
 ),
 vocab AS (SELECT DISTINCT token FROM tok WHERE split = 'train'),
 vsize AS (SELECT COUNT(*) AS v FROM vocab),
