@@ -66,17 +66,8 @@ def _hourcount_index_step(
 
 def merged_hourly_counts(spark, index_path: str) -> DataFrame:
     """The additive merge of every committed batch partition — exactly
-    the (h, x) frame hourly_acf consumes. Explicit schema so a crashed
-    first write (directory with only _temporary files) reads as empty
-    instead of wedging replays on schema inference."""
-    from degdb_spark.streaming.util import has_committed_parquet
+    the (h, x) frame hourly_acf consumes (shared read discipline:
+    streaming/util.merged_additive)."""
+    from degdb_spark.streaming.util import merged_additive
 
-    if not has_committed_parquet(spark, index_path):
-        return spark.createDataFrame([], _INDEX_SCHEMA)
-    return (
-        spark.read.schema(_INDEX_SCHEMA + ", batch int")
-        .option("basePath", index_path)
-        .parquet(index_path)
-        .groupBy("h")
-        .agg(F.sum("x").alias("x"))
-    )
+    return merged_additive(spark, index_path, _INDEX_SCHEMA, ["h"], "x")

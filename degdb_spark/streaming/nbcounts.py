@@ -5,15 +5,22 @@ BM25 postings, positional index, PQ codes, SemDeDup assignment, span
 index, media fingerprints, word histogram, hourly counts): documents
 stream in, each micro-batch counts ONLY its own train-split rows —
 (label, token) occurrence counts and (label) document counts — into
-its own ``batch=N`` partitions. Both tables are the ADDITIVE
-sufficient statistics of the multinomial NB model, so the merged index
-(one groupBy-sum each) feeds operators/nb.predict_from_stats directly:
-the classifier retrains and scores from the index alone, never
-re-reading a historical training document. That is the falsifiable
-scale claim the corpus-deletion probe pins
-(tests/test_index_scale_probe.py): delete every training file, score a
-held-out set, and the confusion matrix still equals the full-corpus
-training run.
+its own ``batch=N`` partition. Both statistics ride in ONE table with
+a ``stat`` discriminator ('tok' rows carry a token; 'doc' rows carry
+token='' and cnt = the label's doc count), so each micro-batch is a
+SINGLE parquet write: a crash can never tear token counts from doc
+counts (two separate tables would admit a state where one committed
+and the other did not — likelihood totals from more evidence than the
+priors, a corpus state that never existed).
+
+Both statistics are the ADDITIVE sufficient statistics of the
+multinomial NB model, so the merged index (one groupBy-sum) feeds
+operators/nb.predict_from_stats directly: the classifier retrains and
+scores from the index alone, never re-reading a historical training
+document. That is the falsifiable scale claim the corpus-deletion
+probe pins (tests/test_index_scale_probe.py): delete every training
+file, score a held-out set, and the confusion matrix still equals the
+full-corpus training run.
 
 The split discipline matches operators/nb.train_predict_nb: the md5
 bucket of doc_id decides train membership, re-derived per batch (pure
@@ -21,7 +28,7 @@ codegen, no doc-level join), so a document lands in the training
 statistics exactly when batch training would have used it.
 
 Replay safety: the micro-batch id IS the partition key, so a
-crashed-and-retried batch overwrites its own partitions with identical
+crashed-and-retried batch overwrites its own partition with identical
 rows (the family contract); the first-write crash case is covered by
 has_committed_parquet like the other twins.
 
@@ -35,8 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOK_SCHEMA = "cand string, token string, cnt long"
-_DOC_SCHEMA = "cand string, nd long"
+#: one row per statistic: stat='tok' → (cand, token, cnt occurrences);
+#: stat='doc' → (cand, token='', cnt = doc count). The empty token is
+#: safe as the doc-row marker because the tokenizer filters '' out of
+#: every token stream.
+_STATS_SCHEMA = "stat string, cand string, token string, cnt long"
 
 
 def nb_stats_index_stream(
@@ -68,7 +78,9 @@ def _nb_index_step(
     test_pct: int = 20,
 ) -> None:
     """One micro-batch, module-level so the replay contract is
-    directly testable (the family convention)."""
+    directly testable (the family convention). ONE write: token and
+    doc counts union into the same partition so they commit (or fail)
+    together."""
     from degdb_spark.operators.sampling import md5_bucket
     from degdb_spark.operators.text import tokens
 
@@ -81,40 +93,27 @@ def _nb_index_step(
         .filter(F.col("token") != "")
         .groupBy("cand", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("tok").alias("stat"), "cand", "token", "cnt")
     )
     doc_counts = train.groupBy(F.col(label_col).alias("cand")).agg(
-        F.count(F.lit(1)).alias("nd")
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("doc").alias("stat"), "cand", F.lit("").alias("token"), "cnt")
+    tok_counts.unionByName(doc_counts).write.mode("overwrite").parquet(
+        f"{index_path}/batch={batch_id}"
     )
-    tok_counts.write.mode("overwrite").parquet(f"{index_path}/tok/batch={batch_id}")
-    doc_counts.write.mode("overwrite").parquet(f"{index_path}/docs/batch={batch_id}")
 
 
 def merged_nb_stats(spark, index_path: str) -> tuple[DataFrame, DataFrame]:
     """The additive merge of every committed batch partition —
-    predict_from_stats' (counts, nd) inputs. Explicit schemas so a
-    crashed first write reads as empty instead of wedging replays on
-    schema inference."""
-    from degdb_spark.streaming.util import has_committed_parquet
+    predict_from_stats' (counts, nd) inputs, split back out of the
+    single-table index by the ``stat`` discriminator."""
+    from degdb_spark.streaming.util import merged_additive
 
-    tok_path, doc_path = f"{index_path}/tok", f"{index_path}/docs"
-    if has_committed_parquet(spark, tok_path):
-        counts = (
-            spark.read.schema(_TOK_SCHEMA + ", batch int")
-            .option("basePath", tok_path)
-            .parquet(tok_path)
-            .groupBy("cand", "token")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-    else:
-        counts = spark.createDataFrame([], _TOK_SCHEMA)
-    if has_committed_parquet(spark, doc_path):
-        nd = (
-            spark.read.schema(_DOC_SCHEMA + ", batch int")
-            .option("basePath", doc_path)
-            .parquet(doc_path)
-            .groupBy("cand")
-            .agg(F.sum("nd").alias("nd"))
-        )
-    else:
-        nd = spark.createDataFrame([], _DOC_SCHEMA)
+    merged = merged_additive(
+        spark, index_path, _STATS_SCHEMA, ["stat", "cand", "token"], "cnt"
+    )
+    counts = merged.filter(F.col("stat") == "tok").select("cand", "token", "cnt")
+    nd = merged.filter(F.col("stat") == "doc").select(
+        "cand", F.col("cnt").alias("nd")
+    )
     return counts, nd

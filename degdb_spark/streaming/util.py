@@ -33,3 +33,24 @@ def has_committed_parquet(spark, path: str) -> bool:
             elif st.getLen() > 0:
                 return True
     return False
+
+
+def merged_additive(spark, path: str, schema: str, keys: list[str], val: str):
+    """The additive merge every index twin performs: read all committed
+    ``batch=N`` partitions with an explicit schema (schema inference on
+    a crashed first write would wedge replays — see
+    has_committed_parquet) and sum ``val`` per ``keys``. Returns an
+    empty frame of ``schema`` when nothing has committed yet. One
+    shared implementation so the crashed-first-write read discipline
+    can't silently diverge across twins."""
+    from pyspark.sql import functions as F
+
+    if not has_committed_parquet(spark, path):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema + ", batch int")
+        .option("basePath", path)
+        .parquet(path)
+        .groupBy(*keys)
+        .agg(F.sum(val).alias(val))
+    )

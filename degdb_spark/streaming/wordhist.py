@@ -27,7 +27,6 @@ decoupled from corpus size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 _INDEX_SCHEMA = "w string, n long"
 
@@ -65,17 +64,8 @@ def _wordhist_index_step(
 
 def merged_histogram(spark, index_path: str) -> DataFrame:
     """The additive merge of every committed batch partition —
-    bpe_train_from_hist's input. Explicit schema so a crashed first
-    write (directory with only _temporary files) reads as empty
-    instead of wedging replays on schema inference."""
-    from degdb_spark.streaming.util import has_committed_parquet
+    bpe_train_from_hist's input (shared read discipline:
+    streaming/util.merged_additive)."""
+    from degdb_spark.streaming.util import merged_additive
 
-    if not has_committed_parquet(spark, index_path):
-        return spark.createDataFrame([], _INDEX_SCHEMA)
-    return (
-        spark.read.schema(_INDEX_SCHEMA + ", batch int")
-        .option("basePath", index_path)
-        .parquet(index_path)
-        .groupBy("w")
-        .agg(F.sum("n").alias("n"))
-    )
+    return merged_additive(spark, index_path, _INDEX_SCHEMA, ["w"], "n")

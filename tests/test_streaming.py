@@ -1505,3 +1505,24 @@ def test_nb_index_step_replay_idempotent(spark, tmp_path):
     before = snap()
     _nb_index_step(docs.filter("doc_id >= 7"), 1, idx)  # replay
     assert snap() == before
+
+
+def test_nb_index_batch_is_one_atomic_table(spark, tmp_path):
+    """Both NB statistics commit in ONE parquet write per batch (a
+    single batch=N directory holding 'tok' AND 'doc' rows) — two
+    separate tables could tear on a crash between writes, leaving
+    likelihood totals computed from more evidence than the priors."""
+    import os
+
+    from degdb_spark.streaming.nbcounts import _nb_index_step
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta", "a") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    idx = str(tmp_path / "idx")
+    _nb_index_step(docs, 0, idx)
+    assert sorted(os.listdir(idx)) == ["batch=0"]
+    part = spark.read.parquet(f"{idx}/batch=0")
+    stats = {r.stat for r in part.select("stat").distinct().collect()}
+    assert stats == {"tok", "doc"}
