@@ -13,8 +13,10 @@ metadata the caller supplies.
 This closes VERDICT r8 "What's missing" #3: GIF was the only real
 interchange video container; with MJPEG-AVI the video seam is
 container → frames → fingerprints end-to-end real on a second,
-JPEG-compressed container. mp4 stays honestly gated behind strict-mode
-NotImplementedError (it needs ffmpeg).
+JPEG-compressed container. MJPEG-in-MP4 decodes for real too
+(functions/mp4.py walks the ISO-BMFF sample tables); only non-MJPEG
+mp4 codecs (e.g. avc1/H.264) stay gated behind strict-mode
+NotImplementedError — those genuinely need ffmpeg.
 
 Error contract (shared with every codec in functions/): ANY malformed
 or truncated payload raises ValueError — never IndexError/struct.error

@@ -21,9 +21,10 @@ restart-safe for free).
 Cross-engine exactness: embeddings are cast float→double BEFORE any
 arithmetic on both engines, the dot-product fold is sequential on both
 (F.aggregate/zip_with here, list_dot_product in DuckDB), and each
-pairwise cosine distance is floor-rounded at 6 dp before the min/
-argmax, so the greedy trajectory is bit-stable and the oracle can
-replay it as an unrolled CTE chain.
+pairwise cosine distance is round-half-up-quantized at 6 dp
+(floor(x·1e6 + 0.5)/1e6 — the same dround shape as everywhere else;
+NOT a true floor) before the min/argmax, so the greedy trajectory is
+bit-stable and the oracle can replay it as an unrolled CTE chain.
 
 Reference provenance: degdb has no embedding surface; this implements
 the similarity-search/data-selection leg of the training-pipeline
@@ -91,7 +92,14 @@ def kcenter_select(
     ``dist`` is the selected point's 6-dp cosine distance to the nearest
     EARLIER pick (the coverage-radius trajectory; 0.0 for the seed,
     which is the minimum id). Ties in the farthest-point argmax break
-    by ascending id."""
+    by ascending id.
+
+    Degenerate inputs (ADVICE r9): an empty table raises ValueError
+    (not a bare IndexError from the seed collect); if a round's
+    farthest point is at distance 0.0 every remaining point coincides
+    with a selected center, so selection STOPS — output is capped at
+    the number of distinct points rather than re-picking the seed into
+    duplicate rows."""
     spark = emb.sparkSession
     pts = pin(
         emb.select(
@@ -103,7 +111,10 @@ def kcenter_select(
         ),
         eager=True,
     )
-    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = pts.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_select: empty embeddings input")
+    seed = seed_rows[0]
     picks = [(1, int(seed.vec_id), 0.0)]
     centers = [list(seed.v)]
     for rank in range(2, k + 1):
@@ -113,6 +124,10 @@ def kcenter_select(
             .limit(1)
             .collect()[0]
         )
+        if float(nxt.md) == 0.0:
+            # every remaining point coincides (at 6 dp) with a selected
+            # center: k exceeds the distinct-point count, stop early
+            break
         picks.append((rank, int(nxt.vec_id), float(nxt.md)))
         centers.append(list(nxt.v))
     return spark.createDataFrame(picks, "sel_rank int, vec_id long, dist double")

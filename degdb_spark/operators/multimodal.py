@@ -362,12 +362,19 @@ def synthetic_dtmf_media(spark: SparkSession, n: int = 40) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
-def dtmf_probe(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def dtmf_probe(media: DataFrame, batch_rows: int = 64, strict: bool = False) -> DataFrame:
     """REAL spectral tone analysis: decode the telephony WAV (G.711
     expansion in functions/codecs.py), then detect the dialed DTMF
     digit string (functions/dsp.py: energy-gated segmentation + the
     seven-frequency single-bin DFT bank + twist-validated keypad
     argmax). Per clip: digit count and the decoded string.
+
+    Error seam (ADVICE r9, mirroring decode_features): a malformed
+    payload in a general media table must not abort the whole stage.
+    Non-strict (default) quarantines it as a sentinel row
+    (sample_rate = −1, n_tones = −1, digits NULL); strict=True re-raises
+    the codec's ValueError (production posture when the table is
+    supposed to be pre-validated).
 
     Scale: per-payload numpy inside Arrow batches, identical shape to
     the decode operators — no shuffle, partitioning preserved, driver
@@ -384,8 +391,14 @@ def dtmf_probe(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    rate, s = codecs.decode_wav(bytes(p))
-                    digits = dsp.detect_dtmf(s, rate)
+                    try:
+                        rate, s = codecs.decode_wav(bytes(p))
+                        digits = dsp.detect_dtmf(s, rate)
+                    except (ValueError, NotImplementedError):
+                        if strict:
+                            raise
+                        out.append((mid, -1, -1, None))
+                        continue
                     out.append((mid, rate, len(digits), digits))
                 yield pd.DataFrame(
                     out, columns=["media_id", "sample_rate", "n_tones", "digits"]
@@ -437,7 +450,7 @@ def synthetic_scene_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
 
 
 def video_scene_cuts(
-    media: DataFrame, threshold: float = 8.0, batch_rows: int = 8
+    media: DataFrame, threshold: float = 8.0, batch_rows: int = 8, strict: bool = False
 ) -> DataFrame:
     """REAL scene-change detection: decode every frame through the
     shared codecs.decode_video_frames seam, compute the mean absolute
@@ -449,6 +462,12 @@ def video_scene_cuts(
     count, cut count, first/last cut frame index (-1 when the clip is
     a single shot) and the sum of cut indices — integer outputs, no
     float surface.
+
+    Error seam (ADVICE r9, mirroring decode_features): non-strict
+    (default) quarantines a malformed payload as a sentinel row
+    (n_frames = −1, the rest −1) instead of aborting the stage;
+    strict=True re-raises the container walker's ValueError (or the
+    NotImplementedError of an honestly-gated codec like avc1).
 
     Scale: per-payload numpy inside Arrow batches; the frame diff is
     O(pixels) per adjacent pair, no shuffle, partitioning preserved,
@@ -465,7 +484,13 @@ def video_scene_cuts(
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    _, frames = codecs.decode_video_frames(bytes(p))
+                    try:
+                        _, frames = codecs.decode_video_frames(bytes(p))
+                    except (ValueError, NotImplementedError):
+                        if strict:
+                            raise
+                        out.append((mid, -1, -1, -1, -1, -1))
+                        continue
                     cuts = []
                     prev = frames[0].astype(np.int32) if frames else None
                     for fi in range(1, len(frames)):

@@ -190,17 +190,41 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_acf(spark, counts)
 
 
+MAX_GRID_HOURS = 1_000_000  # ~114 years of hourly slots
+
+
 def hourly_acf(spark: SparkSession, counts: DataFrame, max_lag: int = 6) -> DataFrame:
     """ACF core over an (h timestamp, x long) hourly-count frame; see
-    events_autocorrelation for the densification and exactness story."""
+    events_autocorrelation for the densification and exactness story.
+
+    Dirty-data guard (ADVICE r9): the grid is |h1 − h0| rows, so ONE
+    outlier timestamp (epoch-zero, far-future) would silently inflate
+    it far past the "8,760 rows per year" scale story. A span wider
+    than MAX_GRID_HOURS raises ValueError — the caller should clamp or
+    filter its timestamps, not densify over garbage. The explode lands
+    on a single task (its input is one row), so the grid is
+    repartitioned before the join/stats passes."""
     from degdb_spark.persistence import pin
     from degdb_spark.queries.rounding import dround
 
+    # pin the |hours|-sized count frame BEFORE the guard collect, so the
+    # corpus-sized groupBy(hour) still runs exactly once (the guard and
+    # the grid join both read the pinned frame)
+    counts = pin(counts, eager=True)
     bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    brow = bounds.collect()[0]
+    if brow.h0 is not None:
+        span_h = int((brow.h1 - brow.h0).total_seconds() // 3600)
+        if span_h > MAX_GRID_HOURS:
+            raise ValueError(
+                f"hourly_acf: timestamp span {span_h} hours exceeds "
+                f"MAX_GRID_HOURS={MAX_GRID_HOURS}; clamp or filter outlier "
+                "timestamps before densifying"
+            )
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
         "h0",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "h")
     series = pin(
         grid.join(counts, "h", "left")
         .fillna({"x": 0})

@@ -725,3 +725,45 @@ def test_scene_cuts_container_invariant(spark):
     out = {r.media_id: (r.n_frames, r.n_cuts, r.first_cut, r.last_cut, r.cut_sum)
            for r in M.video_scene_cuts(df).collect()}
     assert out[0] == out[1] == (5, 2, 2, 4, 6)
+
+
+def test_dtmf_probe_quarantines_bad_payload(spark):
+    """ADVICE r9: one malformed audio payload in a general media table
+    yields a sentinel row (non-strict default) instead of failing the
+    whole stage; strict=True re-raises the codec ValueError."""
+    from pyspark.sql import Row
+
+    good = M.synthetic_dtmf_media(spark, 2).select("media_id", "kind", "payload")
+    bad = spark.createDataFrame(
+        [Row(media_id=99, kind="audio", payload=bytearray(b"RIFFgarbage-not-a-wav"))],
+        "media_id long, kind string, payload binary",
+    )
+    table = good.unionByName(bad)
+    got = {r.media_id: r for r in M.dtmf_probe(table).collect()}
+    assert len(got) == 3
+    assert (got[99].sample_rate, got[99].n_tones, got[99].digits) == (-1, -1, None)
+    for i in range(2):  # the good clips still decode their planted digits
+        want = "".join(str((7 * i + 3 * k) % 10) for k in range(4 + i % 4))
+        assert got[i].digits == want
+    with pytest.raises(Exception):
+        M.dtmf_probe(table, strict=True).collect()
+
+
+def test_scene_cuts_quarantine_bad_payload(spark):
+    """ADVICE r9: video_scene_cuts mirrors the same seam — a malformed
+    video payload quarantines as an all−1 sentinel row by default and
+    raises under strict=True."""
+    from pyspark.sql import Row
+
+    frames = M.scene_exact_frames(1, 56, 56, 5, 2)
+    rows = [
+        Row(media_id=0, kind="video", payload=bytearray(C.encode_rawv(frames, 500))),
+        Row(media_id=1, kind="video", payload=bytearray(b"\x00\x01garbage-video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: (r.n_frames, r.n_cuts, r.first_cut, r.last_cut, r.cut_sum)
+           for r in M.video_scene_cuts(df).collect()}
+    assert out[0] == (5, 2, 2, 4, 6)
+    assert out[1] == (-1, -1, -1, -1, -1)
+    with pytest.raises(Exception):
+        M.video_scene_cuts(df, strict=True).collect()

@@ -262,9 +262,10 @@ def test_semantic_dedup_empty_corpus(spark, tmp_path):
 
 def test_kcenter_select_matches_python_reference(spark):
     """kcenter_select must equal the straight Python replica of the
-    same greedy — sequential-fold dot products, 6-dp floor-rounded
-    cosine distances, (dist desc, id asc) argmax — on vectors with
-    planted diversity structure and an exact argmax tie."""
+    same greedy — sequential-fold dot products, 6-dp round-half-up
+    (floor(x·1e6 + 0.5)/1e6) cosine distances, (dist desc, id asc)
+    argmax — on vectors with planted diversity structure and an exact
+    argmax tie."""
     from degdb_spark.operators.kcenter import kcenter_select
 
     rows = [
@@ -308,3 +309,34 @@ def test_kcenter_select_matches_python_reference(spark):
     # and the near-dup of the seed is never picked
     assert got[1][1] == 4
     assert all(vid != 1 for _, vid, _ in got)
+
+
+def test_kcenter_empty_input_raises(spark):
+    """ADVICE r9: an empty embeddings table must raise a clear
+    ValueError, not IndexError from the seed collect."""
+    from degdb_spark.operators.kcenter import kcenter_select
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_select(empty, k=3)
+
+
+def test_kcenter_k_exceeding_distinct_points_stops_early(spark):
+    """ADVICE r9: when every remaining point coincides (at 6 dp) with a
+    selected center, selection stops instead of re-picking the md=0
+    seed into duplicate rows — output is capped at the distinct-point
+    count."""
+    from degdb_spark.operators.kcenter import kcenter_select
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # exact duplicate of 0
+        (2, [0.0, 1.0]),
+        (3, [0.0, 2.0]),   # same direction as 2 → cosine-coincident
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = kcenter_select(df, k=5).orderBy("sel_rank").collect()
+    # only two cosine-distinct directions exist; no duplicates, no
+    # repeated vec_id, ranks stay contiguous
+    assert [r.sel_rank for r in got] == [1, 2]
+    assert [r.vec_id for r in got] == [0, 2]

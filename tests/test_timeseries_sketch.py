@@ -377,3 +377,20 @@ def test_hourly_acf_constant_series_is_null(spark):
     assert len(rows) == 6
     assert all(r.acf is None for r in rows)
     assert [r.n_pairs for r in rows] == [19, 18, 17, 16, 15, 14]
+
+
+def test_hourly_acf_outlier_span_raises(spark):
+    """ADVICE r9: one epoch-zero outlier timestamp would inflate the
+    dense grid to ~half a million rows per decade of span — past
+    MAX_GRID_HOURS the guard raises instead of densifying garbage."""
+    import datetime as dt
+
+    from degdb_spark.queries.events_queries import MAX_GRID_HOURS, hourly_acf
+
+    counts = spark.createDataFrame(
+        [(dt.datetime(1970, 1, 1), 3), (dt.datetime(2150, 1, 1), 5)],
+        "h timestamp, x long",
+    )
+    assert (dt.datetime(2150, 1, 1) - dt.datetime(1970, 1, 1)).days * 24 > MAX_GRID_HOURS
+    with pytest.raises(ValueError, match="MAX_GRID_HOURS"):
+        hourly_acf(spark, counts)
