@@ -189,6 +189,10 @@ HEADLINE = [
     "docs_naive_bayes",
     "events_autocorrelation",
     "emb_kcenter_selection",
+    # round-10 additions (in-plan trained linear classifier, IMA ADPCM
+    # compressed-audio decode, shot-level video fingerprints)
+    "docs_linear_classifier",
+    "media_adpcm_decode",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

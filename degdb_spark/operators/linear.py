@@ -1,0 +1,160 @@
+"""In-plan averaged-perceptron linear classifier (train + score).
+
+The fifth trained-model family member (IVF: unrolled Lloyd, BPE:
+unrolled argmax merges, tree: exact integer split search, NB:
+micronat-exact likelihoods): train a multi-class linear text
+classifier — the fastText-style quality/label filter that is the most
+common trained gate in real pretraining pipelines — and score a
+held-out split, with every corpus-sized step a DataFrame operation.
+
+Model: batch multi-class perceptron over hashed bag-of-words features
+(md5-bucketed tokens + a bias feature), run for a FIXED number of
+iterations; scoring uses the summed per-iteration weights (the
+averaged-perceptron estimator — the positive 1/T scale cannot change
+an argmax, so the sum IS the average for prediction purposes).
+
+Cross-engine exactness: the entire model is INTEGER — feature values
+are token counts, updates are ±count sums, weights and scores are
+exact BIGINTs. No logs, no ratios, no quantization step at all: the
+per-doc argmax (score desc, label asc) is bit-stable between Spark
+and the DuckDB oracle by construction, and the oracle unrolls the
+fixed iterations as MATERIALIZED CTEs (w0 → s1/p1/u1/w1 → … → wavg),
+the same shape as _bpe_train_sql.
+
+Scale shape (the k-center/BPE scalar-collect discipline): the hashed
+feature frame is built once and pinned (one exploded-corpus groupBy,
+map-side combined; ≤(n_features+1) rows per doc). Each iteration is
+one fully-parallel pass over that frame — an equi-join against the
+BROADCAST (|labels|·(n_features+1))-row weight frame, a per-doc
+window argmax, and a misclassification-delta groupBy — ending in a
+collect of at most |labels|·(n_features+1) rows (the model grid,
+never the corpus). The weight vector is the tiny per-round state;
+at 100 TB nothing about this loop changes but the scan time.
+
+Reference provenance: degdb has no ML surface; this implements the
+in-plan model-training leg of the training-pipeline extension
+(SURVEY.md §2.6), companion to operators/nb.py and operators/tree.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.sampling import md5_bucket
+from degdb_spark.operators.text import tokens
+from degdb_spark.persistence import pin
+
+#: hashed feature buckets (tokens hash into 0..N_FEATURES-1; the bias
+#: feature is index N_FEATURES, value 1 for every doc)
+N_FEATURES = 64
+#: fixed perceptron iterations — part of the model definition (the
+#: oracle unrolls exactly this many)
+N_ITERS = 4
+
+
+def hashed_features(
+    docs: DataFrame, label_col: str, test_pct: int, n_features: int
+) -> DataFrame:
+    """(doc_id, actual, split, f, x): md5-bucketed token counts plus
+    the always-present bias row (f = n_features, x = 1) so every doc —
+    even a token-less one — has a scorable feature vector."""
+    split = F.when(md5_bucket("doc_id", 100) < test_pct, "test").otherwise("train")
+    base = docs.select(
+        "doc_id", F.col(label_col).alias("actual"), split.alias("split")
+    )
+    # split/label ride INLINE with the explode (the nb.py trade-off:
+    # re-evaluating the md5 bucket per token occurrence is codegen CPU,
+    # cheaper than shuffling the token frame for a doc-level join back)
+    tokf = (
+        docs.select(
+            "doc_id",
+            F.col(label_col).alias("actual"),
+            split.alias("split"),
+            F.explode(tokens("text")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn("f", md5_bucket("token", n_features).cast("int"))
+        .groupBy("doc_id", "actual", "split", "f")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bias = base.select(
+        "doc_id", "actual", "split",
+        F.lit(n_features).cast("int").alias("f"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return tokf.unionByName(bias)
+
+
+def _predictions(feat: DataFrame, wdf: DataFrame) -> DataFrame:
+    """Per-doc argmax label under a weight frame: score(doc, cand) =
+    Σ_f x·w via one equi-join on f against the broadcast model grid
+    (every doc matches every label through the grid, so zero-score
+    labels are present), tie-break (score desc, cand asc)."""
+    scores = (
+        feat.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id", "actual", "cand")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand"))
+    return (
+        scores.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "actual", F.col("cand").alias("pred"))
+    )
+
+
+def train_predict_linear(
+    docs: DataFrame,
+    label_col: str = "lang",
+    test_pct: int = 20,
+    n_features: int = N_FEATURES,
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """Train the averaged perceptron on the deterministic md5 train
+    split and score the held-out docs; returns the confusion matrix
+    (actual, predicted, n_docs) ordered by both labels."""
+    spark = docs.sparkSession
+    feat = pin(hashed_features(docs, label_col, test_pct, n_features), eager=True)
+    train_feat = feat.filter(F.col("split") == "train")
+    test_feat = feat.filter(F.col("split") == "test")
+
+    labels = sorted(
+        r.actual
+        for r in train_feat.select("actual").distinct().collect()
+    )
+    if not labels:
+        raise ValueError("train_predict_linear: no training documents")
+    grid = [(l, f) for l in labels for f in range(n_features + 1)]
+    w: dict[tuple[str, int], int] = {lf: 0 for lf in grid}
+    w_sum: dict[tuple[str, int], int] = {lf: 0 for lf in grid}
+
+    for _ in range(n_iters):
+        wdf = spark.createDataFrame(
+            [(l, f, w[(l, f)]) for l, f in grid], "cand string, f int, w long"
+        )
+        miscl = _predictions(train_feat, wdf).filter(F.col("pred") != F.col("actual"))
+        deltas = (
+            miscl.select("doc_id", F.col("actual").alias("cand"), F.lit(1).alias("sgn"))
+            .unionByName(
+                miscl.select("doc_id", F.col("pred").alias("cand"), F.lit(-1).alias("sgn"))
+            )
+            .join(train_feat.select("doc_id", "f", "x"), "doc_id")
+            .groupBy("cand", "f")
+            .agg(F.sum(F.col("sgn") * F.col("x")).alias("dw"))
+            .collect()  # ≤ |labels|·(n_features+1) rows — the model grid
+        )
+        for r in deltas:
+            w[(r.cand, r.f)] += int(r.dw)
+        for lf in grid:
+            w_sum[lf] += w[lf]
+
+    wavg = spark.createDataFrame(
+        [(l, f, w_sum[(l, f)]) for l, f in grid], "cand string, f int, w long"
+    )
+    return (
+        _predictions(test_feat, wavg)
+        .groupBy("actual", F.col("pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

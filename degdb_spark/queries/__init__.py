@@ -31,106 +31,87 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-9 window (see module docstring). Composition (50 checked
-#: slots), exactly as planned in the round-8 comment / VERDICT r8
-#: "Next round #1": ALL 37 remaining r4-era rows (the full cohort fits
-#: this round — q5/q6/q10 and the galleries displaced from r8 are
-#: here), plus the surfaces NEW in round 9 (media_video_neardups —
-#: temporal-mean video fingerprint + banded near-dup,
-#: media_avi_frame_extract — the MJPEG-in-AVI container,
-#: media_mp4_frame_extract — the MJPEG-in-MP4 / ISO-BMFF container,
-#: docs_bpe_train — in-plan BPE tokenizer training,
-#: docs_decision_tree — in-plan depth-2 tree training with exact
-#: integer split search, media_mp3_probe — header-walk mp3
-#: metadata without decode, media_audio_tone_probe — DTMF digit
-#: decoding via an energy-gated Goertzel/DFT bank through the G.711
-#: mu-law telephony path, media_scene_cuts — frame-differencing shot
-#: segmentation over MJPEG-MP4 with planted scene boundaries,
-#: docs_naive_bayes — in-plan multinomial NB training with an
-#: integer-micronat cross-engine-exact argmax,
-#: events_autocorrelation — dense-hourly-grid ACF at lags 1..6 with
-#: integer-exact sums, emb_kcenter_selection — greedy k-center
-#: (farthest-point) diversity selection with an unrolled-CTE oracle;
-#: all genuinely new surfaces per the standing
-#: freeze policy), plus the 2 surfaces CHANGED in round 9
-#: (media_gif_frame_extract and media_frame_extract — their operator
-#: extract_video_frames now routes through the single
-#: codecs.decode_video_frames seam that also serves AVI/MP4). The 11
-#: new + 2 changed + 37 r4-era rows fill the window exactly — no
-#: oldest-era fill slots remain this round. (The round-9 pin
-#: migration touched many query files but is mode-identity by
-#: construction — the default knob value still localCheckpoints — and
-#: is covered by the full local oracle sweep + the
-#: test_persistence.py bit-identity properties.)
+#: Round-10 window (see module docstring). Composition (50 checked
+#: slots), exactly as planned in the round-9 comment / VERDICT r9
+#: "Next round #1": the full remaining r5-era cohort in
+#: oldest-first module order EXCEPT its last two rows
+#: (events_cusum_changepoints and docs_proximity_search spill to
+#: round 11 — the three round-10 additions displaced them), plus the
+#: surfaces NEW in round 10 (docs_linear_classifier — in-plan
+#: averaged-perceptron linear classifier, all-integer with an
+#: unrolled-CTE oracle; media_adpcm_decode — IMA ADPCM (WAV format
+#: 0x11) compressed-audio decode through the decode_wav seam;
+#: media_shot_neardups — shot-level video fingerprints composing
+#: scene segmentation with the shared banded near-dup index), plus
+#: the 4 surfaces CHANGED in round 10 (emb_kcenter_selection —
+#: degenerate-input guards; events_autocorrelation — grid-span
+#: guard, count pin, and grid repartition; media_audio_tone_probe
+#: and media_scene_cuts — the strict/quarantine decode seam).
 #:
-#: Round-10 window, planned now so the standing policy stays
-#: executable: the remaining r5-era rows in module order
-#: (emb_knn_label_accuracy, emb_centroid_outliers,
-#: emb_threshold_curve, emb_jl_distortion,
-#: emb_ann_recall, emb_knn_topk, emb_neardup, graph_degree_powerlaw
-#: and docs_source_quota_selection first,
-#: displaced from this window by the round-9 additions, then
-#: docs_token_budget_selection, docs_stratified_sample,
-#: lineitem_quantiles_by_flag, events_ohlc_bars, the media decode
-#: quartet, the docs_* text cohort, basket_ktruss/assortativity/
-#: personalized_pagerank/harmonic_centrality, the events stats
-#: family) + anything that changes in round 10 + oldest r6-era fill
-#: to 50. Overflow evicts oldest-first.
+#: Round-11 window, planned now so the standing policy stays
+#: executable: the 2 spilled r5-era rows (events_cusum_changepoints,
+#: docs_proximity_search) first, then the r6-era cohort in module
+#: order (emb_quantization, emb_threshold_pairs,
+#: emb_centroid_by_label, emb_lsh_knn, graph_degrees,
+#: graph_pagerank_top, graph_components, graph_bfs_from_region,
+#: gremlin_region_members, motif_customer_region,
+#: motif_shared_nation, aggregate_gallery, latest_event_per_user,
+#: docs_train_test_split, …) + anything new/changed in round 11,
+#: overflow evicting newest-fill-first as usual.
 _WINDOW = [
-    # --- the full remaining r4-era cohort (37, registry module order)
-    "q5_local_supplier_volume",
-    "q6_revenue_change",
-    "q10_returned_items",
-    "top_customers_per_nation",
-    "running_order_totals",
-    "rollup_revenue",
-    "nations_set_ops",
-    "scalar_function_gallery",
-    "date_function_gallery",
-    "grouping_sets_revenue",
-    "lineitem_correlations",
-    "lineitem_ols",
-    "orders_benford_audit",
-    "lineitem_snapshot_diff",
-    "orders_kanonymity",
-    "lineitem_ols_by_flag",
-    "lineitem_chi_square",
-    "lineitem_equidepth_bins",
-    "lineitem_psi",
-    "orders_skew_report",
-    "price_percentiles",
-    "regexp_gallery",
-    "window_function_gallery",
-    "moving_average_revenue",
-    "q16_supplier_variety",
-    "q22_dormant_rich_customers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discount_brackets",
-    "events_markov_transitions",
-    "docs_bm25_search",
-    "docs_phrase_search",
-    "parts_linkage_scores",
-    # --- new in round 9 (11)
-    "media_video_neardups",  # NEW r9: video aHash + banded near-dup, pixel oracle
-    "media_avi_frame_extract",  # NEW r9: MJPEG-in-AVI container, quant-exact oracle
-    "media_mp4_frame_extract",  # NEW r9: MJPEG-in-MP4 (ISO-BMFF), shared oracle
-    "media_mp3_probe",  # NEW r9: mp3 header-walk metadata, closed-form oracle
-    "docs_bpe_train",  # NEW r9: in-plan BPE training vs unrolled argmax oracle
-    "docs_decision_tree",  # NEW r9: in-plan tree training, planted-concept recovery
-    "media_audio_tone_probe",  # NEW r9: DTMF via Goertzel bank through G.711 mu-law
-    "media_scene_cuts",  # NEW r9: shot segmentation over MJPEG-MP4, planted cuts
-    "docs_naive_bayes",  # NEW r9: in-plan NB training, micronat-exact argmax
-    "events_autocorrelation",  # NEW r9: dense-grid hourly ACF, integer-exact sums
-    "emb_kcenter_selection",  # NEW r9: greedy k-center diversity selection
-    # --- changed in round 9 (2): extract_video_frames now routes
-    # through codecs.decode_video_frames (the shared GIF/AVI/RAWV seam)
-    "media_gif_frame_extract",
-    "media_frame_extract",
+    # --- r5-era cohort, oldest-first module order (43)
+    "emb_knn_label_accuracy",
+    "emb_centroid_outliers",
+    "emb_threshold_curve",
+    "emb_jl_distortion",
+    "emb_ann_recall",
+    "emb_knn_topk",
+    "emb_neardup",
+    "graph_degree_powerlaw",
+    "docs_source_quota_selection",
+    "docs_token_budget_selection",
+    "docs_stratified_sample",
+    "lineitem_quantiles_by_flag",
+    "events_ohlc_bars",
+    "events_interarrival_quantiles",
+    "events_rolling_wau",
+    "media_frame_sample",
+    "media_image_decode",
+    "media_audio_decode",
+    "media_resize_check",
+    "docs_heaps_law",
+    "docs_contamination_by_source",
+    "docs_novelty_by_source",
+    "docs_langid_confusion",
+    "docs_packing_efficiency",
+    "docs_collocations",
+    "docs_minhash_neardups",
+    "triple_predicate_cooccurrence",
+    "supplier_hhi_by_nation",
+    "orders_pareto_share",
+    "orders_cohort_ltv",
+    "orders_rfm_segments",
+    "basket_ktruss",
+    "basket_assortativity",
+    "basket_personalized_pagerank",
+    "basket_harmonic_centrality",
+    "events_error_seasonality",
+    "events_mix_trend",
+    "events_attribution",
+    "events_ab_test",
+    "events_mann_whitney",
+    "events_ks_test",
+    "events_kaplan_meier",
+    "events_top_paths",
+    # --- new in round 10 (3; media_adpcm_decode and
+    # media_shot_neardups are appended as they land this round)
+    "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
+    "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
+    # --- changed in round 10 (4)
+    "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
+    "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition
+    "media_audio_tone_probe",  # CHANGED r10: strict/quarantine seam
+    "media_scene_cuts",  # CHANGED r10: strict/quarantine seam
 ]
 
 

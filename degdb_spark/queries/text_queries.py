@@ -2127,8 +2127,104 @@ FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
 """
 
 
+def docs_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan averaged-perceptron linear classifier
+    (operators/linear.py): train a lang classifier over md5-hashed
+    bag-of-words features (64 buckets + bias) on the 80% md5 train
+    split for 4 fixed batch iterations, score the held-out 20% with
+    the summed per-iteration weights, return the confusion matrix.
+    The whole model is INTEGER (counts in, ±count updates, BIGINT
+    scores) so the argmax is bit-stable with zero quantization
+    machinery; like docs_naive_bayes the synthetic lang signal is
+    weak — what the oracle certifies is the TRAINER: every weight of
+    every iteration and every tie-break, replayed as unrolled
+    MATERIALIZED CTEs."""
+    from degdb_spark.operators.linear import train_predict_linear
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_predict_linear(docs, label_col="lang", test_pct=20)
+
+
+def _linear_train_sql(n_iters: int = 4, n_features: int = 64) -> str:
+    # every CTE is MATERIALIZED for the same reason as _bpe_train_sql:
+    # plain CTEs re-inline and the w{k} chain would blow up
+    # exponentially. Iteration k scores with w{k-1}, updates by the
+    # misclassification deltas, and wavg sums the post-update weights
+    # of every iteration (the averaged-perceptron estimator).
+    fhash = f"CAST(('0x' || substr(md5(x.token), 1, 8)) AS BIGINT) % {n_features}"
+    parts = [
+        f"""base AS MATERIALIZED (
+  SELECT doc_id, lang AS actual,
+         CASE WHEN {_NB_BUCKET} < 20 THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+feat AS MATERIALIZED (
+  SELECT b.doc_id, b.actual, b.split, {fhash} AS f, COUNT(*) AS x
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) x
+  JOIN base b USING (doc_id)
+  WHERE x.token <> ''
+  GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT doc_id, actual, split, {n_features} AS f, 1 AS x FROM base
+),
+labels AS MATERIALIZED (SELECT DISTINCT actual AS cand FROM base WHERE split = 'train'),
+w0 AS MATERIALIZED (
+  SELECT l.cand, g.f, CAST(0 AS BIGINT) AS w
+  FROM labels l CROSS JOIN (SELECT unnest(generate_series(0, {n_features})) AS f) g
+)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT doc_id, actual, cand AS pred FROM (
+    SELECT ft.doc_id, ft.actual, w.cand, CAST(SUM(ft.x * w.w) AS BIGINT) AS s
+    FROM feat ft JOIN w{k - 1} w ON w.f = ft.f
+    WHERE ft.split = 'train'
+    GROUP BY 1, 2, 3
+  ) QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand) = 1
+),
+u{k} AS MATERIALIZED (
+  SELECT d.cand, ft.f, CAST(SUM(d.sgn * ft.x) AS BIGINT) AS dw
+  FROM (
+    SELECT doc_id, actual AS cand, 1 AS sgn FROM p{k} WHERE pred <> actual
+    UNION ALL
+    SELECT doc_id, pred AS cand, -1 AS sgn FROM p{k} WHERE pred <> actual
+  ) d JOIN feat ft ON ft.doc_id = d.doc_id AND ft.split = 'train'
+  GROUP BY 1, 2
+),
+w{k} AS MATERIALIZED (
+  SELECT w.cand, w.f, w.w + COALESCE(u.dw, 0) AS w
+  FROM w{k - 1} w LEFT JOIN u{k} u ON u.cand = w.cand AND u.f = w.f
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(1, n_iters + 1))
+    parts.append(
+        f"""wavg AS MATERIALIZED (
+  SELECT cand, f, CAST(SUM(w) AS BIGINT) AS w FROM ({union}) GROUP BY cand, f
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT actual, predicted, COUNT(*) AS n_docs FROM (
+  SELECT doc_id, actual, cand AS predicted FROM (
+    SELECT ft.doc_id, ft.actual, w.cand, CAST(SUM(ft.x * w.w) AS BIGINT) AS s
+    FROM feat ft JOIN wavg w ON w.f = ft.f
+    WHERE ft.split = 'test'
+    GROUP BY 1, 2, 3
+  ) QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand) = 1
+) GROUP BY actual, predicted ORDER BY actual, predicted
+"""
+    )
+
+
+LINEAR_SQL = _linear_train_sql()
+
+
 QUERIES: dict[str, Query] = {
     "docs_naive_bayes": Query(docs_naive_bayes, NB_SQL),
+    "docs_linear_classifier": Query(docs_linear_classifier, LINEAR_SQL),
     "docs_dsir_selection": Query(dsir_selection, DSIR_SQL),
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),

@@ -852,3 +852,21 @@ def test_scene_cuts_preserves_partitioning(spark):
     media = M.synthetic_scene_mp4_media(spark, 4)
     plan = _plan(M.video_scene_cuts(media))
     assert "Exchange" not in plan
+
+
+def test_linear_classifier_scoring_broadcasts_weights(spark):
+    """One perceptron pass joins the corpus-sized feature frame against
+    the (|labels|·(n_features+1))-row model grid: that join must be a
+    broadcast (never a shuffle of the corpus onto the model, never a
+    CartesianProduct) and the whole pass stays JVM-side."""
+    from degdb_spark.operators.linear import _predictions, hashed_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feat = hashed_features(docs, "lang", 20, 64)
+    wdf = spark.createDataFrame(
+        [("en", f, 1) for f in range(65)], "cand string, f int, w long"
+    )
+    plan = _plan(_predictions(feat, wdf))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -868,3 +868,133 @@ def test_naive_bayes_matches_python_reference_random(spark, docs):
         for r in train_predict_nb(df, label_col="lang", test_pct=20).collect()
     }
     assert got == expect
+
+
+def _linear_replica(rows, n_features=64, n_iters=4):
+    """Straight-Python replica of operators/linear.py: md5 split, md5
+    feature hashing + bias, batch multi-class perceptron with summed
+    (averaged) weights, (score desc, label asc) argmax. Returns the
+    confusion dict, or raises ValueError on an empty train split."""
+    import hashlib
+
+    def bucket(s, m):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % m
+
+    train = [(d, t, l) for d, t, l in rows if bucket(d, 100) >= 20]
+    test = [(d, t, l) for d, t, l in rows if bucket(d, 100) < 20]
+    labels = sorted({l for _, _, l in train})
+    if not labels:
+        raise ValueError("no training documents")
+
+    def feats(t):
+        fx = {n_features: 1}  # bias
+        for tok in t.strip().lower().split():
+            f = bucket(tok, n_features)
+            fx[f] = fx.get(f, 0) + 1
+        return fx
+
+    fc = {d: feats(t) for d, t, _ in rows}
+    grid = [(l, f) for l in labels for f in range(n_features + 1)]
+    w = {lf: 0 for lf in grid}
+    ws = {lf: 0 for lf in grid}
+    for _ in range(n_iters):
+        deltas = {}
+        for d, _, actual in train:
+            pred = min((-sum(w[(l, f)] * x for f, x in fc[d].items()), l) for l in labels)[1]
+            if pred != actual:
+                for f, x in fc[d].items():
+                    deltas[(actual, f)] = deltas.get((actual, f), 0) + x
+                    deltas[(pred, f)] = deltas.get((pred, f), 0) - x
+        for lf, dv in deltas.items():
+            w[lf] += dv
+        for lf in grid:
+            ws[lf] += w[lf]
+    expect = {}
+    for d, _, actual in test:
+        pred = min((-sum(ws[(l, f)] * x for f, x in fc[d].items()), l) for l in labels)[1]
+        expect[(actual, pred)] = expect.get((actual, pred), 0) + 1
+    return expect
+
+
+def test_linear_classifier_matches_python_reference(spark):
+    """train_predict_linear must equal the straight Python replica —
+    same md5 split, same md5 feature hashing, same batch updates, same
+    averaged-weight scoring and tie-breaks — on a small corpus with a
+    real separable signal plus shared noise tokens."""
+    from degdb_spark.operators.linear import train_predict_linear
+
+    rows = []
+    for i in range(60):
+        lab = "a" if i % 2 == 0 else "b"
+        word = "alpha" if lab == "a" else "bravo"
+        text = " ".join([word] * (1 + i % 3) + ["noise", "shared"])
+        rows.append((i, text, lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in train_predict_linear(df, label_col="lang", test_pct=20).collect()
+    }
+    assert got == _linear_replica(rows)
+    # the planted signal is linearly separable: every prediction correct
+    assert all(a == p for a, p in got)
+
+
+def test_linear_classifier_empty_train_raises(spark):
+    """A corpus whose every doc lands in the test split has nothing to
+    train on — clear ValueError, mirroring the replica."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from degdb_spark.operators.linear import train_predict_linear
+
+    # find doc_ids whose md5 bucket is < 20 (all-test corpus)
+    ids = [i for i in range(200)
+           if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 20][:5]
+    rows = [(i, "some text", "a") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="no training documents"):
+        train_predict_linear(df, label_col="lang", test_pct=20)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["alpha", "bravo", "carol", "delta", "echo"]),
+                max_size=6,
+            ),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_linear_classifier_matches_python_reference_random(spark, docs):
+    """Hypothesis tier for the perceptron: random small corpora —
+    empty documents (bias-only feature vectors), labels absent from
+    the train split, hash collisions, exact score ties, oscillating
+    non-separable updates — must equal the Python replica exactly."""
+    from degdb_spark.operators.linear import train_predict_linear
+
+    rows = [(i, " ".join(toks), lab) for i, (toks, lab) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    try:
+        expect = _linear_replica(rows)
+    except ValueError:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            train_predict_linear(df, label_col="lang", test_pct=20)
+        return
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in train_predict_linear(df, label_col="lang", test_pct=20).collect()
+    }
+    assert got == expect
