@@ -428,12 +428,14 @@ def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE mono bytes → (sample_rate, int16 samples): PCM16
-    (format 1), G.711 A-law (format 6) or G.711 mu-law (format 7),
-    the G.711 variants expanded to int16.
+    (format 1), G.711 A-law (format 6), G.711 mu-law (format 7), or
+    IMA/DVI ADPCM (format 0x11, functions/adpcm.py) — the compressed
+    variants expanded to int16. The ADPCM fact chunk, when present,
+    trims final-block encoder padding to the true sample count.
     Walks RIFF chunks, so extra chunks (LIST etc.) are tolerated."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, sample_rate, samples = 12, None, None
+    pos, sample_rate, samples, fact = 12, None, None, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         if pos + 8 + size > len(data):
@@ -444,22 +446,57 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-            if channels != 1 or (audio_fmt, bits) not in ((1, 16), (6, 8), (7, 8)):
+            if channels != 1 or (audio_fmt, bits) not in (
+                (1, 16), (6, 8), (7, 8), (0x11, 4),
+            ):
                 raise ValueError(
-                    "unsupported WAV variant (need PCM16, A-law or mu-law mono)"
+                    "unsupported WAV variant (need PCM16, A-law, mu-law "
+                    "or IMA ADPCM mono)"
                 )
+        elif cid == b"fact":
+            if size < 4:
+                raise ValueError("WAV fact chunk too small")
+            fact = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             raw = body  # fmt chunk may follow data in odd writers: defer
             samples = raw
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt == 0x11:
+        from degdb_spark.functions import adpcm
+
+        return sample_rate, adpcm.decode_ima_blocks(samples, block_align, fact)
     if audio_fmt == 7:
         return sample_rate, ulaw_decode(np.frombuffer(samples, dtype=np.uint8))
     if audio_fmt == 6:
         return sample_rate, alaw_decode(np.frombuffer(samples, dtype=np.uint8))
     return sample_rate, np.frombuffer(samples, dtype="<i2").astype(np.int16)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 64
+) -> bytes:
+    """int16 samples → mono IMA/DVI ADPCM WAV bytes (format tag 0x11,
+    4 bits/sample, functions/adpcm.py block codec). Writes the fact
+    chunk so decoders trim the final block's padding to the true
+    sample count."""
+    from degdb_spark.functions import adpcm
+
+    if samples.dtype != np.int16 or samples.ndim != 1 or samples.size == 0:
+        raise ValueError("encode_wav_adpcm expects non-empty 1-D int16 samples")
+    data = adpcm.encode_ima_blocks(samples, block_align)
+    spb = adpcm.samples_per_block(block_align)
+    avg_bps = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<4sIHHIIHHHH",
+        b"fmt ", 20, 0x11, 1, sample_rate, avg_bps, block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, samples.size)
+    payload = b"WAVE" + fmt + fact + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(payload)) + payload
 
 
 def wav_size(n_samples: int) -> int:

@@ -362,6 +362,42 @@ def synthetic_dtmf_media(spark: SparkSession, n: int = 40) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+#: slopes exactly representable by one IMA ADPCM code at step index 0
+#: (step 7: code 0 → 0, code 1 → ±1, code 2 → ±3, code 3 → ±4; all
+#: four keep the index clamped at 0), so the planted ramps survive the
+#: lossy codec bit-exactly — the ADPCM analogue of jpeg_exact_pixels
+ADPCM_EXACT_SLOPES = (0, 1, 3, 4, -1, -3, -4)
+
+
+def synthetic_adpcm_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic all-audio media table whose payloads are REAL
+    IMA/DVI ADPCM WAVs (format tag 0x11, functions/adpcm.py): clip i
+    carries 2 + i mod 3 blocks (block_align 64 → 121 samples each);
+    block b is the ramp p0 + j·s with p0 = 40·i + 100·b − 700 and
+    slope s = ADPCM_EXACT_SLOPES[(i + b) mod 7]. Every per-step delta
+    quantizes losslessly at step index 0 and codes 0–3 hold the index
+    at 0, so the encoder's 4-bit stream reconstructs the ramps
+    bit-exactly and a SQL oracle can replay the samples in closed
+    form while the Spark side must run the real block decoder."""
+    from degdb_spark.functions import adpcm
+
+    spb = adpcm.samples_per_block(64)  # 121
+
+    def rows():
+        for i in range(n):
+            sig = []
+            for b in range(2 + i % 3):
+                p0 = 40 * i + 100 * b - 700
+                s = ADPCM_EXACT_SLOPES[(i + b) % 7]
+                sig.extend(p0 + j * s for j in range(spb))
+            samples = np.array(sig, dtype=np.int16)
+            payload = codecs.encode_wav_adpcm(samples, 8000, block_align=64)
+            duration_ms = samples.size * 1000 // 8000
+            yield (i, "audio", bytearray(payload), ("wav", None, None, duration_ms, 8000))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 def dtmf_probe(media: DataFrame, batch_rows: int = 64, strict: bool = False) -> DataFrame:
     """REAL spectral tone analysis: decode the telephony WAV (G.711
     expansion in functions/codecs.py), then detect the dialed DTMF

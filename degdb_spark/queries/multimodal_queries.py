@@ -731,6 +731,45 @@ ORDER BY media_id
 """
 
 
+_N_ADPCM = 40
+
+
+def media_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode verified bit-exactly: IMA/DVI
+    ADPCM WAVs (format tag 0x11 — 4-bit codes, the 89-entry step
+    table, per-block predictor reset; functions/adpcm.py) carrying
+    planted ramps whose slopes quantize losslessly at step index 0
+    (ADPCM_EXACT_SLOPES — the ADPCM analogue of the
+    quantization-exact JPEG blocks) → Arrow batches → real block
+    decode through the shared codecs.decode_wav seam → exact integer
+    sample stats. The oracle replays sample(i, b, j) = 40i + 100b −
+    700 + j·s in closed form, so a hash match certifies the actual
+    nibble/step/clamp machinery, not just the plumbing."""
+    from degdb_spark.operators.multimodal import synthetic_adpcm_media
+
+    media = synthetic_adpcm_media(spark, _N_ADPCM)
+    return audio_sample_stats(media).orderBy("media_id")
+
+
+ADPCM_DECODE_SQL = f"""
+WITH clips AS (SELECT unnest(generate_series(0, {_N_ADPCM - 1})) AS media_id),
+s AS (
+  SELECT c.media_id,
+         (40 * c.media_id + 100 * bs.b - 700)
+         + js.j * (CASE (c.media_id + bs.b) % 7
+                   WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4
+                   WHEN 4 THEN -1 WHEN 5 THEN -3 ELSE -4 END) AS v
+  FROM clips c,
+       LATERAL (SELECT unnest(generate_series(0, 1 + c.media_id % 3)) AS b) bs,
+       LATERAL (SELECT unnest(generate_series(0, 120)) AS j) js
+)
+SELECT media_id, CAST(8000 AS INT) AS sample_rate, COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS sample_min, CAST(MAX(v) AS INT) AS sample_max
+FROM s GROUP BY media_id ORDER BY media_id
+"""
+
+
 _N_DTMF = 40
 
 
@@ -821,6 +860,7 @@ QUERIES: dict[str, Query] = {
     "media_gif_decode": Query(media_gif_decode, GIF_DECODE_SQL),
     "media_gif_frame_extract": Query(media_gif_frame_extract, GIF_FRAMES_SQL),
     "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
+    "media_adpcm_decode": Query(media_adpcm_decode, ADPCM_DECODE_SQL),
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),
 }

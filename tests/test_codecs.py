@@ -1383,3 +1383,174 @@ def test_scene_frames_planted_cut_structure(i, nf, scene_len):
         else:
             # every 8x8 block changes: no zero anywhere in the diff
             assert diff.min() > 0, f
+
+
+# ------------------------------------------------------------ IMA ADPCM
+
+
+def _adpcm_replica_decode(data, block_align):
+    """Straight-line replica of the IMA 1992 decoder recurrence, written
+    independently of functions/adpcm.py's helpers (explicit table walk,
+    no shared _step)."""
+    import struct as _struct
+
+    from degdb_spark.functions.adpcm import INDEX_TABLE, STEP_TABLE
+
+    out = []
+    for off in range(0, len(data), block_align):
+        pred, index, _ = _struct.unpack_from("<hBB", data, off)
+        out.append(pred)
+        for byte in data[off + 4 : off + block_align]:
+            for code in (byte & 0x0F, byte >> 4):
+                step = STEP_TABLE[index]
+                diff = (step >> 3) + (step >> 2) * (code & 1 != 0) \
+                    + (step >> 1) * (code & 2 != 0) + step * (code & 4 != 0)
+                pred = pred + (-diff if code & 8 else diff)
+                pred = min(32767, max(-32768, pred))
+                index = min(88, max(0, index + INDEX_TABLE[code & 7]))
+                out.append(pred)
+    return out
+
+
+def test_adpcm_planted_ramps_bit_exact():
+    """Ramps whose slopes quantize losslessly at step index 0 (the
+    media_adpcm_decode fixture arithmetic) survive the lossy 4-bit
+    codec bit-exactly — the ADPCM analogue of jpeg_exact_pixels."""
+    import numpy as np
+
+    from degdb_spark.functions import adpcm
+
+    spb = adpcm.samples_per_block(64)
+    assert spb == 121
+    sig = []
+    for b in range(5):
+        p0 = 100 * b - 200
+        s = (0, 1, 3, 4, -1, -3, -4)[b % 7]
+        sig.extend(p0 + j * s for j in range(spb))
+    sig = np.array(sig, dtype=np.int16)
+    wav = C.encode_wav_adpcm(sig, 8000, 64)
+    rate, out = C.decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(out, sig)
+
+
+def test_adpcm_decode_matches_replica_on_random_blocks():
+    """The decoder must equal the independent spec replica on random
+    nibble streams — full step-table dynamics, both clamps, the index
+    walk; nothing here came from an encoder."""
+    import random
+    import struct as _struct
+
+    import numpy as np
+
+    rng = random.Random(20260816)
+    for _ in range(20):
+        block_align = rng.choice([8, 16, 64])
+        n_blocks = rng.randint(1, 4)
+        data = b""
+        for _b in range(n_blocks):
+            header = _struct.pack(
+                "<hBB", rng.randint(-32768, 32767), rng.randint(0, 88), 0
+            )
+            data += header + bytes(
+                rng.randint(0, 255) for _ in range(block_align - 4)
+            )
+        from degdb_spark.functions import adpcm
+
+        got = adpcm.decode_ima_blocks(data, block_align)
+        assert got.tolist() == [
+            int(np.int16(v)) for v in _adpcm_replica_decode(data, block_align)
+        ]
+
+
+def test_adpcm_encode_decode_tracks_arbitrary_signal():
+    """Lossy round trip on an arbitrary smooth signal: same length
+    (fact-trimmed), high correlation, and the first sample of every
+    block is EXACT (the header predictor re-seed)."""
+    import numpy as np
+
+    from degdb_spark.functions import adpcm
+
+    rng = np.random.default_rng(42)
+    t = np.arange(1000)
+    x = (6000 * np.sin(t / 23) + rng.normal(0, 300, t.size)).astype(np.int16)
+    wav = C.encode_wav_adpcm(x, 16000, 64)
+    rate, y = C.decode_wav(wav)
+    assert rate == 16000 and y.size == x.size
+    assert np.corrcoef(x.astype(float), y.astype(float))[0, 1] > 0.95
+    spb = adpcm.samples_per_block(64)
+    assert all(int(y[k]) == int(x[k]) for k in range(0, x.size, spb))
+
+
+def test_adpcm_fact_chunk_trims_final_block_padding():
+    """A sample count that is not a whole number of blocks decodes to
+    exactly that count (fact chunk), not the padded block size."""
+    import numpy as np
+
+    x = np.arange(130, dtype=np.int16)
+    rate, y = C.decode_wav(C.encode_wav_adpcm(x, 8000, 64))
+    assert y.size == 130
+    assert np.array_equal(y, x)
+
+
+def test_adpcm_truncation_always_valueerror():
+    """Error contract: every truncation point of an ADPCM WAV raises
+    ValueError or (trailer-only cuts) still decodes the COMPLETE
+    signal — a short data chunk never silently drops samples."""
+    import numpy as np
+
+    x = (np.arange(400, dtype=np.int64) * 7 % 4096 - 2048).astype(np.int16)
+    wav = C.encode_wav_adpcm(x, 8000, 64)
+    rate, full = C.decode_wav(wav)
+    for cut in range(len(wav)):
+        try:
+            _, out = C.decode_wav(wav[:cut])
+            assert out.size == full.size and np.array_equal(out, full)
+        except ValueError:
+            pass  # the contract
+
+
+def test_adpcm_malformed_inputs_raise():
+    """Structural guards: tiny block_align, partial blocks, and an
+    out-of-range header step index all raise ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from degdb_spark.functions import adpcm
+
+    with _pytest.raises(ValueError, match="block_align"):
+        adpcm.decode_ima_blocks(b"\x00" * 8, 4)
+    with _pytest.raises(ValueError, match="whole number"):
+        adpcm.decode_ima_blocks(b"\x00" * 13, 8)
+    bad = b"\x00\x00\x59\x00" + b"\x00" * 4  # index 89 > 88
+    with _pytest.raises(ValueError, match="step index"):
+        adpcm.decode_ima_blocks(bad, 8)
+    with _pytest.raises(ValueError, match="int16"):
+        adpcm.encode_ima_blocks(np.zeros(0, dtype=np.int16))
+    with _pytest.raises(ValueError, match="fact chunk claims"):
+        # fact larger than the decodable sample count
+        wav = C.encode_wav_adpcm(np.arange(10, dtype=np.int16), 8000, 8)
+        C.decode_wav(wav.replace(b"fact\x04\x00\x00\x00\x0a", b"fact\x04\x00\x00\x00\xff"))
+
+
+def test_adpcm_feeds_the_shared_decode_wav_seam():
+    """The one-seam payoff: an ADPCM payload flows through the SAME
+    decode_wav used by stats/features/DTMF. A planted DTMF dial
+    re-encoded through the 4-bit codec still decodes to its digit
+    string, and extract-style features equal those of the PCM16
+    re-encoding of the identical decoded samples."""
+    import numpy as np
+
+    from degdb_spark.functions import dsp
+
+    digits = [3, 1, 4, 1, 5]
+    s = dsp.synth_dtmf(digits, sample_rate=8000)
+    rate, out = C.decode_wav(C.encode_wav_adpcm(s, 8000, 64))
+    assert dsp.detect_dtmf(out, rate) == "31415"
+
+    from degdb_spark.operators.multimodal import decode_features
+
+    adpcm_wav = C.encode_wav_adpcm(s, 8000, 64)
+    _, decoded = C.decode_wav(adpcm_wav)
+    pcm_twin = C.encode_wav(decoded, 8000)
+    assert np.array_equal(decode_features(adpcm_wav), decode_features(pcm_twin))
