@@ -193,6 +193,7 @@ HEADLINE = [
     # compressed-audio decode, shot-level video fingerprints)
     "docs_linear_classifier",
     "media_adpcm_decode",
+    "media_shot_neardups",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

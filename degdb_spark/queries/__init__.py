@@ -107,6 +107,7 @@ _WINDOW = [
     # media_shot_neardups are appended as they land this round)
     "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
     "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
+    "media_shot_neardups",  # NEW r10: shot-level video near-dup, trim-robust
     # --- changed in round 10 (4)
     "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
     "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition

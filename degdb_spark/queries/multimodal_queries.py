@@ -635,6 +635,91 @@ ORDER BY id_a, id_b
 """
 
 
+_N_SHOT = 24
+
+
+def media_shot_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-level video near-dup (VERDICT r9 "Next round" #4,
+    composing the two round-9 pieces): MJPEG-MP4 clips are decoded
+    through the shared container seam, segmented at hard cuts with
+    the SAME detector as media_scene_cuts, each shot aHashed over its
+    temporally-summed frames into the shared (b0..b3) band layout,
+    and videos pair by matched-shot overlap (banded candidates →
+    hamming ≤ 16 per shot → ≥ 2 shared shots per video pair). The
+    fixture plants prefix-TRIM pairs — clip 2g+1 is clip 2g minus its
+    first scene — which the whole-video temporal-mean hash
+    (media_video_neardups) misses by construction; here the surviving
+    shots still collide, so every planted pair (and nothing else)
+    reports near_dup = 1. The oracle replays the per-scene pixel
+    arithmetic, the full aHash, the banded join, the hamming rerank,
+    and the overlap counts in integer SQL."""
+    from degdb_spark.operators.multimodal import (
+        shot_overlap_neardups,
+        synthetic_shot_media,
+        video_shot_fingerprints,
+    )
+
+    media = synthetic_shot_media(spark, _N_SHOT)
+    return shot_overlap_neardups(video_shot_fingerprints(media))
+
+
+SHOT_NEARDUP_SQL = f"""
+WITH clips AS (
+  SELECT i, i // 2 AS g, i % 2 AS s0,
+         3 + (i // 2) % 2 AS n_scenes,
+         64 + ((i // 2) % 3) * 16 AS w,
+         56 + ((i // 2) % 2) * 16 AS h
+  FROM generate_series(0, {_N_SHOT - 1}) t(i)
+),
+px AS (
+  -- ONE frame per scene: the aHash threshold (block*64 > total) is
+  -- scale-invariant in the frame count, so the 2-frame temporal sum
+  -- hashes identically to a single frame
+  SELECT c.i, ss.s - c.s0 AS shot_idx,
+         (ys.y // (c.h // 8)) * 8 + (xs.x // (c.w // 8)) AS j,
+         3 * 2 * (((11 + 6 * ((ss.s + c.g) % 5)) * (xs.x // 8)
+                 + (13 + 6 * ((2 * ss.s + c.g) % 3)) * (ys.y // 8)
+                 + 7 * c.g + 29 * ss.s) % 128) AS gs
+  FROM clips c,
+       LATERAL (SELECT unnest(generate_series(c.s0, c.n_scenes - 1)) AS s) ss,
+       LATERAL (SELECT unnest(generate_series(0, c.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, c.h - 1)) AS y) ys
+),
+blocks AS (SELECT i, shot_idx, j, SUM(gs) AS bs FROM px GROUP BY 1, 2, 3),
+totals AS (SELECT i, shot_idx, SUM(bs) AS tot FROM blocks GROUP BY 1, 2),
+bands AS (
+  SELECT b.i, b.shot_idx, CAST(j // 16 AS INT) AS band_idx,
+         CAST(SUM(CASE WHEN bs * 64 > tot THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS val
+  FROM blocks b JOIN totals t ON t.i = b.i AND t.shot_idx = b.shot_idx
+  GROUP BY b.i, b.shot_idx, j // 16
+),
+hsh AS (
+  SELECT i, shot_idx,
+         MAX(CASE WHEN band_idx = 0 THEN val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN val END) AS b3
+  FROM bands GROUP BY i, shot_idx
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, a.shot_idx AS sa, b.i AS id_b, b.shot_idx AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.i < b.i
+),
+matched AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN hsh ha ON ha.i = cand.id_a AND ha.shot_idx = cand.sa
+  JOIN hsh hb ON hb.i = cand.id_b AND hb.shot_idx = cand.sb
+  WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 16
+)
+SELECT id_a, id_b, COUNT(*) AS n_shared,
+       CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS near_dup
+FROM matched GROUP BY id_a, id_b ORDER BY id_a, id_b
+"""
+
+
 _N_AVI = 33
 
 
@@ -847,6 +932,7 @@ QUERIES: dict[str, Query] = {
     "media_audio_tone_probe": Query(media_audio_tone_probe, TONE_PROBE_SQL),
     "media_scene_cuts": Query(media_scene_cuts, SCENE_CUTS_SQL),
     "media_video_neardups": Query(media_video_neardups, VIDEO_NEARDUP_SQL),
+    "media_shot_neardups": Query(media_shot_neardups, SHOT_NEARDUP_SQL),
     "media_avi_frame_extract": Query(media_avi_frame_extract, AVI_FRAMES_SQL),
     "media_mp4_frame_extract": Query(media_mp4_frame_extract, MP4_FRAMES_SQL),
     "media_mp3_probe": Query(media_mp3_probe, MP3_PROBE_SQL),

@@ -113,3 +113,76 @@ def _ahash_index_step(
     pairs = incremental_banded_neardup_pairs(new_hashes, old_hashes)
     pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
     new_hashes.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+
+_SHOT_INDEX_SCHEMA = (
+    "media_id long, shot_idx int, n_frames int, b0 long, b1 long, b2 long, b3 long"
+)
+
+
+def shot_index_stream(
+    media: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+):
+    """Maintain the SHOT-level fingerprint index + incremental
+    video-pair emissions from a video stream — the trim-robust twin
+    of ahash_index_stream(kind="video"): each micro-batch decodes only
+    its own payloads, segments them at hard cuts, and lands one
+    (media_id, shot_idx, b0..b3) row per shot in its own ``batch=N``
+    partition. Video pairs touching the batch are derived from the
+    index alone (incremental_shot_neardups): a video's shots all land
+    in one batch, so every matched-shot pair of a video pair whose
+    later member is new has a new side — the per-batch emissions
+    union to exactly the full-corpus shot_overlap_neardups set, each
+    video pair once. Historical payloads are never re-decoded; old
+    videos participate through ~40 bytes per shot. Same replay
+    contract as every index twin (batch id = partition key, overwrite
+    on retry converges)."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        _shot_index_step(batch, int(batch_id), index_path, pairs_path)
+
+    return (
+        media.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _shot_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+) -> None:
+    """One micro-batch, module-level so the replay contract is
+    directly testable (the span/ANN/aHash twins' convention)."""
+    from degdb_spark.operators.multimodal import (
+        incremental_shot_neardups,
+        video_shot_fingerprints,
+    )
+
+    spark = batch.sparkSession
+    new_shots = video_shot_fingerprints(batch).transform(pin, eager=True)
+
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    if has_committed_parquet(spark, index_path):
+        # EXPLICIT schema for the same crashed-first-write reason as
+        # _ahash_index_step
+        old_shots = (
+            spark.read.schema(_SHOT_INDEX_SCHEMA + ", batch int")
+            .option("basePath", index_path)
+            .parquet(index_path)
+            .filter(F.col("batch") < F.lit(batch_id))
+            .select("media_id", "shot_idx", "n_frames", "b0", "b1", "b2", "b3")
+        )
+    else:  # genuinely the first batch
+        old_shots = spark.createDataFrame([], _SHOT_INDEX_SCHEMA)
+
+    pairs = incremental_shot_neardups(new_shots, old_shots)
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+    new_shots.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")

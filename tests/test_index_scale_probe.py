@@ -487,3 +487,34 @@ def test_nb_rescore_after_corpus_deletion(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_shot_index_increment_after_corpus_deletion(spark, tmp_path):
+    """The eleventh index lifecycle (shot-level video fingerprints):
+    build the shot index from batch 0's clips, DELETE batch 0's media
+    files, then increment with the planted trim twins — the pairs must
+    still surface every cross-batch trim pair, proving historical
+    video payloads are never re-decoded (old clips participate through
+    ~40 index bytes per shot)."""
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import _shot_index_step
+
+    media = M.synthetic_shot_media(spark, 12)
+    # batch 0: the even (full) clips; batch 1: the odd (trimmed) twins
+    b0_dir = str(tmp_path / "shots_b0.parquet")
+    media.filter(F.col("media_id") % 2 == 0).write.parquet(b0_dir)
+    index_path = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    _shot_index_step(spark.read.parquet(b0_dir), 0, index_path, pairs_path)
+
+    shutil.rmtree(b0_dir)  # old payloads GONE — the increment can't read them
+
+    b1 = media.filter(F.col("media_id") % 2 == 1)
+    _shot_index_step(b1, 1, index_path, pairs_path)
+
+    all_pairs = spark.read.option("basePath", pairs_path).parquet(pairs_path)
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in all_pairs.filter("near_dup = 1 and batch = 1").collect()
+    }
+    assert got == {(2 * g, 2 * g + 1): 2 + g % 2 for g in range(6)}

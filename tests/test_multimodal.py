@@ -767,3 +767,112 @@ def test_scene_cuts_quarantine_bad_payload(spark):
     assert out[1] == (-1, -1, -1, -1, -1)
     with pytest.raises(Exception):
         M.video_scene_cuts(df, strict=True).collect()
+
+
+# ------------------------------------------------------- shot near-dups
+
+
+def test_shot_fixture_boundaries_are_hard_cuts():
+    """Deterministic pin of the fixture guarantee shot_scene_frame's
+    docstring points here: over the WHOLE synthetic_shot_media grid
+    (24 clips), every adjacent-scene mean |diff| exceeds the cut
+    threshold 8, no two scenes of a clip share an aHash, and frames
+    within a scene are identical by construction."""
+    import numpy as np
+
+    for i in range(24):
+        g, s0 = i // 2, i % 2
+        n_scenes = 3 + g % 2
+        w, h = 64 + (g % 3) * 16, 56 + (g % 2) * 16
+        prev, hashes = None, []
+        for s in range(s0, n_scenes):
+            fr = M.shot_scene_frame(g, w, h, s)
+            if prev is not None:
+                d = np.abs(fr.astype(np.int32) - prev.astype(np.int32)).mean()
+                assert d > 8, (i, s, d)
+            prev = fr
+            hashes.append(tuple(M._grid_bands(fr.sum(axis=2, dtype=np.int64))))
+        assert len(set(hashes)) == len(hashes), i
+
+
+def test_shot_fingerprints_trim_invariance(spark):
+    """The planted prefix-trim twin: the trimmed clip's shot k must
+    carry the SAME fingerprint as its source's shot k+1 (the shots
+    that survive a trim keep their hashes — the property the
+    whole-video temporal-mean hash lacks)."""
+    media = M.synthetic_shot_media(spark, 8)
+    shots = {
+        (r.media_id, r.shot_idx): (r.b0, r.b1, r.b2, r.b3, r.n_frames)
+        for r in M.video_shot_fingerprints(media).collect()
+    }
+    for g in range(4):
+        n_scenes = 3 + g % 2
+        full, trimmed = 2 * g, 2 * g + 1
+        n_full = sum(1 for k in shots if k[0] == full)
+        n_trim = sum(1 for k in shots if k[0] == trimmed)
+        assert (n_full, n_trim) == (n_scenes, n_scenes - 1)
+        for k in range(n_trim):
+            assert shots[(trimmed, k)] == shots[(full, k + 1)], (g, k)
+
+
+def test_shot_overlap_pairs_exactly_the_planted_trims(spark):
+    """Video-level shot overlap flags every planted trim pair as a
+    near-dup (n_shared = surviving scene count) and NOTHING else —
+    the whole-video temporal-mean hash (video_ahash) pairs none of
+    them, demonstrating the trim-fragility the shot path fixes."""
+    media = M.synthetic_shot_media(spark, 12)
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.near_dup)
+        for r in M.shot_overlap_neardups(M.video_shot_fingerprints(media)).collect()
+    }
+    want = {(2 * g, 2 * g + 1): (2 + g % 2, 1) for g in range(6)}
+    assert got == want
+    # contrast: the whole-video temporal-mean hash is trim-fragile —
+    # it misses MOST of the planted pairs (a trimmed clip averages to
+    # a different hash; one pair may still land inside hamming 16 by
+    # coincidence), while the shot path above catches all six
+    whole = M.banded_neardup_pairs(M.video_ahash(media))
+    whole_pairs = {
+        (r.id_a, r.id_b) for r in whole.collect() if r.near_dup == 1
+    }
+    assert len(whole_pairs & set(want)) < len(want) / 2, whole_pairs
+
+
+def test_shot_fingerprints_quarantine_bad_payload(spark):
+    """The strict/quarantine seam mirrors the other media operators:
+    a malformed payload yields one all−1 sentinel row by default and
+    raises under strict=True."""
+    from pyspark.sql import Row
+
+    good = M.synthetic_shot_media(spark, 2).select("media_id", "kind", "payload")
+    bad = spark.createDataFrame(
+        [Row(media_id=99, kind="video", payload=bytearray(b"\x00\x01not-a-video"))],
+        "media_id long, kind string, payload binary",
+    )
+    table = good.unionByName(bad)
+    rows = M.video_shot_fingerprints(table).collect()
+    sentinel = [r for r in rows if r.media_id == 99]
+    assert len(sentinel) == 1
+    assert tuple(sentinel[0])[1:] == (-1, -1, -1, -1, -1, -1)
+    assert sum(1 for r in rows if r.media_id != 99) == 3 + 2  # scenes of clips 0,1
+    with pytest.raises(Exception):
+        M.video_shot_fingerprints(table, strict=True).collect()
+
+
+def test_incremental_shot_neardups_union_matches_full(spark):
+    """Streaming-increment contract: splitting the corpus into two
+    batches and unioning the per-batch emissions (new×new + new×old)
+    reproduces exactly the full-corpus shot_overlap_neardups result,
+    with no pair emitted twice."""
+    media = M.synthetic_shot_media(spark, 12)
+    shots = M.video_shot_fingerprints(media)
+    full = {tuple(r) for r in M.shot_overlap_neardups(shots).collect()}
+    first = shots.filter(F.col("media_id") < 6)
+    second = shots.filter(F.col("media_id") >= 6)
+    empty = spark.createDataFrame(
+        [], "media_id long, shot_idx int, n_frames int, b0 long, b1 long, b2 long, b3 long"
+    )
+    e1 = {tuple(r) for r in M.incremental_shot_neardups(first, empty).collect()}
+    e2 = {tuple(r) for r in M.incremental_shot_neardups(second, first).collect()}
+    assert e1 | e2 == full
+    assert not (e1 & e2)

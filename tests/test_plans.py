@@ -870,3 +870,26 @@ def test_linear_classifier_scoring_broadcasts_weights(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shot_fingerprints_preserve_partitioning(spark):
+    """Shot fingerprinting is a pure per-payload map — no Exchange in
+    the operator's plan, like the other decode operators."""
+    from degdb_spark.operators import multimodal as M
+
+    media = M.synthetic_shot_media(spark, 4)
+    plan = _plan(M.video_shot_fingerprints(media))
+    assert "Exchange" not in plan
+
+
+def test_shot_overlap_is_banded_equijoin(spark):
+    """The video-pair derivation joins shots only through the banded
+    equi-join (16-bit band keys) and hash equi-joins for the rerank —
+    never a CartesianProduct, never a Python eval node."""
+    from degdb_spark.operators import multimodal as M
+
+    media = M.synthetic_shot_media(spark, 4)
+    shots = M.video_shot_fingerprints(media)
+    plan = _plan(M.shot_overlap_neardups(shots))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
