@@ -114,8 +114,24 @@ def train_predict_linear(
     """Train the averaged perceptron on the deterministic md5 train
     split and score the held-out docs; returns the confusion matrix
     (actual, predicted, n_docs) ordered by both labels."""
-    spark = docs.sparkSession
-    feat = pin(hashed_features(docs, label_col, test_pct, n_features), eager=True)
+    return train_predict_from_features(
+        hashed_features(docs, label_col, test_pct, n_features),
+        n_features=n_features,
+        n_iters=n_iters,
+    )
+
+
+def train_predict_from_features(
+    feat: DataFrame, n_features: int = N_FEATURES, n_iters: int = N_ITERS
+) -> DataFrame:
+    """The training loop over a (doc_id, actual, split, f, x) hashed
+    feature frame. The frame is a per-doc PROJECTION of the corpus
+    (≤(n_features+1) small integers per doc vs kilobytes of text), so
+    it can equally come from hashed_features over the live corpus OR
+    from the streamed feature index (streaming/linfeat.py) — training
+    from the index alone never re-reads a historical document."""
+    spark = feat.sparkSession
+    feat = pin(feat, eager=True)
     train_feat = feat.filter(F.col("split") == "train")
     test_feat = feat.filter(F.col("split") == "test")
 

@@ -518,3 +518,40 @@ def test_shot_index_increment_after_corpus_deletion(spark, tmp_path):
         for r in all_pairs.filter("near_dup = 1 and batch = 1").collect()
     }
     assert got == {(2 * g, 2 * g + 1): 2 + g % 2 for g in range(6)}
+
+
+def test_linear_retrain_after_corpus_deletion(spark, tmp_path):
+    """The twelfth index lifecycle (linear-classifier hashed
+    features): build the feature index from streamed batches, DELETE
+    every source document, then retrain — the confusion matrix must
+    equal the full-corpus training run, proving the iterative trainer
+    reads only the per-doc feature projection and never a historical
+    document (they no longer exist)."""
+    from degdb_spark.operators.linear import (
+        train_predict_from_features,
+        train_predict_linear,
+    )
+    from degdb_spark.streaming.linfeat import _linfeat_index_step, merged_features
+
+    rows = []
+    for i in range(40):
+        lab = ("a", "b", "c")[i % 3]
+        word = {"a": "alpha", "b": "bravo", "c": "carol"}[lab]
+        rows.append((i, " ".join([word] * (1 + i % 3) + ["shared"]), lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    want = [tuple(r) for r in train_predict_linear(docs).collect()]
+
+    docs_dir = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_dir)
+    idx = str(tmp_path / "idx")
+    stored = spark.read.parquet(docs_dir)
+    _linfeat_index_step(stored.filter("doc_id < 20"), 0, idx)
+    _linfeat_index_step(stored.filter("doc_id >= 20"), 1, idx)
+
+    shutil.rmtree(docs_dir)  # the corpus is GONE
+
+    got = [
+        tuple(r)
+        for r in train_predict_from_features(merged_features(spark, idx)).collect()
+    ]
+    assert got == want

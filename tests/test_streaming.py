@@ -1583,3 +1583,68 @@ def test_shot_index_stream_equals_full_pairs(spark, tmp_path):
         .collect()
     }
     assert again == full
+
+
+def test_linfeat_index_stream_retrains_exactly(spark, tmp_path):
+    """The linear-classifier feature index twin: documents stream in
+    three batches; training from the merged feature index alone equals
+    the full-corpus train_predict_linear confusion matrix — the hashed
+    feature frame is a lossless per-doc projection, so the iterative
+    trainer needs nothing else."""
+    from degdb_spark.operators.linear import (
+        train_predict_from_features,
+        train_predict_linear,
+    )
+    from degdb_spark.streaming.linfeat import linfeat_index_stream, merged_features
+
+    rows = []
+    for i in range(40):
+        lab = ("a", "b", "c")[i % 3]
+        word = {"a": "alpha", "b": "bravo", "c": "carol"}[lab]
+        rows.append((i, " ".join([word] * (1 + i % 3) + ["shared"]), lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    want = [tuple(r) for r in train_predict_linear(docs).collect()]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+            str(src / f"b{b}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = linfeat_index_stream(stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in train_predict_from_features(
+            merged_features(spark, str(tmp_path / "idx"))
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_linfeat_index_step_replay_idempotent(spark, tmp_path):
+    """A crashed-and-retried micro-batch overwrites its feature
+    partition with identical rows — the merged frame is unchanged."""
+    from degdb_spark.streaming.linfeat import _linfeat_index_step, merged_features
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha", ("a", "b")[i % 2]) for i in range(14)],
+        "doc_id long, text string, lang string",
+    )
+    idx = str(tmp_path / "idx")
+    _linfeat_index_step(docs.filter("doc_id < 7"), 0, idx)
+    _linfeat_index_step(docs.filter("doc_id >= 7"), 1, idx)
+
+    def snap():
+        return sorted(tuple(r) for r in merged_features(spark, idx).collect())
+
+    before = snap()
+    _linfeat_index_step(docs.filter("doc_id >= 7"), 1, idx)  # replay
+    assert snap() == before
