@@ -194,6 +194,7 @@ HEADLINE = [
     "docs_linear_classifier",
     "media_adpcm_decode",
     "media_shot_neardups",
+    "media_stereo_decode",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

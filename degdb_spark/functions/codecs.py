@@ -427,11 +427,17 @@ def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE mono bytes → (sample_rate, int16 samples): PCM16
+    """RIFF/WAVE bytes → (sample_rate, int16 MONO samples): PCM16
     (format 1), G.711 A-law (format 6), G.711 mu-law (format 7), or
     IMA/DVI ADPCM (format 0x11, functions/adpcm.py) — the compressed
     variants expanded to int16. The ADPCM fact chunk, when present,
     trims final-block encoder padding to the true sample count.
+
+    Stereo PCM16/G.711 is DOWNMIXED to mono as floor((L+R)/2) — the
+    exact int16-safe average (documented floor: −3//2 = −2), so every
+    downstream operator (stats, features, DTMF, fingerprints) ingests
+    2-channel files without a separate path. Stereo IMA ADPCM (two
+    interleaved 4-byte-word streams) stays a named ValueError gate.
     Walks RIFF chunks, so extra chunks (LIST etc.) are tolerated."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -448,13 +454,18 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
-            if channels != 1 or (audio_fmt, bits) not in (
-                (1, 16), (6, 8), (7, 8), (0x11, 4),
-            ):
+            if (audio_fmt, bits) not in ((1, 16), (6, 8), (7, 8), (0x11, 4)):
                 raise ValueError(
                     "unsupported WAV variant (need PCM16, A-law, mu-law "
-                    "or IMA ADPCM mono)"
+                    "or IMA ADPCM)"
                 )
+            if channels == 2 and audio_fmt == 0x11:
+                raise ValueError(
+                    "stereo IMA ADPCM (interleaved per-channel word "
+                    "streams) is not supported — mono only"
+                )
+            if channels not in (1, 2):
+                raise ValueError(f"unsupported WAV channel count {channels}")
         elif cid == b"fact":
             if size < 4:
                 raise ValueError("WAV fact chunk too small")
@@ -470,10 +481,38 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
         return sample_rate, adpcm.decode_ima_blocks(samples, block_align, fact)
     if audio_fmt == 7:
-        return sample_rate, ulaw_decode(np.frombuffer(samples, dtype=np.uint8))
-    if audio_fmt == 6:
-        return sample_rate, alaw_decode(np.frombuffer(samples, dtype=np.uint8))
-    return sample_rate, np.frombuffer(samples, dtype="<i2").astype(np.int16)
+        s = ulaw_decode(np.frombuffer(samples, dtype=np.uint8))
+    elif audio_fmt == 6:
+        s = alaw_decode(np.frombuffer(samples, dtype=np.uint8))
+    else:
+        s = np.frombuffer(samples, dtype="<i2").astype(np.int16)
+    if channels == 2:
+        if s.size % 2:
+            raise ValueError("stereo WAV data holds a half frame (truncated)")
+        # floor average in int32 space: int16 + int16 cannot overflow
+        mix = (s[0::2].astype(np.int32) + s[1::2].astype(np.int32)) // 2
+        return sample_rate, mix.astype(np.int16)
+    return sample_rate, s
+
+
+def encode_wav_stereo(
+    left: np.ndarray, right: np.ndarray, sample_rate: int
+) -> bytes:
+    """Two int16 channels → interleaved stereo PCM16 WAV bytes (the
+    fixture twin for the stereo downmix path)."""
+    if (
+        left.dtype != np.int16 or right.dtype != np.int16
+        or left.ndim != 1 or left.shape != right.shape
+    ):
+        raise ValueError("encode_wav_stereo expects two equal-length 1-D int16 arrays")
+    inter = np.empty(left.size * 2, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    data = inter.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 2, sample_rate, sample_rate * 4, 4, 16
+    )
+    payload = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(payload)) + payload
 
 
 def encode_wav_adpcm(

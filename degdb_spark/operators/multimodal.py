@@ -398,6 +398,28 @@ def synthetic_adpcm_media(spark: SparkSession, n: int = 40) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_stereo_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic all-audio media table of REAL interleaved-stereo
+    PCM16 WAVs: clip i carries n = 400 + 40·(i mod 5) frames with
+    L(t) = 2·(((t·(i+3)) mod 2048) − 1024) and
+    R(t) = 2·(((t·(i+5)) mod 2048) − 1024). Both channels are EVEN,
+    so the decode_wav downmix floor((L+R)/2) is the exact integer
+    (((t·(i+3)) mod 2048) − 1024) + (((t·(i+5)) mod 2048) − 1024) —
+    the oracle replays it with no floor-semantics surface while the
+    Spark side must run the real de-interleave + downmix."""
+
+    def rows():
+        for i in range(n):
+            t = np.arange(400 + 40 * (i % 5), dtype=np.int64)
+            left = (2 * ((t * (i + 3)) % 2048 - 1024)).astype(np.int16)
+            right = (2 * ((t * (i + 5)) % 2048 - 1024)).astype(np.int16)
+            payload = codecs.encode_wav_stereo(left, right, 16000)
+            duration_ms = t.size * 1000 // 16000
+            yield (i, "audio", bytearray(payload), ("wav", None, None, duration_ms, 16000))
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 def dtmf_probe(media: DataFrame, batch_rows: int = 64, strict: bool = False) -> DataFrame:
     """REAL spectral tone analysis: decode the telephony WAV (G.711
     expansion in functions/codecs.py), then detect the dialed DTMF

@@ -34,24 +34,28 @@ class Query(NamedTuple):
 #: Round-10 window (see module docstring). Composition (50 checked
 #: slots), exactly as planned in the round-9 comment / VERDICT r9
 #: "Next round #1": the full remaining r5-era cohort in
-#: oldest-first module order EXCEPT its last two rows
-#: (events_cusum_changepoints and docs_proximity_search spill to
-#: round 11 — the three round-10 additions displaced them), plus the
-#: surfaces NEW in round 10 (docs_linear_classifier — in-plan
-#: averaged-perceptron linear classifier, all-integer with an
-#: unrolled-CTE oracle; media_adpcm_decode — IMA ADPCM (WAV format
-#: 0x11) compressed-audio decode through the decode_wav seam;
+#: oldest-first module order EXCEPT its last three rows
+#: (events_cusum_changepoints, docs_proximity_search and — evicted
+#: newest-fill-first when media_stereo_decode landed —
+#: events_top_paths spill to round 11; the four round-10 additions
+#: displaced them), plus the surfaces NEW in round 10
+#: (docs_linear_classifier — in-plan averaged-perceptron linear
+#: classifier, all-integer with an unrolled-CTE oracle;
+#: media_adpcm_decode — IMA ADPCM (WAV format 0x11)
+#: compressed-audio decode through the decode_wav seam;
 #: media_shot_neardups — shot-level video fingerprints composing
-#: scene segmentation with the shared banded near-dup index), plus
+#: scene segmentation with the shared banded near-dup index;
+#: media_stereo_decode — interleaved-stereo PCM16 ingestion with the
+#: exact floor((L+R)/2) downmix in the decode_wav seam), plus
 #: the 4 surfaces CHANGED in round 10 (emb_kcenter_selection —
 #: degenerate-input guards; events_autocorrelation — grid-span
 #: guard, count pin, and grid repartition; media_audio_tone_probe
 #: and media_scene_cuts — the strict/quarantine decode seam).
 #:
 #: Round-11 window, planned now so the standing policy stays
-#: executable: the 2 spilled r5-era rows (events_cusum_changepoints,
-#: docs_proximity_search) first, then the r6-era cohort in module
-#: order (emb_quantization, emb_threshold_pairs,
+#: executable: the 3 spilled r5-era rows (events_cusum_changepoints,
+#: docs_proximity_search, events_top_paths) first, then the r6-era
+#: cohort in module order (emb_quantization, emb_threshold_pairs,
 #: emb_centroid_by_label, emb_lsh_knn, graph_degrees,
 #: graph_pagerank_top, graph_components, graph_bfs_from_region,
 #: gremlin_region_members, motif_customer_region,
@@ -102,12 +106,11 @@ _WINDOW = [
     "events_mann_whitney",
     "events_ks_test",
     "events_kaplan_meier",
-    "events_top_paths",
-    # --- new in round 10 (3; media_adpcm_decode and
-    # media_shot_neardups are appended as they land this round)
+    # --- new in round 10 (4)
     "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
     "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
     "media_shot_neardups",  # NEW r10: shot-level video near-dup, trim-robust
+    "media_stereo_decode",  # NEW r10: stereo PCM16 downmix, closed-form oracle
     # --- changed in round 10 (4)
     "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
     "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition

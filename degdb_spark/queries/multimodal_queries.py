@@ -855,6 +855,39 @@ FROM s GROUP BY media_id ORDER BY media_id
 """
 
 
+_N_STEREO = 40
+
+
+def media_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stereo WAV ingestion verified bit-exactly: interleaved
+    2-channel PCM16 payloads → de-interleave → floor((L+R)/2) downmix
+    inside the shared codecs.decode_wav seam (so stats, features,
+    DTMF, and fingerprints all ingest stereo without a separate
+    path) → exact integer sample stats. The planted channels are both
+    even, so the downmix is an exact integer the oracle replays in
+    closed form with no floor-semantics surface."""
+    from degdb_spark.operators.multimodal import synthetic_stereo_media
+
+    media = synthetic_stereo_media(spark, _N_STEREO)
+    return audio_sample_stats(media).orderBy("media_id")
+
+
+STEREO_DECODE_SQL = f"""
+WITH clips AS (SELECT unnest(generate_series(0, {_N_STEREO - 1})) AS i),
+s AS (
+  SELECT c.i,
+         (((ts.t * (c.i + 3)) % 2048) - 1024)
+       + (((ts.t * (c.i + 5)) % 2048) - 1024) AS v
+  FROM clips c,
+       LATERAL (SELECT unnest(generate_series(0, 400 + 40 * (c.i % 5) - 1)) AS t) ts
+)
+SELECT i AS media_id, CAST(16000 AS INT) AS sample_rate, COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS sample_min, CAST(MAX(v) AS INT) AS sample_max
+FROM s GROUP BY i ORDER BY media_id
+"""
+
+
 _N_DTMF = 40
 
 
@@ -947,6 +980,7 @@ QUERIES: dict[str, Query] = {
     "media_gif_frame_extract": Query(media_gif_frame_extract, GIF_FRAMES_SQL),
     "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
     "media_adpcm_decode": Query(media_adpcm_decode, ADPCM_DECODE_SQL),
+    "media_stereo_decode": Query(media_stereo_decode, STEREO_DECODE_SQL),
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),
 }

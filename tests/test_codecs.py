@@ -1554,3 +1554,90 @@ def test_adpcm_feeds_the_shared_decode_wav_seam():
     _, decoded = C.decode_wav(adpcm_wav)
     pcm_twin = C.encode_wav(decoded, 8000)
     assert np.array_equal(decode_features(adpcm_wav), decode_features(pcm_twin))
+
+
+# ------------------------------------------------------------ stereo WAV
+
+
+def test_stereo_pcm16_downmix_exact():
+    """De-interleave + floor((L+R)/2) downmix matches the Python
+    replica exactly — including odd NEGATIVE sums, where floor (−3//2
+    = −2) differs from C-style truncation (−1)."""
+    import numpy as np
+
+    left = np.array([0, 1, -1, 100, -32768, 32767, 5], dtype=np.int16)
+    right = np.array([0, 2, -2, 101, -32768, 32767, -8], dtype=np.int16)
+    rate, mix = C.decode_wav(C.encode_wav_stereo(left, right, 16000))
+    want = [(int(l) + int(r)) // 2 for l, r in zip(left, right)]
+    assert rate == 16000
+    assert mix.tolist() == want
+    assert mix.tolist()[6] == -2  # (5 + -8) // 2 — floor, not trunc
+
+
+def test_stereo_g711_downmix():
+    """Stereo G.711 mu-law (hand-built fmt 7, channels 2): decode
+    expands each byte then downmixes — equal channels reproduce the
+    mono decode exactly."""
+    import struct as _struct
+
+    import numpy as np
+
+    mono = ((np.arange(200) * 31) % 4096 - 2048).astype(np.int16)
+    codes = C.ulaw_encode(mono)
+    inter = np.empty(codes.size * 2, dtype=np.uint8)
+    inter[0::2] = codes
+    inter[1::2] = codes
+    data = inter.tobytes()
+    fmt = _struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 2, 8000, 16000, 2, 8)
+    payload = b"WAVE" + fmt + _struct.pack("<4sI", b"data", len(data)) + data
+    wav = _struct.pack("<4sI", b"RIFF", len(payload)) + payload
+    rate, mix = C.decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(mix, C.ulaw_decode(codes))  # (x + x) // 2 == x
+
+
+def test_stereo_dtmf_through_shared_seam():
+    """A dial tone present in both channels of a stereo file still
+    decodes its digits — the downmix feeds the same detector path."""
+    import numpy as np
+
+    from degdb_spark.functions import dsp
+
+    s = dsp.synth_dtmf([9, 2, 6], sample_rate=8000)
+    rate, mix = C.decode_wav(C.encode_wav_stereo(s, s.copy(), 8000))
+    assert dsp.detect_dtmf(mix, rate) == "926"
+
+
+def test_stereo_malformed_raises():
+    """Half-frame stereo data, stereo ADPCM, and >2 channels all raise
+    named ValueErrors."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    left = np.arange(10, dtype=np.int16)
+    wav = bytearray(C.encode_wav_stereo(left, left, 8000))
+    # surgically shorten the data chunk by 2 bytes (drop one channel
+    # sample) and patch both size fields so the RIFF walk accepts it
+    half = bytes(wav[:-2])
+    half = half[:4] + _struct.pack("<I", len(half) - 8) + half[8:]
+    dpos = half.index(b"data")
+    half = half[: dpos + 4] + _struct.pack("<I", len(half) - dpos - 8) + half[dpos + 8 :]
+    with _pytest.raises(ValueError, match="half frame"):
+        C.decode_wav(half)
+
+    mono = np.arange(130, dtype=np.int16)
+    adpcm_wav = C.encode_wav_adpcm(mono, 8000, 64)
+    stereo_adpcm = adpcm_wav.replace(
+        _struct.pack("<HHI", 0x11, 1, 8000), _struct.pack("<HHI", 0x11, 2, 8000)
+    )
+    with _pytest.raises(ValueError, match="stereo IMA ADPCM"):
+        C.decode_wav(stereo_adpcm)
+
+    pcm = C.encode_wav(mono, 8000)
+    five_ch = pcm.replace(
+        _struct.pack("<HHI", 1, 1, 8000), _struct.pack("<HHI", 1, 5, 8000)
+    )
+    with _pytest.raises(ValueError, match="channel count"):
+        C.decode_wav(five_ch)

@@ -876,3 +876,71 @@ def test_incremental_shot_neardups_union_matches_full(spark):
     e2 = {tuple(r) for r in M.incremental_shot_neardups(second, first).collect()}
     assert e1 | e2 == full
     assert not (e1 & e2)
+
+
+def test_shot_fingerprints_random_scene_structures(spark):
+    """Hypothesis tier for shot segmentation + per-shot hashing: for
+    RANDOM scene counts, per-scene lengths, dims, and trim depths
+    (content from shot_scene_frame so cuts stay guaranteed-hard), the
+    operator must recover exactly one shot per surviving scene with
+    the scene's frame count, and a trimmed clip's shots must carry the
+    SAME hashes as the corresponding suffix of the full clip's — the
+    trim-invariance property, under varying shot lengths this time
+    (the aHash is frame-count-invariant by construction)."""
+    import numpy as np
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Row
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.randoms(use_true_random=False))
+    def prop(rnd):
+        g = rnd.randrange(8)
+        n_scenes = rnd.randrange(2, 5)
+        lens_full = [rnd.randrange(1, 4) for _ in range(n_scenes)]
+        s0 = rnd.randrange(1, n_scenes)  # trim depth: drop scenes [0, s0)
+        # the trimmed twin may hold each scene a DIFFERENT number of
+        # frames — hashes must still match (frame-count invariance)
+        lens_trim = [rnd.randrange(1, 4) for _ in range(n_scenes - s0)]
+        w = rnd.choice([56, 64])
+        h = rnd.choice([56, 64])
+
+        def clip(first_scene, lens):
+            return np.stack(
+                [
+                    M.shot_scene_frame(g, w, h, s)
+                    for k, s in enumerate(range(first_scene, n_scenes))
+                    for _ in range(lens[k])
+                ]
+            )
+
+        rows = [
+            Row(media_id=0, kind="video",
+                payload=bytearray(C.encode_rawv(clip(0, lens_full), 500))),
+            Row(media_id=1, kind="video",
+                payload=bytearray(C.encode_rawv(clip(s0, lens_trim), 500))),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+        shots = {
+            (r.media_id, r.shot_idx): (r.n_frames, r.b0, r.b1, r.b2, r.b3)
+            for r in M.video_shot_fingerprints(df).collect()
+        }
+        n0 = sum(1 for k in shots if k[0] == 0)
+        n1 = sum(1 for k in shots if k[0] == 1)
+        assert (n0, n1) == (n_scenes, n_scenes - s0)
+        for si in range(n_scenes):
+            assert shots[(0, si)][0] == lens_full[si]
+        for k in range(n_scenes - s0):
+            assert shots[(1, k)][0] == lens_trim[k]
+            # trim invariance: hashes equal despite different lengths
+            assert shots[(1, k)][1:] == shots[(0, k + s0)][1:], (g, k, s0)
+
+    prop()
