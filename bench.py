@@ -195,6 +195,7 @@ HEADLINE = [
     "media_adpcm_decode",
     "media_shot_neardups",
     "media_stereo_decode",
+    "emb_hard_negatives",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -53,8 +53,10 @@ class Query(NamedTuple):
 #: and media_scene_cuts — the strict/quarantine decode seam).
 #:
 #: Round-11 window, planned now so the standing policy stays
-#: executable: the 3 spilled r5-era rows (events_cusum_changepoints,
-#: docs_proximity_search, events_top_paths) first, then the r6-era
+#: executable: the 4 spilled r5-era rows (events_cusum_changepoints,
+#: docs_proximity_search, events_top_paths and events_kaplan_meier —
+#: the last two evicted newest-fill-first when media_stereo_decode
+#: and emb_hard_negatives landed) first, then the r6-era
 #: cohort in module order (emb_quantization, emb_threshold_pairs,
 #: emb_centroid_by_label, emb_lsh_knn, graph_degrees,
 #: graph_pagerank_top, graph_components, graph_bfs_from_region,
@@ -105,12 +107,12 @@ _WINDOW = [
     "events_ab_test",
     "events_mann_whitney",
     "events_ks_test",
-    "events_kaplan_meier",
-    # --- new in round 10 (4)
+    # --- new in round 10 (5)
     "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
     "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
     "media_shot_neardups",  # NEW r10: shot-level video near-dup, trim-robust
     "media_stereo_decode",  # NEW r10: stereo PCM16 downmix, closed-form oracle
+    "emb_hard_negatives",  # NEW r10: contrastive triplet mining, kcenter-exact
     # --- changed in round 10 (4)
     "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
     "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition

@@ -137,6 +137,90 @@ ORDER BY id_a, id_b
 """
 
 
+def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative TRIPLET MINING — the training-data op behind
+    contrastive embedding-model training: for each anchor, the nearest
+    SAME-label vector (the positive) and the nearest OTHER-label
+    vector (the hard negative), plus the margin between them (the
+    quantity a triplet-loss miner thresholds on — margin ≈ 0 is the
+    hard pair worth training on). Anchors are the 16 lowest ids
+    (bounded, broadcast); candidates are the full corpus in ONE scan —
+    two struct-min argmins per anchor, no window over the corpus. The
+    kcenter exactness recipe end to end: float→double cast BEFORE any
+    arithmetic, sequential-fold dot products, every distance 6-dp
+    round-half-up, (dist, id) lexicographic tie-break. At 100 TB with
+    M anchors this is the M·n mining batch; the IVF/banded index
+    prunes candidates behind the same output contract (SCALE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    anchors = cand.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("label").alias("al"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(cand)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("d", dround(F.lit(1.0) - S.cosine(F.col("av"), F.col("v")), 6))
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("al"))
+        .groupBy("anchor_id")
+        .agg(F.min(F.struct("d", "vec_id")).alias("p"))
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("al"))
+        .groupBy("anchor_id")
+        .agg(F.min(F.struct("d", "vec_id")).alias("n"))
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            F.col("p.vec_id").alias("positive_id"),
+            F.col("p.d").alias("pos_dist"),
+            F.col("n.vec_id").alias("negative_id"),
+            F.col("n.d").alias("neg_dist"),
+        )
+        .withColumn("margin", dround(F.col("neg_dist") - F.col("pos_dist"), 6))
+        .orderBy("anchor_id")
+    )
+
+
+TRIPLET_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, v AS av, label AS al FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT a.anchor_id, a.al, c.vec_id, c.label,
+         FLOOR((1.0 - list_dot_product(a.av, c.v) /
+                (sqrt(list_dot_product(a.av, a.av)) * sqrt(list_dot_product(c.v, c.v))))
+               * 1000000 + 0.5) / 1000000 AS d
+  FROM a JOIN e c ON c.vec_id <> a.anchor_id
+), pos AS (
+  SELECT anchor_id, vec_id AS positive_id, d AS pos_dist FROM (
+    SELECT anchor_id, vec_id, d,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY d, vec_id) AS rn
+    FROM scored WHERE label = al
+  ) WHERE rn = 1
+), neg AS (
+  SELECT anchor_id, vec_id AS negative_id, d AS neg_dist FROM (
+    SELECT anchor_id, vec_id, d,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY d, vec_id) AS rn
+    FROM scored WHERE label <> al
+  ) WHERE rn = 1
+)
+SELECT p.anchor_id, positive_id, pos_dist, negative_id, neg_dist,
+       FLOOR((neg_dist - pos_dist) * 1000000 + 0.5) / 1000000 AS margin
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+ORDER BY p.anchor_id
+"""
+
+
 def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation surface: per-label centroid norm + count.
     Element-wise mean via posexplode/groupBy — the distributed reduction
@@ -1407,6 +1491,7 @@ QUERIES: dict[str, Query] = {
     "emb_semantic_dedup": Query(semantic_dedup_summary, SEMDEDUP_SQL),
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
+    "emb_hard_negatives": Query(hard_negative_triplets, TRIPLET_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),
     "emb_centroid_by_label": Query(centroid_by_label, CENTROID_SQL),
     "emb_lsh_knn": Query(lsh_knn, LSH_KNN_SQL),

@@ -893,3 +893,15 @@ def test_shot_overlap_is_banded_equijoin(spark):
     plan = _plan(M.shot_overlap_neardups(shots))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_only(spark):
+    """Triplet mining crosses the corpus against the BOUNDED anchor
+    frame only — the nested-loop join must be broadcast (16 rows),
+    never a shuffle cartesian, and the whole pass stays JVM-side."""
+    from degdb_spark.queries.embeddings_queries import hard_negative_triplets
+
+    plan = _plan(hard_negative_triplets(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the deliberate bounded cross

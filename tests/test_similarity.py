@@ -340,3 +340,58 @@ def test_kcenter_k_exceeding_distinct_points_stops_early(spark):
     # repeated vec_id, ranks stay contiguous
     assert [r.sel_rank for r in got] == [1, 2]
     assert [r.vec_id for r in got] == [0, 2]
+
+
+def test_hard_negative_triplets_match_python_reference(spark, tmp_path):
+    """hard_negative_triplets must equal the straight Python replica —
+    6-dp round-half-up cosine distances, (dist, id) lexicographic
+    argmins per side, margin arithmetic — on vectors with planted
+    positive/negative structure including a distance tie."""
+    from degdb_spark.queries.embeddings_queries import hard_negative_triplets
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.05, 0.0], 0),    # nearest same-label to 0
+        (2, [1.0, 0.30, 0.0], 0),
+        (3, [0.9, 0.40, 0.0], 1),    # nearest other-label to 0
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 1.0, 0.05], 1),
+        (6, [1.0, 0.05, 0.0], 0),    # exact duplicate of 1 → tie, id 1 wins
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def d6(a, b):
+        d = 1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        return math.floor(d * 1_000_000 + 0.5) / 1_000_000
+
+    pts = {i: (v, l) for i, v, l in rows}
+    expect = []
+    for aid in sorted(pts):
+        av, al = pts[aid]
+        sides = {}
+        for same in (True, False):
+            cands = [
+                (d6(av, v), i)
+                for i, (v, l) in pts.items()
+                if i != aid and (l == al) == same
+            ]
+            sides[same] = min(cands)
+        m = sides[False][0] - sides[True][0]
+        expect.append(
+            (aid, sides[True][1], sides[True][0], sides[False][1], sides[False][0],
+             math.floor(m * 1_000_000 + 0.5) / 1_000_000)
+        )
+
+    got = [tuple(r) for r in hard_negative_triplets(spark, str(tmp_path)).collect()]
+    assert got == expect
+    # the planted structure: anchor 0's positive is 1 (not its dup 6 —
+    # tie broken by id), its hard negative is 3
+    assert got[0][1] == 1 and got[0][3] == 3
