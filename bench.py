@@ -189,13 +189,16 @@ HEADLINE = [
     "docs_naive_bayes",
     "events_autocorrelation",
     "emb_kcenter_selection",
-    # round-10 additions (in-plan trained linear classifier, IMA ADPCM
-    # compressed-audio decode, shot-level video fingerprints)
+    # round-10 additions (in-plan trained linear classifier; IMA ADPCM
+    # compressed-audio decode; shot-level video fingerprints; stereo
+    # WAV downmix; hard-negative triplet mining; integer-exact
+    # sampled-source stress centrality)
     "docs_linear_classifier",
     "media_adpcm_decode",
     "media_shot_neardups",
     "media_stereo_decode",
     "emb_hard_negatives",
+    "basket_stress_centrality",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -380,3 +380,70 @@ def multi_source_bfs(
         if i < max_hops - 1:
             dist = dist.transform(lineage_cut, eager=False)
     return dist
+
+
+def stress_path_counts(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """The two Brandes sweeps of sampled STRESS centrality, all-integer
+    (the fractional pair-dependency of betweenness replaced by path
+    COUNTS): forward level-synchronous BFS carrying σ(source, v) = the
+    number of shortest source→v paths (new frontier = expansion
+    grouped per node with σ summed, already-reached nodes anti-joined
+    out), then a backward sweep over the shortest-path DAG computing
+    ψ(source, v) = Σ_{w ∈ DAG-succ(v)} (1 + ψ(w)) — the number of
+    shortest paths from v to every strictly-deeper target, which
+    decomposes uniquely by first hop and therefore stays a BIGINT.
+    Returns (source, id, dist, sigma, psi); stress(v) = Σ_source
+    σ·ψ over rows with id ≠ source. Fixed supersteps (2·max_hops),
+    state keyed by (source, id) so k sources cost one BFS — the
+    multi_source_bfs discipline, and every step is deterministic for
+    the unrolled-CTE oracle."""
+    edges = edges.select("src", "dst").transform(pin, eager=True)
+    frontier = sources.select(
+        F.col("source"),
+        F.col("source").alias("id"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).transform(pin, eager=True)
+    reached = frontier
+    levels = [frontier]
+    for i in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(edges, frontier.id == edges.src)
+            .groupBy("source", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("dst", "id")
+        )
+        frontier = (
+            expanded.join(reached.select("source", "id"), ["source", "id"], "left_anti")
+            .select("source", "id", F.lit(i).alias("dist"), "sigma")
+            .transform(pin, eager=True)
+        )
+        levels.append(frontier)
+        reached = reached.unionByName(frontier).transform(lineage_cut, eager=False)
+    psi = levels[max_hops].select("source", "id", F.lit(0).cast("long").alias("psi"))
+    psis = [psi]
+    for i in range(max_hops - 1, -1, -1):
+        succ = (
+            levels[i].select("source", "id")
+            .join(edges, F.col("id") == F.col("src"))
+            .select("source", "id", F.col("dst").alias("wid"))
+            .join(
+                psi.select("source", F.col("id").alias("wid"), "psi"),
+                ["source", "wid"],
+            )
+            .groupBy("source", "id")
+            .agg(F.sum(F.col("psi") + F.lit(1)).alias("psi"))
+        )
+        psi = (
+            levels[i].select("source", "id")
+            .join(succ, ["source", "id"], "left")
+            .fillna({"psi": 0})
+            .transform(pin, eager=True)
+        )
+        psis.append(psi)
+    all_psi = psis[0]
+    for p in psis[1:]:
+        all_psi = all_psi.unionByName(p)
+    return reached.join(all_psi, ["source", "id"])

@@ -34,29 +34,33 @@ class Query(NamedTuple):
 #: Round-10 window (see module docstring). Composition (50 checked
 #: slots), exactly as planned in the round-9 comment / VERDICT r9
 #: "Next round #1": the full remaining r5-era cohort in
-#: oldest-first module order EXCEPT its last three rows
-#: (events_cusum_changepoints, docs_proximity_search and — evicted
-#: newest-fill-first when media_stereo_decode landed —
-#: events_top_paths spill to round 11; the four round-10 additions
-#: displaced them), plus the surfaces NEW in round 10
-#: (docs_linear_classifier — in-plan averaged-perceptron linear
-#: classifier, all-integer with an unrolled-CTE oracle;
+#: oldest-first module order EXCEPT its last five rows
+#: (events_cusum_changepoints and docs_proximity_search displaced by
+#: the first three additions; events_top_paths, events_kaplan_meier
+#: and events_ks_test evicted newest-fill-first as the later three
+#: landed — all five spill to round 11), plus the SIX surfaces NEW
+#: in round 10 (docs_linear_classifier — in-plan averaged-perceptron
+#: linear classifier, all-integer with an unrolled-CTE oracle;
 #: media_adpcm_decode — IMA ADPCM (WAV format 0x11)
 #: compressed-audio decode through the decode_wav seam;
 #: media_shot_neardups — shot-level video fingerprints composing
 #: scene segmentation with the shared banded near-dup index;
 #: media_stereo_decode — interleaved-stereo PCM16 ingestion with the
-#: exact floor((L+R)/2) downmix in the decode_wav seam), plus
+#: exact floor((L+R)/2) downmix in the decode_wav seam;
+#: emb_hard_negatives — contrastive triplet mining with the kcenter
+#: exactness recipe; basket_stress_centrality — sampled-source
+#: stress centrality, the integer-exact Brandes sweep), plus
 #: the 4 surfaces CHANGED in round 10 (emb_kcenter_selection —
 #: degenerate-input guards; events_autocorrelation — grid-span
 #: guard, count pin, and grid repartition; media_audio_tone_probe
 #: and media_scene_cuts — the strict/quarantine decode seam).
 #:
 #: Round-11 window, planned now so the standing policy stays
-#: executable: the 4 spilled r5-era rows (events_cusum_changepoints,
-#: docs_proximity_search, events_top_paths and events_kaplan_meier —
-#: the last two evicted newest-fill-first when media_stereo_decode
-#: and emb_hard_negatives landed) first, then the r6-era
+#: executable: the 5 spilled r5-era rows (events_cusum_changepoints,
+#: docs_proximity_search, events_top_paths, events_kaplan_meier and
+#: events_ks_test — the last three evicted newest-fill-first as
+#: media_stereo_decode, emb_hard_negatives and
+#: basket_stress_centrality landed) first, then the r6-era
 #: cohort in module order (emb_quantization, emb_threshold_pairs,
 #: emb_centroid_by_label, emb_lsh_knn, graph_degrees,
 #: graph_pagerank_top, graph_components, graph_bfs_from_region,
@@ -106,13 +110,13 @@ _WINDOW = [
     "events_attribution",
     "events_ab_test",
     "events_mann_whitney",
-    "events_ks_test",
-    # --- new in round 10 (5)
+    # --- new in round 10 (6)
     "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
     "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
     "media_shot_neardups",  # NEW r10: shot-level video near-dup, trim-robust
     "media_stereo_decode",  # NEW r10: stereo PCM16 downmix, closed-form oracle
     "emb_hard_negatives",  # NEW r10: contrastive triplet mining, kcenter-exact
+    "basket_stress_centrality",  # NEW r10: integer-exact Brandes stress sweep
     # --- changed in round 10 (4)
     "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
     "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition

@@ -958,7 +958,100 @@ def _ktruss_sql(k: int, rounds: int) -> str:
     return f"WITH {_WEDGES_CTE},\n" + ",\n".join(ctes) + f"\n{unions}\nORDER BY round"
 
 
+_STRESS_SOURCES = 4
+_STRESS_HOPS = 3
+
+
+def basket_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source STRESS centrality — the integer-exact member of
+    the betweenness family (Brandes' sweep with the fractional
+    pair-dependency δ replaced by the all-integer path-count
+    accumulation): stress(v) = Σ_{s,t} σ_st(v), the number of
+    shortest s–t paths THROUGH v, sampled over the 4 lowest part ids
+    as sources and truncated at 3 hops (the Eppstein–Wang sampling
+    shape harmonic centrality already uses). Forward phase:
+    level-synchronous BFS carrying the shortest-path count σ (new
+    frontier = expansion grouped by node, σ summed, already-reached
+    anti-joined out). Backward phase: ψ(v) = Σ_{w ∈ DAG-succ(v)}
+    (1 + ψ(w)) — the count of shortest paths from v to every deeper
+    target, which decomposes uniquely by first hop, so it stays a
+    BIGINT where betweenness's δ would be a float ratio. Then
+    stress(v) = Σ_s σ_s(v)·ψ_s(v) over non-source rows. EVERY quantity
+    is an exact integer: no rounding machinery at all, and the oracle
+    unrolls both sweeps as materialized CTEs. Top-20 via
+    orderBy().limit() — no global window. Sweep machinery in
+    graph/algorithms.py::stress_path_counts (directly unit-tested on
+    a hand-computed graph in tests/test_graph.py)."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    sources = (
+        edges.select(F.col("src").alias("source"))
+        .distinct()
+        .orderBy("source")
+        .limit(_STRESS_SOURCES)
+    )
+    counts = G.stress_path_counts(edges, sources, max_hops=_STRESS_HOPS)
+    return (
+        counts.filter(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("sigma") * F.col("psi")).alias("stress"),
+        )
+        .filter(F.col("stress") > 0)
+        .orderBy(F.col("stress").desc(), "id")
+        .limit(20)
+    )
+
+
+def _stress_sql(n_sources: int, hops: int, top: int = 20) -> str:
+    ctes = [
+        f"ssrc AS MATERIALIZED (SELECT src AS source FROM "
+        f"(SELECT DISTINCT src FROM edges2) ORDER BY src LIMIT {n_sources})",
+        "sf0 AS MATERIALIZED (SELECT source, source AS id, 0 AS dist, "
+        "CAST(1 AS BIGINT) AS sigma FROM ssrc)",
+        "sr0 AS MATERIALIZED (SELECT * FROM sf0)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"sf{i} AS MATERIALIZED (SELECT g.source, g.id, {i} AS dist, g.sigma "
+            f"FROM (SELECT f.source, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma "
+            f"FROM sf{i - 1} f JOIN edges2 e ON e.src = f.id GROUP BY f.source, e.dst) g "
+            f"LEFT JOIN sr{i - 1} r ON r.source = g.source AND r.id = g.id "
+            f"WHERE r.id IS NULL)"
+        )
+        ctes.append(
+            f"sr{i} AS MATERIALIZED (SELECT * FROM sr{i - 1} UNION ALL SELECT * FROM sf{i})"
+        )
+    ctes.append(
+        f"sp{hops} AS MATERIALIZED (SELECT source, id, CAST(0 AS BIGINT) AS psi "
+        f"FROM sf{hops})"
+    )
+    for i in range(hops - 1, -1, -1):
+        ctes.append(
+            f"sp{i} AS MATERIALIZED (SELECT l.source, l.id, COALESCE(c.psi, 0) AS psi "
+            f"FROM sf{i} l LEFT JOIN ("
+            f"SELECT v.source, v.id, CAST(SUM(p.psi + 1) AS BIGINT) AS psi "
+            f"FROM sf{i} v JOIN edges2 e ON e.src = v.id "
+            f"JOIN sp{i + 1} p ON p.source = v.source AND p.id = e.dst "
+            f"GROUP BY v.source, v.id) c ON c.source = l.source AND c.id = l.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sp{i}" for i in range(hops + 1))
+    return (
+        f"WITH {_WEDGES_CTE},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, COUNT(*) AS n_sources, CAST(SUM(sigma * psi) AS BIGINT) AS stress
+FROM sr{hops} r JOIN ({union}) p USING (source, id)
+WHERE id <> source
+GROUP BY id HAVING SUM(sigma * psi) > 0
+ORDER BY stress DESC, id LIMIT {top}"""
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "basket_stress_centrality": Query(
+        basket_stress_centrality, _stress_sql(_STRESS_SOURCES, _STRESS_HOPS)
+    ),
     "basket_ktruss": Query(basket_ktruss, _ktruss_sql(_TRUSS_K, _TRUSS_ROUNDS)),
     "basket_assortativity": Query(basket_assortativity, ASSORT_SQL),
     "basket_personalized_pagerank": Query(

@@ -225,3 +225,42 @@ def test_kcore_random_graph_vs_reference(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_stress_path_counts_hand_computed_diamond(spark):
+    """stress_path_counts on a hand-computed diamond-with-tail graph
+    (1-2, 1-3, 2-4, 3-4, 4-5, undirected): every (source, id, dist,
+    sigma, psi) tuple verified by hand — sigma > 1 through the diamond
+    (two shortest 1→4 paths), psi decomposing by first hop, both
+    sweeps truncated at 3 hops."""
+    und = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in und] + [(v, u) for u, v in und], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,), (2,)], ["source"])
+    got = {
+        (r.source, r.id): (r.dist, r.sigma, r.psi)
+        for r in G.stress_path_counts(edges, sources, max_hops=3).collect()
+    }
+    want = {
+        # source 1: DAG 1→{2,3}→4→5; two shortest 1→4 paths
+        (1, 1): (0, 1, 6),
+        (1, 2): (1, 1, 2),
+        (1, 3): (1, 1, 2),
+        (1, 4): (2, 2, 1),
+        (1, 5): (3, 2, 0),
+        # source 2: DAG 2→{1,4}, 1→3, 4→{3,5}; two shortest 2→3 paths
+        (2, 2): (0, 1, 5),
+        (2, 1): (1, 1, 1),
+        (2, 4): (1, 1, 2),
+        (2, 3): (2, 2, 0),
+        (2, 5): (2, 1, 0),
+    }
+    assert got == want
+    # the aggregated stress (sigma * psi over id != source) by hand:
+    # node 4 carries 2 (from s=1) + 2 (from s=2) = 4 — the cut vertex
+    stress = {}
+    for (s, v), (_, sig, psi) in got.items():
+        if v != s:
+            stress[v] = stress.get(v, 0) + sig * psi
+    assert stress == {2: 2, 3: 2, 4: 4, 5: 0, 1: 1}
