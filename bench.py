@@ -192,13 +192,14 @@ HEADLINE = [
     # round-10 additions (in-plan trained linear classifier; IMA ADPCM
     # compressed-audio decode; shot-level video fingerprints; stereo
     # WAV downmix; hard-negative triplet mining; integer-exact
-    # sampled-source stress centrality)
+    # sampled-source stress centrality; association-rule mining)
     "docs_linear_classifier",
     "media_adpcm_decode",
     "media_shot_neardups",
     "media_stereo_decode",
     "emb_hard_negatives",
     "basket_stress_centrality",
+    "basket_association_rules",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -958,6 +958,80 @@ def _ktruss_sql(k: int, rounds: int) -> str:
     return f"WITH {_WEDGES_CTE},\n" + ",\n".join(ctes) + f"\n{unions}\nORDER BY round"
 
 
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association-rule mining over order baskets — the
+    classic market-basket surface (Agrawal-Srikant support/confidence
+    framing at itemset size 2): for every DIRECTED part pair u→v with
+    ≥ _W_MIN co-occurrence orders, support = co/N, confidence =
+    co/cnt(u), lift = co·N/(cnt(u)·cnt(v)). All inputs are exact
+    integer order counts from two aggregations (per-item counts and
+    the wedge pair counts the graph suite already uses); each ratio
+    is ONE identical double expression both engines then 6-dp
+    round-half-up, so the hash certifies the arithmetic. Top-20 by
+    (lift desc, antecedent, consequent) via orderBy().limit() — no
+    global window. Scale: the pair count is the _weighted_edges
+    builder (per-order combination explode, linear in lineitem); item
+    counts and N are map-side-combined aggregates; ratios attach via
+    two broadcast-sized joins on part id."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct().transform(pin, eager=True)
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )  # 1 row, rides broadcast
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = _weighted_edges(spark, sf_dir).select(
+        F.col("src").alias("antecedent"),
+        F.col("dst").alias("consequent"),
+        F.col("w").alias("co_orders"),
+    )
+    out = (
+        pairs.join(
+            cnt.select(F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("ca")),
+            "antecedent",
+        )
+        .join(
+            cnt.select(F.col("l_partkey").alias("consequent"), F.col("cnt").alias("cc")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        out.select(
+            "antecedent",
+            "consequent",
+            "co_orders",
+            dround(F.col("co_orders").cast("double") / F.col("n"), 6).alias("support"),
+            dround(F.col("co_orders").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            dround(
+                (F.col("co_orders") * F.col("n")).cast("double")
+                / (F.col("ca") * F.col("cc")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+ASSOC_SQL = f"""
+WITH {_WEDGES_CTE},
+items2 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items2),
+cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items2 GROUP BY l_partkey)
+SELECT e.src AS antecedent, e.dst AS consequent, e.w AS co_orders,
+       {sql_dround("CAST(e.w AS DOUBLE) / no.n", 6)} AS support,
+       {sql_dround("CAST(e.w AS DOUBLE) / ca.c", 6)} AS confidence,
+       {sql_dround("CAST(e.w * no.n AS DOUBLE) / (ca.c * cc.c)", 6)} AS lift
+FROM edges2 e
+JOIN cnt ca ON ca.l_partkey = e.src
+JOIN cnt cc ON cc.l_partkey = e.dst
+CROSS JOIN n_orders no
+ORDER BY lift DESC, antecedent, consequent LIMIT 20
+"""
+
+
 _STRESS_SOURCES = 4
 _STRESS_HOPS = 3
 
@@ -1049,6 +1123,7 @@ ORDER BY stress DESC, id LIMIT {top}"""
 
 
 QUERIES: dict[str, Query] = {
+    "basket_association_rules": Query(basket_association_rules, ASSOC_SQL),
     "basket_stress_centrality": Query(
         basket_stress_centrality, _stress_sql(_STRESS_SOURCES, _STRESS_HOPS)
     ),

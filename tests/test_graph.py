@@ -264,3 +264,39 @@ def test_stress_path_counts_hand_computed_diamond(spark):
         if v != s:
             stress[v] = stress.get(v, 0) + sig * psi
     assert stress == {2: 2, 3: 2, 4: 4, 5: 0, 1: 1}
+
+
+def test_association_rules_match_hand_computed_baskets(spark, tmp_path):
+    """basket_association_rules on hand-built baskets: support,
+    confidence, and lift verified against by-hand arithmetic (orders
+    {1:AB, 2:AB, 3:ABC, 4:C, 5:AC} → co(A,B)=3, co(A,C)=2, co(B,C)=1
+    which falls below the w>=2 threshold)."""
+    import math
+
+    rows = []
+    baskets = {1: "AB", 2: "AB", 3: "ABC", 4: "C", 5: "AC"}
+    part = {"A": 101, "B": 102, "C": 103}
+    for ok, items in baskets.items():
+        for it in items:
+            rows.append((ok, part[it]))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    from degdb_spark.queries.graph_adv_queries import basket_association_rules
+
+    got = {
+        (r.antecedent, r.consequent): (r.co_orders, r.support, r.confidence, r.lift)
+        for r in basket_association_rules(spark, str(tmp_path)).collect()
+    }
+
+    def d6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    n, ca, cb, cc = 5, 4, 3, 3  # orders; counts of A, B, C
+    want = {
+        (101, 102): (3, d6(3 / n), d6(3 / ca), d6(3 * n / (ca * cb))),
+        (102, 101): (3, d6(3 / n), d6(3 / cb), d6(3 * n / (cb * ca))),
+        (101, 103): (2, d6(2 / n), d6(2 / ca), d6(2 * n / (ca * cc))),
+        (103, 101): (2, d6(2 / n), d6(2 / cc), d6(2 * n / (cc * ca))),
+    }
+    assert got == want  # co(B,C)=1 < 2 correctly excluded
