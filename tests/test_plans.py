@@ -905,3 +905,28 @@ def test_hard_negatives_broadcast_anchors_only(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the deliberate bounded cross
+
+
+def test_stress_centrality_no_cartesian_no_python(spark):
+    """Both Brandes sweeps are frontier equi-joins + grouped
+    aggregations — no CartesianProduct, no Python eval nodes."""
+    from degdb_spark.graph.algorithms import stress_path_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,)], ["source"])
+    plan = _plan(stress_path_counts(edges, sources, max_hops=2))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_association_rules_broadcasts_total_only(spark):
+    """The only nested-loop join in rule mining is the deliberate
+    broadcast of the 1-row order total; everything else is hash
+    equi-joins — and the pass stays JVM-side."""
+    from degdb_spark.queries.graph_adv_queries import basket_association_rules
+
+    plan = _plan(basket_association_rules(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
