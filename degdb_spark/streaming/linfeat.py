@@ -16,8 +16,8 @@ the hashed feature frame, which IS a per-doc projection the index
 stores losslessly (≤65 small integers per doc vs kilobytes of text).
 So `operators/linear.train_predict_from_features` over the merged
 index equals the full-corpus training run exactly, and retraining
-after new data arrives re-reads ~40 bytes × features per historical
-document instead of the document itself. That is the falsifiable
+after new data arrives reads a few hundred bytes of stored feature
+rows per historical document instead of the document itself. That is the falsifiable
 claim the corpus-deletion probe pins
 (tests/test_index_scale_probe.py::test_linear_retrain_after_corpus_deletion):
 delete every source document, retrain from the index, and the

@@ -209,3 +209,60 @@ def test_truss_support_matches_bruteforce_on_random_graphs(spark, edges):
     e = spark.createDataFrame(edges, "u long, v long")
     got = {(r.u, r.v): r.s for r in _truss_support(e).collect()}
     assert got == {e_: s for e_, s in support.items() if s > 0}
+
+
+def test_stress_path_counts_on_hub_graph_matches_replica(spark):
+    """Skew tier for the stress sweeps: on the hub-heavy graph (hub
+    degree 1,000) the all-integer σ/ψ recursion must equal a straight
+    Python BFS-DAG replica from a hub source AND a ring source — the
+    hub multiplies path counts (σ up to the hub degree), which is
+    exactly where an implementation that lost a level or double-counted
+    a frontier would diverge."""
+    und = _hub_graph_edges()
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in und] + [(v, u) for u, v in und], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(0,), (500,)], ["source"])
+
+    from degdb_spark.graph.algorithms import stress_path_counts
+
+    got = {
+        (r.source, r.id): (r.dist, r.sigma, r.psi)
+        for r in stress_path_counts(edges, sources, max_hops=3).collect()
+    }
+
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def replica(s, hops):
+        dist, sigma = {s: 0}, {s: 1}
+        frontier = [s]
+        for d in range(1, hops + 1):
+            nxt = {}
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sigma[v]
+            for w, sg in nxt.items():
+                dist[w], sigma[w] = d, sg
+            frontier = list(nxt)
+        psi = {}
+        for d in range(hops, -1, -1):
+            for v, dv in dist.items():
+                if dv != d:
+                    continue
+                psi[v] = sum(
+                    1 + psi[w]
+                    for w in adj[v]
+                    if dist.get(w) == d + 1
+                )
+        return {(s, v): (dist[v], sigma[v], psi[v]) for v in dist}
+
+    want = replica(0, 3) | replica(500, 3)
+    assert got == want
+    # skew sanity: every ring vertex is 1 hop from the hub, so the
+    # hub's psi counts one path to each of the 1,000 spokes plus the
+    # deeper ring continuations — and sigma through the hub stays exact
+    assert got[(0, 0)][2] >= N_SPOKE
