@@ -26,9 +26,10 @@ feature frame is built once and pinned (one exploded-corpus groupBy,
 map-side combined; ≤(n_features+1) rows per doc). Each iteration is
 one fully-parallel pass over that frame — an equi-join against the
 BROADCAST (|labels|·(n_features+1))-row weight frame, a per-doc
-window argmax, and a misclassification-delta groupBy — ending in a
-collect of at most |labels|·(n_features+1) rows (the model grid,
-never the corpus). The weight vector is the tiny per-round state;
+struct-min argmax (a map-side-combinable aggregation, no window
+sort), and a misclassification-delta groupBy — ending in a collect
+of at most |labels|·(n_features+1) rows (the model grid, never the
+corpus). The weight vector is the tiny per-round state;
 at 100 TB nothing about this loop changes but the scan time.
 
 Reference provenance: degdb has no ML surface; this implements the
@@ -38,7 +39,7 @@ in-plan model-training leg of the training-pipeline extension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from degdb_spark.operators.sampling import md5_bucket
@@ -90,17 +91,24 @@ def _predictions(feat: DataFrame, wdf: DataFrame) -> DataFrame:
     """Per-doc argmax label under a weight frame: score(doc, cand) =
     Σ_f x·w via one equi-join on f against the broadcast model grid
     (every doc matches every label through the grid, so zero-score
-    labels are present), tie-break (score desc, cand asc)."""
+    labels are present), tie-break (score desc, cand asc). The argmax
+    is a lexicographic struct-MIN over (−score, cand) — the exact same
+    ordering a row_number window would use, but as a map-side-
+    combinable aggregation with no per-partition sort (scores are
+    integers, so −s is exact)."""
     scores = (
         feat.join(F.broadcast(wdf), "f")
         .groupBy("doc_id", "actual", "cand")
         .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
     )
-    win = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand"))
     return (
-        scores.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "actual", F.col("cand").alias("pred"))
+        scores.groupBy("doc_id", "actual")
+        .agg(
+            F.min(
+                F.struct((-F.col("s")).alias("ns"), F.col("cand").alias("cand"))
+            ).alias("b")
+        )
+        .select("doc_id", "actual", F.col("b.cand").alias("pred"))
     )
 
 
