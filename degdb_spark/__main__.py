@@ -103,7 +103,26 @@ def main(argv: list[str] | None = None) -> int:
     pipe.add_argument("--sf-dir", default=None)
     pipe.add_argument("--out", default=None, help="write corpus/packing/report here")
 
+    mpipe = sub.add_parser(
+        "media-pipeline",
+        help="media curation run over the synthetic media table: codec "
+        "validation -> exact dedup -> fingerprintability gate -> "
+        "per-modality perceptual near-dup keep-policy",
+    )
+    mpipe.add_argument("--n", type=int, default=60, help="synthetic media rows")
+    mpipe.add_argument("--out", default=None, help="write curated/report here")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "media-pipeline":
+        from degdb_spark.operators.multimodal import synthetic_media
+        from degdb_spark.pipeline import curate_media
+        from degdb_spark.session import get_spark
+
+        spark = get_spark(app_name="degdb_media_pipeline")
+        for row in curate_media(spark, synthetic_media(spark, args.n), args.out):
+            print(json.dumps(row, sort_keys=True))
+        return 0
 
     if args.cmd == "pipeline":
         from degdb_spark.catalog import DEFAULT_SF_DIR

@@ -1220,6 +1220,36 @@ def synthetic_shot_media(spark: SparkSession, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def validate_media(media: DataFrame, batch_rows: int = 32) -> DataFrame:
+    """Per-payload ingest validation through the REAL codecs: run
+    strict decode_features (which dispatches every native format) and
+    report (media_id, kind, n_bytes, ok, error) — ok=0 rows carry the
+    codec's message (malformed payload, truncation, or an honestly
+    gated codec like avc1/mp3 whose content cannot be verified here).
+    The first stage of curate_media: one decode pass, partitioning
+    preserved, bad payloads become rows instead of stage failures."""
+    schema = "media_id long, kind string, n_bytes int, ok int, error string"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, kind, p in zip(
+                    chunk["media_id"], chunk["kind"], chunk["payload"]
+                ):
+                    try:
+                        decode_features(bytes(p), strict=True)
+                        out.append((mid, kind, len(p), 1, None))
+                    except (ValueError, NotImplementedError) as exc:
+                        out.append((mid, kind, len(p), 0, str(exc)[:200]))
+                yield pd.DataFrame(
+                    out, columns=["media_id", "kind", "n_bytes", "ok", "error"]
+                )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(op, schema)
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, batch_rows: int = 64
 ) -> DataFrame:

@@ -184,3 +184,120 @@ def curate(
         with open(os.path.join(out_dir, "report.json"), "w") as f:
             json.dump(report, f, indent=2)
     return report
+
+
+def curate_media(
+    spark: SparkSession,
+    media: DataFrame,
+    out_dir: str | None = None,
+    min_shared_shots: int = 2,
+) -> list[dict]:
+    """The MEDIA twin of :func:`curate` — the nightly run a multimodal
+    training-data pipeline executes over an image/audio/video table:
+
+        codec validation (strict decode through the real codecs,
+        bad payloads quarantined as rows) →
+        exact dedup (payload md5, min-id representative) →
+        fingerprintability gate (images 8-divisible, audio ≥64
+        samples, videos with ≥1 decodable ≥8×8 shot) →
+        perceptual near-dup keep-policy per modality
+        (images/audio: banded aHash pairs; videos: SHOT-level
+        overlap — the trim-robust path — via shot_overlap_neardups)
+        → one representative per connected component.
+
+    Every stage is an individually verified operator
+    (operators/multimodal.py + the shared dedup_clusters components
+    loop); the pipeline's contribution is the staging discipline of
+    :func:`curate` — each survivor frame is eagerly pinned, audits
+    read the pinned frames, outputs are written once at the end.
+    Returns the per-stage report ({stage, n_items, n_bytes}); with
+    ``out_dir`` also writes ``curated.parquet`` and ``report.json``.
+    """
+    from degdb_spark.operators.dedup import dedup_clusters
+    from degdb_spark.operators.multimodal import (
+        audio_ahash,
+        audio_sample_stats,
+        banded_neardup_pairs,
+        image_ahash,
+        image_pixel_stats,
+        shot_overlap_neardups,
+        validate_media,
+        video_shot_fingerprints,
+    )
+
+    report: list[dict] = []
+    media = media.transform(pin, eager=True)
+
+    def audit(stage: str, df: DataFrame) -> DataFrame:
+        df = df.transform(pin, eager=True)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("b"),
+        ).collect()[0]
+        report.append(
+            {"stage": stage, "n_items": int(row["n"]), "n_bytes": int(row["b"])}
+        )
+        return df
+
+    # stage 1: strict codec validation — quarantine undecodable payloads
+    valid_ids = validate_media(media).filter("ok = 1").select("media_id")
+    s1 = audit("validated", media.join(valid_ids, "media_id", "left_semi"))
+
+    # stage 2: exact dedup on payload bytes (min-id per md5 digest)
+    keep_exact = (
+        s1.select("media_id", F.md5(F.col("payload")).alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    s2 = audit("exact_dedup", s1.join(keep_exact, "media_id", "left_semi"))
+
+    # stage 3: fingerprintability gate, per modality
+    img_ok = (
+        image_pixel_stats(s2)
+        .filter((F.col("width") % 8 == 0) & (F.col("height") % 8 == 0))
+        .select("media_id")
+    )
+    aud_ok = audio_sample_stats(s2).filter("n_samples >= 64").select("media_id")
+    shots = video_shot_fingerprints(s2).transform(pin, eager=True)
+    vid_ok = shots.filter("shot_idx >= 0").select("media_id").distinct()
+    s3 = audit(
+        "fingerprintable",
+        s2.join(img_ok.union(aud_ok).union(vid_ok), "media_id", "left_semi"),
+    )
+
+    # stage 4: perceptual near-dup keep-policy, one representative per
+    # connected component; videos pair at the SHOT level (trim-robust)
+    img_pairs = banded_neardup_pairs(
+        image_ahash(s3.filter("kind = 'image'"))
+    ).filter("near_dup = 1")
+    aud_pairs = banded_neardup_pairs(
+        audio_ahash(s3.filter("kind = 'audio'"))
+    ).filter("near_dup = 1")
+    vid_pairs = shot_overlap_neardups(
+        shots.join(s3.select("media_id"), "media_id", "left_semi"),
+        min_shared=min_shared_shots,
+    ).filter("near_dup = 1")
+    pairs = (
+        img_pairs.select("id_a", "id_b")
+        .unionByName(aud_pairs.select("id_a", "id_b"))
+        .unionByName(vid_pairs.select("id_a", "id_b"))
+    )
+    clusters = dedup_clusters(
+        s3.select(F.col("media_id")), pairs, id_col="media_id"
+    )
+    s4 = audit(
+        "neardup_keep",
+        s3.join(
+            clusters.filter("kept").select("media_id"), "media_id", "left_semi"
+        ),
+    )
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        s4.write.mode("overwrite").parquet(os.path.join(out_dir, "curated.parquet"))
+        import json
+
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+    return report

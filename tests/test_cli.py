@@ -116,3 +116,23 @@ def test_cli_pipeline(capsys, spark, tmp_path):
     joined = curated.join(orig, on="doc_id").select("text", "_orig")
     untouched = joined.filter(F.col("text") == F.col("_orig")).count()
     assert untouched > 0, "some docs must survive span dedup unrewritten"
+
+
+def test_cli_media_pipeline(capsys, spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from degdb_spark.__main__ import main
+
+    out = str(tmp_path / "curated_media")
+    rc = main(["media-pipeline", "--n", "18", "--out", out])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    assert [r["stage"] for r in rows] == [
+        "validated", "exact_dedup", "fingerprintable", "neardup_keep",
+    ]
+    counts = [r["n_items"] for r in rows]
+    assert counts[0] == 18  # the synthetic table is fully decodable
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert _os.path.exists(_os.path.join(out, "report.json"))

