@@ -192,7 +192,8 @@ HEADLINE = [
     # round-10 additions (in-plan trained linear classifier; IMA ADPCM
     # compressed-audio decode; shot-level video fingerprints; stereo
     # WAV downmix; hard-negative triplet mining; integer-exact
-    # sampled-source stress centrality; association-rule mining)
+    # sampled-source stress centrality; association-rule mining;
+    # MMR diversity-aware selection)
     "docs_linear_classifier",
     "media_adpcm_decode",
     "media_shot_neardups",
@@ -200,6 +201,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "basket_stress_centrality",
     "basket_association_rules",
+    "emb_mmr_selection",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -34,12 +34,12 @@ class Query(NamedTuple):
 #: Round-10 window (see module docstring). Composition (50 checked
 #: slots), exactly as planned in the round-9 comment / VERDICT r9
 #: "Next round #1": the full remaining r5-era cohort in
-#: oldest-first module order EXCEPT its last six rows
+#: oldest-first module order EXCEPT its last seven rows
 #: (events_cusum_changepoints and docs_proximity_search displaced by
 #: the first three additions; events_top_paths, events_kaplan_meier,
-#: events_ks_test and events_mann_whitney evicted newest-fill-first
-#: as the later four landed — all six spill to round 11), plus the
-#: SEVEN surfaces NEW
+#: events_ks_test, events_mann_whitney and events_ab_test evicted
+#: newest-fill-first as the later five landed — all seven spill to
+#: round 11), plus the EIGHT surfaces NEW
 #: in round 10 (docs_linear_classifier — in-plan averaged-perceptron
 #: linear classifier, all-integer with an unrolled-CTE oracle;
 #: media_adpcm_decode — IMA ADPCM (WAV format 0x11)
@@ -52,18 +52,20 @@ class Query(NamedTuple):
 #: exactness recipe; basket_stress_centrality — sampled-source
 #: stress centrality, the integer-exact Brandes sweep;
 #: basket_association_rules — support/confidence/lift market-basket
-#: rule mining), plus
+#: rule mining; emb_mmr_selection — MMR diversity-aware retrieval
+#: with the kcenter literal-scan discipline), plus
 #: the 4 surfaces CHANGED in round 10 (emb_kcenter_selection —
 #: degenerate-input guards; events_autocorrelation — grid-span
 #: guard, count pin, and grid repartition; media_audio_tone_probe
 #: and media_scene_cuts — the strict/quarantine decode seam).
 #:
 #: Round-11 window, planned now so the standing policy stays
-#: executable: the 6 spilled r5-era rows (events_cusum_changepoints,
+#: executable: the 7 spilled r5-era rows (events_cusum_changepoints,
 #: docs_proximity_search, events_top_paths, events_kaplan_meier,
-#: events_ks_test and events_mann_whitney — the last four evicted
-#: newest-fill-first as media_stereo_decode, emb_hard_negatives,
-#: basket_stress_centrality and basket_association_rules landed)
+#: events_ks_test, events_mann_whitney and events_ab_test — the last
+#: five evicted newest-fill-first as media_stereo_decode,
+#: emb_hard_negatives, basket_stress_centrality,
+#: basket_association_rules and emb_mmr_selection landed)
 #: first, then the r6-era
 #: cohort in module order (emb_quantization, emb_threshold_pairs,
 #: emb_centroid_by_label, emb_lsh_knn, graph_degrees,
@@ -73,7 +75,7 @@ class Query(NamedTuple):
 #: docs_train_test_split, …) + anything new/changed in round 11,
 #: overflow evicting newest-fill-first as usual.
 _WINDOW = [
-    # --- r5-era cohort, oldest-first module order (39)
+    # --- r5-era cohort, oldest-first module order (38)
     "emb_knn_label_accuracy",
     "emb_centroid_outliers",
     "emb_threshold_curve",
@@ -112,8 +114,7 @@ _WINDOW = [
     "events_error_seasonality",
     "events_mix_trend",
     "events_attribution",
-    "events_ab_test",
-    # --- new in round 10 (7)
+    # --- new in round 10 (8)
     "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
     "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
     "media_shot_neardups",  # NEW r10: shot-level video near-dup, trim-robust
@@ -121,6 +122,7 @@ _WINDOW = [
     "emb_hard_negatives",  # NEW r10: contrastive triplet mining, kcenter-exact
     "basket_stress_centrality",  # NEW r10: integer-exact Brandes stress sweep
     "basket_association_rules",  # NEW r10: support/confidence/lift rule mining
+    "emb_mmr_selection",  # NEW r10: MMR diversity-aware retrieval, unrolled oracle
     # --- changed in round 10 (4)
     "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
     "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition

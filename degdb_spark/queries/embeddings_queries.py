@@ -1474,8 +1474,83 @@ d{j} AS MATERIALIZED (
 KCENTER_SQL = _kcenter_sql()
 
 
+_MMR_K = 6
+
+
+def emb_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (operators/mmr.py): 6
+    diversity-aware picks for the minimum-id query vector — the
+    re-ranker that stops a retrieval/data-selection top-k from being
+    k near-duplicates of the best hit (the retrieval dual of
+    emb_kcenter_selection). Each round is one parallel scan against
+    the query/selected literals + a 1-row argmax collect; every
+    similarity is 6-dp round-half-up BEFORE the max, and the score
+    0.7·rel − 0.3·ms uses explicit literals on both engines. The
+    oracle unrolls the full greedy trajectory as materialized CTEs,
+    so a hash match certifies every pick, tie-break, and score of the
+    data-dependent loop."""
+    from degdb_spark.operators.mmr import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb, k=_MMR_K).orderBy("sel_rank")
+
+
+def _mmr_sql(k: int = _MMR_K) -> str:
+    # every CTE MATERIALIZED — the s{j} chain would otherwise be
+    # re-inlined exponentially (the kcenter/BPE-oracle lesson)
+    from degdb_spark.operators.kcenter import _DIST_SCALE as S
+
+    def sim(dotexpr: str, n2: str, c2: str) -> str:
+        return f"FLOOR((({dotexpr}) / (sqrt({n2}) * sqrt({c2}))) * {S} + 0.5) / {S}"
+
+    parts = [
+        f"""emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+  FROM embeddings
+),
+q0 AS MATERIALIZED (SELECT vec_id, v, n2 FROM emb ORDER BY vec_id LIMIT 1),
+s0 AS MATERIALIZED (
+  SELECT vec_id, v, n2,
+         {sim("list_dot_product(v, (SELECT v FROM q0))", "n2", "(SELECT n2 FROM q0)")} AS rel,
+         0.0 AS ms
+  FROM emb WHERE vec_id <> (SELECT vec_id FROM q0)
+)"""
+    ]
+    for j in range(1, k + 1):
+        upd = sim(
+            f"list_dot_product(v, (SELECT v FROM c{j}))", "n2", f"(SELECT n2 FROM c{j})"
+        )
+        parts.append(
+            f"""m{j} AS MATERIALIZED (
+  SELECT vec_id, v, n2, rel, ms,
+         FLOOR((0.7 * rel - 0.3 * ms) * {S} + 0.5) / {S} AS score
+  FROM s{j - 1}
+),
+c{j} AS MATERIALIZED (SELECT * FROM m{j} ORDER BY score DESC, vec_id LIMIT 1),
+s{j} AS MATERIALIZED (
+  SELECT vec_id, v, n2, rel, GREATEST(ms, {upd}) AS ms
+  FROM m{j} WHERE vec_id <> (SELECT vec_id FROM c{j})
+)"""
+        )
+    selects = [
+        f"SELECT {j} AS sel_rank, (SELECT vec_id FROM c{j}) AS vec_id, "
+        f"(SELECT score FROM c{j}) AS score"
+        for j in range(1, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY sel_rank"
+    )
+
+
+MMR_SQL = _mmr_sql()
+
+
 QUERIES: dict[str, Query] = {
     "emb_kcenter_selection": Query(emb_kcenter_selection, KCENTER_SQL),
+    "emb_mmr_selection": Query(emb_mmr_selection, MMR_SQL),
     "emb_knn_label_accuracy": Query(knn_label_accuracy, KNN_LABEL_ACC_SQL),
     "emb_centroid_outliers": Query(centroid_outliers, CENTROID_OUTLIERS_SQL),
     "emb_threshold_curve": Query(neardup_threshold_curve, THRESHOLD_CURVE_SQL),

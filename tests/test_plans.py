@@ -930,3 +930,23 @@ def test_association_rules_broadcasts_total_only(spark):
     plan = _plan(basket_association_rules(spark, SF))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_mmr_round_scan_no_shuffle_no_python(spark):
+    """One MMR greedy round is a pure scan, like the k-center round:
+    relevance and max-sim-to-selected are whole-stage-codegen HOF
+    expressions over literals — no Exchange, no Python eval node."""
+    from degdb_spark.operators.mmr import _maxsim_expr
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "n2",
+        F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"),
+    )
+    sel = [[0.1] * 64, [0.2] * 64]
+    plan = _plan(pts.withColumn("ms", F.expr(f"greatest(0.0d, {_maxsim_expr(sel)})")))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

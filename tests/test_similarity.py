@@ -395,3 +395,73 @@ def test_hard_negative_triplets_match_python_reference(spark, tmp_path):
     # the planted structure: anchor 0's positive is 1 (not its dup 6 —
     # tie broken by id), its hard negative is 3
     assert got[0][1] == 1 and got[0][3] == 3
+
+
+def test_mmr_select_matches_python_reference(spark):
+    """mmr_select must equal the straight Python replica — 6-dp
+    round-half-up similarities, the 0-floored max-sim-to-selected
+    clamp (a candidate anti-similar to every pick gets penalty 0, not
+    a bonus), explicit 0.7/0.3 literals, (score desc, id asc) argmax —
+    on vectors with planted relevance/diversity structure including a
+    negative-similarity candidate and an exact duplicate."""
+    from degdb_spark.operators.mmr import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # the QUERY (min id)
+        (1, [1.0, 0.05, 0.0, 0.0]),   # most relevant (tie with 2 and 3)
+        (2, [1.0, 0.05, 0.0, 0.0]),   # EXACT duplicate of 1
+        (3, [1.0, -0.05, 0.0, 0.0]),  # equally relevant, diverse twin
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # anti-similar to everything
+        (5, [0.0, 0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def s6(a, b):
+        s = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        return math.floor(s * 1_000_000 + 0.5) / 1_000_000
+
+    def q6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    pts = {i: v for i, v in rows}
+    q = pts[0]
+    cand = {i: v for i, v in pts.items() if i != 0}
+    rel = {i: s6(q, v) for i, v in cand.items()}
+    picks, sel = [], []
+    for rank in range(1, 5):
+        best = None
+        for i in sorted(cand):
+            if i in (p[1] for p in picks):
+                continue
+            ms = max([0.0] + [s6(cand[i], pts[s]) for s in sel])
+            score = q6(0.7 * rel[i] - 0.3 * ms)
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        picks.append((rank, best[1], best[2]))
+        sel.append(best[1])
+
+    got = [
+        (r.sel_rank, r.vec_id, r.score)
+        for r in mmr_select(df, k=4).orderBy("sel_rank").collect()
+    ]
+    assert got == picks
+    # structure: the three-way relevance tie breaks to id 1; round 2
+    # demotes 1's EXACT duplicate (penalty 0.3·1.0) behind the equally
+    # relevant diverse twin 3 — the reorder pure relevance cannot make
+    assert got[0][1] == 1
+    assert got[1][1] == 3
+
+
+def test_mmr_empty_input_raises(spark):
+    from degdb_spark.operators.mmr import mmr_select
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        mmr_select(empty, k=3)
