@@ -300,3 +300,73 @@ def test_association_rules_match_hand_computed_baskets(spark, tmp_path):
         (103, 101): (2, d6(2 / n), d6(2 / cc), d6(2 * n / (cc * ca))),
     }
     assert got == want  # co(B,C)=1 < 2 correctly excluded
+
+
+def test_association_rules_match_replica_on_random_baskets(spark, tmp_path):
+    """Hypothesis tier for rule mining: random basket sets — repeated
+    items within an order (deduped by the DISTINCT items pass), pairs
+    exactly at/below the w>=2 threshold, ratio ties in the top-20
+    ordering — must equal a straight Python replica."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from degdb_spark.queries.graph_adv_queries import basket_association_rules
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.randoms(use_true_random=False))
+    def prop(rnd):
+        n_orders = rnd.randrange(3, 9)
+        items = list(range(101, 101 + rnd.randrange(3, 6)))
+        rows = []
+        baskets = {}
+        for ok in range(1, n_orders + 1):
+            picked = [it for it in items if rnd.random() < 0.6]
+            for it in picked:
+                # duplicates within an order exercise the DISTINCT pass
+                for _ in range(rnd.randrange(1, 3)):
+                    rows.append((ok, it))
+            baskets[ok] = set(picked)
+        if not rows:
+            rows, baskets = [(1, items[0])], {1: {items[0]}}
+        d = str(tmp_path / f"li_{rnd.randrange(10**9)}")
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+        def d6(x):
+            return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+        n = len(baskets)
+        cnt = {it: sum(1 for b in baskets.values() if it in b) for it in items}
+        co = {}
+        for b in baskets.values():
+            for u in b:
+                for v in b:
+                    if u < v:
+                        co[(u, v)] = co.get((u, v), 0) + 1
+        rules = []
+        for (u, v), c in co.items():
+            if c < 2:
+                continue
+            for a, b in ((u, v), (v, u)):
+                rules.append(
+                    (
+                        -d6(c * n / (cnt[a] * cnt[b])), a, b,
+                        (a, b, c, d6(c / n), d6(c / cnt[a]),
+                         d6(c * n / (cnt[a] * cnt[b]))),
+                    )
+                )
+        want = [r[3] for r in sorted(rules)[:20]]
+        got = [tuple(r) for r in basket_association_rules(spark, d).collect()]
+        assert got == want
+
+    prop()

@@ -465,3 +465,72 @@ def test_mmr_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         mmr_select(empty, k=3)
+
+
+def test_mmr_select_matches_python_reference_random(spark):
+    """Hypothesis tier for MMR: random small vector sets — duplicate
+    vectors, anti-similar vectors (the 0-floor clamp), score ties, and
+    k exceeding the candidate count — must equal the Python replica at
+    every rank."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from degdb_spark.operators.mmr import mmr_select
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.randoms(use_true_random=False))
+    def prop(rnd):
+        n = rnd.randrange(2, 9)
+        dim = rnd.choice([2, 3])
+        # small integer grids make exact duplicates and ties likely
+        vecs = []
+        for i in range(n):
+            v = [float(rnd.randrange(-2, 3)) for _ in range(dim)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0  # avoid zero vectors (norm 0)
+            vecs.append((i, v))
+        k = rnd.randrange(1, n + 2)  # may exceed the candidate count
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def s6(a, b):
+            s = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+            return math.floor(s * 1_000_000 + 0.5) / 1_000_000
+
+        def q6(x):
+            return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+        pts = dict(vecs)
+        q = pts[0]
+        cand = {i: v for i, v in pts.items() if i != 0}
+        rel = {i: s6(q, v) for i, v in cand.items()}
+        picks, sel = [], []
+        for rank in range(1, k + 1):
+            best = None
+            for i in sorted(set(cand) - set(sel)):
+                ms = max([0.0] + [s6(cand[i], pts[s]) for s in sel])
+                score = q6(0.7 * rel[i] - 0.3 * ms)
+                key = (-score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            if best is None:
+                break
+            picks.append((rank, best[1], best[2]))
+            sel.append(best[1])
+
+        got = [
+            (r.sel_rank, r.vec_id, r.score)
+            for r in mmr_select(df, k=k).orderBy("sel_rank").collect()
+        ]
+        assert got == picks
+
+    prop()
