@@ -370,3 +370,19 @@ def test_association_rules_match_replica_on_random_baskets(spark, tmp_path):
         assert got == want
 
     prop()
+
+
+def test_stress_and_rules_tolerate_empty_graph(spark, tmp_path):
+    """Schema-only lineitem: both new basket surfaces return empty
+    frames instead of raising (the degenerate-input convention the
+    registry-wide hardening test pins for the older queries)."""
+    spark.createDataFrame([], "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    from degdb_spark.queries.graph_adv_queries import (
+        basket_association_rules,
+        basket_stress_centrality,
+    )
+
+    assert basket_association_rules(spark, str(tmp_path)).collect() == []
+    assert basket_stress_centrality(spark, str(tmp_path)).collect() == []

@@ -209,3 +209,17 @@ def test_validate_media_reports_errors(spark):
     assert all(got[i].ok == 1 and got[i].error is None for i in range(3))
     assert got[90].ok == 0 and "PNG" in got[90].error.upper() or got[90].ok == 0
     assert got[91].ok == 0 and "codec" in got[91].error  # the mp3 strict gate
+
+
+def test_curate_media_empty_table(spark):
+    """An empty media table flows through every pipeline stage to an
+    all-zero report — no stage crashes on schema-only input."""
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.pipeline import curate_media
+
+    empty = spark.createDataFrame([], M.MEDIA_SCHEMA)
+    report = curate_media(spark, empty)
+    assert [(r["stage"], r["n_items"]) for r in report] == [
+        ("validated", 0), ("exact_dedup", 0),
+        ("fingerprintable", 0), ("neardup_keep", 0),
+    ]

@@ -534,3 +534,16 @@ def test_mmr_select_matches_python_reference_random(spark):
         assert got == picks
 
     prop()
+
+
+def test_hard_negatives_single_label_is_empty(spark, tmp_path):
+    """A corpus with one label has no hard negatives: the inner join
+    against the empty negative side yields an empty result — never a
+    crash or a row with a null negative."""
+    from degdb_spark.queries.embeddings_queries import hard_negative_triplets
+
+    spark.createDataFrame(
+        [(i, [1.0, float(i)], 0) for i in range(5)],
+        "vec_id long, embedding array<double>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    assert hard_negative_triplets(spark, str(tmp_path)).collect() == []
