@@ -7,7 +7,7 @@ columns by name, sort rows, and compare row count + schema + values.
 Mirrors the driver's comparator closely enough to catch name/round/
 semantics drift before the round gate does.
 
-Usage: python tools/oracle_check.py [--sf DIR] [--only name1,name2] [-v]
+Usage: python tools/oracle_check.py [--sf DIR] [--only name1,name2] [--window] [-v]
 """
 
 from __future__ import annotations
@@ -59,6 +59,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the driver's 50-slot correctness window "
+        "(the first 50 registry entries, in iteration order)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -68,7 +74,10 @@ def main() -> int:
     spark = get_spark(app_name="oracle_check")
     con = duck_connect(args.sf)
 
-    names = sorted(registry().keys())
+    if args.window:
+        names = list(registry().keys())[:50]  # the driver's exact view
+    else:
+        names = sorted(registry().keys())
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
