@@ -451,6 +451,12 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(f"WAV chunk {cid!r} truncated")
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                # must be ValueError, not struct.error from the
+                # unpack_from below: the quarantine seams
+                # (validate_media & friends) catch only ValueError,
+                # so a struct.error would abort the whole stage
+                raise ValueError("WAV fmt chunk too small")
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]

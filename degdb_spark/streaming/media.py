@@ -166,7 +166,15 @@ def _shot_index_step(
     )
 
     spark = batch.sparkSession
-    new_shots = video_shot_fingerprints(batch).transform(pin, eager=True)
+    # drop quarantine sentinels (shot_idx = −1, bands −1) BEFORE they
+    # reach the persisted index: two corrupt videos in different
+    # batches would otherwise band-collide on the all−1 row (hamming
+    # 0) and emit a bogus matched-shot pair (ADVICE r10)
+    new_shots = (
+        video_shot_fingerprints(batch)
+        .filter(F.col("shot_idx") >= 0)
+        .transform(pin, eager=True)
+    )
 
     from degdb_spark.streaming.util import has_committed_parquet
 

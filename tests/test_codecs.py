@@ -69,6 +69,19 @@ def test_wav_rejects_malformed():
         C.encode_wav(np.zeros(4, dtype=np.float32), 8000)  # wrong dtype
 
 
+def test_wav_short_fmt_chunk_is_valueerror():
+    # ADVICE r10: a fmt chunk declaring size < 16 must raise ValueError
+    # (the quarantine seams catch only that), never struct.error
+    import struct
+
+    fmt = struct.pack("<4sI", b"fmt ", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    data = struct.pack("<4sI", b"data", 4) + b"\x00\x00\x00\x00"
+    payload = b"WAVE" + fmt + data
+    wav = struct.pack("<4sI", b"RIFF", len(payload)) + payload
+    with pytest.raises(ValueError, match="fmt chunk too small"):
+        C.decode_wav(wav)
+
+
 def test_rawv_round_trip():
     frames = np.arange(2 * 4 * 3 * 3, dtype=np.uint8).reshape(2, 4, 3, 3)
     enc = C.encode_rawv(frames, 250)

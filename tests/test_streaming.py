@@ -1585,6 +1585,29 @@ def test_shot_index_stream_equals_full_pairs(spark, tmp_path):
     assert again == full
 
 
+def test_shot_index_quarantines_sentinels(spark, tmp_path):
+    """ADVICE r10: corrupt videos in DIFFERENT batches must not
+    band-collide on the all−1 sentinel row and emit a bogus pair —
+    sentinels are filtered before the index write and the probe."""
+    from degdb_spark.streaming.media import _SHOT_INDEX_SCHEMA, _shot_index_step
+
+    bad = spark.createDataFrame(
+        [(100, "video", bytearray(b"not a container at all")),
+         (101, "video", bytearray(b"also not a container"))],
+        "media_id long, kind string, payload binary",
+    )
+    idx, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    _shot_index_step(bad.filter("media_id = 100"), 0, idx, pairs)
+    _shot_index_step(bad.filter("media_id = 101"), 1, idx, pairs)
+    shots = (
+        spark.read.schema(_SHOT_INDEX_SCHEMA + ", batch int")
+        .option("basePath", idx).parquet(idx)
+    )
+    assert shots.count() == 0  # sentinels never persisted
+    got = spark.read.option("basePath", pairs).parquet(pairs)
+    assert got.count() == 0  # and no bogus corrupt×corrupt pair
+
+
 def test_linfeat_index_stream_retrains_exactly(spark, tmp_path):
     """The linear-classifier feature index twin: documents stream in
     three batches; training from the merged feature index alone equals
