@@ -1,0 +1,149 @@
+"""Persisted co-purchase edge index — the basket family's contract
+index (VERDICT r10 "What's wrong" #1).
+
+Fourteen ``basket_*`` analytics queries share one input: the weighted
+co-purchase edge list (parts u,v weighted by how many orders contain
+both). Recomputing it inside every query re-pays a full lineitem scan
++ per-order pair explode per query (~3 s × 14 at sf0.1); at 100 TB a
+user materializes it once per corpus version. This module is that
+materialization, following the postings/PQ contract-index lifecycle
+(operators/search.py — ``_batch``-partitioned managed table, static
+INSERT OVERWRITE per batch, drop-before-create):
+
+- the index stores RAW per-batch partial pair counts ``(u, v, w)``
+  with u < v and NO weight threshold — counts over disjoint order
+  sets are additive, so increments (new orders) and retractions
+  (deleted orders, as negative counts) are both just new batches;
+- readers sum partials, apply the threshold, and materialize both
+  directions — an index-sized aggregate instead of a lineitem scan.
+
+Batch atomicity contract: an order's lineitem rows must all land in
+the SAME batch (orders are the unit of ingest — exactly the contract
+every index twin has on its id column). A replayed batch overwrites
+its own ``_batch`` partition and converges.
+
+Scale: the index is |edges| ≈ sf·7k rows of three ints — millions at
+100 TB versus billions of lineitem rows; the read-side aggregate is
+bucket-local (the table is bucketed on (u, v)), so steady-state
+basket analytics never touch lineitem at all.
+
+Provenance: the wedge semantics match queries/graph_adv_queries.py's
+inline builder (kept as the oracle's ``_WEDGES_CTE``); no reference
+counterpart — the reference (degdb/degdb) has no relational/graph
+surface, this belongs to the extension brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from degdb_spark.persistence import pin
+
+#: keep only repeat co-purchases (w >= 2): the w=1 edges make the
+#: co-purchase graph near-complete and every community/distance
+#: collapses to the trivial answer (see graph_adv_queries).
+W_MIN = 2
+
+
+def wedge_counts(lineitem: DataFrame) -> DataFrame:
+    """RAW co-purchase pair counts ``(u, v, w)`` with u < v — one
+    groupBy(orderkey) shuffle (collect_set dedups parts in-pass), an
+    in-codegen combination explode bounded by per-order fanout, then a
+    (u, v) count. Linear in lineitem. NO threshold here: raw counts
+    are what makes batches additive/retractable."""
+    items = lineitem.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+
+
+def build_basket_edges_index(
+    lineitem: DataFrame, table: str, buckets: int = 16, batch_id: int = 0
+) -> None:
+    """One-time build: drop any prior generation, write batch 0 of the
+    partial-count table, ``_batch``-partitioned and bucketed on
+    (u, v) so the read-side sum is bucket-local."""
+    from degdb_spark.operators.pq import drop_managed_table
+
+    spark = lineitem.sparkSession
+    drop_managed_table(spark, table)
+    (
+        wedge_counts(lineitem)
+        .withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("_batch")
+        .bucketBy(buckets, "u", "v")
+        .sortBy("u", "v")
+        .saveAsTable(table)
+    )
+
+
+def refresh_basket_edges_index(
+    new_lineitem: DataFrame, table: str, batch_id: int | None = None
+) -> None:
+    """Incremental maintenance: the increment's orders' pair counts
+    land in their own ``_batch`` partition (static INSERT OVERWRITE —
+    replaying a batch converges). Historical lineitem is never
+    re-read. ``new_lineitem`` must hold complete, previously-unseen
+    orders (append-only order ingest)."""
+    from degdb_spark.operators.search import _insert_overwrite_batch
+
+    spark = new_lineitem.sparkSession
+    if batch_id is None:
+        batch_id = spark.table(table).agg(F.max("_batch")).first()[0] + 1
+    _insert_overwrite_batch(
+        wedge_counts(new_lineitem).select("u", "v", "w"), table, batch_id
+    )
+
+
+def retract_basket_edges_index(
+    deleted_lineitem: DataFrame, table: str, batch_id: int | None = None
+) -> None:
+    """Corpus deletion WITHOUT a rebuild: the deleted orders' pair
+    counts go in as a NEGATIVE batch; the read-side sum cancels them
+    exactly (integer counts — no float drift). ``deleted_lineitem``
+    must hold complete previously-ingested orders."""
+    from degdb_spark.operators.search import _insert_overwrite_batch
+
+    spark = deleted_lineitem.sparkSession
+    if batch_id is None:
+        batch_id = spark.table(table).agg(F.max("_batch")).first()[0] + 1
+    _insert_overwrite_batch(
+        wedge_counts(deleted_lineitem)
+        .select("u", "v", (-F.col("w")).alias("w")),
+        table,
+        batch_id,
+    )
+
+
+def edges_from_index(spark: SparkSession, table: str) -> DataFrame:
+    """The basket family's input frame, served FROM the index: sum the
+    per-batch partials (bucket-local — no shuffle past the table's
+    (u, v) bucketing), drop cancelled/sub-threshold pairs, and
+    materialize both directions for the frontier joins. Eagerly pinned
+    for the same reason the inline builder was: every consumer derives
+    several secondary frames (sources/vertices/und) from it."""
+    wedges = (
+        spark.table(table)
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") >= W_MIN)
+        .select("u", "v", F.col("w").cast("long").alias("w"))
+    )
+    return (
+        wedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            wedges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+        .transform(pin, eager=True)
+    )

@@ -386,3 +386,46 @@ def test_stress_and_rules_tolerate_empty_graph(spark, tmp_path):
 
     assert basket_association_rules(spark, str(tmp_path)).collect() == []
     assert basket_stress_centrality(spark, str(tmp_path)).collect() == []
+
+
+def test_basket_edges_index_matches_inline(spark, tmp_path):
+    """The basket-edge contract index (operators/basket.py) serves the
+    EXACT inline _weighted_edges frame: build == inline, incremental
+    refresh == bigger inline, retraction == smaller inline — the
+    additive-partial-counts design, falsified on integer equality."""
+    from degdb_spark.operators import basket as B
+    from degdb_spark.operators.pq import drop_managed_table
+    from degdb_spark.queries.graph_adv_queries import _weighted_edges_inline
+
+    rows = [
+        (o, p)
+        for o in range(40)
+        for p in {o % 7, (o + 1) % 7, 50 + o % 3, 50 + (o + o // 5) % 3}
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    def inline_of(orders_pred):
+        d = tmp_path / f"d_{orders_pred.replace(' ', '')}"
+        d.mkdir()
+        li.filter(orders_pred).write.parquet(str(d / "lineitem.parquet"))
+        return {
+            (r.src, r.dst, r.w)
+            for r in _weighted_edges_inline(spark, str(d)).collect()
+        }
+
+    table = "test_basket_edges_eq"
+    drop_managed_table(spark, table)
+    try:
+        B.build_basket_edges_index(li.filter("l_orderkey < 25"), table)
+        got = {(r.src, r.dst, r.w) for r in B.edges_from_index(spark, table).collect()}
+        assert got == inline_of("l_orderkey < 25")
+        # increment: orders 25..39 arrive — index == inline over all 40
+        B.refresh_basket_edges_index(li.filter("l_orderkey >= 25"), table)
+        got = {(r.src, r.dst, r.w) for r in B.edges_from_index(spark, table).collect()}
+        assert got == inline_of("l_orderkey < 40")
+        # retraction: orders 30..39 deleted — back to the 30-order graph
+        B.retract_basket_edges_index(li.filter("l_orderkey >= 30"), table)
+        got = {(r.src, r.dst, r.w) for r in B.edges_from_index(spark, table).collect()}
+        assert got == inline_of("l_orderkey < 30")
+    finally:
+        drop_managed_table(spark, table)

@@ -555,3 +555,46 @@ def test_linear_retrain_after_corpus_deletion(spark, tmp_path):
         for r in train_predict_from_features(merged_features(spark, idx)).collect()
     ]
     assert got == want
+
+
+def test_basket_edges_retract_after_corpus_deletion(spark, tmp_path):
+    """Basket-edge index lifecycle (round 11): deletion is a NEGATIVE
+    count batch needing only the deleted orders' own rows — the
+    historical lineitem parquet is removed between build and retract,
+    so any corpus rescan dies on a missing file. The served edge set
+    after retraction equals the direct wedge build on the survivors."""
+    from degdb_spark.operators import basket as B
+    from degdb_spark.operators.pq import drop_managed_table
+
+    rows = [
+        (o, p)
+        for o in range(60)
+        for p in {o % 9, (o + 2) % 9, 30 + o % 4}
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    corpus_dir = str(tmp_path / "li.parquet")
+    li.write.parquet(corpus_dir)
+    # the deleted orders' rows live in their own file (what an ingest
+    # layer keeps per batch); survivors' expected edges snapshot first
+    deleted_dir = str(tmp_path / "deleted.parquet")
+    li.filter("l_orderkey >= 45").write.parquet(deleted_dir)
+    want = {
+        (r.u, r.v, r.w)
+        for r in B.wedge_counts(li.filter("l_orderkey < 45"))
+        .filter(F.col("w") >= B.W_MIN)
+        .collect()
+    }
+
+    table = "scaleprobe_basket_edges"
+    drop_managed_table(spark, table)
+    try:
+        B.build_basket_edges_index(spark.read.parquet(corpus_dir), table)
+        shutil.rmtree(corpus_dir)  # corpus gone — retract must not need it
+        B.retract_basket_edges_index(spark.read.parquet(deleted_dir), table)
+        served = B.edges_from_index(spark, table)
+        assert _scans_of(served, "/li.parquet") == 0  # index-only read
+        got = {(r.src, r.dst, r.w) for r in served.filter("src < dst").collect()}
+        assert got == want
+        assert served.count() == 2 * len(want)
+    finally:
+        drop_managed_table(spark, table)
