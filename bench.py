@@ -208,6 +208,10 @@ HEADLINE = [
     "basket_stress_centrality",
     "basket_association_rules",
     "emb_mmr_selection",
+    # round-11 additions (exact variable-length substring dedup —
+    # ExactSubstr, Lee et al. 2022 — as stride-1 window fingerprints +
+    # dense-range complement reassembly)
+    "docs_substring_dedup",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

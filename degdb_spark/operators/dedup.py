@@ -811,3 +811,195 @@ def incremental_span_dedup(
     )
     report = _span_keep_first_and_reassemble(sliced, fresh_occ, id_col)
     return report, fresh_occ.select("span_h1", "span_h2").distinct()
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Exact VARIABLE-LENGTH substring deduplication — the ExactSubstr
+    method of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499): every substring of
+    >= ``min_tokens`` tokens that occurs more than once in the corpus
+    — at ANY offset/length, where span_dedup only sees fixed ALIGNED
+    spans — keeps its first occurrence in (doc, position) order and is
+    REMOVED from every later occurrence, with the document reassembled
+    from the surviving tokens.
+
+    Distributed formulation — fixed-L sliding windows instead of the
+    paper's suffix array. Removal rule: a token is removed iff some
+    length-L window covering it (stride 1) is NOT the global
+    (doc, pos)-first occurrence of its content. This equals the
+    paper's semantics exactly: (<=) the corresponding windows of a
+    later copy of an l >= L repeat sit at strictly-earlier-ordered
+    twins' content, so all are non-first, and with l >= L they cover
+    every token of the copy; (=>) a non-first window is itself a later
+    occurrence of an L-token repeat covering its tokens. First
+    occurrences keep their text; a fully duplicated later document
+    drops to ''; a periodic run keeps exactly its first period-worth
+    (the suffix-array answer too: the run's shift-overlap repeat is
+    removed from position 1 on).
+
+    Plan shape (100 TB): window texts never leave the row — they are
+    hashed to 128 bits (two differently-seeded xxhash64; salt FIRST,
+    see _span_occurrences for why) inside the explode generator, so
+    the occurrence table is (id, pos, h1, h2) — one ~28-byte row per
+    corpus token position, the same asymptotic footprint as the
+    paper's suffix array (8 bytes/token) and the only data-sized
+    shuffle. First-occurrence is ONE map-side-combinable min-struct
+    hash aggregate (no per-key window); WINNER starts roll up per doc
+    straight off the aggregate (non-winners are the dense-range
+    complement array_except(sequence(0, n - L), winners) — no join
+    back against the occurrence table), and reassembly is pure
+    codegen: an aggregate() fold merges the sorted starts into removal
+    intervals (O(starts)), the complement gaps flatten into survivor
+    positions, and kept text is a positional lookup on the doc's own
+    token array. Corpus text is scanned exactly twice and crosses
+    exactly one doc-keyed join, as whole-doc rows.
+
+    Returns (id, n_tokens, n_removed, text_clean), one row per doc.
+    """
+    L = int(min_tokens)
+    toked = docs.select(id_col, tokens(text_col).alias("_t"))
+    occ = _window_occurrences(toked, id_col, L)
+    return _substring_remove_and_reassemble(
+        toked, _winner_starts(occ, id_col), id_col, L
+    )
+
+
+def _window_occurrences(toked: DataFrame, id_col: str, L: int) -> DataFrame:
+    """(id, pos, h1, h2): every stride-1 length-L token window as a
+    128-bit fingerprint — hashed INSIDE the explode generator (safe:
+    generator arguments evaluate once; projections alongside the
+    explode would re-evaluate per element)."""
+    wins = F.expr(
+        f"transform(sequence(0, size(_t) - {L}), i -> struct("
+        f" cast(i as bigint) as pos,"
+        f" xxhash64(array_join(slice(_t, i + 1, {L}), ' ')) as h1,"
+        f" xxhash64(1, array_join(slice(_t, i + 1, {L}), ' ')) as h2))"
+    )
+    return (
+        toked.filter(F.size("_t") >= L)
+        .select(id_col, F.explode(wins).alias("w"))
+        .select(id_col, "w.pos", "w.h1", "w.h2")
+    )
+
+
+def _winner_starts(occ: DataFrame, id_col: str) -> DataFrame:
+    """(id, _wstarts): per doc, sorted start positions of the window
+    occurrences that ARE the global (doc, pos)-first of their content
+    hash — ONE min-struct hash aggregate plus a per-doc rollup.
+    Non-winner starts never need a join back against the occurrence
+    table (which would rescan the corpus): a doc of n tokens has the
+    DENSE start range 0..n-L, so reassembly derives non-winners as
+    array_except(sequence(0, n - L), _wstarts) in codegen."""
+    first = occ.groupBy("h1", "h2").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "_first"
+        )
+    )
+    return first.groupBy(F.col("_first.d").alias(id_col)).agg(
+        F.array_sort(F.collect_list("_first.p")).alias("_wstarts")
+    )
+
+
+def _substring_remove_and_reassemble(
+    toked: DataFrame, winners: DataFrame, id_col: str, L: int
+) -> DataFrame:
+    """Reassembly from per-doc WINNER window starts, all in codegen:
+    non-winner starts are the dense-range complement
+    array_except(sequence(0, n - L), _wstarts), folded into merged
+    [lo, hi] removal intervals; the complement gaps are survivor
+    position ranges, looked up positionally. Docs shorter than L have
+    no windows and survive whole; a doc with only non-winner windows
+    drops to ''."""
+    starts = F.expr(
+        f"case when size(_t) < {L} then cast(array() as array<bigint>)"
+        f" else array_except(sequence(0L, cast(size(_t) - {L} as bigint)),"
+        f"      coalesce(_wstarts, cast(array() as array<bigint>))) end"
+    )
+    merged = F.expr(
+        f"aggregate(_starts,"
+        f" cast(array() as array<struct<lo: bigint, hi: bigint>>),"
+        f" (acc, s) -> case"
+        f"  when size(acc) > 0 and s <= element_at(acc, -1).hi + 1"
+        f"  then concat(slice(acc, 1, size(acc) - 1),"
+        f"       array(struct(element_at(acc, -1).lo as lo, s + {L - 1} as hi)))"
+        f"  else concat(acc, array(struct(s as lo, s + {L - 1} as hi))) end)"
+    )
+    # complement gaps: before the first interval, between intervals,
+    # after the last. Empty gaps are dropped as STRUCTS (lo > hi) —
+    # sequence(lo, hi) with lo > hi generates a DESCENDING range, not
+    # an empty one, so it must never see an empty gap.
+    gaps = F.expr(
+        "flatten(transform("
+        " filter("
+        "  transform(sequence(0, size(_iv)), g -> struct("
+        "   case when g = 0 then 0L else element_at(_iv, g).hi + 1 end as lo,"
+        "   case when g = size(_iv) then size(_t) - 1"
+        "        else element_at(_iv, g + 1).lo - 1 end as hi)),"
+        "  iv -> iv.lo <= iv.hi),"
+        " iv -> sequence(iv.lo, iv.hi)))"
+    )
+    return (
+        toked.join(winners, on=id_col, how="left")
+        .withColumn("_starts", starts)
+        .withColumn("_iv", merged)
+        .withColumn("_pos", gaps)
+        .select(
+            id_col,
+            F.size("_t").cast("long").alias("n_tokens"),
+            (F.size("_t") - F.size("_pos")).cast("long").alias("n_removed"),
+            F.expr(
+                "array_join(transform(_pos,"
+                " p -> element_at(_t, cast(p + 1 as int))), ' ')"
+            ).alias("text_clean"),
+        )
+    )
+
+
+def incremental_substring_dedup(
+    new_docs: DataFrame,
+    existing_windows: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """substring_dedup for an INCREMENT against a persisted window
+    index ((win_h1, win_h2) distinct hashes of all earlier batches —
+    16 bytes per distinct window, never corpus text). A window whose
+    hash is indexed has its first occurrence in history, so EVERY new
+    occurrence of it is removal coverage; fresh hashes get the
+    first-occurrence rule within the increment. With doc-ordered
+    batches (ids ascending across batches — every index twin's
+    contract) this reproduces full-corpus substring_dedup bit-for-bit
+    for the batch's docs: an indexed hash's global winner is its
+    earlier-batch occurrence, a fresh hash's is its within-batch one,
+    and later batches can never steal a min-(doc, pos) win from
+    earlier rows. Old text is never re-read. Returns (report,
+    fresh_windows) — the per-new-doc report and the index delta to
+    persist (the incremental_span_dedup contract)."""
+    from degdb_spark.persistence import pin
+
+    L = int(min_tokens)
+    toked = new_docs.select(id_col, tokens(text_col).alias("_t"))
+    idx = existing_windows.select(
+        F.col("win_h1").alias("h1"), F.col("win_h2").alias("h2")
+    )
+    # winners exist among FRESH occurrences only; every indexed (stale)
+    # occurrence falls into the dense-range complement automatically.
+    # Pinned: feeds both the winner rollup and the index delta.
+    fresh_occ = pin(
+        _window_occurrences(toked, id_col, L).join(
+            idx, on=["h1", "h2"], how="left_anti"
+        )
+    )
+    report = _substring_remove_and_reassemble(
+        toked, _winner_starts(fresh_occ, id_col), id_col, L
+    )
+    fresh = fresh_occ.select(
+        F.col("h1").alias("win_h1"), F.col("h2").alias("win_h2")
+    ).distinct()
+    return report, fresh

@@ -161,6 +161,65 @@ FROM groups
 """
 
 
+def substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact VARIABLE-LENGTH substring dedup (ExactSubstr, Lee et al.
+    2022, arXiv:2107.06499 — operators/dedup.substring_dedup): every
+    >= 20-token substring repeated anywhere in the corpus, at ANY
+    offset/length (span_dedup only removes aligned fixed spans), is
+    kept at its first (doc, position) occurrence and removed from
+    every later one; documents are reassembled from surviving tokens.
+    The report returns each document's token count, removed-token
+    count, and the reassembled text, so the hash check pins the
+    sliding-window fingerprinting, the global first-occurrence argmin,
+    the interval-merge removal, AND positional reassembly. The oracle
+    replays the same rule grouping windows by their TEXT — Spark's
+    128-bit fingerprints stand in for the string only as shuffle keys
+    (collision expectation ~1e-17 at 1e11 distinct windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.substring_dedup(docs, min_tokens=20).orderBy("doc_id")
+
+
+SUBSTR_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), warr AS (
+  SELECT doc_id,
+         [array_to_string(toks[i+1:i+20], ' ')
+          for i in range(0, len(toks) - 19)] AS wins
+  FROM base WHERE len(toks) >= 20
+), occ AS (
+  SELECT doc_id, generate_subscripts(wins, 1) - 1 AS pos, unnest(wins) AS win
+  FROM warr
+), fr AS (
+  SELECT win, MIN(ROW(doc_id, pos)) AS f FROM occ GROUP BY win
+), nonwin AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN fr ON o.win = fr.win
+  WHERE ROW(o.doc_id, o.pos) <> fr.f
+), removed AS (
+  SELECT DISTINCT n.doc_id, n.pos + g.x AS p
+  FROM nonwin n, generate_series(0, 19) g(x)
+), tokpos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS tok
+  FROM base
+), surv AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tokpos t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+  WHERE r.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM surv GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global span dedup (operators/dedup.span_dedup): every
     10-token span that repeats anywhere in the corpus survives only at
@@ -2267,5 +2326,6 @@ QUERIES: dict[str, Query] = {
     "docs_language_id": Query(language_id, LANG_ID_SQL),
     "docs_exact_dedup": Query(exact_dedup_groups, EXACT_DEDUP_SQL),
     "docs_span_dedup": Query(span_dedup_report, SPAN_DEDUP_SQL),
+    "docs_substring_dedup": Query(substring_dedup_report, SUBSTR_DEDUP_SQL),
     "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),
 }

@@ -359,3 +359,69 @@ def dsir_counts_load(spark, counts_path: str) -> DataFrame:
         .groupBy("b")
         .agg(F.sum("cb").alias("cb"), F.sum("ct").alias("ct"))
     )
+
+
+def substring_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    clean_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+):
+    """Streamed ExactSubstr dedup (operators/dedup.substring_dedup):
+    each micro-batch probes the persisted window index (distinct
+    128-bit sliding-window hashes of all earlier batches — 16 bytes
+    per distinct window, never corpus text), removes already-seen
+    >= min_tokens substrings from its documents, applies
+    first-occurrence within the batch, and writes cleaned docs + its
+    genuinely-new window hashes, both to ``batch=N`` partitions with
+    overwrite (crashed-and-retried batches converge; the probe reads
+    only ``batch < batch_id`` — the span_index_stream discipline).
+    Doc-ordered batches reproduce the batch operator bit-for-bit
+    (pytest-pinned)."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        _substring_index_step(
+            batch, int(batch_id), index_path, clean_path,
+            id_col, text_col, min_tokens,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _substring_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    clean_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+) -> None:
+    """One micro-batch of substring_index_stream, module-level so the
+    replay contract is directly testable."""
+    from degdb_spark.operators.dedup import incremental_substring_dedup
+
+    spark = batch.sparkSession
+    batch = batch.transform(pin, eager=True)  # feeds probe + both writes
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    if has_committed_parquet(spark, index_path):
+        idx = spark.read.option("basePath", index_path).parquet(index_path)
+        existing = idx.filter(F.col("batch") < F.lit(batch_id)).select(
+            "win_h1", "win_h2"
+        )
+    else:  # genuinely the first batch: empty index, right schema
+        existing = spark.createDataFrame([], "win_h1 long, win_h2 long")
+    report, fresh = incremental_substring_dedup(
+        batch, existing, text_col, id_col, min_tokens
+    )
+    report.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
+    fresh.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")

@@ -598,3 +598,40 @@ def test_basket_edges_retract_after_corpus_deletion(spark, tmp_path):
         assert served.count() == 2 * len(want)
     finally:
         drop_managed_table(spark, table)
+
+
+def test_substring_index_increment_after_corpus_deletion(spark, doc_dirs, tmp_path):
+    """ExactSubstr window-index lifecycle (round 11): the increment is
+    cleaned against the persisted 128-bit window index alone — the
+    corpus parquet is deleted between build and increment, so any
+    historical-text re-read dies on a missing file. Duplicated corpus
+    text arriving in the increment is removed; novel text survives."""
+    from degdb_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_dedup,
+    )
+
+    corpus_dir, inc_dir = doc_dirs
+    idx_dir = str(tmp_path / "winidx.parquet")
+    L = 5
+    corpus = spark.read.parquet(corpus_dir)
+    # build the index: batch-0 pass over the corpus, persist its hashes
+    _, fresh = incremental_substring_dedup(
+        corpus, spark.createDataFrame([], "win_h1 long, win_h2 long"), min_tokens=L
+    )
+    fresh.write.parquet(idx_dir)
+    shutil.rmtree(corpus_dir)  # old text gone — increment must not need it
+    report, _ = incremental_substring_dedup(
+        spark.read.parquet(inc_dir), spark.read.parquet(idx_dir), min_tokens=L
+    )
+    assert _scans_of(report, "/c.parquet") == 0  # no corpus-text scan
+    rep = {r.doc_id: (r.n_tokens, r.n_removed) for r in report.collect()}
+    # docs 1000..1019 duplicate corpus docs whole: every window indexed,
+    # the full text is removed
+    for i in range(N_CORPUS):
+        n_tokens, n_removed = rep[1000 + i]
+        assert n_removed == n_tokens
+    # novel docs keep their unique tail (they share the boilerplate
+    # 'the quick brown fox...' mid-section with history, which goes)
+    novel = [v for k, v in rep.items() if k >= 1000 + N_CORPUS]
+    assert all(0 < r < n for n, r in novel)

@@ -584,6 +584,25 @@ def test_span_dedup_no_window_single_generate_two_scans(spark):
     assert exec_plan.count("Generate") == 1
 
 
+def test_substring_dedup_no_window_single_generate_two_scans(spark):
+    """docs_substring_dedup plan shape (the span gate's stride-1
+    sibling): first-occurrence is a hash aggregate, removal rollup is
+    a groupBy — never a per-key Window over occurrence lists — and
+    reassembly is codegen interval arithmetic + positional lookup. ONE
+    Generate (the window-fingerprint explode; window texts are hashed
+    inside the generator argument so they never ride alongside it) and
+    exactly two corpus scans (token side + occurrence side)."""
+    from degdb_spark.queries.text_queries import substring_dedup_report
+
+    df = substring_dedup_report(spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("FileScan parquet") == 2
+    assert exec_plan.count("Generate") == 1
+
+
 def test_bm25_candidate_filter_below_scoring_joins(spark):
     """The query-term filter must prune postings BEFORE the df/stats
     joins (filter appears under the aggregation, not above the final

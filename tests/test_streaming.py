@@ -1671,3 +1671,42 @@ def test_linfeat_index_step_replay_idempotent(spark, tmp_path):
     before = snap()
     _linfeat_index_step(docs.filter("doc_id >= 7"), 1, idx)  # replay
     assert snap() == before
+
+
+def test_substring_index_step_sequential_equals_batch_and_replays(spark, tmp_path):
+    """Doc-ordered micro-batches through the sliding-window index
+    reproduce batch substring_dedup of the full corpus bit-for-bit
+    (an indexed window's first occurrence beats every later one), and
+    a replayed batch converges instead of double-counting."""
+    from degdb_spark.operators.dedup import substring_dedup
+    from degdb_spark.streaming.dedup import _substring_index_step
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    idx, clean = str(tmp_path / "win_index"), str(tmp_path / "clean")
+    _substring_index_step(docs.filter(F.col("doc_id") < 100), 0, idx, clean)
+    _substring_index_step(
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)), 1, idx, clean
+    )
+    _substring_index_step(docs.filter(F.col("doc_id") >= 300), 2, idx, clean)
+
+    def snapshot():
+        return {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in spark.read.parquet(clean).collect()
+        }
+
+    streamed = snapshot()
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in substring_dedup(docs).collect()
+    }
+    assert streamed == full and len(full) == docs.count()
+    # index holds each distinct corpus window exactly once across batches
+    idx_df = spark.read.parquet(idx)
+    n_idx = idx_df.count()
+    assert n_idx == idx_df.select("win_h1", "win_h2").distinct().count()
+
+    # replay the last batch: identical post-state
+    _substring_index_step(docs.filter(F.col("doc_id") >= 300), 2, idx, clean)
+    assert snapshot() == full
+    assert spark.read.parquet(idx).count() == n_idx

@@ -998,3 +998,125 @@ def test_linear_classifier_matches_python_reference_random(spark, docs):
         for r in train_predict_linear(df, label_col="lang", test_pct=20).collect()
     }
     assert got == expect
+
+
+def _py_substring_dedup(texts: list[str], L: int) -> dict[int, tuple[int, int, str]]:
+    """Reference ExactSubstr dedup, straight from the spec: exact
+    window STRINGS (no hashing), global (doc, pos)-first occurrence
+    per window content, a token removed iff covered by any non-first
+    window occurrence — independent O(n·L) code path."""
+    toks = {
+        i: _re.split(r"\s+", t.strip().lower()) for i, t in enumerate(texts)
+    }
+    first: dict[str, tuple[int, int]] = {}
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(len(tk) - L + 1):
+            w = " ".join(tk[p : p + L])
+            first.setdefault(w, (i, p))
+    out = {}
+    for i in sorted(toks):
+        tk = toks[i]
+        removed: set[int] = set()
+        for p in range(len(tk) - L + 1):
+            w = " ".join(tk[p : p + L])
+            if first[w] != (i, p):
+                removed.update(range(p, p + L))
+        kept = [tk[p] for p in range(len(tk)) if p not in removed]
+        out[i] = (len(tk), len(removed), " ".join(kept))
+    return out
+
+
+def test_substring_dedup_planted_cases(spark):
+    """ExactSubstr ground truths: an arbitrary-offset 30-token copy is
+    removed whole from the LATER doc only; a periodic run keeps its
+    first period; short docs and unique docs are untouched; a full
+    later duplicate drops to ''."""
+    import degdb_spark.operators.dedup as D
+
+    A = " ".join(f"u{i}" for i in range(60))
+    B = " ".join(
+        [f"b{i}" for i in range(10)]
+        + [f"u{i}" for i in range(10, 40)]
+        + [f"b{i}" for i in range(10, 20)]
+    )
+    C = " ".join(["x"] * 40)
+    E = "short doc below the window"
+    FD = A  # byte-identical later duplicate of A
+    docs = spark.createDataFrame(
+        [(0, A), (1, B), (2, C), (3, E), (4, FD)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in D.substring_dedup(docs, min_tokens=20).collect()
+    }
+    assert got[0] == (60, 0, A)  # first occurrence untouched
+    assert got[1] == (
+        50,
+        30,
+        " ".join([f"b{i}" for i in range(10)] + [f"b{i}" for i in range(10, 20)]),
+    )
+    assert got[2] == (40, 39, "x")  # periodic run: first period survives
+    assert got[3] == (5, 0, E)
+    assert got[4] == (60, 60, "")  # whole-doc later duplicate wiped
+    assert got == _py_substring_dedup([A, B, C, E, FD], 20)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(random_corpora())
+def test_substring_dedup_matches_python_oracle(spark, texts):
+    """Random dense-collision corpora at L=3: the windowed Spark plan
+    equals the exact-string Python reference — overlapping repeats,
+    intra-doc repeats, and wipeouts included."""
+    import degdb_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in D.substring_dedup(docs, min_tokens=3).collect()
+    }
+    assert got == _py_substring_dedup(texts, 3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(random_corpora(), st.integers(min_value=1, max_value=3))
+def test_incremental_substring_dedup_random_splits_equal_batch(spark, texts, n_batches):
+    """Doc-ordered batches of ANY size through the incremental window
+    path (probe the hash index, first-occurrence within the increment,
+    extend the index) reproduce the one-shot operator bit-for-bit."""
+    import degdb_spark.operators.dedup as D
+
+    L = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in D.substring_dedup(full, min_tokens=L).collect()
+    }
+
+    existing = spark.createDataFrame([], "win_h1 long, win_h2 long")
+    got = {}
+    per = max(1, (len(docs) + n_batches - 1) // n_batches)
+    for b in range(0, len(docs), per):
+        batch = spark.createDataFrame(docs[b : b + per], "doc_id long, text string")
+        report, fresh = D.incremental_substring_dedup(
+            batch, existing, min_tokens=L
+        )
+        got.update(
+            (r.doc_id, (r.n_tokens, r.n_removed, r.text_clean))
+            for r in report.collect()
+        )
+        existing = existing.unionByName(
+            fresh.select("win_h1", "win_h2")
+        ).distinct()
+    assert got == want
