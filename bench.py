@@ -210,8 +210,10 @@ HEADLINE = [
     "emb_mmr_selection",
     # round-11 additions (exact variable-length substring dedup —
     # ExactSubstr, Lee et al. 2022 — as stride-1 window fingerprints +
-    # dense-range complement reassembly)
+    # dense-range complement reassembly; FLAC lossless-compressed-audio
+    # decode through the decode_audio seam)
     "docs_substring_dedup",
+    "media_flac_decode",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -92,6 +92,8 @@ def sniff_format(data: bytes) -> str | None:
         return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
     if len(data) >= 8 and data[4:8] == b"ftyp":
@@ -424,6 +426,20 @@ def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
     fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8)
     payload = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
     return struct.pack("<4sI", b"RIFF", len(payload)) + payload
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """THE audio decode seam: (sample_rate, int16 MONO samples) from
+    any supported audio container — RIFF/WAVE (PCM16, G.711 A/mu-law,
+    IMA ADPCM, stereo) via decode_wav, or FLAC (functions/flac.py)
+    sniffed on its fLaC magic. Every audio operator (stats, features,
+    DTMF, fingerprints) ingests through here, so a codec added in this
+    one dispatch reaches all of them at once."""
+    if data[:4] == b"fLaC":
+        from degdb_spark.functions import flac
+
+        return flac.decode_flac(data)
+    return decode_wav(data)
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:

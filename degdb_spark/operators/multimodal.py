@@ -66,7 +66,7 @@ except Exception:  # pragma: no cover
 #: formats the pure-numpy codecs handle — real decode, no PIL needed.
 #: "mp4" is native for MJPEG tracks only ('jpeg' stsd entry); any
 #: other mp4 codec raises NotImplementedError in strict mode.
-NATIVE_FORMATS = {"bmp", "png", "jpeg", "gif", "wav", "avi", "mp4", "rawv"}
+NATIVE_FORMATS = {"bmp", "png", "jpeg", "gif", "wav", "flac", "avi", "mp4", "rawv"}
 
 #: media table schema: binary payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -420,6 +420,43 @@ def synthetic_stereo_media(spark: SparkSession, n: int = 40) -> DataFrame:
     return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
 
 
+def synthetic_flac_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic all-audio media table of REAL FLAC files
+    (functions/flac.py — CRC'd frames, Rice-coded FIXED subframes,
+    MD5-sealed STREAMINFO): clip i mixes the coverage surfaces — mono
+    FIXED-order-(i mod 3) sawtooth s(t) = ((t·(2i+3)) mod 4096) − 2048
+    for i % 4 != 3, interleaved-stereo (independent channels, both
+    even, downmixed floor((L+R)/2) exactly like WAV) for i % 4 == 3 —
+    with block size 256 so multi-frame streams and a short last frame
+    are always exercised. Lossless ⇒ the oracle replays the planted
+    arithmetic in closed form; a hash match certifies the actual Rice/
+    CRC/MD5 machinery, not just the plumbing."""
+
+    def rows():
+        from degdb_spark.functions import flac
+
+        for i in range(n):
+            t = np.arange(300 + 50 * (i % 4), dtype=np.int64)
+            if i % 4 == 3:  # stereo: even channels → exact downmix
+                left = (2 * ((t * (i + 3)) % 2048 - 1024)).astype(np.int16)
+                right = (2 * ((t * (i + 7)) % 2048 - 1024)).astype(np.int16)
+                payload = flac.encode_flac(
+                    np.stack([left, right], axis=1), 16000, block_size=256
+                )
+            else:
+                s = ((t * (2 * i + 3)) % 4096 - 2048).astype(np.int16)
+                payload = flac.encode_flac(
+                    s, 16000, block_size=256, order=i % 3
+                )
+            duration_ms = t.size * 1000 // 16000
+            yield (
+                i, "audio", bytearray(payload),
+                ("flac", None, None, duration_ms, 16000),
+            )
+
+    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+
+
 def dtmf_probe(media: DataFrame, batch_rows: int = 64, strict: bool = False) -> DataFrame:
     """REAL spectral tone analysis: decode the telephony WAV (G.711
     expansion in functions/codecs.py), then detect the dialed DTMF
@@ -450,7 +487,7 @@ def dtmf_probe(media: DataFrame, batch_rows: int = 64, strict: bool = False) -> 
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
                     try:
-                        rate, s = codecs.decode_wav(bytes(p))
+                        rate, s = codecs.decode_audio(bytes(p))
                         digits = dsp.detect_dtmf(s, rate)
                     except (ValueError, NotImplementedError):
                         if strict:
@@ -705,8 +742,8 @@ def decode_features(payload: bytes, strict: bool = False) -> np.ndarray:
         return _image_features(frames[0])
     if fmt in ("bmp", "png", "jpeg"):
         return _image_features(codecs.decode_image(payload))
-    if fmt == "wav":
-        return _audio_features(*codecs.decode_wav(payload))
+    if fmt in ("wav", "flac"):
+        return _audio_features(*codecs.decode_audio(payload))
     if fmt == "rawv":
         return _video_features(*codecs.decode_rawv(payload))
     if fmt == "avi":  # MJPEG-in-AVI: interval from the container clock
@@ -877,7 +914,7 @@ def audio_ahash(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    _rate, s = codecs.decode_wav(bytes(p))
+                    _rate, s = codecs.decode_audio(bytes(p))
                     s = s.astype(np.int64)
                     if s.size < 64:
                         # same quarantine contract as the codec layer:
@@ -1291,7 +1328,7 @@ def audio_sample_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                 chunk = pdf.iloc[start : start + batch_rows]
                 out = []
                 for mid, p in zip(chunk["media_id"], chunk["payload"]):
-                    rate, s = codecs.decode_wav(bytes(p))
+                    rate, s = codecs.decode_audio(bytes(p))
                     out.append(
                         (
                             mid,

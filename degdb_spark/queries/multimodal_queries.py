@@ -888,6 +888,44 @@ FROM s GROUP BY i ORDER BY media_id
 """
 
 
+_N_FLAC = 40
+
+
+def media_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compressed-audio decode verified bit-exactly:
+    FLAC files (functions/flac.py — fLaC stream walk, CRC-8 frame
+    headers, Rice-coded FIXED subframes, CRC-16 frames, MD5-sealed
+    STREAMINFO; spec per RFC 9639) carrying planted sawtooth/stereo
+    arithmetic → Arrow batches → real decode through the shared
+    codecs.decode_audio seam → exact integer sample stats. Lossless ⇒
+    the oracle replays the planted samples in closed form, so a hash
+    match certifies the actual bitstream machinery (unary/Rice reads,
+    fixed-predictor reconstruction, stereo downmix, both CRCs, the
+    MD5) — none of it is replayed on the oracle side."""
+    from degdb_spark.operators.multimodal import synthetic_flac_media
+
+    media = synthetic_flac_media(spark, _N_FLAC)
+    return audio_sample_stats(media).orderBy("media_id")
+
+
+FLAC_DECODE_SQL = f"""
+WITH clips AS (SELECT unnest(generate_series(0, {_N_FLAC - 1})) AS i),
+s AS (
+  SELECT c.i,
+         CASE WHEN c.i % 4 = 3
+              THEN (((ts.t * (c.i + 3)) % 2048) - 1024)
+                 + (((ts.t * (c.i + 7)) % 2048) - 1024)
+              ELSE ((ts.t * (2 * c.i + 3)) % 4096) - 2048 END AS v
+  FROM clips c,
+       LATERAL (SELECT unnest(generate_series(0, 300 + 50 * (c.i % 4) - 1)) AS t) ts
+)
+SELECT i AS media_id, CAST(16000 AS INT) AS sample_rate, COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS sample_min, CAST(MAX(v) AS INT) AS sample_max
+FROM s GROUP BY i ORDER BY media_id
+"""
+
+
 _N_DTMF = 40
 
 
@@ -980,6 +1018,7 @@ QUERIES: dict[str, Query] = {
     "media_gif_frame_extract": Query(media_gif_frame_extract, GIF_FRAMES_SQL),
     "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
     "media_adpcm_decode": Query(media_adpcm_decode, ADPCM_DECODE_SQL),
+    "media_flac_decode": Query(media_flac_decode, FLAC_DECODE_SQL),
     "media_stereo_decode": Query(media_stereo_decode, STEREO_DECODE_SQL),
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),

@@ -1654,3 +1654,223 @@ def test_stereo_malformed_raises():
     )
     with _pytest.raises(ValueError, match="channel count"):
         C.decode_wav(five_ch)
+
+
+# ------------------------------------------------------------------ FLAC
+
+
+def _flac_sine(n, seed=11):
+    rng = np.random.default_rng(seed)
+    return (np.sin(np.linspace(0, 40, n)) * 9000 + rng.integers(-400, 400, n)).astype(
+        np.int16
+    )
+
+
+def test_flac_round_trip_mono():
+    from degdb_spark.functions import flac
+
+    for n, bsz, order in [(1, 1024, 2), (5, 256, 0), (1000, 256, 1), (4097, 1024, 2),
+                          (3000, 1024, 4), (512, 512, 3)]:
+        s = _flac_sine(n)
+        enc = flac.encode_flac(s, 16000, block_size=bsz, order=order)
+        rate, dec = flac.decode_flac(enc)
+        assert rate == 16000 and dec.dtype == np.int16 and (dec == s).all()
+    # extremes survive (no clamp surprises at the int16 walls)
+    e = np.array([-32768, 32767] * 300, dtype=np.int16)
+    assert (flac.decode_flac(flac.encode_flac(e, 44100))[1] == e).all()
+    # constant blocks take the CONSTANT subframe and still round-trip
+    c = np.full(2048, -123, dtype=np.int16)
+    enc = flac.encode_flac(c, 8000)
+    assert (flac.decode_flac(enc)[1] == c).all()
+    assert len(enc) < 100  # and actually compress
+
+
+def test_flac_stereo_downmix_matches_wav_convention():
+    from degdb_spark.functions import flac
+
+    L = (np.arange(777) % 2000 - 1000).astype(np.int16)
+    R = ((np.arange(777) * 3) % 2000 - 1000).astype(np.int16)
+    rate, dec = flac.decode_flac(
+        flac.encode_flac(np.stack([L, R], axis=1), 22050)
+    )
+    want = ((L.astype(np.int64) + R.astype(np.int64)) // 2).astype(np.int16)
+    assert rate == 22050 and (dec == want).all()
+
+
+def test_flac_truncation_sweep_and_corruption_are_valueerror():
+    """The codecs error contract: EVERY strict prefix and a flipped
+    payload bit raise ValueError — never struct.error/IndexError."""
+    from degdb_spark.functions import flac
+
+    enc = flac.encode_flac(_flac_sine(400), 16000, block_size=128)
+    for cut in range(len(enc)):
+        with pytest.raises(ValueError):
+            flac.decode_flac(enc[:cut])
+    for at in (44, 60, len(enc) - 3):  # header CRC, body CRC, MD5 regions
+        bad = bytearray(enc)
+        bad[at] ^= 0x10
+        with pytest.raises(ValueError):
+            flac.decode_flac(bytes(bad))
+
+
+# ---- spec-replica tier: hand-built bitstreams exercise decoder paths
+# the encoder twin never emits (LPC, mid-side, Rice2, escape
+# partitions, wasted bits), so decoder generality is tested against
+# the format spec, not against our own encoder.
+
+
+def _flac_streaminfo(sample_rate, n_channels, bps, total, md5):
+    si = 0
+    si = (si << 16) | 4096
+    si = (si << 16) | 4096
+    si = (si << 24) | 0
+    si = (si << 24) | 0
+    si = (si << 20) | sample_rate
+    si = (si << 3) | (n_channels - 1)
+    si = (si << 5) | (bps - 1)
+    si = (si << 36) | total
+    body = si.to_bytes(18, "big") + md5
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _flac_frame(write_subframes, block_size, n_channels_code):
+    """One hand-built frame: standard header (16-bit block size,
+    STREAMINFO rate, 16-bit samples, frame 0), caller-provided
+    subframe bits, alignment, both CRCs."""
+    from degdb_spark.functions.flac import _BitWriter, _crc8, _crc16
+
+    bw = _BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)  # reserved + fixed blocking
+    bw.write(7, 4)  # 16-bit block size follows
+    bw.write(0, 4)  # rate from STREAMINFO
+    bw.write(n_channels_code, 4)
+    bw.write(4, 3)  # 16-bit samples
+    bw.write(0, 1)
+    bw.write(0, 8)  # coded frame number 0
+    bw.write(block_size - 1, 16)
+    bw.write(_crc8(bw.getvalue()), 8)
+    write_subframes(bw)
+    bw.align()
+    body = bw.getvalue()
+    return body + _crc16(body).to_bytes(2, "big")
+
+
+def _md5_of(chans):
+    import hashlib
+
+    inter = np.empty(chans[0].size * len(chans), dtype=np.int16)
+    for c, ch in enumerate(chans):
+        inter[c :: len(chans)] = ch.astype(np.int16)
+    return hashlib.md5(inter.astype("<i2").tobytes()).digest()
+
+
+def test_flac_decodes_handwritten_lpc_subframe():
+    from degdb_spark.functions import flac
+
+    n, order, shift = 32, 2, 1
+    coefs = [3, -1]  # prediction: (3*s[i-1] - s[i-2]) >> 1
+    res = [((7 * i) % 11) - 5 for i in range(n - order)]
+    s = np.empty(n, dtype=np.int64)
+    s[0], s[1] = 1000, 990
+    for i in range(order, n):
+        s[i] = ((coefs[0] * s[i - 1] + coefs[1] * s[i - 2]) >> shift) + res[i - order]
+
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(32 + order - 1, 6)  # LPC order 2
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(int(s[0]), 16)
+        bw.write_signed(int(s[1]), 16)
+        bw.write(3 - 1, 4)  # qlp precision 3
+        bw.write_signed(shift, 5)
+        for c in coefs:
+            bw.write_signed(c, 3)
+        bw.write(1, 2)  # residual method 1: Rice2 (5-bit params)
+        bw.write(0, 4)  # partition order 0
+        bw.write(2, 5)  # rice2 param 2
+        for r in res:
+            z = (r << 1) if r >= 0 else ((-r << 1) - 1)
+            bw.write(0, z >> 2)
+            bw.write(1, 1)
+            bw.write(z & 3, 2)
+
+    data = _flac_streaminfo(16000, 1, 16, n, _md5_of([s])) + _flac_frame(sub, n, 0)
+    rate, dec = flac.decode_flac(data)
+    assert rate == 16000 and (dec == s.astype(np.int16)).all()
+
+
+def test_flac_decodes_handwritten_midside_and_escape_partition():
+    from degdb_spark.functions import flac
+
+    n = 16
+    L = (np.arange(n) * 70 - 500).astype(np.int64)
+    R = (np.arange(n) * -50 + 300).astype(np.int64)
+    mid, side = (L + R) >> 1, L - R
+
+    def sub(bw):
+        # mid channel: VERBATIM at 16 bits
+        bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)
+        for v in mid:
+            bw.write_signed(int(v), 16)
+        # side channel: FIXED order 0 at 17 bits with an ESCAPED
+        # (raw-coded) single partition
+        bw.write(0, 1); bw.write(8, 6); bw.write(0, 1)
+        bw.write(0, 2)   # method 0
+        bw.write(0, 4)   # partition order 0
+        bw.write(15, 4)  # escape
+        bw.write(17, 5)  # raw bit width
+        for v in side:
+            bw.write_signed(int(v), 17)
+
+    data = _flac_streaminfo(8000, 2, 16, n, _md5_of([L, R])) + _flac_frame(sub, n, 10)
+    rate, dec = flac.decode_flac(data)
+    assert rate == 8000 and (dec == ((L + R) // 2).astype(np.int16)).all()
+
+
+def test_flac_decodes_handwritten_wasted_bits():
+    from degdb_spark.functions import flac
+
+    n = 12
+    s = (np.arange(n) * 8 - 40).astype(np.int64)  # all multiples of 8
+
+    def sub(bw):
+        bw.write(0, 1); bw.write(1, 6)  # VERBATIM
+        bw.write(1, 1)          # wasted-bits flag
+        bw.write(0, 2); bw.write(1, 1)  # unary(2) → wasted = 3
+        for v in s:
+            bw.write_signed(int(v) >> 3, 13)  # eff = 16 - 3
+
+    data = _flac_streaminfo(8000, 1, 16, n, _md5_of([s])) + _flac_frame(sub, n, 0)
+    assert (flac.decode_flac(data)[1] == s.astype(np.int16)).all()
+
+
+def test_flac_parity_through_audio_operators(spark):
+    """The decode_audio seam: identical planted samples as WAV and as
+    FLAC produce IDENTICAL rows from the audio operators (stats,
+    fingerprints) — FLAC rides every downstream path for free."""
+    from degdb_spark.functions import flac
+    from degdb_spark.operators.multimodal import audio_ahash, audio_sample_stats
+
+    clips = []
+    for i in range(6):
+        t = np.arange(512 + 64 * i, dtype=np.int64)
+        clips.append((((t * (3 * i + 5)) % 4096) - 2048).astype(np.int16))
+    rows_wav = [
+        (i, "audio", bytearray(C.encode_wav(s, 16000)),
+         ("wav", None, None, s.size * 1000 // 16000, 16000))
+        for i, s in enumerate(clips)
+    ]
+    rows_flac = [
+        (i, "audio", bytearray(flac.encode_flac(s, 16000, block_size=256)),
+         ("flac", None, None, s.size * 1000 // 16000, 16000))
+        for i, s in enumerate(clips)
+    ]
+    from degdb_spark.operators.multimodal import MEDIA_SCHEMA
+
+    wav = spark.createDataFrame(rows_wav, schema=MEDIA_SCHEMA)
+    flc = spark.createDataFrame(rows_flac, schema=MEDIA_SCHEMA)
+    for op in (audio_sample_stats, audio_ahash):
+        a = sorted(tuple(r) for r in op(wav).collect())
+        b = sorted(tuple(r) for r in op(flc).collect())
+        assert a == b and len(a) == 6
