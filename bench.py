@@ -214,6 +214,9 @@ HEADLINE = [
     # decode through the decode_audio seam)
     "docs_substring_dedup",
     "media_flac_decode",
+    # round 11: 3-round weight-doubling boosted stumps (integer-exact
+    # AdaBoost variant, micronat vote weights)
+    "docs_boosted_stumps",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

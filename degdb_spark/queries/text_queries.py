@@ -1793,6 +1793,126 @@ SELECT * FROM (
 TREE_SQL = _tree_sql()
 
 
+def docs_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan BOOSTED-STUMP training (operators/boost.py): 3
+    weight-doubling boosting rounds of the depth-1 histogram split
+    search recover a PLANTED 2-of-3 majority concept — label =
+    [(n_spaces > 60) + (stop_the >= 1) + (n_chars > 800) >= 2], which
+    no single stump can express — over the decision tree's fixed
+    candidate grids crossed with both polarities. The sixth
+    trained-model family member; the oracle unrolls all three
+    weighted argmins as MATERIALIZED CTEs with scalar-subquery stump
+    parameters, so a hash match certifies the full loop: integer
+    power-of-two reweighting, the (err, feature, threshold, polarity)
+    tie-break, the micronat alpha quantization, and the alpha-weighted
+    ensemble vote."""
+    from degdb_spark.operators.boost import train_boosted_stumps
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_the = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    ).cast("long")
+    n_spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    votes = (
+        (n_spaces > 60).cast("int")
+        + (stop_the >= 1).cast("int")
+        + (F.col("n_chars") > 800).cast("int")
+    )
+    feats = docs.select(
+        stop_the.alias("stop_the"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_spaces.alias("n_spaces"),
+        F.when(votes >= 2, 1).otherwise(0).alias("label"),
+    )
+    return train_boosted_stumps(feats, _TREE_GRIDS, rounds=3).orderBy("round")
+
+
+def _boost_sql(rounds: int = 3) -> str:
+    grid_rows = ", ".join(
+        f"('{feat}', {t})" for feat in sorted(_TREE_GRIDS) for t in _TREE_GRIDS[feat]
+    )
+    fv = (
+        "(CASE {src}.feature WHEN 'n_chars' THEN d.n_chars "
+        "WHEN 'n_spaces' THEN d.n_spaces ELSE d.stop_the END)"
+    )
+
+    def stump_pred(k: int) -> str:
+        """1/0 prediction of round-k's chosen stump for row d."""
+        f = (
+            f"(CASE (SELECT feature FROM m{k}) WHEN 'n_chars' THEN d.n_chars "
+            f"WHEN 'n_spaces' THEN d.n_spaces ELSE d.stop_the END)"
+        )
+        return (
+            f"(CASE WHEN (SELECT polarity FROM m{k}) = 1 "
+            f"THEN ({f} <= (SELECT threshold FROM m{k}))::INT "
+            f"ELSE ({f} > (SELECT threshold FROM m{k}))::INT END)"
+        )
+
+    parts = [
+        f"grid AS MATERIALIZED (SELECT * FROM (VALUES {grid_rows}) g(feature, threshold))",
+        "pol AS MATERIALIZED (SELECT * FROM (VALUES (1), (-1)) p(polarity))",
+        """docs0 AS MATERIALIZED (
+  SELECT (LENGTH(text) - LENGTH(replace(text, ' the ', ''))) // 5 AS stop_the,
+         n_chars,
+         LENGTH(text) - LENGTH(replace(text, ' ', '')) AS n_spaces,
+         CASE WHEN (LENGTH(text) - LENGTH(replace(text, ' ', '')) > 60)::INT
+                 + ((LENGTH(text) - LENGTH(replace(text, ' the ', ''))) // 5 >= 1)::INT
+                 + (n_chars > 800)::INT >= 2
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        w = " * ".join(
+            f"(1 + ({stump_pred(j)} <> d.label)::INT)" for j in range(1, k)
+        ) or "1"
+        cand_pred = (
+            f"(CASE WHEN p.polarity = 1 THEN ({fv.format(src='g')} <= g.threshold)::INT "
+            f"ELSE ({fv.format(src='g')} > g.threshold)::INT END)"
+        )
+        parts.append(f"""s{k} AS MATERIALIZED (
+  SELECT g.feature, g.threshold, p.polarity,
+         CAST(COALESCE(SUM(CASE WHEN {cand_pred} <> d.label THEN {w} END), 0) AS BIGINT) AS err_w,
+         CAST(COALESCE(SUM({w}), 0) AS BIGINT) AS total_w
+  FROM grid g CROSS JOIN pol p LEFT JOIN docs0 d ON TRUE
+  GROUP BY g.feature, g.threshold, p.polarity
+)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT feature, threshold, polarity, err_w, total_w,
+         CASE WHEN total_w = 0 THEN 0
+              ELSE CAST(FLOOR(LN((total_w - err_w)::DOUBLE / GREATEST(err_w, 1)) * 1000000 + 0.5) AS BIGINT)
+         END AS alpha_micro
+  FROM s{k} ORDER BY err_w, feature, threshold, polarity LIMIT 1
+)""")
+    score = " + ".join(
+        f"(CASE WHEN {stump_pred(k)} = 1 THEN (SELECT alpha_micro FROM m{k}) "
+        f"ELSE -(SELECT alpha_micro FROM m{k}) END)"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"""ens AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN ({score} > 0)::INT <> d.label THEN 1 END), 0) AS BIGINT) AS mis
+  FROM docs0 d
+)""")
+    selects = [
+        f"SELECT {k} AS round, feature, CAST(threshold AS BIGINT) AS threshold,"
+        f" polarity, err_w, total_w, alpha_micro FROM m{k}"
+        for k in range(1, rounds + 1)
+    ]
+    selects.append(
+        "SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT),"
+        " mis, n, CAST(NULL AS BIGINT) FROM ens"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+BOOST_SQL = _boost_sql()
+
+
 def setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.95 self-join via rarest-first prefix
     filtering (operators/setsim.py) — lossless candidate generation,
@@ -2289,6 +2409,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_bpe_train": Query(bpe_train_merges, BPE_TRAIN_SQL),
     "docs_decision_tree": Query(docs_decision_tree, TREE_SQL),
+    "docs_boosted_stumps": Query(docs_boosted_stumps, BOOST_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),

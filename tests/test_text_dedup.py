@@ -1120,3 +1120,83 @@ def test_incremental_substring_dedup_random_splits_equal_batch(spark, texts, n_b
             fresh.select("win_h1", "win_h2")
         ).distinct()
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_boosted_stumps_match_python_reference(spark, rows):
+    """train_boosted_stumps must equal a straightforward Python
+    replica — same weighted-error argmin over (feature, threshold,
+    polarity), same power-of-two reweighting, same micronat alpha,
+    same alpha-weighted vote — on random data including empty inputs,
+    perfect stumps (err 0), and ties."""
+    import math
+
+    from degdb_spark.operators.boost import train_boosted_stumps
+
+    grids = {"f1": [0, 3, 6, 9, 12], "f2": [50, 100, 200, 300]}
+    cand = [(f, t) for f in sorted(grids) for t in grids[f]]
+    FI = {"f1": 0, "f2": 1}
+
+    def pred(r, f, t, pol):
+        return (r[FI[f]] <= t) if pol == 1 else (r[FI[f]] > t)
+
+    def ref(data, rounds=3):
+        stumps = []
+        for _ in range(rounds):
+            if not data:
+                stumps.append((cand[0][0], cand[0][1], -1, 0, 0, 0))
+                continue
+            best = None
+            for f, t in cand:
+                for pol in (-1, 1):
+                    err = W = 0
+                    for r in data:
+                        w = 2 ** sum(
+                            1
+                            for (f2, t2, p2, _, _, _) in stumps
+                            if pred(r, f2, t2, p2) != (r[2] == 1)
+                        )
+                        W += w
+                        if pred(r, f, t, pol) != (r[2] == 1):
+                            err += w
+                    key = (err, f, t, pol)
+                    if best is None or key < best[:4]:
+                        best = (err, f, t, pol, W)
+            err, f, t, pol, W = best
+            alpha = (
+                0 if W == 0
+                else math.floor(math.log((W - err) / max(err, 1)) * 1e6 + 0.5)
+            )
+            stumps.append((f, t, pol, err, W, alpha))
+        mis = sum(
+            1
+            for r in data
+            if (
+                sum(a if pred(r, f, t, p) else -a for (f, t, p, _, _, a) in stumps)
+                > 0
+            )
+            != (r[2] == 1)
+        )
+        return sorted(
+            [(i + 1, f, t, p, e, w, a) for i, (f, t, p, e, w, a) in enumerate(stumps)]
+            + [(0, None, None, None, mis, len(data), None)]
+        )
+
+    df = spark.createDataFrame(rows or [], "f1 long, f2 long, label int")
+    got = sorted(tuple(r) for r in train_boosted_stumps(df, grids).collect())
+    assert got == ref(rows)
