@@ -31,103 +31,93 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-10 window (see module docstring). Composition (50 checked
-#: slots), exactly as planned in the round-9 comment / VERDICT r9
-#: "Next round #1": the full remaining r5-era cohort in
-#: oldest-first module order EXCEPT its last seven rows
-#: (events_cusum_changepoints and docs_proximity_search displaced by
-#: the first three additions; events_top_paths, events_kaplan_meier,
-#: events_ks_test, events_mann_whitney and events_ab_test evicted
-#: newest-fill-first as the later five landed — all seven spill to
-#: round 11), plus the EIGHT surfaces NEW
-#: in round 10 (docs_linear_classifier — in-plan averaged-perceptron
-#: linear classifier, all-integer with an unrolled-CTE oracle;
-#: media_adpcm_decode — IMA ADPCM (WAV format 0x11)
-#: compressed-audio decode through the decode_wav seam;
-#: media_shot_neardups — shot-level video fingerprints composing
-#: scene segmentation with the shared banded near-dup index;
-#: media_stereo_decode — interleaved-stereo PCM16 ingestion with the
-#: exact floor((L+R)/2) downmix in the decode_wav seam;
-#: emb_hard_negatives — contrastive triplet mining with the kcenter
-#: exactness recipe; basket_stress_centrality — sampled-source
-#: stress centrality, the integer-exact Brandes sweep;
-#: basket_association_rules — support/confidence/lift market-basket
-#: rule mining; emb_mmr_selection — MMR diversity-aware retrieval
-#: with the kcenter literal-scan discipline), plus
-#: the 4 surfaces CHANGED in round 10 (emb_kcenter_selection —
-#: degenerate-input guards; events_autocorrelation — grid-span
-#: guard, count pin, and grid repartition; media_audio_tone_probe
-#: and media_scene_cuts — the strict/quarantine decode seam).
+#: Round-11 window (see module docstring). Composition (50 checked
+#: slots): the SEVEN r5-era rows spilled by round 10's additions
+#: (exactly as planned in the round-10 comment), then the FOUR
+#: surfaces NEW in round 11 (basket_edges_build — the persisted
+#: co-purchase edge contract index's explicit build surface, weight-
+#: histogram oracle; docs_substring_dedup — exact variable-length
+#: substring dedup, ExactSubstr/Lee et al. 2022, stride-1 window
+#: fingerprints with dense-range complement reassembly;
+#: media_flac_decode — pure-numpy FLAC decode through the new
+#: codecs.decode_audio seam, lossless closed-form oracle;
+#: docs_boosted_stumps — 3-round weight-doubling boosted stumps,
+#: integer-exact with micronat vote weights), then the NINETEEN
+#: surfaces CHANGED in round 11 — the 14 basket_* queries now serve
+#: _weighted_edges FROM the persisted index (plans changed), and the
+#: 5 audio queries now decode through codecs.decode_audio (FLAC
+#: sniffing dispatch) — then r6-era fill in module order. The five
+#: r10-era basket/audio rows double-covered by the changed set cost
+#: no extra slots; 20 r6-era rows fit, 18 spill to round 12.
 #:
-#: Round-11 window, planned now so the standing policy stays
-#: executable: the 7 spilled r5-era rows (events_cusum_changepoints,
-#: docs_proximity_search, events_top_paths, events_kaplan_meier,
-#: events_ks_test, events_mann_whitney and events_ab_test — the last
-#: five evicted newest-fill-first as media_stereo_decode,
-#: emb_hard_negatives, basket_stress_centrality,
-#: basket_association_rules and emb_mmr_selection landed)
-#: first, then the r6-era
-#: cohort in module order (emb_quantization, emb_threshold_pairs,
-#: emb_centroid_by_label, emb_lsh_knn, graph_degrees,
-#: graph_pagerank_top, graph_components, graph_bfs_from_region,
-#: gremlin_region_members, motif_customer_region,
-#: motif_shared_nation, aggregate_gallery, latest_event_per_user,
-#: docs_train_test_split, …) + anything new/changed in round 11,
-#: overflow evicting newest-fill-first as usual.
+#: Round-12 window, planned now so the standing policy stays
+#: executable: the 18 spilled r6-era rows (events_hypertable_rollup,
+#: events_cms_estimate, media_phash_neardups, media_payload_stats,
+#: docs_bigrams, events_sliding_window, events_asof_forward,
+#: events_per_user_cap, lineitem_stratified_sample,
+#: docs_decontaminate, docs_pii_redaction, docs_repetition_metrics,
+#: docs_filter_rules, docs_vocab_topk, docs_tfidf_terms,
+#: docs_packing, docs_simhash_neardups, docs_exact_dedup) first,
+#: then the r7-era cohort in module order + anything new/changed in
+#: round 12, overflow evicting newest-fill-first as usual.
 _WINDOW = [
-    # --- r5-era cohort, oldest-first module order (38)
-    "emb_knn_label_accuracy",
-    "emb_centroid_outliers",
-    "emb_threshold_curve",
-    "emb_jl_distortion",
-    "emb_ann_recall",
-    "emb_knn_topk",
-    "emb_neardup",
-    "graph_degree_powerlaw",
-    "docs_source_quota_selection",
-    "docs_token_budget_selection",
-    "docs_stratified_sample",
-    "lineitem_quantiles_by_flag",
-    "events_ohlc_bars",
-    "events_interarrival_quantiles",
-    "events_rolling_wau",
-    "media_frame_sample",
-    "media_image_decode",
-    "media_audio_decode",
-    "media_resize_check",
-    "docs_heaps_law",
-    "docs_contamination_by_source",
-    "docs_novelty_by_source",
-    "docs_langid_confusion",
-    "docs_packing_efficiency",
-    "docs_collocations",
-    "docs_minhash_neardups",
-    "triple_predicate_cooccurrence",
-    "supplier_hhi_by_nation",
-    "orders_pareto_share",
-    "orders_cohort_ltv",
-    "orders_rfm_segments",
+    # --- r5-era spill from round 10, oldest first (7)
+    "events_ab_test",
+    "events_mann_whitney",
+    "events_ks_test",
+    "events_kaplan_meier",
+    "events_top_paths",
+    "events_cusum_changepoints",
+    "docs_proximity_search",
+    # --- new in round 11 (4)
+    "basket_edges_build",  # NEW r11: persisted basket-edge index build surface
+    "docs_substring_dedup",  # NEW r11: ExactSubstr variable-length dedup
+    "media_flac_decode",  # NEW r11: FLAC decode, lossless closed-form oracle
+    "docs_boosted_stumps",  # NEW r11: integer-exact boosted stumps
+    # --- changed in round 11: basket family reads the persisted
+    #     edge index instead of re-building the wedge frame (14)
+    "basket_sssp_histogram",
+    "basket_communities",
+    "basket_kcore",
+    "basket_link_prediction",
+    "basket_recommendations",
+    "basket_modularity",
+    "basket_edge_churn",
+    "basket_embedding_power",
     "basket_ktruss",
     "basket_assortativity",
     "basket_personalized_pagerank",
     "basket_harmonic_centrality",
-    "events_error_seasonality",
-    "events_mix_trend",
-    "events_attribution",
-    # --- new in round 10 (8)
-    "docs_linear_classifier",  # NEW r10: in-plan averaged perceptron, integer-exact
-    "media_adpcm_decode",  # NEW r10: IMA ADPCM decode, planted-ramp exact oracle
-    "media_shot_neardups",  # NEW r10: shot-level video near-dup, trim-robust
-    "media_stereo_decode",  # NEW r10: stereo PCM16 downmix, closed-form oracle
-    "emb_hard_negatives",  # NEW r10: contrastive triplet mining, kcenter-exact
-    "basket_stress_centrality",  # NEW r10: integer-exact Brandes stress sweep
-    "basket_association_rules",  # NEW r10: support/confidence/lift rule mining
-    "emb_mmr_selection",  # NEW r10: MMR diversity-aware retrieval, unrolled oracle
-    # --- changed in round 10 (4)
-    "emb_kcenter_selection",  # CHANGED r10: degenerate-input guards
-    "events_autocorrelation",  # CHANGED r10: span guard + pinned counts + grid repartition
-    "media_audio_tone_probe",  # CHANGED r10: strict/quarantine seam
-    "media_scene_cuts",  # CHANGED r10: strict/quarantine seam
+    "basket_stress_centrality",
+    "basket_association_rules",
+    # --- changed in round 11: audio decode now dispatches through
+    #     codecs.decode_audio (FLAC sniffing) (5)
+    "media_audio_decode",
+    "media_adpcm_decode",
+    "media_stereo_decode",
+    "media_audio_tone_probe",
+    "media_audio_neardups",
+    # --- r6-era fill, oldest-first module order (20)
+    "emb_quantization",
+    "emb_threshold_pairs",
+    "emb_centroid_by_label",
+    "emb_lsh_knn",
+    "graph_degrees",
+    "graph_pagerank_top",
+    "graph_components",
+    "graph_bfs_from_region",
+    "gremlin_region_members",
+    "motif_customer_region",
+    "motif_shared_nation",
+    "aggregate_gallery",
+    "latest_event_per_user",
+    "docs_train_test_split",
+    "lineitem_sample_revenue",
+    "docs_temperature_mixture",
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 
