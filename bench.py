@@ -217,6 +217,8 @@ HEADLINE = [
     # round 11: 3-round weight-doubling boosted stumps (integer-exact
     # AdaBoost variant, micronat vote weights)
     "docs_boosted_stumps",
+    # round 11: NN-Descent all-corpus k-NN graph construction
+    "emb_knn_graph",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -1,0 +1,153 @@
+"""k-NN GRAPH construction via NN-Descent local joins.
+
+The graph-based-ANN complement to the IVF/PQ/SRP retrieval stack
+(VERDICT r10 "What's missing" #4): modern dedup/retrieval systems
+(HNSW/NSW and the pipelines that build them offline) start from an
+all-corpus k-nearest-neighbor GRAPH, and the scalable way to build one
+without n² distance work is NN-Descent (Dong, Charikar, Li 2011,
+"Efficient K-Nearest Neighbor Graph Construction for Generic
+Similarity Measures", WWW'11): start from an arbitrary k-NN guess and
+repeatedly apply the LOCAL JOIN — two vectors that share a neighbor
+(in either direction) are candidate neighbors of each other — keeping
+the best k per vector. Neighbors-of-neighbors converge to true
+neighbors in a handful of rounds because "a neighbor of a neighbor is
+likely a neighbor".
+
+DataFrame formulation, one round = three shuffles, never all-pairs:
+
+- state (id, nbr, sim): k rows per vector;
+- B = state ∪ reverse(state) — the general-neighbor table, 2nk rows;
+- local join: B ⋈ B on the shared pivot id → candidate pairs
+  (x.nbr, y.nbr), x.nbr ≠ y.nbr — at most (2k)² per pivot, bounded by
+  the DEGREE of the graph, not the corpus (the paper's core trick);
+- exact cosine on the DISTINCT candidates (two id-keyed joins against
+  the vector table), union with the current state, and per-id top-k
+  via a bounded sort-slice aggregate (collect_list is ≤ k + (2k)²
+  rows per id — no window over anything data-sized; ranks fall out of
+  posexplode over the already-sorted array).
+
+Cross-engine exactness (the kcenter recipe): float→double before any
+arithmetic, sequential-fold dot products (== DuckDB list_dot_product),
+cosine 6-dp floor-rounded, ties break (sim DESC, nbr ASC); the
+deterministic init nbr_j(id) = (id + j) mod n stands in for the
+paper's random init, so the ENTIRE trajectory — every candidate set
+and every top-k cut of every round — replays in the oracle.
+
+At 100 TB: state is n·k narrow rows; per-round work is n·(2k)²
+distance evaluations sharded by the pivot join — linear in n for
+fixed k, the same asymptotics as the published implementations. The
+hop-0 init would start farther from convergence than sampled init,
+costing ~1 extra round, not asymptotics.
+
+Reference provenance: degdb has no ANN surface; this extends the
+similarity-search family (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from degdb_spark.operators.similarity import cosine
+from degdb_spark.persistence import pin
+from degdb_spark.queries.rounding import dround
+
+
+def knn_graph_descent(
+    emb: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Build the k-NN graph by ``rounds`` NN-Descent local joins over
+    vectors with CONTIGUOUS ids 0..n-1 (the synthetic-table contract;
+    re-key first otherwise). Returns (id, rank, neighbor_id,
+    cosine_sim) — k rows per vector, rank 1 = most similar. Corpora
+    with n <= k vectors yield an empty frame (no k-NN graph exists)."""
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).transform(pin, eager=False)
+    n = v.count()
+    if n <= k:
+        return spark.createDataFrame(
+            [], "id long, rank long, neighbor_id long, cosine_sim double"
+        )
+
+    def scored(pairs: DataFrame) -> DataFrame:
+        """(id, nbr) → + 6-dp cosine via two id-keyed joins."""
+        return (
+            pairs.join(v.select(F.col("id"), F.col("v").alias("_va")), on="id")
+            .join(
+                v.select(F.col("id").alias("nbr"), F.col("v").alias("_vb")),
+                on="nbr",
+            )
+            .select(
+                "id",
+                "nbr",
+                dround(cosine(F.col("_va"), F.col("_vb")), round_dp).alias("sim"),
+            )
+        )
+
+    def topk_arrays(cands: DataFrame) -> DataFrame:
+        """(id, _top): per-id best k as a SORTED struct array —
+        (sim DESC, nbr ASC) via the (-sim, nbr) struct order. Duplicate
+        (id, nbr) entries collapse first (identical sims by
+        construction), then a bounded sort-slice aggregate."""
+        return (
+            cands.groupBy("id", "nbr")
+            .agg(F.max("sim").alias("sim"))
+            .groupBy("id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("sim")).alias("d"), F.col("nbr").alias("nbr")
+                            )
+                        )
+                    ),
+                    1,
+                    k,
+                ).alias("_top")
+            )
+        )
+
+    def explode_state(tops: DataFrame) -> DataFrame:
+        return tops.select("id", F.explode("_top").alias("t")).select(
+            "id", F.col("t.nbr").alias("nbr"), (-F.col("t.d")).alias("sim")
+        )
+
+    init = v.select(
+        "id",
+        F.explode(
+            F.array(*[((F.col("id") + j) % n).cast("long") for j in range(1, k + 1)])
+        ).alias("nbr"),
+    )
+    state = pin(scored(init))
+    tops = None
+    for _ in range(rounds):
+        b = pin(
+            state.select("id", "nbr").unionByName(
+                state.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+            )
+        )
+        cand = (
+            b.alias("x")
+            .join(b.alias("y"), on="id")
+            .select(F.col("x.nbr").alias("id"), F.col("y.nbr").alias("nbr"))
+            .filter(F.col("id") != F.col("nbr"))
+            .distinct()
+        )
+        tops = pin(topk_arrays(state.unionByName(scored(cand))))
+        state = explode_state(tops)
+
+    return tops.select("id", F.posexplode("_top").alias("_r", "t")).select(
+        "id",
+        (F.col("_r") + 1).cast("long").alias("rank"),
+        F.col("t.nbr").alias("neighbor_id"),
+        (-F.col("t.d")).alias("cosine_sim"),
+    )

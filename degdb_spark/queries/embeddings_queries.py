@@ -1548,6 +1548,85 @@ s{j} AS MATERIALIZED (
 MMR_SQL = _mmr_sql()
 
 
+
+_KNNG_K, _KNNG_ROUNDS = 4, 2
+
+
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus k-NN GRAPH construction by NN-Descent local joins
+    (operators/knngraph.py — Dong et al. 2011): deterministic
+    (id + j) mod n init, then 2 rounds of neighbors-of-neighbors
+    candidate generation (never all-pairs — at most (2k)^2 candidates
+    per pivot), exact 6-dp cosine on the distinct candidates, per-id
+    top-k by bounded sort-slice. The oracle unrolls BOTH rounds —
+    every candidate set and every top-k cut — so a hash match
+    certifies the full trajectory, not just the final lists."""
+    from degdb_spark.operators.knngraph import knn_graph_descent
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_descent(emb, k=_KNNG_K, rounds=_KNNG_ROUNDS).orderBy(
+        "id", "rank"
+    )
+
+
+def _knn_graph_sql(k: int, rounds: int) -> str:
+    sim = (
+        "FLOOR((list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+        " * 1000000 + 0.5) / 1000000"
+    )
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM v)",
+        f"""i0 AS MATERIALIZED (
+  SELECT a.id, CAST((a.id + j.j) % (SELECT n FROM nn) AS BIGINT) AS nbr
+  FROM v a, generate_series(1, {k}) j(j)
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT p.id, p.nbr, {sim} AS sim
+  FROM i0 p JOIN v a ON a.id = p.id JOIN v b ON b.id = p.nbr
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT id, nbr FROM s{r-1} "
+            f"UNION ALL SELECT nbr, id FROM s{r-1})"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT DISTINCT x.nbr AS id, y.nbr AS nbr "
+            f"FROM b{r} x JOIN b{r} y ON x.id = y.id WHERE x.nbr <> y.nbr)"
+        )
+        parts.append(
+            f"""sc{r} AS MATERIALIZED (
+  SELECT p.id, p.nbr, {sim} AS sim
+  FROM c{r} p JOIN v a ON a.id = p.id JOIN v b ON b.id = p.nbr
+)"""
+        )
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT id, nbr, MAX(sim) AS sim FROM "
+            f"(SELECT * FROM s{r-1} UNION ALL SELECT * FROM sc{r}) GROUP BY id, nbr)"
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT id, nbr, sim FROM (
+    SELECT id, nbr, sim,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+    FROM u{r}) WHERE rn <= {k}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT id, CAST(rn AS BIGINT) AS rank, nbr AS neighbor_id, sim AS cosine_sim
+FROM (SELECT id, nbr, sim,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+      FROM s{rounds})
+ORDER BY id, rank
+"""
+    )
+
+
+KNN_GRAPH_SQL = _knn_graph_sql(_KNNG_K, _KNNG_ROUNDS)
+
 QUERIES: dict[str, Query] = {
     "emb_kcenter_selection": Query(emb_kcenter_selection, KCENTER_SQL),
     "emb_mmr_selection": Query(emb_mmr_selection, MMR_SQL),
@@ -1567,6 +1646,7 @@ QUERIES: dict[str, Query] = {
     "emb_quantization": Query(quantization_error, QUANTIZATION_SQL),
     "emb_knn_topk": Query(knn_topk, KNN_SQL),
     "emb_hard_negatives": Query(hard_negative_triplets, TRIPLET_SQL),
+    "emb_knn_graph": Query(emb_knn_graph, KNN_GRAPH_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),
     "emb_centroid_by_label": Query(centroid_by_label, CENTROID_SQL),
     "emb_lsh_knn": Query(lsh_knn, LSH_KNN_SQL),
