@@ -1710,3 +1710,61 @@ def test_substring_index_step_sequential_equals_batch_and_replays(spark, tmp_pat
     _substring_index_step(docs.filter(F.col("doc_id") >= 300), 2, idx, clean)
     assert snapshot() == full
     assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_basket_edges_stream_equals_inline_and_replays(spark, tmp_path):
+    """Order-atomic lineitem micro-batches through the basket-edge
+    index twin: the served edge frame after the stream equals the
+    inline wedge build over all streamed orders, and a replayed batch
+    converges instead of double-counting."""
+    from degdb_spark.operators import basket as B
+    from degdb_spark.operators.pq import drop_managed_table
+    from degdb_spark.queries.graph_adv_queries import _weighted_edges_inline
+    from degdb_spark.streaming.basket import _basket_edges_step, basket_edges_stream
+
+    rows = [
+        (o, p)
+        for o in range(45)
+        for p in {o % 8, (o + 3) % 8, 40 + o % 3, 40 + (o + o // 6) % 3}
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tmp_path / "full"
+    d.mkdir()
+    li.write.parquet(str(d / "lineitem.parquet"))
+    want = {
+        (r.src, r.dst, r.w) for r in _weighted_edges_inline(spark, str(d)).collect()
+    }
+
+    src = tmp_path / "li_in"
+    src.mkdir()
+    for i, lo in enumerate(range(0, 45, 15)):  # 3 order-atomic batches
+        li.filter(
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < lo + 15)
+        ).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    table = "test_basket_edges_stream"
+    drop_managed_table(spark, table)
+    try:
+        stream = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = basket_edges_stream(stream, table, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = {(r.src, r.dst, r.w) for r in B.edges_from_index(spark, table).collect()}
+        assert got == want
+
+        # replay the last batch id with its own data: identical post-state
+        last = spark.read.parquet(str(src / "b2.parquet"))
+        batches = sorted(
+            r["_batch"]
+            for r in spark.table(table).select("_batch").distinct().collect()
+        )
+        _basket_edges_step(last, batches[-1], table)
+        again = {
+            (r.src, r.dst, r.w) for r in B.edges_from_index(spark, table).collect()
+        }
+        assert again == want
+    finally:
+        drop_managed_table(spark, table)
