@@ -944,3 +944,29 @@ def test_shot_fingerprints_random_scene_structures(spark):
             assert shots[(1, k)][1:] == shots[(0, k + s0)][1:], (g, k, s0)
 
     prop()
+
+
+def test_validate_media_accepts_flac_and_quarantines_corrupt(spark):
+    """FLAC rides the full ingest-validation stage through the
+    decode_audio dispatch: a valid file validates ok=1, a
+    payload-corrupted one lands as an ok=0 row naming the CRC/MD5
+    failure instead of killing the stage."""
+    import numpy as np
+
+    from degdb_spark.functions import flac
+    from degdb_spark.operators.multimodal import MEDIA_SCHEMA, validate_media
+
+    s = ((np.arange(600) * 7) % 4096 - 2048).astype(np.int16)
+    good = flac.encode_flac(s, 16000, block_size=256)
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0x20
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(good), ("flac", None, None, 37, 16000)),
+            (1, "audio", bad, ("flac", None, None, 37, 16000)),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    got = {r.media_id: (r.ok, r.error) for r in validate_media(media).collect()}
+    assert got[0] == (1, None)
+    assert got[1][0] == 0 and "FLAC" in got[1][1]
