@@ -219,6 +219,8 @@ HEADLINE = [
     "docs_boosted_stumps",
     # round 11: NN-Descent all-corpus k-NN graph construction
     "emb_knn_graph",
+    # round 11: CCNet-style bigram-LM perplexity quality selection
+    "docs_lm_perplexity",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -44,17 +44,19 @@ class Query(NamedTuple):
 #: docs_boosted_stumps — 3-round weight-doubling boosted stumps,
 #: integer-exact with micronat vote weights; emb_knn_graph —
 #: NN-Descent k-NN graph construction, every local-join round
-#: unrolled in the oracle), then the NINETEEN
+#: unrolled in the oracle; docs_lm_perplexity — CCNet-style
+#: bigram-LM perplexity quality selection, trained in-plan), then
+#: the NINETEEN
 #: surfaces CHANGED in round 11 — the 14 basket_* queries now serve
 #: _weighted_edges FROM the persisted index (plans changed), and the
 #: 5 audio queries now decode through codecs.decode_audio (FLAC
 #: sniffing dispatch) — then r6-era fill in module order. The five
 #: r10-era basket/audio rows double-covered by the changed set cost
-#: no extra slots; 19 r6-era rows fit, 19 spill to round 12.
+#: no extra slots; 18 r6-era rows fit, 20 spill to round 12.
 #:
 #: Round-12 window, planned now so the standing policy stays
-#: executable: the 19 spilled r6-era rows (events_range_join,
-#: events_hypertable_rollup,
+#: executable: the 20 spilled r6-era rows (events_asof_join,
+#: events_range_join, events_hypertable_rollup,
 #: events_cms_estimate, media_phash_neardups, media_payload_stats,
 #: docs_bigrams, events_sliding_window, events_asof_forward,
 #: events_per_user_cap, lineitem_stratified_sample,
@@ -72,12 +74,13 @@ _WINDOW = [
     "events_top_paths",
     "events_cusum_changepoints",
     "docs_proximity_search",
-    # --- new in round 11 (5)
+    # --- new in round 11 (6)
     "basket_edges_build",  # NEW r11: persisted basket-edge index build surface
     "docs_substring_dedup",  # NEW r11: ExactSubstr variable-length dedup
     "media_flac_decode",  # NEW r11: FLAC decode, lossless closed-form oracle
     "docs_boosted_stumps",  # NEW r11: integer-exact boosted stumps
     "emb_knn_graph",  # NEW r11: NN-Descent k-NN graph, unrolled trajectory oracle
+    "docs_lm_perplexity",  # NEW r11: CCNet-style bigram-LM quality selection
     # --- changed in round 11: basket family reads the persisted
     #     edge index instead of re-building the wedge frame (14)
     "basket_sssp_histogram",
@@ -101,7 +104,7 @@ _WINDOW = [
     "media_stereo_decode",
     "media_audio_tone_probe",
     "media_audio_neardups",
-    # --- r6-era fill, oldest-first module order (19)
+    # --- r6-era fill, oldest-first module order (18)
     "emb_quantization",
     "emb_threshold_pairs",
     "emb_centroid_by_label",
@@ -120,7 +123,6 @@ _WINDOW = [
     "docs_temperature_mixture",
     "events_heavy_hitters",
     "events_kmv_distinct",
-    "events_asof_join",
 ]
 
 

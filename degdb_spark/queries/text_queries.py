@@ -2157,6 +2157,65 @@ ORDER BY ABS(kl_term) DESC, token LIMIT 20
 """
 
 
+
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality selection (Wenzek et al.
+    2019, arXiv:1911.00359 — operators/lm.py): train a bigram
+    add-one-smoothed language model on the md5 80% split IN-PLAN,
+    score every held-out document's adjacent-pair negative
+    log-likelihood in integer micronats, and keep the 20 most fluent
+    (lowest average-nll) docs — the model-based quality gate real
+    pretraining pipelines run after rule filters. Seventh
+    trained-model family member; the oracle replays the exact count
+    tables, eligibility rule, micronat quantization, and ranking."""
+    from degdb_spark.operators.lm import train_score_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_score_bigram_lm(docs).orderBy("avg_nll", "doc_id")
+
+
+LM_PERPLEXITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR(64))), 1, 8)) AS BIGINT) % 100 < 20
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+), pairs AS (
+  SELECT doc_id, split,
+         CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS a,
+         b
+  FROM (
+    SELECT doc_id, split, toks,
+           generate_subscripts(toks, 1) AS i, unnest(toks) AS b
+    FROM base
+  )
+  WHERE b <> '' AND (i = 1 OR toks[i - 1] <> '')
+), tr AS (SELECT a, b FROM pairs WHERE split = 'train'),
+big AS (SELECT a, b, COUNT(*) AS c_ab FROM tr GROUP BY a, b),
+ctx AS (SELECT a, COUNT(*) AS c_a FROM tr GROUP BY a),
+vocab AS (SELECT DISTINCT b AS w FROM tr),
+vsz AS (SELECT COUNT(*) AS v FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         -CAST(FLOOR(LN((COALESCE(g.c_ab, 0) + 1)::DOUBLE / (c.c_a + (SELECT v FROM vsz)))
+                     * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM pairs t
+  JOIN ctx c ON c.a = t.a
+  JOIN vocab vo ON vo.w = t.b
+  LEFT JOIN big g ON g.a = t.a AND g.b = t.b
+  WHERE t.split = 'test'
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(nll) AS BIGINT) AS nll_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_scored, nll_micro,
+       FLOOR((nll_micro / n_scored / 1000000) * 1000000 + 0.5) / 1000000 AS avg_nll
+FROM agg
+ORDER BY avg_nll, doc_id
+LIMIT 20
+"""
+
 #: DSIR target domain: the distribution the selection should match.
 _DSIR_TARGET = "src0"
 
@@ -2410,6 +2469,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_train": Query(bpe_train_merges, BPE_TRAIN_SQL),
     "docs_decision_tree": Query(docs_decision_tree, TREE_SQL),
     "docs_boosted_stumps": Query(docs_boosted_stumps, BOOST_SQL),
+    "docs_lm_perplexity": Query(docs_lm_perplexity, LM_PERPLEXITY_SQL),
     "docs_setsim_join": Query(setsim_pairs, SETSIM_SQL),
     "docs_zipf_fit": Query(zipf_fit, ZIPF_SQL),
     "docs_heaps_law": Query(heaps_law_fit, HEAPS_SQL),

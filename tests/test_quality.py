@@ -209,3 +209,74 @@ def test_dsir_scores_match_python_oracle(spark, corpus):
         for r in dsir_scores(occ, dsir_word_counts(occ, "src0")).collect()
     }
     assert got == _py_dsir(texts, sources, "src0", DSIR_BUCKETS)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_lm_perplexity_matches_python_oracle(spark, token_lists):
+    """train_score_bigram_lm equals a straightforward Python replica —
+    same md5 split, same pair eligibility (right token in vocab, left
+    token has a context count), same micronat quantization, same
+    (avg_nll, doc_id) ranking — on dense-collision random corpora
+    including empty docs and all-OOV test docs."""
+    from degdb_spark.operators.lm import train_score_bigram_lm
+
+    texts = [" ".join(t) for t in token_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.doc_id, r.n_scored, r.nll_micro, r.avg_nll)
+        for r in train_score_bigram_lm(docs).collect()
+    ]
+
+    def bucket(i):
+        return int(_hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    def toks(t):
+        return _re.split(r"\s+", t.strip().lower())
+
+    def pairs(t):
+        tk = toks(t)
+        out = []
+        for i, b in enumerate(tk):
+            a = "<s>" if i == 0 else tk[i - 1]
+            if a != "" and b != "":
+                out.append((a, b))
+        return out
+
+    train = [t for i, t in enumerate(texts) if bucket(i) >= 20]
+    test = [(i, t) for i, t in enumerate(texts) if bucket(i) < 20]
+    tr = [p for t in train for p in pairs(t)]
+    big, ctx, vocab = {}, {}, set()
+    for a, b in tr:
+        big[(a, b)] = big.get((a, b), 0) + 1
+        ctx[a] = ctx.get(a, 0) + 1
+        vocab.add(b)
+    V = len(vocab)
+    want = []
+    for i, t in test:
+        nll = n = 0
+        for a, b in pairs(t):
+            if b not in vocab or a not in ctx:
+                continue
+            n += 1
+            nll -= _math.floor(
+                _math.log((big.get((a, b), 0) + 1) / (ctx[a] + V)) * 1e6 + 0.5
+            )
+        if n:
+            want.append(
+                (i, n, nll, _math.floor((nll / n / 1e6) * 1e6 + 0.5) / 1e6)
+            )
+    want = sorted(want, key=lambda r: (r[3], r[0]))[:20]
+    assert got == want
