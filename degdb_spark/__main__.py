@@ -102,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipe.add_argument("--sf-dir", default=None)
     pipe.add_argument("--out", default=None, help="write corpus/packing/report here")
+    pipe.add_argument(
+        "--rewrite-dedup",
+        choices=("span", "substring"),
+        default="span",
+        help="stage-3b rewrite: aligned 10-token spans (C4) or "
+        "variable-length ExactSubstr repeats",
+    )
 
     mpipe = sub.add_parser(
         "media-pipeline",
@@ -130,7 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         from degdb_spark.session import get_spark
 
         spark = get_spark(app_name="degdb_pipeline")
-        for row in curate(spark, args.sf_dir or DEFAULT_SF_DIR, args.out):
+        for row in curate(
+            spark, args.sf_dir or DEFAULT_SF_DIR, args.out,
+            rewrite_dedup=args.rewrite_dedup,
+        ):
             print(json.dumps(row, sort_keys=True))
         return 0
 

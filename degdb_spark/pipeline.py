@@ -37,6 +37,8 @@ def curate(
     neardup_threshold: float = 0.4,
     budget_div: int = 4,
     pack_budget: int = 256,
+    rewrite_dedup: str = "span",
+    substring_min_tokens: int = 20,
 ) -> list[dict]:
     """Run the full curation pipeline over ``sf_dir``/documents.
 
@@ -45,7 +47,16 @@ def curate(
     is the training corpus. Returns the per-stage audit report (list of
     {stage, n_docs, n_tokens}); if ``out_dir`` is set, also writes
     ``corpus.parquet``, ``packing.parquet``, and ``report.json``.
+
+    ``rewrite_dedup`` picks the stage-3b rewrite: "span" (C4-style
+    aligned 10-token spans — the default, byte-pinned in tests) or
+    "substring" (ExactSubstr variable-length ≥ ``substring_min_tokens``
+    repeats at ANY offset, operators/dedup.substring_dedup — strictly
+    stronger boilerplate removal at the cost of the stride-1 window
+    pass).
     """
+    if rewrite_dedup not in ("span", "substring"):
+        raise ValueError(f"rewrite_dedup must be 'span' or 'substring', got {rewrite_dedup!r}")
     from degdb_spark.catalog import load_table
     from degdb_spark.operators.dedup import (
         contamination_report,
@@ -108,25 +119,39 @@ def curate(
     # whitespace-collapsed); untouched docs keep their original text
     # byte-for-byte. Token/char counts are recomputed for rewritten
     # docs; fully-boilerplate docs drop out.
-    from degdb_spark.operators.dedup import span_dedup
+    from degdb_spark.operators.dedup import span_dedup, substring_dedup
     from degdb_spark.operators.text import token_count
 
-    spans = span_dedup(s3).filter(F.col("n_kept") > 0)
-    cleaned = (
-        s3.join(
-            spans.select("doc_id", "n_spans", "n_kept", "text_clean"), on="doc_id"
+    if rewrite_dedup == "substring":
+        # ExactSubstr mode: repeats removed at ANY offset/length; docs
+        # reduced to nothing drop out, partially-hit docs are rewritten
+        rep = (
+            substring_dedup(s3, min_tokens=substring_min_tokens)
+            .select(
+                "doc_id",
+                F.col("n_tokens").alias("_sub_total"),
+                F.col("n_removed").alias("_sub_removed"),
+                "text_clean",
+            )
+            .filter(F.col("_sub_removed") < F.col("_sub_total"))
         )
+        rewritten = F.col("_sub_removed") > 0
+        join_src = rep
+    else:
+        spans = span_dedup(s3).filter(F.col("n_kept") > 0)
+        rewritten = F.col("n_kept") < F.col("n_spans")
+        join_src = spans.select("doc_id", "n_spans", "n_kept", "text_clean")
+    cleaned = (
+        s3.join(join_src, on="doc_id")
         .withColumn(
             "text",
-            F.when(F.col("n_kept") < F.col("n_spans"), F.col("text_clean")).otherwise(
-                F.col("text")
-            ),
+            F.when(rewritten, F.col("text_clean")).otherwise(F.col("text")),
         )
         .withColumn("n_tokens", token_count("text").cast("long"))
         .withColumn("n_chars", F.length("text").cast("long"))
         .select(*keep_cols)
     )
-    s3b = audit("span_dedup", cleaned)
+    s3b = audit(f"{rewrite_dedup}_dedup", cleaned)
 
     # stage 4: benchmark decontamination (3-gram overlap)
     contam = contamination_report(s3b, bench)

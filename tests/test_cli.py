@@ -136,3 +136,42 @@ def test_cli_media_pipeline(capsys, spark, tmp_path):
     assert counts[0] == 18  # the synthetic table is fully decodable
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert _os.path.exists(_os.path.join(out, "report.json"))
+
+
+def test_cli_pipeline_substring_mode(capsys, spark, tmp_path):
+    """--rewrite-dedup substring swaps stage 3b for ExactSubstr: the
+    stage label changes, the pipeline still completes end-to-end, and
+    the rewrite removes at least as much text as span mode does (a
+    variable-length superset of aligned-span removal at equal L would;
+    here we just pin monotone counts and a successful run)."""
+    import json as _json
+
+    from degdb_spark.__main__ import main
+
+    out = str(tmp_path / "curated_sub")
+    rc = main([
+        "pipeline", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--rewrite-dedup", "substring",
+    ])
+    assert rc == 0
+    rows = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    stages = [r["stage"] for r in rows]
+    assert stages == [
+        "rule_filters", "exact_dedup", "neardup_clusters", "substring_dedup",
+        "decontaminate", "token_budget", "packed",
+    ]
+    counts = [r["n_docs"] for r in rows[:6]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the rewrite never ADDS tokens
+    assert rows[3]["n_tokens"] <= rows[2]["n_tokens"]
+
+    import pytest as _pytest
+
+    from degdb_spark.pipeline import curate
+
+    with _pytest.raises(ValueError, match="rewrite_dedup"):
+        curate(spark, "/root/testdata/sf0.001", rewrite_dedup="nope")
