@@ -126,6 +126,22 @@ def retract_basket_edges_index(
     )
 
 
+def pairs_from_index(spark: SparkSession, table: str, min_w: int = 1) -> DataFrame:
+    """(u, v, w) canonical u < v pairs served FROM the index: sum the
+    per-batch partials (bucket-local past the (u, v) bucketing), drop
+    cancelled/sub-``min_w`` pairs. min_w=1 is the UNTHRESHOLDED
+    co-purchase pair set (coverage_queries._basket_edges semantics —
+    the raw-count design makes one artifact serve both families);
+    min_w=W_MIN is the analytics graph."""
+    return (
+        spark.table(table)
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") >= min_w)
+        .select("u", "v", F.col("w").cast("long").alias("w"))
+    )
+
+
 def edges_from_index(spark: SparkSession, table: str) -> DataFrame:
     """The basket family's input frame, served FROM the index: sum the
     per-batch partials (bucket-local — no shuffle past the table's
@@ -133,13 +149,7 @@ def edges_from_index(spark: SparkSession, table: str) -> DataFrame:
     materialize both directions for the frontier joins. Eagerly pinned
     for the same reason the inline builder was: every consumer derives
     several secondary frames (sources/vertices/und) from it."""
-    wedges = (
-        spark.table(table)
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-        .filter(F.col("w") >= W_MIN)
-        .select("u", "v", F.col("w").cast("long").alias("w"))
-    )
+    wedges = pairs_from_index(spark, table, min_w=W_MIN)
     return (
         wedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
         .unionByName(

@@ -46,16 +46,17 @@ class Query(NamedTuple):
 #: NN-Descent k-NN graph construction, every local-join round
 #: unrolled in the oracle; docs_lm_perplexity — CCNet-style
 #: bigram-LM perplexity quality selection, trained in-plan), then
-#: the NINETEEN
+#: the TWENTY-ONE
 #: surfaces CHANGED in round 11 — the 14 basket_* queries now serve
 #: _weighted_edges FROM the persisted index (plans changed), and the
 #: 5 audio queries now decode through codecs.decode_audio (FLAC
 #: sniffing dispatch) — then r6-era fill in module order. The five
 #: r10-era basket/audio rows double-covered by the changed set cost
-#: no extra slots; 18 r6-era rows fit, 20 spill to round 12.
+#: no extra slots; 16 r6-era rows fit, 22 spill to round 12.
 #:
 #: Round-12 window, planned now so the standing policy stays
-#: executable: the 20 spilled r6-era rows (events_asof_join,
+#: executable: the 22 spilled r6-era rows (events_heavy_hitters,
+#: events_kmv_distinct, events_asof_join,
 #: events_range_join, events_hypertable_rollup,
 #: events_cms_estimate, media_phash_neardups, media_payload_stats,
 #: docs_bigrams, events_sliding_window, events_asof_forward,
@@ -82,7 +83,8 @@ _WINDOW = [
     "emb_knn_graph",  # NEW r11: NN-Descent k-NN graph, unrolled trajectory oracle
     "docs_lm_perplexity",  # NEW r11: CCNet-style bigram-LM quality selection
     # --- changed in round 11: basket family reads the persisted
-    #     edge index instead of re-building the wedge frame (14)
+    #     edge index instead of re-building the wedge frame — incl.
+#     coverage's unthresholded pair view (16)
     "basket_sssp_histogram",
     "basket_communities",
     "basket_kcore",
@@ -97,6 +99,8 @@ _WINDOW = [
     "basket_harmonic_centrality",
     "basket_stress_centrality",
     "basket_association_rules",
+    "basket_triangle_count",  # CHANGED r11: unthresholded pair view of the index
+    "basket_clustering_top",  # CHANGED r11: same
     # --- changed in round 11: audio decode now dispatches through
     #     codecs.decode_audio (FLAC sniffing) (5)
     "media_audio_decode",
@@ -104,7 +108,7 @@ _WINDOW = [
     "media_stereo_decode",
     "media_audio_tone_probe",
     "media_audio_neardups",
-    # --- r6-era fill, oldest-first module order (18)
+    # --- r6-era fill, oldest-first module order (16)
     "emb_quantization",
     "emb_threshold_pairs",
     "emb_centroid_by_label",
@@ -121,8 +125,6 @@ _WINDOW = [
     "docs_train_test_split",
     "lineitem_sample_revenue",
     "docs_temperature_mixture",
-    "events_heavy_hitters",
-    "events_kmv_distinct",
 ]
 
 

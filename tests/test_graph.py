@@ -427,5 +427,18 @@ def test_basket_edges_index_matches_inline(spark, tmp_path):
         B.retract_basket_edges_index(li.filter("l_orderkey >= 30"), table)
         got = {(r.src, r.dst, r.w) for r in B.edges_from_index(spark, table).collect()}
         assert got == inline_of("l_orderkey < 30")
+        # the UNTHRESHOLDED pair view (min_w=1) equals the distinct
+        # co-purchase pair set of the same survivors — one artifact
+        # serves both the analytics graph and coverage's edge set
+        pairs = {
+            (r.u, r.v) for r in B.pairs_from_index(spark, table, min_w=1).collect()
+        }
+        want_pairs = {
+            (min(a, b), max(a, b))
+            for (o1, a) in [(r.l_orderkey, r.l_partkey) for r in li.filter("l_orderkey < 30").collect()]
+            for (o2, b) in [(r.l_orderkey, r.l_partkey) for r in li.filter("l_orderkey < 30").collect()]
+            if o1 == o2 and a != b
+        }
+        assert pairs == want_pairs
     finally:
         drop_managed_table(spark, table)
