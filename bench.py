@@ -221,6 +221,8 @@ HEADLINE = [
     "emb_knn_graph",
     # round 11: CCNet-style bigram-LM perplexity quality selection
     "docs_lm_perplexity",
+    # round 11: lossless WAV->FLAC transcoding (encode + double decode)
+    "media_flac_transcode",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -70,20 +70,25 @@ def _crc16(data: bytes) -> int:
     return crc
 
 
+_POW2_DESC = (1 << np.arange(63, -1, -1)).astype(np.int64)
+
+
 class _BitReader:
     """MSB-first bit reader over an unpacked bit array; every overrun
-    is a ValueError (the codecs error contract)."""
+    is a ValueError (the codecs error contract). The one-positions are
+    indexed ONCE up front so unary reads are a binary search instead
+    of a rescan of the remaining stream — the rescan made Rice decode
+    O(stream²) and a 75k-sample clip cost ~14 s."""
 
     def __init__(self, data: bytes):
         self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self._ones = np.flatnonzero(self._bits)
         self.pos = 0
 
     def read(self, n: int) -> int:
         if self.pos + n > self._bits.size:
             raise ValueError("FLAC payload truncated mid-field")
-        v = 0
-        for b in self._bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
+        v = int(self._bits[self.pos : self.pos + n] @ _POW2_DESC[64 - n :])
         self.pos += n
         return v
 
@@ -92,10 +97,10 @@ class _BitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
-        ones = np.flatnonzero(self._bits[self.pos :])
-        if ones.size == 0:
+        i = int(np.searchsorted(self._ones, self.pos))
+        if i >= self._ones.size:
             raise ValueError("FLAC payload truncated mid-unary")
-        q = int(ones[0])
+        q = int(self._ones[i]) - self.pos
         self.pos += q + 1
         return q
 
@@ -153,12 +158,44 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
             for i in range(n):
                 out[w + i] = br.read_signed(raw) if raw else 0
         else:
-            for i in range(n):
-                q = br.read_unary()
-                z = (q << param) | br.read(param)
-                out[w + i] = (z >> 1) ^ -(z & 1)  # un-zigzag
+            out[w : w + n] = _read_rice_partition(br, n, param)
         w += n
     return out
+
+
+
+
+def _read_rice_partition(br: _BitReader, n: int, param: int) -> np.ndarray:
+    """Vectorized Rice decode of one partition: terminator positions
+    come from the global one-position index (each sample's terminator
+    is the first 1 at or after its remainder-skip point), then all n
+    remainders are gathered with one fancy-index multiply."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ones, bits, pos = br._ones, br._bits, br.pos
+    q = np.empty(n, dtype=np.int64)
+    rem_start = np.empty(n, dtype=np.int64)
+    i = int(np.searchsorted(ones, pos))
+    for k in range(n):  # O(n) total: i only advances
+        while i < ones.size and ones[i] < pos:
+            i += 1
+        if i >= ones.size:
+            raise ValueError("FLAC payload truncated mid-unary")
+        term = int(ones[i])
+        q[k] = term - pos
+        rem_start[k] = term + 1
+        pos = term + 1 + param
+        i += 1
+    if pos > bits.size:
+        raise ValueError("FLAC payload truncated mid-field")
+    br.pos = pos
+    if param:
+        idx = rem_start[:, None] + np.arange(param)
+        rem = bits[idx].astype(np.int64) @ _POW2_DESC[64 - param :]
+    else:
+        rem = np.zeros(n, dtype=np.int64)
+    z = (q << param) | rem
+    return (z >> 1) ^ -(z & 1)  # un-zigzag
 
 
 def _read_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
@@ -177,14 +214,17 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         out = np.array([br.read_signed(eff) for _ in range(block_size)], dtype=np.int64)
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
-        warm = [br.read_signed(eff) for _ in range(order)]
+        warm = np.array(
+            [br.read_signed(eff) for _ in range(order)], dtype=np.int64
+        )
         res = _read_residual(br, block_size, order)
-        out = np.empty(block_size, dtype=np.int64)
-        out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, block_size):
-            pred = int(coefs @ out[i - order : i][::-1]) if order else 0
-            out[i] = pred + res[i - order]
+        # FIXED-k prediction makes the residual the k-th difference of
+        # the signal, so reconstruction is k inverse-difference passes
+        # (one cumsum each) seeded from the warmup — fully vectorized
+        out = res
+        for j in range(order - 1, -1, -1):
+            first = int(np.diff(warm, n=j)[0])
+            out = np.concatenate(([first], first + np.cumsum(out)))
     elif stype >= 32:  # LPC, order 1-32
         order = (stype & 31) + 1
         warm = [br.read_signed(eff) for _ in range(order)]
@@ -342,10 +382,13 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     inter = np.empty(got * n_channels, dtype=np.int64)
     for c in range(n_channels):
         inter[c::n_channels] = chans[c]
-    width = (bps + 7) // 8
-    raw = b"".join(
-        int(v).to_bytes(width, "little", signed=True) for v in inter
-    )
+    if bps == 16:
+        raw = inter.astype("<i2").tobytes()
+    else:
+        width = (bps + 7) // 8
+        raw = b"".join(
+            int(v).to_bytes(width, "little", signed=True) for v in inter
+        )
     if hashlib.md5(raw).digest() != md5:
         raise ValueError("FLAC decoded audio fails the STREAMINFO MD5")
     if bps != 16:
@@ -357,23 +400,50 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
 
 
 class _BitWriter:
+    """Chunked MSB-first bit writer: scalar fields append tiny arrays,
+    Rice streams append ONE vectorized block (the per-bit list-append
+    form cost ~0.5 s per 75k-sample clip)."""
+
     def __init__(self):
-        self._bits: list[int] = []
+        self._chunks: list[np.ndarray] = []
+        self._nbits = 0
+
+    def _push(self, arr: np.ndarray) -> None:
+        self._chunks.append(arr)
+        self._nbits += arr.size
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self._bits.append((value >> i) & 1)
+        self._push(
+            np.fromiter(
+                ((value >> i) & 1 for i in range(n - 1, -1, -1)),
+                dtype=np.uint8,
+                count=n,
+            )
+        )
 
     def write_signed(self, value: int, n: int) -> None:
         self.write(value & ((1 << n) - 1), n)
 
+    def write_rice_array(self, zig: np.ndarray, param: int) -> None:
+        """All samples of one Rice partition in one vectorized block:
+        q zeros, a 1 terminator, then param remainder bits each."""
+        q = (zig >> param).astype(np.int64)
+        total = q + 1 + param
+        offs = np.concatenate(([0], np.cumsum(total[:-1])))
+        arr = np.zeros(int(total.sum()), dtype=np.uint8)
+        arr[offs + q] = 1
+        for b in range(param):
+            arr[offs + q + 1 + b] = ((zig >> (param - 1 - b)) & 1).astype(np.uint8)
+        self._push(arr)
+
     def align(self) -> None:
-        while len(self._bits) % 8:
-            self._bits.append(0)
+        pad = -self._nbits % 8
+        if pad:
+            self._push(np.zeros(pad, dtype=np.uint8))
 
     def getvalue(self) -> bytes:
-        assert len(self._bits) % 8 == 0
-        return np.packbits(np.array(self._bits, dtype=np.uint8)).tobytes()
+        assert self._nbits % 8 == 0
+        return np.packbits(np.concatenate(self._chunks)).tobytes()
 
 
 def _utf8_coded(n: int) -> bytes:
@@ -467,11 +537,7 @@ def encode_flac(
             while param < 14 and (zmax >> param) > 24:
                 param += 1
             bw.write(param, 4)
-            for z in zig:
-                bw.write(0, int(z) >> param)  # unary quotient: q zeros...
-                bw.write(1, 1)  # ...then the terminating one
-                if param:
-                    bw.write(int(z) & ((1 << param) - 1), param)
+            bw.write_rice_array(zig.astype(np.int64), param)
         bw.align()
         body = bw.getvalue()
         out.append(body)

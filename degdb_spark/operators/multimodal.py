@@ -1313,6 +1313,42 @@ def resize_images(
     return images.select("media_id", "payload").mapInPandas(op, schema)
 
 
+def transcode_audio_flac(
+    media: DataFrame, batch_rows: int = 64, block_size: int = 1024
+) -> DataFrame:
+    """LOSSLESS audio transcoding — the storage-optimization stage a
+    media pipeline runs before archiving: decode each audio payload
+    through the shared codecs.decode_audio seam (WAV PCM/G.711/ADPCM/
+    stereo or FLAC in) and re-encode as FLAC (functions/flac.py).
+    Returns (media_id, payload, n_bytes_in, n_bytes_out) — the new
+    payload decodes bit-identically to the old one's mono samples
+    (downmix/expansion included), which is what makes the operator
+    oracle-checkable end to end. Per-payload numpy inside Arrow
+    batches, no shuffle; a TB/s deployment swaps libFLAC behind the
+    same seam."""
+    from degdb_spark.functions import flac
+
+    audio = media.filter(F.col("kind") == "audio")
+    schema = "media_id long, payload binary, n_bytes_in int, n_bytes_out int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    raw = bytes(p)
+                    rate, samples = codecs.decode_audio(raw)
+                    enc = flac.encode_flac(samples, rate, block_size=block_size)
+                    out.append((mid, bytearray(enc), len(raw), len(enc)))
+                yield pd.DataFrame(
+                    out,
+                    columns=["media_id", "payload", "n_bytes_in", "n_bytes_out"],
+                )
+
+    return audio.select("media_id", "payload").mapInPandas(op, schema)
+
+
 def audio_sample_stats(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """REAL WAV decode → exact integer sample statistics per clip
     (driver-verifiable against closed-form SQL like image_pixel_stats)."""

@@ -45,17 +45,20 @@ class Query(NamedTuple):
 #: integer-exact with micronat vote weights; emb_knn_graph —
 #: NN-Descent k-NN graph construction, every local-join round
 #: unrolled in the oracle; docs_lm_perplexity — CCNet-style
-#: bigram-LM perplexity quality selection, trained in-plan), then
+#: bigram-LM perplexity quality selection, trained in-plan;
+#: media_flac_transcode — lossless WAV→FLAC transcoding with the
+#: double-decode oracle), then
 #: the TWENTY-ONE
 #: surfaces CHANGED in round 11 — the 14 basket_* queries now serve
 #: _weighted_edges FROM the persisted index (plans changed), and the
 #: 5 audio queries now decode through codecs.decode_audio (FLAC
 #: sniffing dispatch) — then r6-era fill in module order. The five
 #: r10-era basket/audio rows double-covered by the changed set cost
-#: no extra slots; 16 r6-era rows fit, 22 spill to round 12.
+#: no extra slots; 15 r6-era rows fit, 23 spill to round 12.
 #:
 #: Round-12 window, planned now so the standing policy stays
-#: executable: the 22 spilled r6-era rows (events_heavy_hitters,
+#: executable: the 23 spilled r6-era rows (docs_temperature_mixture,
+#: events_heavy_hitters,
 #: events_kmv_distinct, events_asof_join,
 #: events_range_join, events_hypertable_rollup,
 #: events_cms_estimate, media_phash_neardups, media_payload_stats,
@@ -75,13 +78,14 @@ _WINDOW = [
     "events_top_paths",
     "events_cusum_changepoints",
     "docs_proximity_search",
-    # --- new in round 11 (6)
+    # --- new in round 11 (7)
     "basket_edges_build",  # NEW r11: persisted basket-edge index build surface
     "docs_substring_dedup",  # NEW r11: ExactSubstr variable-length dedup
     "media_flac_decode",  # NEW r11: FLAC decode, lossless closed-form oracle
     "docs_boosted_stumps",  # NEW r11: integer-exact boosted stumps
     "emb_knn_graph",  # NEW r11: NN-Descent k-NN graph, unrolled trajectory oracle
     "docs_lm_perplexity",  # NEW r11: CCNet-style bigram-LM quality selection
+    "media_flac_transcode",  # NEW r11: lossless WAV->FLAC transcode, double-decode oracle
     # --- changed in round 11: basket family reads the persisted
     #     edge index instead of re-building the wedge frame — incl.
 #     coverage's unthresholded pair view (16)
@@ -108,7 +112,7 @@ _WINDOW = [
     "media_stereo_decode",
     "media_audio_tone_probe",
     "media_audio_neardups",
-    # --- r6-era fill, oldest-first module order (16)
+    # --- r6-era fill, oldest-first module order (15)
     "emb_quantization",
     "emb_threshold_pairs",
     "emb_centroid_by_label",
@@ -124,7 +128,6 @@ _WINDOW = [
     "latest_event_per_user",
     "docs_train_test_split",
     "lineitem_sample_revenue",
-    "docs_temperature_mixture",
 ]
 
 

@@ -366,6 +366,25 @@ FROM s GROUP BY media_id ORDER BY media_id
 """
 
 
+def media_flac_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS transcoding certified end to end: the PCM16 WAV
+    fixtures are decoded, re-encoded as FLAC
+    (operators/multimodal.transcode_audio_flac), and decoded AGAIN
+    through the same seam into integer sample stats (the
+    media_resize_check double-decode pattern). The oracle replays the
+    PLANTED samples — identical to media_audio_decode's — so a hash
+    match proves the full WAV decode → FLAC encode → FLAC decode loop
+    is bit-exact, exercising the Rice/CRC/MD5 writer against the
+    reader on corpus-shaped (not hand-planted-FLAC) data."""
+    from degdb_spark.operators.multimodal import transcode_audio_flac
+
+    media = synthetic_media(spark, _N_MEDIA)
+    back = transcode_audio_flac(media).select(
+        "media_id", F.lit("audio").alias("kind"), "payload"
+    )
+    return audio_sample_stats(back).orderBy("media_id")
+
+
 def media_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize verified bit-exactly: decode → nearest-neighbor
     resample to 32×32 (floor(dst·src/out) index map) → re-encode BMP →
@@ -1019,6 +1038,7 @@ QUERIES: dict[str, Query] = {
     "media_audio_decode": Query(media_audio_decode, AUDIO_DECODE_SQL),
     "media_adpcm_decode": Query(media_adpcm_decode, ADPCM_DECODE_SQL),
     "media_flac_decode": Query(media_flac_decode, FLAC_DECODE_SQL),
+    "media_flac_transcode": Query(media_flac_transcode, AUDIO_DECODE_SQL),
     "media_stereo_decode": Query(media_stereo_decode, STEREO_DECODE_SQL),
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),

@@ -970,3 +970,42 @@ def test_validate_media_accepts_flac_and_quarantines_corrupt(spark):
     got = {r.media_id: (r.ok, r.error) for r in validate_media(media).collect()}
     assert got[0] == (1, None)
     assert got[1][0] == 0 and "FLAC" in got[1][1]
+
+
+def test_transcode_audio_flac_cross_codec_parity(spark):
+    """transcode_audio_flac is LOSSLESS across every audio container
+    the seam decodes: mu-law, ADPCM-exact ramps, and stereo PCM in;
+    the FLAC outputs decode to the identical mono samples (stats
+    compared through the same operator), and the transcode reports
+    honest byte counts."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_sample_stats,
+        transcode_audio_flac,
+    )
+
+    t = np.arange(2000, dtype=np.int64)
+    mono = ((t * 13) % 4096 - 2048).astype(np.int16)
+    left = (2 * ((t * 5) % 2048 - 1024)).astype(np.int16)
+    right = (2 * ((t * 9) % 2048 - 1024)).astype(np.int16)
+    rows = [
+        (0, "audio", bytearray(C.encode_wav(mono, 16000)), ("wav", None, None, 125, 16000)),
+        (1, "audio", bytearray(C.encode_wav_ulaw(mono, 8000)), ("wav", None, None, 250, 8000)),
+        (2, "audio", bytearray(C.encode_wav_stereo(left, right, 16000)), ("wav", None, None, 125, 16000)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    before = {r.media_id: tuple(r)[1:] for r in audio_sample_stats(media).collect()}
+    out = transcode_audio_flac(media)
+    back = out.select(
+        "media_id", F.lit("audio").alias("kind"), "payload"
+    )
+    after = {r.media_id: tuple(r)[1:] for r in audio_sample_stats(back).collect()}
+    assert after == before and len(after) == 3
+    sizes = {r.media_id: (r.n_bytes_in, r.n_bytes_out) for r in out.collect()}
+    for mid, (nin, nout) in sizes.items():
+        assert nin > 0 and nout > 0
+    # PCM16 in particular should compress
+    assert sizes[0][1] < sizes[0][0]
