@@ -969,3 +969,25 @@ def test_mmr_round_scan_no_shuffle_no_python(spark):
     plan = _plan(pts.withColumn("ms", F.expr(f"greatest(0.0d, {_maxsim_expr(sel)})")))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_knn_graph_local_join_no_cartesian(spark):
+    """emb_knn_graph: every join is an equi-join (the pivot local join,
+    the two vector-fetch joins) — no CartesianProduct or nested-loop
+    join anywhere in the NN-Descent plan."""
+    from degdb_spark.queries.embeddings_queries import emb_knn_graph
+
+    plan = _plan(emb_knn_graph(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_perplexity_broadcast_scalar_no_cartesian(spark):
+    """docs_lm_perplexity: the vocab-size frame rides as a broadcast
+    1-row join (never a CartesianProduct), and no data-sized window
+    appears — scoring is count-table equi-joins + one per-doc groupBy."""
+    from degdb_spark.queries.text_queries import docs_lm_perplexity
+
+    plan = _plan(docs_lm_perplexity(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
