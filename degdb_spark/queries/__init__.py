@@ -33,7 +33,7 @@ class Query(NamedTuple):
 
 #: Round-11 window (see module docstring). Composition (50 checked
 #: slots): the SEVEN r5-era rows spilled by round 10's additions
-#: (exactly as planned in the round-10 comment), then the FOUR
+#: (exactly as planned in the round-10 comment), then the SEVEN
 #: surfaces NEW in round 11 (basket_edges_build — the persisted
 #: co-purchase edge contract index's explicit build surface, weight-
 #: histogram oracle; docs_substring_dedup — exact variable-length
@@ -47,9 +47,7 @@ class Query(NamedTuple):
 #: unrolled in the oracle; docs_lm_perplexity — CCNet-style
 #: bigram-LM perplexity quality selection, trained in-plan;
 #: media_flac_transcode — lossless WAV→FLAC transcoding with the
-#: double-decode oracle), then
-#: the TWENTY-ONE
-#: surfaces CHANGED in round 11 — the 14 basket_* queries now serve
+#: double-decode oracle), then the TWENTY-ONE surfaces CHANGED in round 11 — the 14 basket_* queries now serve
 #: _weighted_edges FROM the persisted index (plans changed), and the
 #: 5 audio queries now decode through codecs.decode_audio (FLAC
 #: sniffing dispatch) — then r6-era fill in module order. The five
@@ -88,7 +86,7 @@ _WINDOW = [
     "media_flac_transcode",  # NEW r11: lossless WAV->FLAC transcode, double-decode oracle
     # --- changed in round 11: basket family reads the persisted
     #     edge index instead of re-building the wedge frame — incl.
-#     coverage's unthresholded pair view (16)
+    #     coverage's unthresholded pair view (16)
     "basket_sssp_histogram",
     "basket_communities",
     "basket_kcore",
