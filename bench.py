@@ -223,6 +223,8 @@ HEADLINE = [
     "docs_lm_perplexity",
     # round 11: lossless WAV->FLAC transcoding (encode + double decode)
     "media_flac_transcode",
+    # round 11: per-source substring-duplication profile
+    "docs_substring_dup_by_source",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -47,15 +47,17 @@ class Query(NamedTuple):
 #: unrolled in the oracle; docs_lm_perplexity — CCNet-style
 #: bigram-LM perplexity quality selection, trained in-plan;
 #: media_flac_transcode — lossless WAV→FLAC transcoding with the
-#: double-decode oracle), then the TWENTY-ONE surfaces CHANGED in round 11 — the 14 basket_* queries now serve
+#: double-decode oracle; docs_substring_dup_by_source — the
+#: per-source substring-duplication profile), then the TWENTY-ONE surfaces CHANGED in round 11 — the 14 basket_* queries now serve
 #: _weighted_edges FROM the persisted index (plans changed), and the
 #: 5 audio queries now decode through codecs.decode_audio (FLAC
 #: sniffing dispatch) — then r6-era fill in module order. The five
 #: r10-era basket/audio rows double-covered by the changed set cost
-#: no extra slots; 15 r6-era rows fit, 23 spill to round 12.
+#: no extra slots; 14 r6-era rows fit, 24 spill to round 12.
 #:
 #: Round-12 window, planned now so the standing policy stays
-#: executable: the 23 spilled r6-era rows (docs_temperature_mixture,
+#: executable: the 24 spilled r6-era rows (lineitem_sample_revenue,
+#: docs_temperature_mixture,
 #: events_heavy_hitters,
 #: events_kmv_distinct, events_asof_join,
 #: events_range_join, events_hypertable_rollup,
@@ -76,7 +78,7 @@ _WINDOW = [
     "events_top_paths",
     "events_cusum_changepoints",
     "docs_proximity_search",
-    # --- new in round 11 (7)
+    # --- new in round 11 (8)
     "basket_edges_build",  # NEW r11: persisted basket-edge index build surface
     "docs_substring_dedup",  # NEW r11: ExactSubstr variable-length dedup
     "media_flac_decode",  # NEW r11: FLAC decode, lossless closed-form oracle
@@ -84,6 +86,7 @@ _WINDOW = [
     "emb_knn_graph",  # NEW r11: NN-Descent k-NN graph, unrolled trajectory oracle
     "docs_lm_perplexity",  # NEW r11: CCNet-style bigram-LM quality selection
     "media_flac_transcode",  # NEW r11: lossless WAV->FLAC transcode, double-decode oracle
+    "docs_substring_dup_by_source",  # NEW r11: per-source substring-duplication profile
     # --- changed in round 11: basket family reads the persisted
     #     edge index instead of re-building the wedge frame — incl.
     #     coverage's unthresholded pair view (16)
@@ -110,7 +113,7 @@ _WINDOW = [
     "media_stereo_decode",
     "media_audio_tone_probe",
     "media_audio_neardups",
-    # --- r6-era fill, oldest-first module order (15)
+    # --- r6-era fill, oldest-first module order (14)
     "emb_quantization",
     "emb_threshold_pairs",
     "emb_centroid_by_label",
@@ -125,7 +128,6 @@ _WINDOW = [
     "aggregate_gallery",
     "latest_event_per_user",
     "docs_train_test_split",
-    "lineitem_sample_revenue",
 ]
 
 

@@ -220,6 +220,71 @@ ORDER BY doc_id
 """
 
 
+def substring_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication PROFILE at the substring level: per source,
+    how many tokens sit inside non-first occurrences of >= 20-token
+    repeats (operators/dedup.substring_dedup) — the report a data team
+    reads before deciding how hard to dedup each provider, the
+    substring-granular sibling of docs_dup_rate_by_source. dup_ratio
+    is removed/total as one identical double expression, 6-dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = D.substring_dedup(docs, min_tokens=20)
+    return (
+        rep.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_removed").cast("long").alias("removed_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "removed_tokens",
+            dround(
+                F.col("removed_tokens") / F.col("total_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SUBSTR_DUP_BY_SOURCE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), warr AS (
+  SELECT doc_id,
+         [array_to_string(toks[i+1:i+20], ' ')
+          for i in range(0, len(toks) - 19)] AS wins
+  FROM base WHERE len(toks) >= 20
+), occ AS (
+  SELECT doc_id, generate_subscripts(wins, 1) - 1 AS pos, unnest(wins) AS win
+  FROM warr
+), fr AS (
+  SELECT win, MIN(ROW(doc_id, pos)) AS f FROM occ GROUP BY win
+), nonwin AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN fr ON o.win = fr.win
+  WHERE ROW(o.doc_id, o.pos) <> fr.f
+), removed AS (
+  SELECT n.doc_id, COUNT(*) AS n_removed FROM (
+    SELECT DISTINCT n.doc_id, n.pos + g.x AS p
+    FROM nonwin n, generate_series(0, 19) g(x)
+  ) n GROUP BY n.doc_id
+), agg AS (
+  SELECT b.source, b.doc_id, len(b.toks) AS n_tokens,
+         COALESCE(r.n_removed, 0) AS n_removed
+  FROM base b LEFT JOIN removed r USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_removed) AS BIGINT) AS removed_tokens,
+       FLOOR((SUM(n_removed) / SUM(n_tokens)) * 1000000 + 0.5) / 1000000 AS dup_ratio
+FROM agg GROUP BY source ORDER BY source
+"""
+
+
 def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global span dedup (operators/dedup.span_dedup): every
     10-token span that repeats anywhere in the corpus survives only at
@@ -2508,5 +2573,6 @@ QUERIES: dict[str, Query] = {
     "docs_exact_dedup": Query(exact_dedup_groups, EXACT_DEDUP_SQL),
     "docs_span_dedup": Query(span_dedup_report, SPAN_DEDUP_SQL),
     "docs_substring_dedup": Query(substring_dedup_report, SUBSTR_DEDUP_SQL),
+    "docs_substring_dup_by_source": Query(substring_dup_by_source, SUBSTR_DUP_BY_SOURCE_SQL),
     "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),
 }
