@@ -73,28 +73,47 @@ def _pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def train_score_bigram_lm(
+def bigram_counts(
     docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_pct: int = 20,
+) -> DataFrame:
+    """(a, b, n): the ADDITIVE sufficient statistic of the bigram LM —
+    adjacent-pair counts over the md5 train split (the split is
+    re-derived per input, so streamed and batch training use identical
+    membership — the nbcounts convention). Context counts, the vocab,
+    and V all derive from this one table, which is what makes the
+    persisted-index twin (streaming/lmcounts.py) a plain groupBy-sum."""
+    split_train = md5_bucket(id_col, 100) >= test_pct
+    return (
+        _pairs(docs.filter(split_train), id_col, text_col)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def score_from_counts(
+    docs: DataFrame,
+    counts: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     test_pct: int = 20,
     top: int = 20,
 ) -> DataFrame:
-    """Train on the md5 (100−test_pct)% split, score the held-out
-    docs, return the ``top`` lowest-average-nll rows:
-    (doc_id, n_scored, nll_micro, avg_nll). Docs with zero eligible
-    pairs are unscoreable and excluded."""
-    split = F.when(md5_bucket(id_col, 100) < test_pct, "test").otherwise("train")
-    base = docs.select(id_col, text_col, split.alias("_split"))
-    train_pairs = pin(
-        _pairs(base.filter(F.col("_split") == "train"), id_col, text_col)
-    )
-    big = train_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ctx = train_pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    vocab = train_pairs.select(F.col("b").alias("w")).distinct()
+    """Score the md5 held-out docs against a (a, b, n) bigram-count
+    table (bigram_counts of the full corpus, or the merged streamed
+    index — identical by additivity) and return the ``top``
+    lowest-average-nll rows: (doc_id, n_scored, nll_micro, avg_nll).
+    Docs with zero eligible pairs are unscoreable and excluded."""
+    counts = pin(counts)
+    big = counts.select("a", "b", F.col("n").alias("c_ab"))
+    ctx = counts.groupBy("a").agg(F.sum("n").alias("c_a"))
+    vocab = counts.select(F.col("b").alias("w")).distinct()
     v_size = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v")))
 
-    test_pairs = _pairs(base.filter(F.col("_split") == "test"), id_col, text_col)
+    split_test = md5_bucket(id_col, 100) < test_pct
+    test_pairs = _pairs(docs.filter(split_test), id_col, text_col)
     scored = (
         test_pairs.join(vocab, test_pairs["b"] == vocab["w"], "leftsemi")
         .join(ctx, on="a")  # inner: left token must have a context count
@@ -126,4 +145,23 @@ def train_score_bigram_lm(
         )
         .orderBy("avg_nll", id_col)
         .limit(top)
+    )
+
+
+def train_score_bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_pct: int = 20,
+    top: int = 20,
+) -> DataFrame:
+    """Train on the md5 (100−test_pct)% split and score the held-out
+    docs — bigram_counts composed with score_from_counts."""
+    return score_from_counts(
+        docs,
+        bigram_counts(docs, id_col, text_col, test_pct),
+        id_col,
+        text_col,
+        test_pct,
+        top,
     )

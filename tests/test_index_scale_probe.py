@@ -635,3 +635,28 @@ def test_substring_index_increment_after_corpus_deletion(spark, doc_dirs, tmp_pa
     # 'the quick brown fox...' mid-section with history, which goes)
     novel = [v for k, v in rep.items() if k >= 1000 + N_CORPUS]
     assert all(0 < r < n for n, r in novel)
+
+
+def test_lm_rescore_after_corpus_deletion(spark, doc_dirs, tmp_path):
+    """Bigram-LM count-index lifecycle (probe #15): the training corpus
+    parquet is DELETED after its counts are indexed; scoring a fresh
+    document frame needs only that frame plus the merged count table —
+    any historical re-read dies on the missing file."""
+    from degdb_spark.operators.lm import bigram_counts, score_from_counts
+    from degdb_spark.streaming.lmcounts import merged_counts
+
+    corpus_dir, inc_dir = doc_dirs
+    idx = str(tmp_path / "lm_idx")
+    bigram_counts(spark.read.parquet(corpus_dir), test_pct=0).write.parquet(
+        f"{idx}/batch=0"
+    )
+    shutil.rmtree(corpus_dir)  # training text gone — scoring must not need it
+    report = score_from_counts(
+        spark.read.parquet(inc_dir), merged_counts(spark, idx), test_pct=100
+    )
+    assert _scans_of(report, "/c.parquet") == 0  # no corpus-text scan
+    rows = report.collect()
+    assert len(rows) > 0
+    # the increment's corpus-duplicate docs share the training text, so
+    # their pairs are all in-vocab and score finitely
+    assert all(r.n_scored > 0 for r in rows)

@@ -1768,3 +1768,50 @@ def test_basket_edges_stream_equals_inline_and_replays(spark, tmp_path):
         assert again == want
     finally:
         drop_managed_table(spark, table)
+
+
+def test_lm_counts_stream_scores_exactly(spark, tmp_path):
+    """Bigram-count index twin (lifecycle #15): documents stream in
+    three batches; scoring from the merged count index alone equals
+    the full-corpus train_score_bigram_lm report bit-for-bit (counts
+    are additive), and a replayed batch converges."""
+    import os
+
+    from degdb_spark.operators.lm import score_from_counts, train_score_bigram_lm
+    from degdb_spark.streaming.lmcounts import (
+        _lm_counts_step,
+        lm_counts_stream,
+        merged_counts,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    want = [tuple(r) for r in train_score_bigram_lm(docs).collect()]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 150), (150, 320), (320, 10_000)]):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "lm_idx")
+    q = lm_counts_stream(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = [
+        tuple(r) for r in score_from_counts(docs, merged_counts(spark, idx)).collect()
+    ]
+    assert got == want and len(want) > 0
+
+    # replay the last batch: identical post-state
+    _lm_counts_step(spark.read.parquet(str(src / "b2.parquet")), 2, idx)
+    again = [
+        tuple(r) for r in score_from_counts(docs, merged_counts(spark, idx)).collect()
+    ]
+    assert again == want
