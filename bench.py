@@ -287,19 +287,28 @@ def main() -> None:
 
     # Per-entry BEST-OF-N (round 11, VERDICT r10 "What's wrong" #2):
     # ambient load inflated cross-round per-query deltas by ±16% on
-    # identical plans, so each entry now runs N times (default 2) and
+    # identical plans, so each entry runs N times (default 2) and
     # records the MIN — the standard load-robust estimator; a
     # background-load spike must hit every attempt of an entry to
-    # survive into the number. The first attempt still runs cold
-    # (expression compilation measured), so min(best-of-2) reads as
-    # "the cold run absent scheduler noise" for cheap entries and
-    # converges to plan cost for expensive ones. SPARK_GRAFT_BEST_OF=1
-    # restores the single-shot pre-r11 metric for comparisons.
+    # survive into the number. Cache is CLEARED (and the collector
+    # nudged) between attempts (ADVICE r11: without that, attempt 2
+    # hit pin()-persisted frames and the min measured warm cached
+    # execution), so every attempt re-executes the full plan from
+    # parquet; what min(best-of-N) measures is "a full cold-cache run
+    # absent scheduler noise", with only JVM/codegen warm-up amortized
+    # after attempt 1. SPARK_GRAFT_BEST_OF=1 restores the single-shot
+    # pre-r11 metric for comparisons.
     best_of = max(1, int(os.environ.get("SPARK_GRAFT_BEST_OF", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        dt = min(run_one(name) for _ in range(best_of))
+        attempts = []
+        for i in range(best_of):
+            if i:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            attempts.append(run_one(name))
+        dt = min(attempts)
         timings[name] = dt
         total += dt
         # Inter-query isolation (outside the timed region): drop

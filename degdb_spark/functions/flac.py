@@ -293,7 +293,10 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     br = _BitReader(data[pos:])
     chans: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n_channels)]
     got = 0
-    while got < total:
+    # STREAMINFO total_samples == 0 legally means "unknown" (RFC 9639
+    # §8.2, ADVICE r11): decode frames until the byte-aligned bitstream
+    # is exhausted instead of treating it as an empty stream.
+    while (got < total) if total else (br.pos < br._bits.size):
         frame_start = br.byte_pos()
         sync = br.read(14)
         if sync != 0x3FFE:
@@ -370,7 +373,9 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         body_end = br.byte_pos()
         if _crc16(data[pos + frame_start : pos + body_end]) != br.read(16):
             raise ValueError("FLAC frame CRC-16 mismatch")
-        take = min(block_size, total - got)  # last frame may be short-read
+        # last frame may be short-read; with unknown total every frame
+        # is taken whole (the stream's own end delimits it)
+        take = min(block_size, total - got) if total else block_size
         for c in range(n_channels):
             chans[c] = np.concatenate([chans[c], sub[c][:take]])
         got += take
@@ -389,7 +394,9 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         raw = b"".join(
             int(v).to_bytes(width, "little", signed=True) for v in inter
         )
-    if hashlib.md5(raw).digest() != md5:
+    # all-zero MD5 legally means "unavailable" (RFC 9639 §8.2) — the
+    # companion of unknown total_samples; a real digest is verified
+    if md5 != b"\x00" * 16 and hashlib.md5(raw).digest() != md5:
         raise ValueError("FLAC decoded audio fails the STREAMINFO MD5")
     if bps != 16:
         raise ValueError(f"FLAC {bps}-bit audio is not supported — 16-bit only")

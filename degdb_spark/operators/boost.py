@@ -80,6 +80,11 @@ def train_boosted_stumps(
     cand_rows = [
         (feat, int(t)) for feat in sorted(feature_grids) for t in feature_grids[feat]
     ]
+    if not cand_rows:
+        # checked BEFORE any plan is built: an empty grid would
+        # otherwise die inside F.array()/_cand.feature with an opaque
+        # AnalysisException (ADVICE r11)
+        raise ValueError("train_boosted_stumps needs a non-empty grid")
     cands = F.array(
         *[
             F.struct(F.lit(feat).alias("feature"), F.lit(t).alias("threshold"))
@@ -164,8 +169,6 @@ def train_boosted_stumps(
             .limit(1)
             .collect()
         )
-        if not cand_rows:
-            raise ValueError("train_boosted_stumps needs a non-empty grid")
         if not best:
             # an EMPTY corpus aggregates to no rows: fall back to the
             # deterministic first candidate with all-zero stats and

@@ -16,13 +16,24 @@ likely a neighbor".
 DataFrame formulation, one round = three shuffles, never all-pairs:
 
 - state (id, nbr, sim): k rows per vector;
-- B = state ∪ reverse(state) — the general-neighbor table, 2nk rows;
+- reverse(state), CAPPED per pivot to ρ·k rows (Dong et al. §2.3's
+  reverse sampling, VERDICT r11 "What's wrong" #1): a pivot's
+  IN-degree is unbounded — a hub vector that appears in m vectors'
+  top-k would otherwise contribute m rows to its general-neighbor
+  set and ~(k+m)² candidate pairs on ONE join key. The cap is a
+  deterministic sort-slice in (md5(id:nbr), nbr) order — a
+  hash-order "random" sample both engines replay — computed as a
+  two-phase salted top-ρk (per (id, salt) first, then per id over
+  ≤ n_salt·ρk survivors) so a hub's in-degree spreads across
+  reducers instead of landing in one collect_list buffer;
+- B = state ∪ capped_reverse(state) — ≤ (1+ρ)·k rows per pivot;
 - local join: B ⋈ B on the shared pivot id → candidate pairs
-  (x.nbr, y.nbr), x.nbr ≠ y.nbr — at most (2k)² per pivot, bounded by
-  the DEGREE of the graph, not the corpus (the paper's core trick);
+  (x.nbr, y.nbr), x.nbr ≠ y.nbr — at most ((1+ρ)k)² per pivot,
+  bounded by the DEGREE of the graph, not the corpus, and now also
+  under hub skew (the paper's core trick plus its sampling);
 - exact cosine on the DISTINCT candidates (two id-keyed joins against
   the vector table), union with the current state, and per-id top-k
-  via a bounded sort-slice aggregate (collect_list is ≤ k + (2k)²
+  via a bounded sort-slice aggregate (collect_list is ≤ k + ((1+ρ)k)²
   rows per id — no window over anything data-sized; ranks fall out of
   posexplode over the already-sorted array).
 
@@ -33,11 +44,13 @@ deterministic init nbr_j(id) = (id + j) mod n stands in for the
 paper's random init, so the ENTIRE trajectory — every candidate set
 and every top-k cut of every round — replays in the oracle.
 
-At 100 TB: state is n·k narrow rows; per-round work is n·(2k)²
+At 100 TB: state is n·k narrow rows; per-round work is n·((1+ρ)k)²
 distance evaluations sharded by the pivot join — linear in n for
-fixed k, the same asymptotics as the published implementations. The
-hop-0 init would start farther from convergence than sampled init,
-costing ~1 extra round, not asymptotics.
+fixed k and ρ, the same asymptotics as the published implementations,
+and the reverse cap keeps that bound honest on hub-skewed corpora
+(dense clusters, near-duplicate mounds — exactly what dedup inputs
+look like). The hop-0 init would start farther from convergence than
+sampled init, costing ~1 extra round, not asymptotics.
 
 Reference provenance: degdb has no ANN surface; this extends the
 similarity-search family (SURVEY.md §2.6).
@@ -53,6 +66,51 @@ from degdb_spark.persistence import pin
 from degdb_spark.queries.rounding import dround
 
 
+def capped_reverse(state: DataFrame, cap: int, n_salt: int = 8) -> DataFrame:
+    """reverse(state) with at most ``cap`` rows per pivot id — the
+    deterministic stand-in for Dong et al. §2.3's reverse-neighbor
+    sampling. Order is (md5(id || ':' || nbr), nbr) ascending — a
+    content hash, so the slice is a pseudo-random sample the DuckDB
+    oracle replays verbatim with ROW_NUMBER over the same md5.
+
+    Two-phase so a hub pivot's in-degree never lands in one
+    aggregation buffer: phase 1 slices top-``cap`` per (id, salt)
+    where salt = xxhash64(nbr) mod n_salt (Spark-side only — the
+    hierarchical top-k is an exact result identity), phase 2 slices
+    the ≤ n_salt·cap survivors per id. collect_list is bounded by
+    in-degree/n_salt per task in phase 1 and by n_salt·cap in
+    phase 2."""
+    rev = state.select(
+        F.col("nbr").alias("id"),
+        F.col("id").alias("nbr"),
+        F.md5(
+            F.concat_ws(
+                ":", F.col("nbr").cast("string"), F.col("id").cast("string")
+            )
+        ).alias("_h"),
+    )
+
+    def stage(df: DataFrame, extra_key: list[str]) -> DataFrame:
+        return (
+            df.groupBy("id", *extra_key)
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("_h", "nbr"))), 1, cap
+                ).alias("_top")
+            )
+            .select("id", F.explode("_top").alias("t"))
+            .select("id", F.col("t.nbr").alias("nbr"), F.col("t._h").alias("_h"))
+        )
+
+    p1 = stage(
+        rev.withColumn(
+            "_s", F.pmod(F.xxhash64("nbr"), F.lit(n_salt)).cast("int")
+        ),
+        ["_s"],
+    )
+    return stage(p1, []).select("id", "nbr")
+
+
 def knn_graph_descent(
     emb: DataFrame,
     k: int = 4,
@@ -60,12 +118,19 @@ def knn_graph_descent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    rho: int = 1,
 ) -> DataFrame:
     """Build the k-NN graph by ``rounds`` NN-Descent local joins over
     vectors with CONTIGUOUS ids 0..n-1 (the synthetic-table contract;
-    re-key first otherwise). Returns (id, rank, neighbor_id,
-    cosine_sim) — k rows per vector, rank 1 = most similar. Corpora
+    re-key first otherwise). Reverse neighbors are capped to ``rho·k``
+    per pivot (module docstring — the hub-skew bound). Returns
+    (id, rank, neighbor_id, cosine_sim) — k rows per vector, rank 1 =
+    most similar; ``rounds=0`` returns the scored init graph. Corpora
     with n <= k vectors yield an empty frame (no k-NN graph exists)."""
+    if rounds < 0:
+        raise ValueError("knn_graph_descent requires rounds >= 0")
+    if rho < 1:
+        raise ValueError("knn_graph_descent requires rho >= 1")
     spark = emb.sparkSession
     v = emb.select(
         F.col(id_col).cast("long").alias("id"),
@@ -128,11 +193,13 @@ def knn_graph_descent(
         ).alias("nbr"),
     )
     state = pin(scored(init))
-    tops = None
+    # seeded so rounds=0 returns the init graph instead of crashing
+    # (ADVICE r11); lazy, so rounds >= 1 never pays the extra aggregate
+    tops = topk_arrays(state) if rounds == 0 else None
     for _ in range(rounds):
         b = pin(
             state.select("id", "nbr").unionByName(
-                state.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+                capped_reverse(state, cap=rho * k)
             )
         )
         cand = (

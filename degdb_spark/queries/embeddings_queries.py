@@ -1549,24 +1549,26 @@ MMR_SQL = _mmr_sql()
 
 
 
-_KNNG_K, _KNNG_ROUNDS = 4, 2
+_KNNG_K, _KNNG_ROUNDS, _KNNG_RHO = 4, 2, 1
 
 
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-corpus k-NN GRAPH construction by NN-Descent local joins
     (operators/knngraph.py — Dong et al. 2011): deterministic
     (id + j) mod n init, then 2 rounds of neighbors-of-neighbors
-    candidate generation (never all-pairs — at most (2k)^2 candidates
-    per pivot), exact 6-dp cosine on the distinct candidates, per-id
-    top-k by bounded sort-slice. The oracle unrolls BOTH rounds —
-    every candidate set and every top-k cut — so a hash match
+    candidate generation with reverse neighbors CAPPED to rho*k per
+    pivot by deterministic md5-order slice (never all-pairs — at most
+    ((1+rho)k)^2 candidates per pivot even under hub skew), exact
+    6-dp cosine on the distinct candidates, per-id top-k by bounded
+    sort-slice. The oracle unrolls BOTH rounds — every candidate set,
+    every reverse-cap slice, and every top-k cut — so a hash match
     certifies the full trajectory, not just the final lists."""
     from degdb_spark.operators.knngraph import knn_graph_descent
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph_descent(emb, k=_KNNG_K, rounds=_KNNG_ROUNDS).orderBy(
-        "id", "rank"
-    )
+    return knn_graph_descent(
+        emb, k=_KNNG_K, rounds=_KNNG_ROUNDS, rho=_KNNG_RHO
+    ).orderBy("id", "rank")
 
 
 def _knn_graph_sql(k: int, rounds: int) -> str:
@@ -1587,10 +1589,23 @@ def _knn_graph_sql(k: int, rounds: int) -> str:
   FROM i0 p JOIN v a ON a.id = p.id JOIN v b ON b.id = p.nbr
 )""",
     ]
+    cap = _KNNG_RHO * k
     for r in range(1, rounds + 1):
+        # reverse neighbors capped to rho*k per pivot in
+        # (md5(pivot:nbr), nbr) order — replays capped_reverse()
+        parts.append(
+            f"""rc{r} AS MATERIALIZED (
+  SELECT id, nbr FROM (
+    SELECT nbr AS id, id AS nbr,
+           ROW_NUMBER() OVER (
+             PARTITION BY nbr
+             ORDER BY md5(CAST(nbr AS VARCHAR) || ':' || CAST(id AS VARCHAR)), id
+           ) AS rn
+    FROM s{r-1}) WHERE rn <= {cap})"""
+        )
         parts.append(
             f"b{r} AS MATERIALIZED (SELECT id, nbr FROM s{r-1} "
-            f"UNION ALL SELECT nbr, id FROM s{r-1})"
+            f"UNION ALL SELECT id, nbr FROM rc{r})"
         )
         parts.append(
             f"c{r} AS MATERIALIZED (SELECT DISTINCT x.nbr AS id, y.nbr AS nbr "

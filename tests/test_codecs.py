@@ -1874,3 +1874,38 @@ def test_flac_parity_through_audio_operators(spark):
         a = sorted(tuple(r) for r in op(wav).collect())
         b = sorted(tuple(r) for r in op(flc).collect())
         assert a == b and len(a) == 6
+
+
+def test_flac_unknown_total_samples_decodes_to_stream_end():
+    """STREAMINFO total_samples = 0 legally means 'unknown' (RFC 9639
+    §8.2, ADVICE r11): the decoder must consume frames until the
+    bitstream ends, not return zero samples and fail the MD5. Built by
+    zeroing the 36-bit total field of an encoder-produced file (bits
+    108-143 of STREAMINFO = bytes 21-25 of the file, low nibble of
+    byte 21 onward); the audio MD5 is untouched so the lossless
+    contract still verifies. Also: an all-zero MD5 means 'unavailable'
+    and must be skipped, not failed."""
+    from degdb_spark.functions import flac
+
+    s = _flac_sine(3000)
+    enc = bytearray(flac.encode_flac(s, 16000, block_size=256))
+    # STREAMINFO body starts at byte 8 (4 magic + 4 block header);
+    # total_samples is bits 108..143 of the body
+    enc[8 + 13] &= 0xF0
+    for b in range(14, 18):
+        enc[8 + b] = 0
+    rate, dec = flac.decode_flac(bytes(enc))
+    assert rate == 16000 and (dec == s).all()
+
+    # unknown total + unavailable MD5 together (the common pairing)
+    for b in range(18, 34):
+        enc[8 + b] = 0
+    rate, dec = flac.decode_flac(bytes(enc))
+    assert rate == 16000 and (dec == s).all()
+
+    # a REAL (nonzero) MD5 is still enforced with unknown total
+    enc[8 + 18] = 0xAB
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MD5"):
+        flac.decode_flac(bytes(enc))

@@ -268,3 +268,79 @@ def test_ivf_full_probe_equals_bruteforce(spark, vecs):
         .collect()
     ]
     assert got == _brute_topk(rows, 0, 3)
+
+
+def test_knn_graph_reverse_cap_bounds_hub_candidates(spark):
+    """Hub-skew tier for NN-Descent (VERDICT r11 "What's wrong" #1):
+    one vector sits inside EVERYONE's top-k, so its reverse
+    (in-)degree is n-1 — the shape that made the uncapped local join
+    quadratic on one pivot key. Asserts (a) capped_reverse really
+    clips every pivot to rho*k rows (so per-pivot general-neighbor
+    membership is <= (1+rho)*k and candidates <= ((1+rho)k)^2), and
+    (b) the capped full run still equals the Python replica on the
+    hub corpus — skew moves the work bound, not correctness.
+
+    Corpus: v0 = e0; v_i = e0 + 0.5*e_i (its OWN residual dim) so
+    cos(v_i, v0) = 1/sqrt(1.25) ~ 0.894 while cos(v_i, v_j) =
+    1/1.25 = 0.8 — the hub strictly outranks every other neighbor
+    for every vector."""
+    import numpy as np
+
+    from degdb_spark.operators.knngraph import capped_reverse, knn_graph_descent
+    from tests.test_similarity import _knn_graph_replica, _state_rows
+
+    n, k, rounds, rho = 120, 4, 2, 1
+    V = np.zeros((n, n), dtype=np.float64)
+    V[0, 0] = 1.0
+    for i in range(1, n):
+        V[i, 0] = 1.0
+        V[i, i] = 0.5
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # (a) the cap itself, on a state where v0's in-degree is n-1
+    state = spark.createDataFrame(
+        [(i, 0, 0.707107) for i in range(1, n)]
+        + [(i, 1 + i % 7, 0.5) for i in range(1, n)],
+        "id long, nbr long, sim double",
+    )
+    rev_in_degree = (
+        state.groupBy("nbr").count().orderBy(F.desc("count")).first()
+    )
+    assert rev_in_degree["nbr"] == 0 and rev_in_degree["count"] == n - 1
+    capped = capped_reverse(state, cap=rho * k)
+    per_pivot = {r["id"]: r["cnt"] for r in
+                 capped.groupBy("id").agg(F.count("*").alias("cnt")).collect()}
+    assert max(per_pivot.values()) <= rho * k  # the hub is clipped
+    assert per_pivot[0] == rho * k
+
+    # the slice is the deterministic md5 order the oracle replays
+    import hashlib
+
+    want_hub = sorted(
+        range(1, n),
+        key=lambda i: (hashlib.md5(f"0:{i}".encode()).hexdigest(), i),
+    )[: rho * k]
+    got_hub = sorted(
+        r["nbr"] for r in capped.filter(F.col("id") == 0).collect()
+    )
+    assert got_hub == sorted(want_hub)
+
+    # (b) end-to-end on the hub corpus: Spark == capped replica
+    got = sorted(
+        tuple(r)
+        for r in knn_graph_descent(emb, k=k, rounds=rounds, rho=rho).collect()
+    )
+    want_state, _ = _knn_graph_replica(
+        [list(map(float, row)) for row in V], k, rounds, rho=rho
+    )
+    assert got == _state_rows(want_state)
+    # the hub strictly dominates: every vector that has discovered it
+    # ranks it 1, and descent SPREADS it — its in-degree in the final
+    # graph exceeds the ring init's k (the skew the cap defends against
+    # grows in-plan, it is not an artifact of the synthetic state above)
+    hub_rows = [r for r in got if r[0] != 0 and r[2] == 0]
+    assert all(r[1] == 1 for r in hub_rows)
+    assert len(hub_rows) > k

@@ -549,14 +549,80 @@ def test_hard_negatives_single_label_is_empty(spark, tmp_path):
     assert hard_negative_triplets(spark, str(tmp_path)).collect() == []
 
 
+def _knn_graph_replica(V, k, rounds, rho=1):
+    """Pure-Python NN-Descent with the capped reverse-neighbor table:
+    the exact semantics of operators/knngraph.py — deterministic
+    (id+j) mod n init, per-pivot reverse slice of rho*k in
+    (md5(pivot:nbr), nbr) order, 6-dp floor-rounding, (sim DESC, nbr
+    ASC) tie-break. Returns (final_state, init_state) as
+    {id: {nbr: sim}} dicts."""
+    import hashlib
+    import math
+
+    n = len(V)
+
+    def sim(a, b):
+        d = 0.0
+        for x, y in zip(V[a], V[b]):
+            d += x * y
+        na = math.sqrt(sum(x * x for x in V[a]))
+        nb = math.sqrt(sum(x * x for x in V[b]))
+        return math.floor((d / (na * nb)) * 1e6 + 0.5) / 1e6
+
+    def topk(d):
+        return dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:k])
+
+    def md5hex(p, i):
+        return hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+
+    state = {
+        i: topk({(i + j) % n: sim(i, (i + j) % n) for j in range(1, k + 1)})
+        for i in range(n)
+    }
+    init_state = {i: dict(state[i]) for i in range(n)}
+    for _ in range(rounds):
+        rev = {i: [] for i in range(n)}
+        for i in range(n):
+            for nb in state[i]:
+                rev[nb].append(i)
+        gen = {i: set(state[i]) for i in range(n)}
+        for p in range(n):
+            gen[p].update(
+                sorted(rev[p], key=lambda i: (md5hex(p, i), i))[: rho * k]
+            )
+        cand = {i: set() for i in range(n)}
+        for p in range(n):
+            mem = list(gen[p])
+            for x in mem:
+                for y in mem:
+                    if x != y:
+                        cand[x].add(y)
+        state = {
+            i: topk(
+                {**{c: sim(i, c) for c in cand[i]}, **state[i]}
+            )
+            for i in range(n)
+        }
+    return state, init_state
+
+
+def _state_rows(state):
+    return sorted(
+        (i, r + 1, nb, s)
+        for i in state
+        for r, (nb, s) in enumerate(
+            sorted(state[i].items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    )
+
+
 def test_knn_graph_descent_matches_python_reference(spark):
     """NN-Descent k-NN graph (operators/knngraph.py) equals a
     straightforward Python replica — same deterministic init, same
-    local-join candidate sets, same 6-dp rounding and (sim DESC, nbr
-    ASC) tie-break — for the full 2-round trajectory on random
-    vectors; and improves recall@k over its own init."""
-    import math
-
+    md5-order reverse cap, same local-join candidate sets, same 6-dp
+    rounding and (sim DESC, nbr ASC) tie-break — for the full 2-round
+    trajectory on random vectors; and improves recall@k over its own
+    init."""
     import numpy as np
 
     from degdb_spark.operators.knngraph import knn_graph_descent
@@ -571,49 +637,17 @@ def test_knn_graph_descent_matches_python_reference(spark):
     got = sorted(
         tuple(r) for r in knn_graph_descent(emb, k=k, rounds=rounds).collect()
     )
+    state, init_state = _knn_graph_replica(V, k, rounds)
+    want = _state_rows(state)
+    assert got == want
+
+    import math
 
     def sim(a, b):
-        d = 0.0
-        for x, y in zip(V[a], V[b]):
-            d += x * y
+        d = sum(x * y for x, y in zip(V[a], V[b]))
         na = math.sqrt(sum(x * x for x in V[a]))
         nb = math.sqrt(sum(x * x for x in V[b]))
         return math.floor((d / (na * nb)) * 1e6 + 0.5) / 1e6
-
-    def topk(d):
-        return dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:k])
-
-    state = {
-        i: topk({(i + j) % n: sim(i, (i + j) % n) for j in range(1, k + 1)})
-        for i in range(n)
-    }
-    init_state = {i: set(state[i]) for i in range(n)}
-    for _ in range(rounds):
-        gen = {i: set(state[i]) for i in range(n)}
-        for i in range(n):
-            for nb in state[i]:
-                gen[nb].add(i)
-        cand = {i: set() for i in range(n)}
-        for p in range(n):
-            mem = list(gen[p])
-            for x in mem:
-                for y in mem:
-                    if x != y:
-                        cand[x].add(y)
-        state = {
-            i: topk(
-                {**{c: sim(i, c) for c in cand[i]}, **state[i]}
-            )
-            for i in range(n)
-        }
-    want = sorted(
-        (i, r + 1, nb, s)
-        for i in range(n)
-        for r, (nb, s) in enumerate(
-            sorted(state[i].items(), key=lambda kv: (-kv[1], kv[0]))
-        )
-    )
-    assert got == want
 
     exact = {
         i: {
@@ -628,8 +662,25 @@ def test_knn_graph_descent_matches_python_reference(spark):
     rec = lambda st: sum(len(exact[i] & set(st[i])) for i in range(n)) / (n * k)
     assert rec(state) > rec(init_state)  # descent actually descends
 
+    # the cap must not dent recall on a uniform corpus: vs the UNCAPPED
+    # replica (rho = n makes every reverse neighbor survive the slice)
+    uncapped, _ = _knn_graph_replica(V, k, rounds, rho=n)
+    assert rec(state) >= rec(uncapped) - 0.02
+
     # degenerate: n <= k yields an empty frame, not a raise
     tiny = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
     )
     assert knn_graph_descent(tiny, k=4).count() == 0
+
+    # rounds=0 returns the scored init graph (ADVICE r11), rounds<0 raises
+    got0 = sorted(
+        tuple(r) for r in knn_graph_descent(emb, k=k, rounds=0).collect()
+    )
+    assert got0 == _state_rows(init_state)
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        knn_graph_descent(emb, k=k, rounds=-1)
+    with pytest.raises(ValueError, match="rho"):
+        knn_graph_descent(emb, k=k, rho=0)

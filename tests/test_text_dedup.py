@@ -1200,3 +1200,19 @@ def test_boosted_stumps_match_python_reference(spark, rows):
     df = spark.createDataFrame(rows or [], "f1 long, f2 long, label int")
     got = sorted(tuple(r) for r in train_boosted_stumps(df, grids).collect())
     assert got == ref(rows)
+
+
+def test_boosted_stumps_empty_grid_is_valueerror(spark):
+    """An empty candidate grid raises the intended ValueError BEFORE
+    any plan is built (ADVICE r11: the guard used to sit after the
+    exploded aggregation, where F.array() of zero structs died first
+    with an opaque AnalysisException)."""
+    import pytest as _pytest
+
+    from degdb_spark.operators.boost import train_boosted_stumps
+
+    df = spark.createDataFrame([(1, 1)], "f1 long, label int")
+    with _pytest.raises(ValueError, match="non-empty grid"):
+        train_boosted_stumps(df, {})
+    with _pytest.raises(ValueError, match="non-empty grid"):
+        train_boosted_stumps(df, {"f1": []})
