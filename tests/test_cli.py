@@ -90,20 +90,21 @@ def test_cli_pipeline(capsys, spark, tmp_path):
     rows = [_json.loads(l) for l in lines]
     stages = [r["stage"] for r in rows]
     assert stages == [
-        "rule_filters", "exact_dedup", "neardup_clusters", "span_dedup",
+        "rule_filters", "exact_dedup", "paragraph_dedup",
+        "neardup_clusters", "span_dedup",
         "decontaminate", "token_budget", "packed",
     ]
     # survivors shrink (or stay equal) at every gate; budget stage cuts hard
-    counts = [r["n_docs"] for r in rows[:6]]
+    counts = [r["n_docs"] for r in rows[:7]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
-    assert rows[5]["n_tokens"] <= rows[4]["n_tokens"] // 4 + 1
-    assert rows[6]["n_windows"] > 0
+    assert rows[6]["n_tokens"] <= rows[5]["n_tokens"] // 4 + 1
+    assert rows[7]["n_windows"] > 0
     # outputs written
     assert _os.path.exists(_os.path.join(out, "report.json"))
     assert _os.path.isdir(_os.path.join(out, "corpus.parquet"))
     assert _os.path.isdir(_os.path.join(out, "packing.parquet"))
     curated = spark.read.parquet(_os.path.join(out, "corpus.parquet"))
-    assert curated.count() == rows[5]["n_docs"]
+    assert curated.count() == rows[6]["n_docs"]
     assert "split" in curated.columns
     # span-dedup rewrites ONLY docs that lost a span: every curated doc
     # that kept all its spans must carry its ORIGINAL text (casing,
@@ -161,13 +162,14 @@ def test_cli_pipeline_substring_mode(capsys, spark, tmp_path):
     ]
     stages = [r["stage"] for r in rows]
     assert stages == [
-        "rule_filters", "exact_dedup", "neardup_clusters", "substring_dedup",
+        "rule_filters", "exact_dedup", "paragraph_dedup",
+        "neardup_clusters", "substring_dedup",
         "decontaminate", "token_budget", "packed",
     ]
-    counts = [r["n_docs"] for r in rows[:6]]
+    counts = [r["n_docs"] for r in rows[:7]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     # the rewrite never ADDS tokens
-    assert rows[3]["n_tokens"] <= rows[2]["n_tokens"]
+    assert rows[4]["n_tokens"] <= rows[3]["n_tokens"]
 
     import pytest as _pytest
 

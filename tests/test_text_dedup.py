@@ -1216,3 +1216,77 @@ def test_boosted_stumps_empty_grid_is_valueerror(spark):
         train_boosted_stumps(df, {})
     with _pytest.raises(ValueError, match="non-empty grid"):
         train_boosted_stumps(df, {"f1": []})
+
+
+def test_ccnet_normalize_pinned(spark):
+    """The CCNet paragraph normalization (operators/dedup.
+    ccnet_normalize — Wenzek et al. §3.1) is pinned on crafted
+    strings: lowercase, digits -> 0, punctuation -> space, whitespace
+    collapsed, trimmed. Paragraphs differing only in those dimensions
+    must hash identically; genuinely different text must not."""
+    from degdb_spark.operators.dedup import ccnet_normalize
+
+    cases = [
+        ("Hello,  World!", "hello world"),
+        ("call 555-1234 NOW", "call 000 0000 now"),
+        ("  spaced\tout text  ", "spaced out text"),
+        ("price: $9.99 (sale)", "price 0 00 sale"),
+        ("", ""),
+        ("already normal", "already normal"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "i long, s string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", ccnet_normalize(F.col("s")).alias("n")).collect()}
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
+def test_paragraph_dedup_matches_python_reference(spark):
+    """paragraph_dedup equals a straightforward Python replica on a
+    crafted multi-paragraph corpus: first (doc, position) occurrence
+    of each NORMALIZED paragraph survives, documents reassemble from
+    surviving RAW paragraphs newline-joined, empty paragraphs are
+    dropped in the split, and a fully-duplicated doc comes back as
+    ''. Case/digit/punct variants of a repeated banner must dedup."""
+    import re
+
+    from degdb_spark.operators.dedup import paragraph_dedup
+
+    banner = "Accept our cookies to continue."
+    docs = [
+        (0, f"alpha text one\n{banner}\nunique tail zero"),
+        (1, f"{banner.upper()}\nbeta body text"),          # case variant drops
+        (2, f"accept our cookies, to continue!\ngamma\n\n\nafter blanks"),
+        (3, banner),                                        # fully duplicated
+        (4, "alpha text one\ndelta closes"),                # para dup of doc 0's p0
+        (5, "  \n \n"),                                     # nothing but blanks
+    ]
+
+    def norm(p):
+        x = p.lower()
+        x = re.sub(r"\d", "0", x)
+        x = re.sub(r"[^\w\s]", " ", x)
+        return re.sub(r"\s+", " ", x).strip()
+
+    paras = {
+        d: [p for p in re.split(r"\n+", t) if p.strip() != ""] for d, t in docs
+    }
+    first = {}
+    for d, t in docs:
+        for i, p in enumerate(paras[d]):
+            first.setdefault(norm(p), (d, i))
+    want = {}
+    for d, t in docs:
+        kept = [p for i, p in enumerate(paras[d]) if first[norm(p)] == (d, i)]
+        want[d] = (len(paras[d]), len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == want
+    assert got[3] == (1, 0, "")         # fully duplicated -> empty rewrite
+    assert got[1][1] == 1               # case variant of the banner dropped
+    assert got[2][0] == 3               # blank paragraphs never counted
+    assert got[5] == (0, 0, "")
