@@ -1101,10 +1101,7 @@ def _grid_bands(gs: np.ndarray) -> list[int]:
     blocks = gs.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
     total = int(blocks.sum())
     bits = (blocks.reshape(64) * 64 > total).astype(np.int64)
-    return [
-        int(sum(int(b) << j for j, b in enumerate(bits[16 * k : 16 * k + 16])))
-        for k in range(4)
-    ]
+    return _pack_bands(bits)
 
 
 def video_shot_fingerprints(

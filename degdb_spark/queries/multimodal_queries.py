@@ -585,6 +585,111 @@ ORDER BY id_a, id_b
 """
 
 
+def media_phash_dct_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash (true pHash) image near-dup detection over
+    the REAL decode path (operators/multimodal.image_phash_dct —
+    VERDICT r11 "What's missing" #3): luma cropped to its
+    32-divisible region, block-summed to 32×32, quantized-integer
+    32-point DCT (exact int64), 8×8 low-frequency corner thresholded
+    against the median of its 63 non-DC coefficients, banded into the
+    SAME (b0..b3) schema as aHash so banded_neardup_pairs serves it
+    unchanged. The oracle replays the full integer pipeline — block
+    sums from the closed-form pixels, both DCT matmuls against the
+    baked integer basis, the ROW_NUMBER median, the banding, the
+    hamming re-rank — so a hash match certifies every bit of the
+    transform, not just the pair list."""
+    from degdb_spark.operators.multimodal import image_phash_dct
+
+    media = synthetic_media(spark, _N_MEDIA)
+    return _banded_neardup_pairs(image_phash_dct(media))
+
+
+def _phash_dct_sql() -> str:
+    """Bakes the SAME quantized-integer DCT basis the Spark operator
+    uses into a VALUES literal (32 rows of 32-element lists), so both
+    engines multiply identical integers — cos() is never evaluated in
+    SQL (libm vs numpy last-ulp drift would poison floor(x+0.5))."""
+    from degdb_spark.operators.multimodal import _phash_dct_matrix
+
+    C = _phash_dct_matrix()
+    rows = ",\n    ".join(
+        f"({k}, {list(map(int, C[k]))})" for k in range(32)
+    )
+    return f"""
+WITH {_MEDIA_CTE},
+cmat(k, c) AS (VALUES
+    {rows}
+),
+imgs AS (
+  SELECT media_id AS i, (w // 32) * 32 AS w32, (h // 32) * 32 AS h32
+  FROM media WHERE kind = 'image'
+),
+rows_y AS (
+  SELECT i, w32, h32, unnest(generate_series(0, h32 - 1)) AS y FROM imgs
+),
+rows_xy AS (
+  SELECT i, w32, h32, y, unnest(generate_series(0, w32 - 1)) AS x FROM rows_y
+),
+g AS (
+  SELECT i, y // (h32 // 32) AS u, x // (w32 // 32) AS v,
+         SUM(((7*x + 13*y + i) % 256)
+           + ((7*x + 13*y + 31 + i) % 256)
+           + ((7*x + 13*y + 62 + i) % 256)) AS bs
+  FROM rows_xy GROUP BY i, y // (h32 // 32), x // (w32 // 32)
+),
+t1 AS (
+  SELECT g.i, c.k, g.v, SUM(c.c[g.u + 1] * g.bs) AS t
+  FROM g CROSS JOIN cmat c WHERE c.k < 8
+  GROUP BY g.i, c.k, g.v
+),
+d AS (
+  SELECT t1.i, t1.k, c.k AS l, SUM(c.c[t1.v + 1] * t1.t) AS dd
+  FROM t1 CROSS JOIN cmat c WHERE c.k < 8
+  GROUP BY t1.i, t1.k, c.k
+),
+med AS (
+  SELECT i, dd AS med FROM (
+    SELECT i, dd, ROW_NUMBER() OVER (PARTITION BY i ORDER BY dd, k, l) AS rn
+    FROM d WHERE NOT (k = 0 AND l = 0)
+  ) WHERE rn = 32
+),
+bands AS (
+  SELECT d.i, CAST((d.k * 8 + d.l) // 16 AS INT) AS band_idx,
+         CAST(SUM(CASE WHEN d.dd > m.med
+                       THEN 1 << CAST((d.k * 8 + d.l) % 16 AS INT)
+                       ELSE 0 END) AS BIGINT) AS val
+  FROM d JOIN med m ON d.i = m.i
+  GROUP BY d.i, (d.k * 8 + d.l) // 16
+),
+h AS (
+  SELECT i,
+         MAX(CASE WHEN band_idx = 0 THEN val END) AS b0,
+         MAX(CASE WHEN band_idx = 1 THEN val END) AS b1,
+         MAX(CASE WHEN band_idx = 2 THEN val END) AS b2,
+         MAX(CASE WHEN band_idx = 3 THEN val END) AS b3
+  FROM bands GROUP BY i
+),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.i < b.i
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS BIGINT) AS hamming,
+       CASE WHEN bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+               + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 16
+            THEN 1 ELSE 0 END AS near_dup
+FROM cand
+JOIN h ha ON ha.i = cand.id_a
+JOIN h hb ON hb.i = cand.id_b
+ORDER BY id_a, id_b
+"""
+
+
+PHASH_DCT_SQL = _phash_dct_sql()
+
+
 def media_video_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection over the REAL container decode path:
     64-bit temporal-mean aHash per video (operators/multimodal.
@@ -1028,6 +1133,7 @@ QUERIES: dict[str, Query] = {
     "media_mp3_probe": Query(media_mp3_probe, MP3_PROBE_SQL),
     "media_audio_neardups": Query(media_audio_neardups, AUDIO_NEARDUP_SQL),
     "media_phash_neardups": Query(media_phash_neardups, PHASH_SQL),
+    "media_phash_dct_neardups": Query(media_phash_dct_neardups, PHASH_DCT_SQL),
     "media_frame_sample": Query(media_frame_sample, FRAME_SQL),
     "media_payload_stats": Query(media_payload_stats, PAYLOAD_SQL),
     "media_image_decode": Query(media_image_decode, IMAGE_DECODE_SQL),

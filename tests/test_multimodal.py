@@ -1009,3 +1009,102 @@ def test_transcode_audio_flac_cross_codec_parity(spark):
         assert nin > 0 and nout > 0
     # PCM16 in particular should compress
     assert sizes[0][1] < sizes[0][0]
+
+
+def test_image_phash_dct_bands(media):
+    """DCT pHash (operators/multimodal.image_phash_dct): one hash per
+    image in the shared four-16-bit-band layout, replayed for one
+    image with a straight-numpy reference from the generator pixels —
+    crop to the 32-divisible region, 32x32 block sums, integer DCT,
+    median-of-63 threshold."""
+    import numpy as np
+
+    hashes = {
+        r.media_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in M.image_phash_dct(media).collect()
+    }
+    n_images = media.filter(media.kind == "image").count()
+    assert len(hashes) == n_images
+    assert all(0 <= b <= 0xFFFF for bands in hashes.values() for b in bands)
+    i = 0
+    w, h = M._image_dims(i)
+    px = M._image_pixels(i, w, h).astype(np.int64)
+    h32, w32 = h // 32 * 32, w // 32 * 32
+    gs = px[:h32, :w32].sum(axis=2)
+    G = gs.reshape(32, h32 // 32, 32, w32 // 32).sum(axis=(1, 3))
+    D = M._PHASH_DCT_C @ G @ M._PHASH_DCT_C.T
+    low = D[:8, :8].reshape(64)
+    med = int(np.sort(np.delete(low, 0))[31])
+    bits = (low > med).astype(np.int64)
+    assert hashes[0] == tuple(M._pack_bands(bits))
+    # the DC bit is the structural constant: D[0,0] dominates
+    assert all(b0 & 1 for (b0, _, _, _) in hashes.values())
+
+
+def test_phash_dct_survives_jpeg_requantization_where_ahash_fails(spark):
+    """THE reason industry perceptual dedup is DCT-based (PDQ and
+    friends): JPEG requantization perturbs high frequencies and
+    block means, not the low-frequency DCT structure. Fixture: a
+    64x64 image synthesized in DCT space (all 63 non-DC low
+    coefficients given well-separated spread values, seed-12
+    permutation), then re-encoded through the REAL JPEG path at
+    quality 10. aHash — 64 block means against one global threshold
+    — flips >16 bits (NOT a near-dup pair); pHash stays <=16 (still
+    pairs). Both hashes computed through the real operators over the
+    real decode seam, and the pair decision through the real banded
+    join."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C_
+    from degdb_spark.functions import jpeg
+
+    k = np.arange(32)
+    Cf = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 64)
+    Cf[0, :] *= 1 / np.sqrt(2)
+    Cf *= np.sqrt(2 / 32)
+    idx = [(a, b) for a in range(8) for b in range(8) if not (a == 0 and b == 0)]
+    vals = np.arange(63) - 31.0
+    perm = np.random.default_rng(12).permutation(63)
+    T = np.zeros((32, 32))
+    for r, (a, b) in zip(perm, idx):
+        T[a, b] = vals[r]
+    g = Cf.T @ T @ Cf
+    img32 = np.clip(np.round(128 + g), 0, 255).astype(np.uint8)
+    img = np.repeat(np.repeat(img32, 2, axis=0), 2, axis=1)
+    px = np.repeat(img[:, :, None], 3, axis=2)
+
+    requant = C_.decode_image(jpeg.encode_jpeg(px, quality=10))
+    rows = [
+        (0, "image", bytearray(C_.encode_bmp(px)), ("bmp", 64, 64, None, None)),
+        (1, "image", bytearray(jpeg.encode_jpeg(px, quality=10)),
+         ("jpeg", 64, 64, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    assert (requant != px).any()  # the twin really was requantized
+
+    from degdb_spark.operators.multimodal import banded_neardup_pairs
+
+    a_pairs = {(r.id_a, r.id_b): (r.hamming, r.near_dup)
+               for r in banded_neardup_pairs(M.image_ahash(media)).collect()}
+    p_pairs = {(r.id_a, r.id_b): (r.hamming, r.near_dup)
+               for r in banded_neardup_pairs(M.image_phash_dct(media)).collect()}
+    # pHash: candidate surfaced AND near-dup
+    assert (0, 1) in p_pairs
+    ph, pnear = p_pairs[(0, 1)]
+    assert ph <= 16 and pnear == 1
+    # aHash: >16 differing bits — not a near-dup even if banded in
+    if (0, 1) in a_pairs:
+        ah, anear = a_pairs[(0, 1)]
+        assert ah > 16 and anear == 0
+
+
+def test_image_phash_dct_rejects_tiny_images(spark):
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C_
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    rows = [(0, "image", bytearray(C_.encode_bmp(px)), ("bmp", 16, 16, None, None))]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="32x32"):
+        M.image_phash_dct(media).collect()
