@@ -1854,6 +1854,154 @@ e{k} AS MATERIALIZED (
 BPE_TRAIN_SQL = _bpe_train_sql()
 
 
+_UNI_PIECES, _UNI_ROUNDS, _UNI_MAXP, _UNI_TOP, _UNI_MAXW = 100, 2, 4, 30, 16
+
+
+def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.py — Kudo 2018): substring-seeded candidate
+    vocabulary, 2 hard-EM rounds (codegen Viterbi fold over the word
+    histogram, micronat M-step, single-char-preserving prune), top-30
+    trained pieces. The oracle unrolls the ENTIRE trajectory — seed
+    counts, every dp position of every round's Viterbi, the backtrace
+    tie-breaks, the prune, the micronat costs — so a hash match
+    certifies the full training loop, the docs_bpe_train discipline
+    applied to the EM family. Words are bounded at 16 chars on both
+    sides (the oracle's unroll depth; the operator itself folds any
+    length)."""
+    from degdb_spark.operators.text import word_histogram
+    from degdb_spark.operators.unigram import unigram_train_from_hist
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = word_histogram(docs).filter(F.length("w") <= _UNI_MAXW)
+    return unigram_train_from_hist(
+        hist,
+        n_pieces=_UNI_PIECES,
+        rounds=_UNI_ROUNDS,
+        max_piece=_UNI_MAXP,
+        top=_UNI_TOP,
+    )
+
+
+def _unigram_sql(
+    n_pieces: int = _UNI_PIECES,
+    rounds: int = _UNI_ROUNDS,
+    maxp: int = _UNI_MAXP,
+    top: int = _UNI_TOP,
+    maxw: int = _UNI_MAXW,
+) -> str:
+    # MATERIALIZED everywhere for the same reason as _bpe_train_sql:
+    # the CTE chain is deep (16 dp + 16 backtrace steps per round) and
+    # plain CTEs re-inline exponentially.
+    from degdb_spark.operators.unigram import INF_COST
+
+    def lut(r: int, piece_expr: str) -> str:
+        return (
+            f"COALESCE((SELECT cost FROM costs{r} c WHERE c.piece = "
+            f"{piece_expr}), {INF_COST})"
+        )
+
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE LENGTH(w) >= 1 AND LENGTH(w) <= {maxw} GROUP BY w
+)""",
+        f"""subs AS MATERIALIZED (
+  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(flatten(list_transform(range(1, LENGTH(w) + 1), i ->
+      list_transform(range(1, LEAST({maxp}, LENGTH(w) - i + 1) + 1),
+                     j -> substring(w, i, j))))) AS piece, n
+    FROM words) GROUP BY piece
+)""",
+        f"""sel0 AS MATERIALIZED (
+  SELECT piece, cnt FROM
+    (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT {n_pieces})
+  UNION
+  SELECT piece, cnt FROM subs WHERE LENGTH(piece) = 1
+)""",
+        "tot0 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM sel0)",
+        "costs0 AS MATERIALIZED (SELECT piece, CAST(-FLOOR(LN(cnt / "
+        "(SELECT t FROM tot0)) * 1000000 + 0.5) AS BIGINT) AS cost FROM sel0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r}_0 AS MATERIALIZED (SELECT w, n, [CAST(0 AS BIGINT)] AS dp"
+            " FROM words)"
+        )
+        for i in range(1, maxw + 1):
+            opts = []
+            for j in range(1, min(maxp, i) + 1):
+                c = lut(r - 1, f"substring(w, {i - j + 1}, {j})")
+                opts.append(f"dp[{i - j + 1}] + {c}")
+            parts.append(
+                f"""d{r}_{i} AS MATERIALIZED (
+  SELECT w, n, CASE WHEN LENGTH(w) >= {i}
+    THEN list_append(dp, LEAST({', '.join(opts)})) ELSE dp END AS dp
+  FROM d{r}_{i - 1})"""
+            )
+        parts.append(
+            f"b{r}_0 AS MATERIALIZED (SELECT w, n, LENGTH(w) AS pos,"
+            f" CAST([] AS VARCHAR[]) AS ps, dp FROM d{r}_{maxw})"
+        )
+        conds = []
+        for j in range(1, maxp):
+            c = lut(r - 1, f"substring(w, pos - {j - 1}, {j})")
+            conds.append(
+                f"pos >= {j} AND dp[pos - {j - 1}] + {c} = dp[pos + 1]"
+            )
+        pos_case = "".join(
+            f"WHEN {cond} THEN pos - {j + 1} " for j, cond in enumerate(conds)
+        )
+        ps_case = "".join(
+            f"WHEN {cond} THEN list_append(ps, substring(w, pos - {j}, {j + 1})) "
+            for j, cond in enumerate(conds)
+        )
+        for s in range(1, maxw + 1):
+            parts.append(
+                f"""b{r}_{s} AS MATERIALIZED (
+  SELECT w, n,
+    CASE WHEN pos <= 0 THEN pos {pos_case}ELSE pos - {maxp} END AS pos,
+    CASE WHEN pos <= 0 THEN ps {ps_case}ELSE list_append(ps,
+      substring(w, pos - {maxp - 1}, {maxp})) END AS ps,
+    dp
+  FROM b{r}_{s - 1})"""
+            )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM
+    (SELECT UNNEST(ps) AS piece, n FROM b{r}_{maxw}) GROUP BY piece)"""
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT s.piece,
+         CAST(CASE WHEN COALESCE(c.cnt, 0) = 0 AND LENGTH(s.piece) = 1
+              THEN 1 ELSE c.cnt END AS BIGINT) AS cnt
+  FROM sel{r - 1} s LEFT JOIN c{r} c USING (piece)
+  WHERE COALESCE(c.cnt, 0) > 0 OR LENGTH(s.piece) = 1)"""
+        )
+        parts.append(
+            f"tot{r} AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t"
+            f" FROM sel{r})"
+        )
+        parts.append(
+            f"costs{r} AS MATERIALIZED (SELECT piece, CAST(-FLOOR(LN(cnt / "
+            f"(SELECT t FROM tot{r})) * 1000000 + 0.5) AS BIGINT) AS cost"
+            f" FROM sel{r})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.cnt DESC, s.piece) AS BIGINT) AS rank,
+       s.piece, s.cnt AS n, co.cost AS cost_micro
+FROM sel{rounds} s JOIN costs{rounds} co USING (piece)
+ORDER BY rank LIMIT {top}
+"""
+    )
+
+
+UNIGRAM_SQL = _unigram_sql()
+
+
 #: decision-tree feature grids — ascending literals, the histogram
 #: device of distributed GBDT: split search is counting per
 #: (candidate, side), never a feature sort
@@ -2655,6 +2803,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_bpe_train": Query(bpe_train_merges, BPE_TRAIN_SQL),
+    "docs_unigram_tokenizer": Query(unigram_tokenizer, UNIGRAM_SQL),
     "docs_decision_tree": Query(docs_decision_tree, TREE_SQL),
     "docs_boosted_stumps": Query(docs_boosted_stumps, BOOST_SQL),
     "docs_lm_perplexity": Query(docs_lm_perplexity, LM_PERPLEXITY_SQL),

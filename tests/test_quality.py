@@ -280,3 +280,112 @@ def test_lm_perplexity_matches_python_oracle(spark, token_lists):
             )
     want = sorted(want, key=lambda r: (r[3], r[0]))[:20]
     assert got == want
+
+
+def _unigram_replica(hist, n_pieces, rounds, maxp, top):
+    """Pure-Python unigram-LM hard-EM — the reference semantics of
+    operators/unigram.py: substring seed, Viterbi with smallest-j
+    tie-break, single-char-preserving prune, micronat costs."""
+    import math as _math
+    from collections import Counter
+
+    from degdb_spark.operators.nb import LOG_SCALE
+    from degdb_spark.operators.unigram import INF_COST
+
+    subs = Counter()
+    for w, n in hist.items():
+        for i in range(len(w)):
+            for j in range(1, min(maxp, len(w) - i) + 1):
+                subs[w[i : i + j]] += n
+    sel = dict(sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:n_pieces])
+    for p, c in subs.items():
+        if len(p) == 1:
+            sel[p] = c
+
+    def mstep(counted, selected):
+        surv = {
+            p: counted.get(p, 0)
+            for p in selected
+            if counted.get(p, 0) > 0 or len(p) == 1
+        }
+        for p in list(surv):
+            if len(p) == 1 and surv[p] == 0:
+                surv[p] = 1
+        total = float(sum(surv.values()))
+        return surv, {
+            p: -_math.floor(_math.log(c / total) * LOG_SCALE + 0.5)
+            for p, c in surv.items()
+        }
+
+    surv, costs = mstep(sel, sel)
+    for _ in range(rounds):
+        counted = Counter()
+        for w, n in hist.items():
+            L = len(w)
+            dp = [0] + [None] * L
+            for i in range(1, L + 1):
+                dp[i] = min(
+                    dp[i - j] + costs.get(w[i - j : i], INF_COST)
+                    for j in range(1, min(maxp, i) + 1)
+                )
+            pos = L
+            while pos > 0:
+                for j in range(1, maxp + 1):
+                    if (
+                        pos >= j
+                        and dp[pos - j] + costs.get(w[pos - j : pos], INF_COST)
+                        == dp[pos]
+                    ):
+                        counted[w[pos - j : pos]] += n
+                        pos -= j
+                        break
+        surv, costs = mstep(counted, surv)
+    out = sorted(surv.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return [(i + 1, p, c, costs[p]) for i, (p, c) in enumerate(out)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=9),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_unigram_train_matches_python_em(spark, hist):
+    """unigram_train_from_hist (operators/unigram.py) equals the
+    pure-Python hard-EM reference on arbitrary word histograms — seed
+    selection, every Viterbi dp cell and backtrace tie-break, the
+    prune, and the micronat cost table all agree for the full
+    trajectory."""
+    from degdb_spark.operators.unigram import unigram_train_from_hist
+
+    df = spark.createDataFrame(list(hist.items()), "w string, n long")
+    got = [
+        tuple(r)
+        for r in unigram_train_from_hist(
+            df, n_pieces=12, rounds=2, max_piece=4, top=10
+        ).collect()
+    ]
+    assert got == _unigram_replica(hist, 12, 2, 4, 10)
+
+
+def test_unigram_train_edge_cases(spark):
+    import pytest as _pytest
+
+    from degdb_spark.operators.unigram import unigram_train, unigram_train_from_hist
+
+    empty = spark.createDataFrame([], "w string, n long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        unigram_train_from_hist(empty)
+    with _pytest.raises(ValueError, match="rounds"):
+        unigram_train_from_hist(empty, rounds=0)
+    # one word: segments into itself if within max_piece
+    one = spark.createDataFrame([("abcd", 3)], "w string, n long")
+    rows = [tuple(r) for r in unigram_train_from_hist(one, n_pieces=20, top=5).collect()]
+    assert rows[0][1] == "abcd" or rows[0][3] == min(r[3] for r in rows)
