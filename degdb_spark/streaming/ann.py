@@ -158,3 +158,56 @@ def _semantic_index_step(
     semantic_cell_table(batch, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/batch={batch_id}")
+
+
+def knn_graph_index_stream(
+    vecs: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    rounds: int = 3,
+    rho: int = 1,
+    beam: int = 16,
+    hops: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming maintenance of the persisted k-NN graph (lifecycle
+    #16's twin): the first micro-batch runs the NN-Descent build;
+    every later batch inserts its vectors by search-then-link over
+    the artifact so far (operators/knngraph.refresh_knn_graph_index)
+    — historical vectors are read only from the index's own vector
+    table, never from upstream storage. Same replay contract as
+    ann_index_stream: the micro-batch id is the partition key, so a
+    crashed-and-retried batch overwrites its own partitions. At
+    100 TB the per-batch cost is the increment's beam walks
+    (|inc|·beam·k·hops scored candidates) + the bounded
+    within-increment brute force — corpus-size-independent."""
+    from degdb_spark.operators.knngraph import (
+        build_knn_graph_index,
+        refresh_knn_graph_index,
+    )
+
+    spark = vecs.sparkSession
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.transform(pin, eager=True)
+        if all(
+            spark.catalog.tableExists(t) for t in (table, f"{table}_vectors")
+        ):
+            refresh_knn_graph_index(
+                batch, table, k=k, beam=beam, hops=hops,
+                batch_id=int(batch_id), id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            build_knn_graph_index(
+                batch, table, k=k, rounds=rounds, rho=rho,
+                batch_id=int(batch_id), id_col=id_col, vec_col=vec_col,
+            )
+
+    return (
+        vecs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -660,3 +660,54 @@ def test_lm_rescore_after_corpus_deletion(spark, doc_dirs, tmp_path):
     # the increment's corpus-duplicate docs share the training text, so
     # their pairs are all in-vocab and score finitely
     assert all(r.n_scored > 0 for r in rows)
+
+
+def test_knn_graph_refresh_and_retract_after_corpus_deletion(spark, vec_dirs):
+    """Lifecycle #16 (persisted k-NN graph): refresh is search-then-
+    link against the index's OWN vector table — the corpus parquet is
+    deleted between build and refresh, so success proves the insert
+    read only the increment and the persisted artifact. Then a
+    tombstone retraction: deleted ids vanish from the served adjacency
+    (as sources AND waypoints) and from search results immediately,
+    with no rebuild."""
+    from degdb_spark.operators import knngraph as KG
+    from degdb_spark.operators.pq import drop_managed_table
+
+    corpus_dir, inc_dir = vec_dirs
+    table = "scaleprobe_knn_graph"
+    try:
+        KG.build_knn_graph_index(
+            spark.read.parquet(corpus_dir), table, k=4, rounds=1, rho=1
+        )
+        shutil.rmtree(corpus_dir)  # historical vectors gone
+        KG.refresh_knn_graph_index(
+            spark.read.parquet(inc_dir), table, k=4, beam=8, hops=2
+        )
+        idx = spark.table(table)
+        assert sorted(
+            r["_batch"] for r in idx.select("_batch").distinct().collect()
+        ) == [0, 1]
+        assert KG.vectors_from_index(spark, table).count() == 18 + 180
+        # every inserted vector has a full k-list
+        b1 = idx.filter(F.col("_batch") == 1)
+        assert b1.groupBy("id").count().agg(F.min("count")).first()[0] == 4
+
+        # retraction: tombstone 3 ids, one of which (0) is an old node
+        dead = spark.createDataFrame([(0,), (18,), (19,)], "vec_id long")
+        KG.retract_knn_graph_index(dead, table)
+        adj = KG.adjacency_from_index(spark, table)
+        assert adj.filter(F.col("id").isin(0, 18, 19)).count() == 0
+        assert adj.filter(F.col("neighbor_id").isin(0, 18, 19)).count() == 0
+        assert KG.vectors_from_index(spark, table).filter(
+            F.col("id").isin(0, 18, 19)
+        ).count() == 0
+        # search still runs and never returns a tombstoned id
+        q = spark.read.parquet(inc_dir).filter(F.col("vec_id") == 30)
+        res = KG.graph_index_knn(
+            spark, table, q, k=5, beam=8, hops=2, k_long=4
+        ).collect()
+        assert len(res) == 5
+        assert not {r.neighbor_id for r in res} & {0, 18, 19}
+    finally:
+        for t in (table, f"{table}_vectors"):
+            drop_managed_table(spark, t)

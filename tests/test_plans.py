@@ -991,3 +991,19 @@ def test_lm_perplexity_broadcast_scalar_no_cartesian(spark):
     plan = _plan(docs_lm_perplexity(spark, SF))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_graph_knn_walk_equijoins_bounded_frontier(spark):
+    """emb_graph_knn: the beam walk's plan has no CartesianProduct —
+    the only non-equi join is the bounded entry cross (|Q|×beam rows,
+    explicitly broadcast); every hop is frontier ⋈ graph / vector
+    equi-joins; and no data-sized Window appears (the beam cut is the
+    bounded sort-slice aggregate, not a window)."""
+    from degdb_spark.queries.embeddings_queries import emb_graph_knn
+
+    plan = _plan(emb_graph_knn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the entry scoring is allowed exactly as a broadcast NL join; a
+    # second one would mean an unintended unbounded cross crept in
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

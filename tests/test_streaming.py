@@ -1815,3 +1815,58 @@ def test_lm_counts_stream_scores_exactly(spark, tmp_path):
         tuple(r) for r in score_from_counts(docs, merged_counts(spark, idx)).collect()
     ]
     assert again == want
+
+
+def test_knn_graph_index_stream_equals_batch_lifecycle(spark, tmp_path):
+    """A STREAM-maintained k-NN graph index (streaming/ann.
+    knn_graph_index_stream — lifecycle #16's twin) equals the batch
+    lifecycle run by hand: batch 0 NN-Descent build, batch 1
+    search-then-link insert — row-for-row across both tables, and the
+    served search equals the batch-maintained search."""
+    import shutil as _shutil
+
+    from degdb_spark.operators import knngraph as KG
+    from degdb_spark.streaming.ann import knn_graph_index_stream
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("knng_stream_idx", "knng_stream_idx_vectors",
+              "knng_batch_idx", "knng_batch_idx_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(k=4, beam=8, hops=2)
+    src = tmp_path / "gvecs_in"
+    src.mkdir()
+    emb.filter(F.col("vec_id") < 120).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    emb.filter(F.col("vec_id") >= 120).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = knn_graph_index_stream(
+        stream, "knng_stream_idx", str(tmp_path / "gckpt"),
+        k=4, rounds=1, rho=1, beam=8, hops=2,
+    )
+    q.awaitTermination(120)
+
+    KG.build_knn_graph_index(
+        emb.filter(F.col("vec_id") < 120), "knng_batch_idx", k=4, rounds=1, rho=1
+    )
+    KG.refresh_knn_graph_index(
+        emb.filter(F.col("vec_id") >= 120), "knng_batch_idx", **kw
+    )
+    key = lambda t: sorted(tuple(r) for r in spark.table(t).collect())
+    assert key("knng_stream_idx") == key("knng_batch_idx")
+    assert key("knng_stream_idx_vectors") == key("knng_batch_idx_vectors")
+    queries = emb.filter(F.col("vec_id") < 5)
+    s = KG.graph_index_knn(spark, "knng_stream_idx", queries, k=5, beam=8,
+                           hops=2, k_long=4)
+    b = KG.graph_index_knn(spark, "knng_batch_idx", queries, k=5, beam=8,
+                           hops=2, k_long=4)
+    ks = lambda df: sorted(tuple(r) for r in df.collect())
+    assert ks(s) == ks(b) and len(ks(b)) == 25
+    for t in ("knng_stream_idx", "knng_stream_idx_vectors",
+              "knng_batch_idx", "knng_batch_idx_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
