@@ -225,6 +225,19 @@ HEADLINE = [
     "media_flac_transcode",
     # round 11: per-source substring-duplication profile
     "docs_substring_dup_by_source",
+    # round 12: CCNet paragraph-level dedup + per-source profile
+    "docs_paragraph_dedup",
+    "docs_paragraph_dup_by_source",
+    # round 12: DCT perceptual hash (pHash) in the shared band schema
+    "media_phash_dct_neardups",
+    # round 12: unigram-LM (SentencePiece-style) tokenizer training
+    "docs_unigram_tokenizer",
+    # round 12: graph-walk ANN — in-plan build+walk, then the persisted
+    # index's build and steady-state served-query surfaces (lifecycle
+    # #16; build timed separately from the walk, the PQ-index split)
+    "emb_graph_knn",
+    "emb_graph_index_build",
+    "emb_graph_index_knn",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -31,103 +31,95 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-11 window (see module docstring). Composition (50 checked
-#: slots): the SEVEN r5-era rows spilled by round 10's additions
-#: (exactly as planned in the round-10 comment), then the SEVEN
-#: surfaces NEW in round 11 (basket_edges_build — the persisted
-#: co-purchase edge contract index's explicit build surface, weight-
-#: histogram oracle; docs_substring_dedup — exact variable-length
-#: substring dedup, ExactSubstr/Lee et al. 2022, stride-1 window
-#: fingerprints with dense-range complement reassembly;
-#: media_flac_decode — pure-numpy FLAC decode through the new
-#: codecs.decode_audio seam, lossless closed-form oracle;
-#: docs_boosted_stumps — 3-round weight-doubling boosted stumps,
-#: integer-exact with micronat vote weights; emb_knn_graph —
-#: NN-Descent k-NN graph construction, every local-join round
-#: unrolled in the oracle; docs_lm_perplexity — CCNet-style
-#: bigram-LM perplexity quality selection, trained in-plan;
-#: media_flac_transcode — lossless WAV→FLAC transcoding with the
-#: double-decode oracle; docs_substring_dup_by_source — the
-#: per-source substring-duplication profile), then the TWENTY-ONE surfaces CHANGED in round 11 — the 14 basket_* queries now serve
-#: _weighted_edges FROM the persisted index (plans changed), and the
-#: 5 audio queries now decode through codecs.decode_audio (FLAC
-#: sniffing dispatch) — then r6-era fill in module order. The five
-#: r10-era basket/audio rows double-covered by the changed set cost
-#: no extra slots; 14 r6-era rows fit, 24 spill to round 12.
+#: Round-12 window (see module docstring). Composition (50 checked
+#: slots): the TWENTY-FOUR r6-era rows spilled by round 11 (exactly
+#: as planned in the round-11 comment), then the SEVEN surfaces NEW
+#: in round 12 (docs_paragraph_dedup / docs_paragraph_dup_by_source —
+#: CCNet paragraph-level dedup + its per-source profile;
+#: media_phash_dct_neardups — DCT perceptual hash in the shared band
+#: schema; docs_unigram_tokenizer — unigram-LM tokenizer training,
+#: full EM trajectory oracle; emb_graph_knn — beam ANN walk over the
+#: navigable NN-Descent graph; emb_graph_index_build /
+#: emb_graph_index_knn — the persisted k-NN graph contract index,
+#: lifecycle #16), then the THREE surfaces CHANGED in round 12
+#: (emb_knn_graph — the NN-Descent reverse-neighbor table is now
+#: capped to rho*k per pivot, plan + oracle changed;
+#: media_flac_decode / media_flac_transcode — decode_flac gained the
+#: RFC 9639 unknown-total/unknown-MD5 paths), then r7-era fill in
+#: module order (16 rows; the remaining 32 r7-era rows spill to
+#: round 13).
 #:
-#: Round-12 window, planned now so the standing policy stays
-#: executable: the 24 spilled r6-era rows (lineitem_sample_revenue,
-#: docs_temperature_mixture,
-#: events_heavy_hitters,
-#: events_kmv_distinct, events_asof_join,
-#: events_range_join, events_hypertable_rollup,
-#: events_cms_estimate, media_phash_neardups, media_payload_stats,
-#: docs_bigrams, events_sliding_window, events_asof_forward,
-#: events_per_user_cap, lineitem_stratified_sample,
-#: docs_decontaminate, docs_pii_redaction, docs_repetition_metrics,
-#: docs_filter_rules, docs_vocab_topk, docs_tfidf_terms,
-#: docs_packing, docs_simhash_neardups, docs_exact_dedup) first,
-#: then the r7-era cohort in module order + anything new/changed in
-#: round 12, overflow evicting newest-fill-first as usual.
+#: Round-13 window, planned now so the standing policy stays
+#: executable: the 32 spilled r7-era rows first (docs_quality_vs_dup,
+#: docs_ngram_jaccard, docs_dedup_clusters, docs_neardup_kept,
+#: docs_incremental_neardups, docs_token_stats, docs_quality_scores,
+#: docs_language_id, docs_span_dedup, docs_fingerprints,
+#: events_hourly_rollup, events_dedup_first, events_sessionization,
+#: events_json_props, events_type_pivot, triple_subject_lookup,
+#: triple_or_patterns, triple_and_not, triple_two_hop,
+#: triple_three_hop, triple_insert_dedup, triple_predicate_histogram,
+#: cube_lineitem_status, customers_without_orders,
+#: left_join_order_stats, full_outer_nation_presence,
+#: above_nation_average, orders_with_big_items,
+#: conditional_aggregation, array_aggregation,
+#: docs_phrase_search_indexed, docs_proximity_search_indexed), then
+#: the r8-era cohort in module order + anything new/changed in round
+#: 13, overflow evicting newest-fill-first as usual.
 _WINDOW = [
-    # --- r5-era spill from round 10, oldest first (7)
-    "events_ab_test",
-    "events_mann_whitney",
-    "events_ks_test",
-    "events_kaplan_meier",
-    "events_top_paths",
-    "events_cusum_changepoints",
-    "docs_proximity_search",
-    # --- new in round 11 (8)
-    "basket_edges_build",  # NEW r11: persisted basket-edge index build surface
-    "docs_substring_dedup",  # NEW r11: ExactSubstr variable-length dedup
-    "media_flac_decode",  # NEW r11: FLAC decode, lossless closed-form oracle
-    "docs_boosted_stumps",  # NEW r11: integer-exact boosted stumps
-    "emb_knn_graph",  # NEW r11: NN-Descent k-NN graph, unrolled trajectory oracle
-    "docs_lm_perplexity",  # NEW r11: CCNet-style bigram-LM quality selection
-    "media_flac_transcode",  # NEW r11: lossless WAV->FLAC transcode, double-decode oracle
-    "docs_substring_dup_by_source",  # NEW r11: per-source substring-duplication profile
-    # --- changed in round 11: basket family reads the persisted
-    #     edge index instead of re-building the wedge frame — incl.
-    #     coverage's unthresholded pair view (16)
-    "basket_sssp_histogram",
-    "basket_communities",
-    "basket_kcore",
-    "basket_link_prediction",
-    "basket_recommendations",
-    "basket_modularity",
-    "basket_edge_churn",
-    "basket_embedding_power",
-    "basket_ktruss",
-    "basket_assortativity",
-    "basket_personalized_pagerank",
-    "basket_harmonic_centrality",
-    "basket_stress_centrality",
-    "basket_association_rules",
-    "basket_triangle_count",  # CHANGED r11: unthresholded pair view of the index
-    "basket_clustering_top",  # CHANGED r11: same
-    # --- changed in round 11: audio decode now dispatches through
-    #     codecs.decode_audio (FLAC sniffing) (5)
-    "media_audio_decode",
-    "media_adpcm_decode",
-    "media_stereo_decode",
-    "media_audio_tone_probe",
-    "media_audio_neardups",
-    # --- r6-era fill, oldest-first module order (14)
-    "emb_quantization",
-    "emb_threshold_pairs",
-    "emb_centroid_by_label",
-    "emb_lsh_knn",
-    "graph_degrees",
-    "graph_pagerank_top",
-    "graph_components",
-    "graph_bfs_from_region",
-    "gremlin_region_members",
-    "motif_customer_region",
-    "motif_shared_nation",
-    "aggregate_gallery",
-    "latest_event_per_user",
-    "docs_train_test_split",
+    # --- r6-era spill from round 11, module order (24)
+    "lineitem_sample_revenue",
+    "docs_temperature_mixture",
+    "events_heavy_hitters",
+    "events_kmv_distinct",
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "events_cms_estimate",
+    "media_phash_neardups",
+    "media_payload_stats",
+    "docs_bigrams",
+    "events_sliding_window",
+    "events_asof_forward",
+    "events_per_user_cap",
+    "lineitem_stratified_sample",
+    "docs_decontaminate",
+    "docs_pii_redaction",
+    "docs_repetition_metrics",
+    "docs_filter_rules",
+    "docs_vocab_topk",
+    "docs_tfidf_terms",
+    "docs_packing",
+    "docs_simhash_neardups",
+    "docs_exact_dedup",
+    # --- new in round 12 (7)
+    "docs_paragraph_dedup",  # NEW r12: CCNet paragraph-level dedup
+    "docs_paragraph_dup_by_source",  # NEW r12: per-source paragraph profile
+    "media_phash_dct_neardups",  # NEW r12: DCT pHash, shared band schema
+    "docs_unigram_tokenizer",  # NEW r12: unigram-LM tokenizer training
+    "emb_graph_knn",  # NEW r12: beam ANN walk over the navigable graph
+    "emb_graph_index_build",  # NEW r12: persisted k-NN graph build surface
+    "emb_graph_index_knn",  # NEW r12: graph ANN served from the index
+    # --- changed in round 12 (3)
+    "emb_knn_graph",  # CHANGED r12: reverse-neighbor cap (rho*k, md5 order)
+    "media_flac_decode",  # CHANGED r12: RFC 9639 unknown-total/MD5 paths
+    "media_flac_transcode",  # CHANGED r12: same decoder change
+    # --- r7-era fill, oldest-first module order (16)
+    "emb_pq_knn",
+    "emb_ivfpq_knn",
+    "emb_pq_index_build",
+    "emb_pq_index_knn",
+    "emb_filtered_knn",
+    "emb_ivf_fixed_knn",
+    "emb_ivf_knn",
+    "emb_semantic_dedup",
+    "docs_mixture_sample",
+    "lineitem_quantile_sketch",
+    "events_hll_distinct",
+    "docs_chunking",
+    "docs_dsir_selection",
+    "docs_bpe_pair_counts",
+    "docs_bpe_encode",
+    "docs_dup_rate_by_source",
 ]
 
 
