@@ -238,6 +238,10 @@ HEADLINE = [
     "emb_graph_knn",
     "emb_graph_index_build",
     "emb_graph_index_knn",
+    # round 12: per-source tokenizer fertility (the unigram encode
+    # pass) and RRF hybrid retrieval (BM25 + dense, integer fusion)
+    "docs_unigram_fertility",
+    "docs_hybrid_search",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

@@ -594,3 +594,74 @@ SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist
 FROM scored WHERE min_dist IS NOT NULL AND min_dist <= {window}
 ORDER BY min_dist, doc_id LIMIT {k}
 """
+
+
+#: RRF constant k (Cormack, Clarke & Buettcher 2009 — k = 60 is the
+#: published default) and the integer contribution scale: each list's
+#: contribution 1/(k + rank) is quantized to NANO units with pure
+#: integer arithmetic — round(S/d) = (2S + d) div (2d) — BEFORE
+#: summation, so fused scores are exact BIGINTs that cannot drift
+#: with float summation order (the micronat discipline applied to
+#: rank fusion).
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = RRF_K,
+    top: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-Rank Fusion over N ranked lists — the standard
+    hybrid-retrieval combiner (lexical BM25 + dense ANN is the
+    canonical pair): every list contributes 1/(k + rank) per doc and
+    the lists never need score calibration, only ranks. Each input
+    must carry (``id_col``, rank). Returns the fused top —
+    (rank, id, n_lists, rrf_nano) with rrf_nano the exact integer
+    score (module constant note) and n_lists how many input lists
+    surfaced the doc (the agreement signal dashboards slice on).
+
+    Scale shape: one union of N bounded top-k lists (N·k rows — the
+    inputs are already ranked tops), one map-side-combinable groupBy,
+    and the TakeOrdered + packed-array rank device (no WindowExec
+    ever). Ties break (rrf_nano DESC, id ASC)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col("rank").cast("long").alias("_r"),
+        )
+        u = part if u is None else u.unionByName(part)
+    contrib = F.expr(
+        f"(cast({2 * RRF_SCALE} as bigint) + ({k_rrf} + _r))"
+        f" div (2 * ({k_rrf} + _r))"
+    )
+    scored = (
+        u.select("_id", contrib.alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("rrf_nano"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    topk = scored.orderBy(F.col("rrf_nano").desc(), "_id").limit(top)
+    packed = topk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("rrf_nano")).alias("_ns"),
+                    F.col("_id").alias("_id"),
+                    F.col("n_lists").alias("_nl"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "s")).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s._id").alias(id_col),
+        F.col("s._nl").alias("n_lists"),
+        (-F.col("s._ns")).alias("rrf_nano"),
+    )

@@ -148,20 +148,29 @@ def _mstep(
     return surv, costs
 
 
-def unigram_train_from_hist(
+def segmented_words(hist: DataFrame, costs: dict[str, int], max_piece: int = 4) -> DataFrame:
+    """(w, n, ps): every histogram word Viterbi-segmented under the
+    given piece costs — the E-step frame, also the INFERENCE surface
+    (encode with a trained vocabulary, the bpe_encode twin). Both
+    folds run in one codegen pass; ``ps`` is the piece array in
+    backtrace (reverse) order."""
+    m = _cost_map_expr(costs)
+    return hist.select(
+        "w", "n", F.expr(_dp_expr(m, max_piece)).alias("dp")
+    ).select("w", "n", F.expr(_backtrace_expr(m, max_piece)).alias("ps"))
+
+
+def train_unigram(
     hist: DataFrame,
     n_pieces: int = 100,
     rounds: int = 2,
     max_piece: int = 4,
-    top: int = 30,
-) -> DataFrame:
-    """Unigram-LM training over an existing (w, n) word histogram (the
-    retrain-from-index entry point, like bpe_train_from_hist).
-    Returns the trained vocabulary's ``top`` pieces by
-    (count DESC, piece ASC): (rank, piece, n, cost_micro)."""
+) -> tuple[dict[str, int], dict[str, int]]:
+    """The training loop itself: returns (survivor counts, micronat
+    costs) of the final model — the artifact segmented_words() and the
+    report builders consume."""
     if rounds < 1:
         raise ValueError("unigram_train requires rounds >= 1")
-    spark = hist.sparkSession
     hist = hist.select("w", "n").transform(lineage_cut, eager=True)
 
     # SEED: substring counts, top-K ∪ single chars
@@ -189,16 +198,32 @@ def unigram_train_from_hist(
     surv, costs = _mstep(counted, counted)
 
     for _ in range(rounds):
-        m = _cost_map_expr(costs)
-        seg = hist.select(
-            "w", "n", F.expr(_dp_expr(m, max_piece)).alias("dp")
-        ).select("n", F.explode(F.expr(_backtrace_expr(m, max_piece))).alias("piece"))
+        seg = segmented_words(hist, costs, max_piece).select(
+            "n", F.explode("ps").alias("piece")
+        )
         counted = {
             r["piece"]: int(r["cnt"])
             for r in seg.groupBy("piece").agg(F.sum("n").alias("cnt")).collect()
         }
         surv, costs = _mstep(counted, surv)
+    return surv, costs
 
+
+def unigram_train_from_hist(
+    hist: DataFrame,
+    n_pieces: int = 100,
+    rounds: int = 2,
+    max_piece: int = 4,
+    top: int = 30,
+) -> DataFrame:
+    """Unigram-LM training over an existing (w, n) word histogram (the
+    retrain-from-index entry point, like bpe_train_from_hist).
+    Returns the trained vocabulary's ``top`` pieces by
+    (count DESC, piece ASC): (rank, piece, n, cost_micro)."""
+    spark = hist.sparkSession
+    surv, costs = train_unigram(
+        hist, n_pieces=n_pieces, rounds=rounds, max_piece=max_piece
+    )
     out = sorted(surv.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
     return spark.createDataFrame(
         [

@@ -33,7 +33,7 @@ class Query(NamedTuple):
 
 #: Round-12 window (see module docstring). Composition (50 checked
 #: slots): the TWENTY-FOUR r6-era rows spilled by round 11 (exactly
-#: as planned in the round-11 comment), then the SEVEN surfaces NEW
+#: as planned in the round-11 comment), then the NINE surfaces NEW
 #: in round 12 (docs_paragraph_dedup / docs_paragraph_dup_by_source —
 #: CCNet paragraph-level dedup + its per-source profile;
 #: media_phash_dct_neardups — DCT perceptual hash in the shared band
@@ -41,7 +41,11 @@ class Query(NamedTuple):
 #: full EM trajectory oracle; emb_graph_knn — beam ANN walk over the
 #: navigable NN-Descent graph; emb_graph_index_build /
 #: emb_graph_index_knn — the persisted k-NN graph contract index,
-#: lifecycle #16), then the THREE surfaces CHANGED in round 12
+#: lifecycle #16; docs_unigram_fertility — per-source tokenizer
+#: fertility through the trained unigram model's encode pass;
+#: docs_hybrid_search — Reciprocal-Rank Fusion of BM25 and dense
+#: rankings in exact integer nano-units), then the THREE surfaces
+#: CHANGED in round 12
 #: (emb_knn_graph — the NN-Descent reverse-neighbor table is now
 #: capped to rho*k per pivot, plan + oracle changed;
 #: media_flac_decode / media_flac_transcode — decode_flac gained the
@@ -50,7 +54,8 @@ class Query(NamedTuple):
 #: round 13).
 #:
 #: Round-13 window, planned now so the standing policy stays
-#: executable: the 32 spilled r7-era rows first (docs_quality_vs_dup,
+#: executable: the 34 spilled r7-era rows first (docs_bpe_encode,
+#: docs_dup_rate_by_source, docs_quality_vs_dup,
 #: docs_ngram_jaccard, docs_dedup_clusters, docs_neardup_kept,
 #: docs_incremental_neardups, docs_token_stats, docs_quality_scores,
 #: docs_language_id, docs_span_dedup, docs_fingerprints,
@@ -99,6 +104,8 @@ _WINDOW = [
     "emb_graph_knn",  # NEW r12: beam ANN walk over the navigable graph
     "emb_graph_index_build",  # NEW r12: persisted k-NN graph build surface
     "emb_graph_index_knn",  # NEW r12: graph ANN served from the index
+    "docs_unigram_fertility",  # NEW r12: tokenizer fertility by source (encode pass)
+    "docs_hybrid_search",  # NEW r12: RRF hybrid retrieval (BM25 + dense)
     # --- changed in round 12 (3)
     "emb_knn_graph",  # CHANGED r12: reverse-neighbor cap (rho*k, md5 order)
     "media_flac_decode",  # CHANGED r12: RFC 9639 unknown-total/MD5 paths
@@ -118,8 +125,6 @@ _WINDOW = [
     "docs_chunking",
     "docs_dsir_selection",
     "docs_bpe_pair_counts",
-    "docs_bpe_encode",
-    "docs_dup_rate_by_source",
 ]
 
 

@@ -289,8 +289,78 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hybrid-retrieval fixture: the dense query vector (a corpus member,
+#: self-excluded by brute_force_topk) fused with the BM25 terms above.
+HYBRID_DENSE_QID = 7
+_HYBRID_LIST_K, _HYBRID_TOP = 20, 15
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — Reciprocal-Rank Fusion of a lexical and a
+    dense ranking (operators/search.rrf_fuse, Cormack et al. 2009
+    k=60): BM25 top-20 for the benchmark terms fused with exact
+    cosine top-20 around embedding #7 (vec_id ↔ doc_id — the synthetic
+    tables' shared id space). The op every RAG/retrieval pipeline
+    runs; scores are exact integer nano-units (no float summation
+    order anywhere), so every fused rank and agreement count
+    hash-certifies. The oracle replays BOTH rankings (the BM25
+    pipeline and the brute-force cosine ranking) and the integer
+    fusion."""
+    from degdb_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = S.bm25_topk(docs, BM25_TERMS, k=_HYBRID_LIST_K).select("doc_id", "rank")
+    from pyspark.sql import functions as F
+
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == HYBRID_DENSE_QID), k=_HYBRID_LIST_K
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return S.rrf_fuse([lex, dense], top=_HYBRID_TOP)
+
+
+def _hybrid_sql() -> str:
+    bm25 = S.bm25_sql(BM25_TERMS, k=_HYBRID_LIST_K)
+    return f"""
+WITH lex AS MATERIALIZED (
+  SELECT doc_id, rank FROM ({bm25}) _b
+),
+dense AS MATERIALIZED (
+  SELECT neighbor_id AS doc_id, rank FROM (
+    SELECT neighbor_id,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS rank
+    FROM (
+      SELECT neighbor_id,
+             FLOOR((list_dot_product(qv, cv) /
+                    (sqrt(list_dot_product(qv, qv)) *
+                     sqrt(list_dot_product(cv, cv)))) * 10000 + 0.5)
+               / 10000 AS sim
+      FROM (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id <> {HYBRID_DENSE_QID}) c
+      CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = {HYBRID_DENSE_QID}) q
+    )
+  ) WHERE rank <= {_HYBRID_LIST_K}
+),
+u AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM((2000000000 + (60 + rank)) // (2 * (60 + rank))) AS BIGINT)
+           AS rrf_nano,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_lists, rrf_nano
+FROM f ORDER BY rank LIMIT {_HYBRID_TOP}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "docs_bm25_search": Query(bm25_search, S.bm25_sql(BM25_TERMS, k=25)),
+    "docs_hybrid_search": Query(hybrid_search, _hybrid_sql()),
     "docs_proximity_search": Query(
         proximity_search, S.proximity_sql(PROX_A, PROX_B, PROX_WINDOW, k=25)
     ),

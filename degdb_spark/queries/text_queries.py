@@ -1883,16 +1883,19 @@ def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_sql(
+def _unigram_ctes(
     n_pieces: int = _UNI_PIECES,
     rounds: int = _UNI_ROUNDS,
     maxp: int = _UNI_MAXP,
-    top: int = _UNI_TOP,
     maxw: int = _UNI_MAXW,
-) -> str:
+    encode_pass: bool = False,
+) -> list[str]:
     # MATERIALIZED everywhere for the same reason as _bpe_train_sql:
     # the CTE chain is deep (16 dp + 16 backtrace steps per round) and
-    # plain CTEs re-inline exponentially.
+    # plain CTEs re-inline exponentially. With ``encode_pass`` one
+    # extra dp+backtrace round (no M-step) runs under the FINAL costs
+    # — the inference pass b{rounds+1}_{maxw} the fertility report
+    # reads.
     from degdb_spark.operators.unigram import INF_COST
 
     def lut(r: int, piece_expr: str) -> str:
@@ -1924,7 +1927,7 @@ def _unigram_sql(
         "costs0 AS MATERIALIZED (SELECT piece, CAST(-FLOOR(LN(cnt / "
         "(SELECT t FROM tot0)) * 1000000 + 0.5) AS BIGINT) AS cost FROM sel0)",
     ]
-    for r in range(1, rounds + 1):
+    for r in range(1, rounds + 1 + (1 if encode_pass else 0)):
         parts.append(
             f"d{r}_0 AS MATERIALIZED (SELECT w, n, [CAST(0 AS BIGINT)] AS dp"
             " FROM words)"
@@ -1967,6 +1970,8 @@ def _unigram_sql(
     dp
   FROM b{r}_{s - 1})"""
             )
+        if r > rounds:
+            break  # the encode pass needs only b{r}_{maxw}, no M-step
         parts.append(
             f"""c{r} AS MATERIALIZED (
   SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM
@@ -1989,6 +1994,17 @@ def _unigram_sql(
             f"(SELECT t FROM tot{r})) * 1000000 + 0.5) AS BIGINT) AS cost"
             f" FROM sel{r})"
         )
+    return parts
+
+
+def _unigram_sql(
+    n_pieces: int = _UNI_PIECES,
+    rounds: int = _UNI_ROUNDS,
+    maxp: int = _UNI_MAXP,
+    top: int = _UNI_TOP,
+    maxw: int = _UNI_MAXW,
+) -> str:
+    parts = _unigram_ctes(n_pieces, rounds, maxp, maxw)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.cnt DESC, s.piece) AS BIGINT) AS rank,
@@ -2000,6 +2016,86 @@ ORDER BY rank LIMIT {top}
 
 
 UNIGRAM_SQL = _unigram_sql()
+
+
+def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EVALUATION — per-source fertility (pieces per word)
+    of the trained unigram-LM vocabulary: train in-plan
+    (operators/unigram.train_unigram, the docs_unigram_tokenizer
+    model), then ENCODE every histogram word under the final costs
+    (segmented_words — the inference surface, bpe_encode's twin) and
+    roll pieces-per-token up by source. Fertility is THE metric
+    tokenizer work reports (how many pieces an average word costs);
+    per-source it feeds the curation dashboard (a source whose
+    fertility spikes is out-of-domain for the tokenizer). The oracle
+    re-runs training AND the encode pass (one extra unrolled Viterbi
+    round under the final cost table), so the hash certifies
+    inference consistency with training."""
+    from degdb_spark.operators.text import word_histogram
+    from degdb_spark.operators.unigram import segmented_words, train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = word_histogram(docs).filter(F.length("w") <= _UNI_MAXW)
+    _, costs = train_unigram(
+        hist, n_pieces=_UNI_PIECES, rounds=_UNI_ROUNDS, max_piece=_UNI_MAXP
+    )
+    seg = segmented_words(hist, costs, _UNI_MAXP).select(
+        "w", F.size("ps").cast("long").alias("n_pieces")
+    )
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+        )
+        .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+    )
+    return (
+        toks.join(seg, on="w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            dround(F.col("n_pieces") / F.col("n_words"), 6).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+def _unigram_fertility_sql(
+    n_pieces: int = _UNI_PIECES,
+    rounds: int = _UNI_ROUNDS,
+    maxp: int = _UNI_MAXP,
+    maxw: int = _UNI_MAXW,
+) -> str:
+    parts = _unigram_ctes(n_pieces, rounds, maxp, maxw, encode_pass=True)
+    parts.append(
+        f"seg AS MATERIALIZED (SELECT w, CAST(len(ps) AS BIGINT) AS n_pieces"
+        f" FROM b{rounds + 1}_{maxw})"
+    )
+    parts.append(
+        """tok2 AS MATERIALIZED (
+  SELECT source, w FROM (
+    SELECT source, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE LENGTH(w) >= 1 AND LENGTH(w) <= 16)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       FLOOR((SUM(n_pieces) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS fertility
+FROM tok2 JOIN seg USING (w)
+GROUP BY source ORDER BY source
+"""
+    )
+
+
+UNIGRAM_FERTILITY_SQL = _unigram_fertility_sql()
 
 
 #: decision-tree feature grids — ascending literals, the histogram
@@ -2804,6 +2900,7 @@ QUERIES: dict[str, Query] = {
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),
     "docs_bpe_train": Query(bpe_train_merges, BPE_TRAIN_SQL),
     "docs_unigram_tokenizer": Query(unigram_tokenizer, UNIGRAM_SQL),
+    "docs_unigram_fertility": Query(unigram_fertility, UNIGRAM_FERTILITY_SQL),
     "docs_decision_tree": Query(docs_decision_tree, TREE_SQL),
     "docs_boosted_stumps": Query(docs_boosted_stumps, BOOST_SQL),
     "docs_lm_perplexity": Query(docs_lm_perplexity, LM_PERPLEXITY_SQL),

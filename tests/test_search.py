@@ -298,3 +298,84 @@ def test_positional_index_position_numbering_matches_tokenizer(spark):
     }
     assert out == {1: 1, 2: 1, 3: 1}  # docs 4 and 5 must NOT match
     _drop(spark, "pos_gap_test")
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    """rrf_fuse == a literal Python RRF on crafted lists: integer
+    nano contributions round(1e9/(60+rank)), agreement counts, and
+    (score DESC, id ASC) tie-breaks. A doc on BOTH lists must outrank
+    a doc that is #1 on one list only when the arithmetic says so."""
+    from degdb_spark.operators.search import RRF_K, RRF_SCALE, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, 4)], "doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(12, 1), (13, 2), (14, 3), (10, 4)], "doc_id long, rank long"
+    )
+    got = [tuple(r) for r in rrf_fuse([lex, dense], top=10).collect()]
+
+    def contrib(r):
+        d = RRF_K + r
+        return (2 * RRF_SCALE + d) // (2 * d)
+
+    import collections
+
+    scores = collections.defaultdict(lambda: [0, 0])
+    for lst in ([(10, 1), (11, 2), (12, 3), (13, 4)],
+                [(12, 1), (13, 2), (14, 3), (10, 4)]):
+        for i, r in lst:
+            scores[i][0] += contrib(r)
+            scores[i][1] += 1
+    want = [
+        (j + 1, i, n, s)
+        for j, (i, (s, n)) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        )
+    ]
+    assert got == want
+    # both-list docs carry n_lists=2 and beat the single-list #2
+    by_id = {r[1]: r for r in got}
+    assert by_id[12][2] == 2 and by_id[11][2] == 1
+    assert by_id[12][0] < by_id[11][0]  # doc 12 (ranks 3+1) above doc 11 (rank 2)
+    # empty input raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_hybrid_search_fuses_real_rankings(spark):
+    """docs_hybrid_search end-to-end on testdata: every fused row's
+    nano score equals the sum of its members' contributions recomputed
+    from the two REAL rankings, and at least one doc is surfaced by
+    both lists or the fusion degenerates (guards the fixture)."""
+    from degdb_spark.operators.search import RRF_K, RRF_SCALE, bm25_topk
+    from degdb_spark.operators.similarity import brute_force_topk
+    from degdb_spark.queries.search_queries import (
+        BM25_TERMS,
+        HYBRID_DENSE_QID,
+        hybrid_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    lex = {r.doc_id: r.rank for r in bm25_topk(docs, BM25_TERMS, k=20).collect()}
+    dense = {
+        r.neighbor_id: r.rank
+        for r in brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == HYBRID_DENSE_QID), k=20
+        ).collect()
+    }
+
+    def contrib(r):
+        d = RRF_K + r
+        return (2 * RRF_SCALE + d) // (2 * d)
+
+    for row in hybrid_search(spark, sf).collect():
+        want = (lex.get(row.doc_id) and contrib(lex[row.doc_id]) or 0) + (
+            dense.get(row.doc_id) and contrib(dense[row.doc_id]) or 0
+        )
+        n = (row.doc_id in lex) + (row.doc_id in dense)
+        assert (row.rrf_nano, row.n_lists) == (want, n)
