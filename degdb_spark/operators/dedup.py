@@ -865,14 +865,32 @@ def paragraph_dedup(
     '' for a fully duplicated document. Empty/whitespace-only
     paragraphs are dropped in the split (they carry no content and
     would all collide)."""
-    sliced = docs.select(
+    sliced = _para_slices(docs, text_col, id_col)
+    out = _span_keep_first_and_reassemble(
+        sliced, _para_occurrences(sliced, id_col), id_col, joiner="\n"
+    )
+    return out.withColumnsRenamed({"n_spans": "n_paras"})
+
+
+def _para_slices(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _spans): each doc's non-blank newline-delimited paragraphs
+    — pure codegen, no shuffle (the _span_slices twin)."""
+    return docs.select(
         id_col,
         F.filter(
             F.split(F.col(text_col), r"\n+"),
             lambda p: F.trim(p) != "",
         ).alias("_spans"),
     )
-    occ = sliced.select(
+
+
+def _para_occurrences(sliced: DataFrame, id_col: str) -> DataFrame:
+    """(id, span_idx, span_h1, span_h2): paragraph occurrences as
+    salt-first 128-bit fingerprints of the NORMALIZED paragraph —
+    same column schema as _span_occurrences, so the keep/reassemble
+    machinery, the persisted-index layout, and the streaming step
+    discipline are all shared verbatim."""
+    return sliced.select(
         id_col,
         F.posexplode("_spans").alias("span_idx", "para"),
     ).select(
@@ -881,8 +899,38 @@ def paragraph_dedup(
         F.xxhash64(ccnet_normalize(F.col("para"))).alias("span_h1"),
         F.xxhash64(F.lit(1), ccnet_normalize(F.col("para"))).alias("span_h2"),
     )
-    out = _span_keep_first_and_reassemble(sliced, occ, id_col, joiner="\n")
-    return out.withColumnsRenamed({"n_spans": "n_paras"})
+
+
+def incremental_paragraph_dedup(
+    new_docs: DataFrame,
+    existing_paras: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Paragraph dedup for an INCREMENT against a persisted paragraph
+    index ((span_h1, span_h2) fingerprints of all earlier batches'
+    NORMALIZED paragraphs — 16 bytes per paragraph, never corpus
+    text): an already-indexed paragraph drops from every new document
+    outright; first-occurrence + newline reassembly run within the
+    increment only. The incremental_span_dedup contract at paragraph
+    granularity — old text never re-read, doc-ordered batches
+    reproduce paragraph_dedup of the full corpus bit-for-bit
+    (pytest-pinned). Returns ``(report, fresh_paras)``."""
+    from degdb_spark.persistence import pin
+
+    sliced = _para_slices(new_docs, text_col, id_col)
+    occ = _para_occurrences(sliced, id_col)
+    fresh_occ = pin(
+        occ.join(
+            existing_paras.select("span_h1", "span_h2"),
+            on=["span_h1", "span_h2"],
+            how="left_anti",
+        )
+    )
+    report = _span_keep_first_and_reassemble(
+        sliced, fresh_occ, id_col, joiner="\n"
+    ).withColumnsRenamed({"n_spans": "n_paras"})
+    return report, fresh_occ.select("span_h1", "span_h2").distinct()
 
 
 def substring_dedup(

@@ -425,3 +425,61 @@ def _substring_index_step(
     )
     report.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
     fresh.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+
+def paragraph_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    clean_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streamed CCNet paragraph dedup — lifecycle #17, the paragraph-
+    granularity twin of span_index_stream with the identical index
+    layout and replay discipline: each micro-batch probes the
+    persisted (span_h1, span_h2) normalized-paragraph fingerprints of
+    all earlier batches, drops already-seen paragraphs from its
+    documents, and writes cleaned docs + its genuinely-new
+    fingerprints to ``batch=N`` overwrite partitions (probe reads only
+    ``batch < batch_id``; crashed-and-retried batches converge).
+    Doc-ordered batches reproduce the batch operator bit-for-bit."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        _paragraph_index_step(
+            batch, int(batch_id), index_path, clean_path, id_col, text_col
+        )
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _paragraph_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    clean_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of paragraph_index_stream, module-level so the
+    replay contract is directly testable."""
+    from degdb_spark.operators.dedup import incremental_paragraph_dedup
+    from degdb_spark.streaming.util import has_committed_parquet
+
+    spark = batch.sparkSession
+    batch = batch.transform(pin, eager=True)  # feeds probe + both writes
+    if has_committed_parquet(spark, index_path):
+        idx = spark.read.option("basePath", index_path).parquet(index_path)
+        existing = idx.filter(F.col("batch") < F.lit(batch_id)).select(
+            "span_h1", "span_h2"
+        )
+    else:  # genuinely the first batch: empty index, right schema
+        existing = spark.createDataFrame([], "span_h1 long, span_h2 long")
+    report, fresh = incremental_paragraph_dedup(batch, existing, text_col, id_col)
+    report.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
+    fresh.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")

@@ -47,11 +47,13 @@ def ahash_index_stream(
 ):
     """Maintain the perceptual-fingerprint index + incremental near-dup
     pair emissions from a media stream — ``kind="image"`` hashes via
-    image_ahash, ``kind="audio"`` via audio_ahash (the energy-envelope
-    fingerprint), ``kind="video"`` via video_ahash (temporal-mean
-    frame hash over the real GIF/AVI/RAWV containers); all three band
-    into the same (b0..b3) index schema, so one lifecycle serves every
-    modality. Returns the started availableNow StreamingQuery."""
+    image_ahash, ``kind="phash"`` via image_phash_dct (the DCT hash
+    that survives JPEG requantization — r12), ``kind="audio"`` via
+    audio_ahash (the energy-envelope fingerprint), ``kind="video"``
+    via video_ahash (temporal-mean frame hash over the real
+    GIF/AVI/RAWV containers); all four band into the same (b0..b3)
+    index schema, so one lifecycle serves every modality and both
+    image hashes. Returns the started availableNow StreamingQuery."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
         _ahash_index_step(batch, int(batch_id), index_path, pairs_path, kind)
@@ -76,14 +78,20 @@ def _ahash_index_step(
     from degdb_spark.operators.multimodal import (
         audio_ahash,
         image_ahash,
+        image_phash_dct,
         incremental_banded_neardup_pairs,
         video_ahash,
     )
 
-    ops = {"image": image_ahash, "audio": audio_ahash, "video": video_ahash}
+    ops = {
+        "image": image_ahash,
+        "phash": image_phash_dct,
+        "audio": audio_ahash,
+        "video": video_ahash,
+    }
     if kind not in ops:
         raise ValueError(
-            f"ahash_index_stream kind must be image|audio|video, got {kind!r}"
+            f"ahash_index_stream kind must be image|phash|audio|video, got {kind!r}"
         )
     hash_op = ops[kind]
     spark = batch.sparkSession

@@ -711,3 +711,81 @@ def test_knn_graph_refresh_and_retract_after_corpus_deletion(spark, vec_dirs):
     finally:
         for t in (table, f"{table}_vectors"):
             drop_managed_table(spark, t)
+
+
+def test_unigram_retrain_after_corpus_deletion(spark, tmp_path):
+    """The unigram-LM tokenizer retrains from the SAME streamed
+    word-histogram index as BPE (histograms are additive — one index,
+    two trainers): build the index from batches, DELETE every source
+    document, retrain — the full trained vocabulary (counts AND
+    micronat costs) must equal the full-corpus run, proving the
+    histogram is the unigram trainer's sufficient statistic too."""
+    from degdb_spark.operators.unigram import unigram_train, unigram_train_from_hist
+    from degdb_spark.streaming.wordhist import (
+        _wordhist_index_step,
+        merged_histogram,
+    )
+
+    texts = [
+        "stream the table stream the join",
+        "the fast hash join wins the day",
+        "slow scans stall the fast merge",
+        "hash the keys then join the runs",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(n_pieces=30, rounds=2, max_piece=4)
+    want = [tuple(r) for r in unigram_train(docs, top=15, **kw).collect()]
+
+    src = str(tmp_path / "udocs.parquet")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "uidx")
+    for b in range(2):
+        batch = spark.read.parquet(src).filter(
+            (F.col("doc_id") / F.lit(2)).cast("int") == b
+        )
+        _wordhist_index_step(batch, b, idx)
+
+    shutil.rmtree(src)  # corpus GONE — retraining can't read it
+
+    got = [
+        tuple(r)
+        for r in unigram_train_from_hist(
+            merged_histogram(spark, idx), top=15, **kw
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_paragraph_index_increment_after_corpus_deletion(spark, tmp_path):
+    """Lifecycle #17 (normalized-paragraph fingerprint index): build
+    from a corpus batch, DELETE the corpus parquet, then run a larger
+    increment — success proves the probe read only the 16-byte
+    fingerprints and the increment's own rows; paragraphs repeated
+    from the (now deleted) history still drop."""
+    from degdb_spark.streaming.dedup import _paragraph_index_step
+
+    banner = "shared banner paragraph"
+    # letter suffixes, NOT numbers: ccnet_normalize maps digits -> 0,
+    # so numbered fixtures would collide by design
+    tag = lambda i: chr(97 + i % 26) + chr(97 + (i // 26) % 26)
+    corpus_rows = [
+        (i, f"unique base {tag(i)}\n{banner}") for i in range(N_CORPUS)
+    ]
+    inc_rows = [
+        (1000 + i, f"novel inc {tag(i)}\n{banner}") for i in range(N_INC)
+    ]
+    corpus_dir = str(tmp_path / "pc.parquet")
+    inc_dir = str(tmp_path / "pi.parquet")
+    _write_docs(spark, corpus_dir, corpus_rows)
+    _write_docs(spark, inc_dir, inc_rows)
+    idx, clean = str(tmp_path / "pidx"), str(tmp_path / "pclean")
+    _paragraph_index_step(spark.read.parquet(corpus_dir), 0, idx, clean)
+    shutil.rmtree(corpus_dir)  # historical text gone
+    _paragraph_index_step(spark.read.parquet(inc_dir), 1, idx, clean)
+    out = spark.read.parquet(f"{clean}/batch=1")
+    assert out.count() == N_INC
+    # the banner existed in batch 0, so EVERY increment doc loses it
+    assert out.filter(F.col("n_kept") == 1).count() == N_INC
+    assert out.filter(F.col("text_clean").contains("banner")).count() == 0

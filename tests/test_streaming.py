@@ -1870,3 +1870,124 @@ def test_knn_graph_index_stream_equals_batch_lifecycle(spark, tmp_path):
     for t in ("knng_stream_idx", "knng_stream_idx_vectors",
               "knng_batch_idx", "knng_batch_idx_vectors"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_paragraph_index_stream_equals_batch_and_replays(spark, tmp_path):
+    """Streamed CCNet paragraph dedup (lifecycle #17): two
+    file-batches of a crafted multi-paragraph corpus stream through
+    paragraph_index_stream; the cleaned docs equal the one-shot
+    paragraph_dedup over the same corpus bit-for-bit, and replaying
+    batch 0 through the module-level step converges to identical
+    index + clean partitions."""
+    from degdb_spark.operators.dedup import paragraph_dedup
+    from degdb_spark.streaming.dedup import _paragraph_index_step, paragraph_index_stream
+
+    banner = "Accept our cookies to continue."
+    rows = [
+        (0, f"alpha one\n{banner}\ntail zero"),
+        (1, "beta body\nbeta extra"),
+        (2, f"{banner.upper()}\ngamma text"),
+        (3, "alpha one\ndelta closes"),
+        (4, banner),
+        (5, "epsilon solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_clean)
+        for r in paragraph_dedup(docs).collect()
+    }
+    src = tmp_path / "pdocs_in"
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 3).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    docs.filter(F.col("doc_id") >= 3).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    idx, clean = str(tmp_path / "pidx"), str(tmp_path / "pclean")
+    q = paragraph_index_stream(stream, idx, clean, str(tmp_path / "pckpt"))
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_clean)
+        for r in spark.read.parquet(clean).collect()
+    }
+    assert got == want
+
+    # replay batch 0: overwrite partitions must converge
+    before_idx = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/batch=0").collect()
+    )
+    before_clean = sorted(
+        tuple(r) for r in spark.read.parquet(f"{clean}/batch=0").collect()
+    )
+    _paragraph_index_step(docs.filter(F.col("doc_id") < 3), 0, idx, clean)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/batch=0").collect()
+    ) == before_idx
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{clean}/batch=0").collect()
+    ) == before_clean
+
+
+def test_phash_index_stream_equals_full_pairs(spark, tmp_path):
+    """The SAME streaming media lifecycle serves the DCT pHash (r12):
+    kind="phash" streams image batches through image_phash_dct into
+    the shared (b0..b3) index schema, and the per-batch pair-emission
+    union equals the full-corpus banded_neardup_pairs over pHash
+    fingerprints — including cross-batch pairs. Zero new index
+    machinery: one lifecycle, two image hashes."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.streaming.media import ahash_index_stream
+
+    ramp = np.linspace(10, 245, 64)
+    rows = []
+    for mid in range(12):
+        fam, var = mid % 4, mid // 4
+        base = np.clip(
+            np.round(np.add.outer(ramp, ramp[::-1] if fam % 2 else ramp) / 2)
+            + fam * 11,
+            0,
+            255,
+        ).astype(np.uint8)
+        px = np.repeat(base[:, :, None], 3, axis=2).copy()
+        px[0, 0, 0] = (int(px[0, 0, 0]) + var) % 256
+        rows.append(
+            (mid, "image", bytearray(C.encode_png(px)), ("png", 64, 64, None, None))
+        )
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    full = {
+        (r.id_a, r.id_b): (r.hamming, r.near_dup)
+        for r in M.banded_neardup_pairs(M.image_phash_dct(media)).collect()
+    }
+    assert full and any(a % 3 != b % 3 for a, b in full)
+
+    src = tmp_path / "pmedia_in"
+    src.mkdir()
+    for i in range(3):
+        media.filter(F.col("media_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    index_path = str(tmp_path / "phash_index")
+    pairs_path = str(tmp_path / "phash_pairs")
+    q = ahash_index_stream(
+        stream, index_path, pairs_path, str(tmp_path / "pckpt"), kind="phash"
+    )
+    q.awaitTermination(120)
+    idx = spark.read.option("basePath", index_path).parquet(index_path)
+    assert idx.count() == 12
+    streamed = spark.read.option("basePath", pairs_path).parquet(pairs_path)
+    got_rows = streamed.collect()
+    got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
+    assert len(got_rows) == len(got)
+    assert got == full

@@ -1290,3 +1290,40 @@ def test_paragraph_dedup_matches_python_reference(spark):
     assert got[1][1] == 1               # case variant of the banner dropped
     assert got[2][0] == 3               # blank paragraphs never counted
     assert got[5] == (0, 0, "")
+
+
+def test_incremental_paragraph_dedup_batches_equal_full(spark):
+    """Doc-ordered batches through the incremental paragraph path
+    (probe the normalized-fingerprint index, dedup within the
+    increment, extend the index) reproduce the one-shot
+    paragraph_dedup bit-for-bit — including a case-variant banner
+    whose FIRST occurrence sits in an earlier batch (normalization
+    must hold across the index boundary)."""
+    import degdb_spark.operators.dedup as D
+
+    banner = "Accept our cookies to continue."
+    docs = [
+        (0, f"alpha one\n{banner}\ntail zero"),
+        (1, "beta body\nbeta extra"),
+        (2, f"{banner.upper()}\ngamma text"),       # banner variant, batch 2
+        (3, "alpha one\ndelta closes"),              # p0 dup of doc 0's p0
+        (4, banner),                                 # fully duplicated
+        (5, "epsilon solo"),
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_clean)
+        for r in D.paragraph_dedup(full).collect()
+    }
+    existing = spark.createDataFrame([], "span_h1 long, span_h2 long")
+    got = {}
+    for b in range(0, len(docs), 2):
+        batch = spark.createDataFrame(docs[b : b + 2], "doc_id long, text string")
+        report, fresh = D.incremental_paragraph_dedup(batch, existing)
+        got.update(
+            (r.doc_id, (r.n_paras, r.n_kept, r.text_clean))
+            for r in report.collect()
+        )
+        existing = existing.unionByName(fresh).distinct()
+    assert got == want
+    assert got[2][1] == 1 and got[4] == (1, 0, "")
