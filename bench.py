@@ -242,6 +242,8 @@ HEADLINE = [
     # pass) and RRF hybrid retrieval (BM25 + dense, integer fusion)
     "docs_unigram_fertility",
     "docs_hybrid_search",
+    # round 12: deterministic per-epoch training-order shuffle
+    "docs_epoch_shuffle",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

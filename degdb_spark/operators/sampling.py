@@ -159,3 +159,44 @@ def weighted_sample_topk(
         *[F.col("s._row." + c).alias(c) for c in cols],
         (F.col("pos") + 1).cast("long").alias("sample_rank"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle — the reproducible
+    training-order op: every epoch needs a DIFFERENT pseudo-random
+    document order (data order moves loss curves), yet the order must
+    replay exactly for restarts, ablations, and audits. Both the
+    shard assignment and the within-shard position derive from ONE
+    engine-portable hash of (epoch, id): shard = md5_bucket
+    ('<epoch>:<id>'), position = rank of the md5 hex within the shard
+    ((hash, id) ties). Different epochs decorrelate (the epoch salts
+    the hash); the same epoch replays bit-for-bit anywhere.
+
+    Returns (id, shard, pos) — the read plan: consume shards in
+    order, rows by pos. Scale shape (100 TB): this is how training
+    order is actually materialized — a global sort is off the table,
+    so the corpus hash-partitions into ``n_shards`` writer-friendly
+    shards and each shard sorts independently (the ONE data-sized
+    sort, sized by n_shards to fit an executor — the window below is
+    PARTITIONED by shard, never global). Epoch N+1 is a new pass with
+    a new salt, not a reshuffle of stored output."""
+    from pyspark.sql import Window
+
+    key = F.concat_ws(":", F.lit(int(epoch)).cast("string"),
+                      F.col(id_col).cast("string"))
+    h = F.md5(key)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            md5_bucket(key, n_shards).cast("long").alias("shard"),
+            h.alias("_h"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

@@ -33,7 +33,7 @@ class Query(NamedTuple):
 
 #: Round-12 window (see module docstring). Composition (50 checked
 #: slots): the TWENTY-FOUR r6-era rows spilled by round 11 (exactly
-#: as planned in the round-11 comment), then the NINE surfaces NEW
+#: as planned in the round-11 comment), then the TEN surfaces NEW
 #: in round 12 (docs_paragraph_dedup / docs_paragraph_dup_by_source —
 #: CCNet paragraph-level dedup + its per-source profile;
 #: media_phash_dct_neardups — DCT perceptual hash in the shared band
@@ -44,8 +44,9 @@ class Query(NamedTuple):
 #: lifecycle #16; docs_unigram_fertility — per-source tokenizer
 #: fertility through the trained unigram model's encode pass;
 #: docs_hybrid_search — Reciprocal-Rank Fusion of BM25 and dense
-#: rankings in exact integer nano-units), then the THREE surfaces
-#: CHANGED in round 12
+#: rankings in exact integer nano-units; docs_epoch_shuffle —
+#: deterministic per-epoch training-order shuffle), then the THREE
+#: surfaces CHANGED in round 12
 #: (emb_knn_graph — the NN-Descent reverse-neighbor table is now
 #: capped to rho*k per pivot, plan + oracle changed;
 #: media_flac_decode / media_flac_transcode — decode_flac gained the
@@ -54,8 +55,8 @@ class Query(NamedTuple):
 #: round 13).
 #:
 #: Round-13 window, planned now so the standing policy stays
-#: executable: the 34 spilled r7-era rows first (docs_bpe_encode,
-#: docs_dup_rate_by_source, docs_quality_vs_dup,
+#: executable: the 35 spilled r7-era rows first (docs_bpe_pair_counts,
+#: docs_bpe_encode, docs_dup_rate_by_source, docs_quality_vs_dup,
 #: docs_ngram_jaccard, docs_dedup_clusters, docs_neardup_kept,
 #: docs_incremental_neardups, docs_token_stats, docs_quality_scores,
 #: docs_language_id, docs_span_dedup, docs_fingerprints,
@@ -106,6 +107,7 @@ _WINDOW = [
     "emb_graph_index_knn",  # NEW r12: graph ANN served from the index
     "docs_unigram_fertility",  # NEW r12: tokenizer fertility by source (encode pass)
     "docs_hybrid_search",  # NEW r12: RRF hybrid retrieval (BM25 + dense)
+    "docs_epoch_shuffle",  # NEW r12: deterministic per-epoch training-order shuffle
     # --- changed in round 12 (3)
     "emb_knn_graph",  # CHANGED r12: reverse-neighbor cap (rho*k, md5 order)
     "media_flac_decode",  # CHANGED r12: RFC 9639 unknown-total/MD5 paths
@@ -124,7 +126,6 @@ _WINDOW = [
     "events_hll_distinct",
     "docs_chunking",
     "docs_dsir_selection",
-    "docs_bpe_pair_counts",
 ]
 
 

@@ -445,7 +445,39 @@ GROUP BY source ORDER BY source
 """
 
 
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training-order shuffle
+    (operators/sampling.epoch_shuffle): shard and within-shard
+    position both derive from the portable md5('<epoch>:<id>') hash,
+    so the full permutation — every shard assignment, every rank —
+    replays in DuckDB and across restarts; a different epoch salts
+    the hash into a decorrelated order (pytest-pinned). The window is
+    PARTITIONED by shard (the per-shard sort real pipelines
+    materialize), never global."""
+    from degdb_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, epoch=1, n_shards=8).orderBy("shard", "pos")
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard,
+         hh
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT)
+         AS pos
+FROM s ORDER BY shard, pos
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "docs_epoch_shuffle": Query(docs_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "docs_weighted_sample": Query(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "docs_source_quota_selection": Query(
         docs_source_quota_selection, SOURCE_QUOTA_SQL

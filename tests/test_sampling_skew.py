@@ -167,3 +167,52 @@ def test_temperature_mixture_knife_edge_stable(spark, tmp_path):
                 assert rows == baseline
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_epoch_shuffle_permutation_and_decorrelation(spark):
+    """epoch_shuffle: (a) output is a PERMUTATION — every id exactly
+    once, positions contiguous 1..n within each shard; (b) stable
+    under repartitioning (pure hash function of (epoch, id)); (c)
+    different epochs give genuinely different orders (the whole point
+    — same order every epoch overfits to data order); (d) matches a
+    literal Python replica of the md5 arithmetic."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = epoch_shuffle(docs, epoch=1, n_shards=8).collect()
+    assert len(out) == n and len({r.doc_id for r in out}) == n
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # replica
+    def key(e, i):
+        return hashlib.md5(f"{e}:{i}".encode()).hexdigest()
+
+    want = {}
+    rows = [(int(h[:8], 16) % 8, key(1, r.doc_id), r.doc_id) for r in out
+            for h in [key(1, r.doc_id)]]
+    per = {}
+    for shard, h, i in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+        per[shard] = per.get(shard, 0) + 1
+        want[i] = (shard, per[shard])
+    got = {r.doc_id: (r.shard, r.pos) for r in out}
+    assert got == want
+
+    # repartition stability
+    out2 = {r.doc_id: (r.shard, r.pos)
+            for r in epoch_shuffle(docs.repartition(13), epoch=1, n_shards=8).collect()}
+    assert out2 == got
+
+    # epoch decorrelation: the (shard, pos) map must differ broadly
+    oute2 = {r.doc_id: (r.shard, r.pos)
+             for r in epoch_shuffle(docs, epoch=2, n_shards=8).collect()}
+    same = sum(1 for i in got if got[i] == oute2[i])
+    assert same < n * 0.1
