@@ -360,9 +360,18 @@ def navigable_adjacency(
     to geometry (hash-assigned ids — every real ingest) they are
     uniform random shortcuts, exactly the published construction.
     Self-loops from tiny corpora (stride 0) are harmless: the beam
-    re-scores and dedups them away."""
+    re-scores and dedups them away.
+
+    The stride modulus is the ID-SPACE size max(id)+1, NOT the live
+    row count (ADVICE r12): with tombstones or non-contiguous ids a
+    count-based modulus would strand every node with id >= count
+    without long links and silently re-target ALL derived links on
+    each retraction. With max(id)+1 a link can land on a dead/missing
+    id — harmless: the walk's score join against the live vector
+    table drops it (a pruned shortcut, not an error)."""
     v = emb.select(F.col(id_col).cast("long").alias("id"))
-    n = v.count()
+    mx = v.agg(F.max("id")).first()[0]
+    n = int(mx) + 1 if mx is not None else 0
     stride = n // (k_long + 1)
     long_links = v.select(
         "id",
@@ -441,28 +450,50 @@ def build_knn_graph_index(
     )
 
 
-def _tombstoned(spark, table: str) -> DataFrame:
+def _bounded(df: DataFrame, before_batch: int | None) -> DataFrame:
+    """Restrict an index table to batches strictly before
+    ``before_batch`` — the replay-probe bound (a retried micro-batch
+    must never read its OWN previously-committed partition; see
+    streaming/dedup._paragraph_index_step for the discipline)."""
+    if before_batch is None:
+        return df
+    return df.filter(F.col("_batch") < F.lit(int(before_batch)))
+
+
+def _tombstoned(
+    spark, table: str, before_batch: int | None = None
+) -> DataFrame:
     return (
-        spark.table(table).filter(F.col("rank") < 0).select("id").distinct()
+        _bounded(spark.table(table), before_batch)
+        .filter(F.col("rank") < 0)
+        .select("id")
+        .distinct()
     )
 
 
-def vectors_from_index(spark, table: str) -> DataFrame:
-    """(id, v) live vectors: every batch's rows minus tombstoned ids."""
+def vectors_from_index(
+    spark, table: str, before_batch: int | None = None
+) -> DataFrame:
+    """(id, v) live vectors: every batch's rows minus tombstoned ids.
+    ``before_batch`` bounds the read to ``_batch < before_batch`` for
+    replay-safe incremental steps."""
     return (
-        spark.table(f"{table}_vectors")
+        _bounded(spark.table(f"{table}_vectors"), before_batch)
         .select("id", "v")
-        .join(_tombstoned(spark, table), on="id", how="left_anti")
+        .join(_tombstoned(spark, table, before_batch), on="id", how="left_anti")
     )
 
 
-def adjacency_from_index(spark, table: str) -> DataFrame:
+def adjacency_from_index(
+    spark, table: str, before_batch: int | None = None
+) -> DataFrame:
     """(id, neighbor_id) live edges: real rows (rank >= 1) whose BOTH
     endpoints are live — a deleted node is neither source nor waypoint
-    from the moment its tombstone batch lands."""
-    dead = _tombstoned(spark, table)
+    from the moment its tombstone batch lands. ``before_batch`` bounds
+    the read like vectors_from_index."""
+    dead = _tombstoned(spark, table, before_batch)
     return (
-        spark.table(table)
+        _bounded(spark.table(table), before_batch)
         .filter(F.col("rank") >= 1)
         .select("id", "neighbor_id")
         .join(dead, on="id", how="left_anti")
@@ -492,7 +523,12 @@ def refresh_knn_graph_index(
     sized by contract, so the within-batch brute force is bounded).
     New ids must be previously unseen (append-only ingest contract);
     existing nodes' lists pick up the new vectors at the next
-    compaction (module comment)."""
+    compaction (module comment).
+
+    Replay safety: the index is read bounded to ``_batch < batch_id``
+    (the _paragraph_index_step probe discipline), so a crashed-and-
+    retried batch searches exactly the pre-batch index instead of its
+    own half-committed partition — retries converge bit-for-bit."""
     from degdb_spark.operators.search import _insert_overwrite_batch
     from degdb_spark.operators.similarity import brute_force_topk
 
@@ -505,9 +541,12 @@ def refresh_knn_graph_index(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
-    old_v = vectors_from_index(spark, table)
+    old_v = vectors_from_index(spark, table, before_batch=batch_id)
     adj = navigable_adjacency(
-        adjacency_from_index(spark, table), old_v, k_long=k, id_col="id"
+        adjacency_from_index(spark, table, before_batch=batch_id),
+        old_v,
+        k_long=k,
+        id_col="id",
     )
     walked = graph_knn_search(
         adj,

@@ -625,14 +625,25 @@ def rrf_fuse(
     Scale shape: one union of N bounded top-k lists (N·k rows — the
     inputs are already ranked tops), one map-side-combinable groupBy,
     and the TakeOrdered + packed-array rank device (no WindowExec
-    ever). Ties break (rrf_nano DESC, id ASC)."""
+    ever). Ties break (rrf_nano DESC, id ASC).
+
+    Each input is first reduced to its BEST (minimum) rank per doc
+    (ADVICE r12): a doc listed at several ranks within one input
+    (multi-field retrievers, passage-level lists rolled to docs) must
+    contribute once to that list's score and once to n_lists, or both
+    the fusion score and the agreement signal double-count. On
+    rank-unique inputs the reduction is the identity."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     u = None
     for r in rankings:
-        part = r.select(
-            F.col(id_col).cast("long").alias("_id"),
-            F.col("rank").cast("long").alias("_r"),
+        part = (
+            r.select(
+                F.col(id_col).cast("long").alias("_id"),
+                F.col("rank").cast("long").alias("_r"),
+            )
+            .groupBy("_id")
+            .agg(F.min("_r").alias("_r"))
         )
         u = part if u is None else u.unionByName(part)
     contrib = F.expr(

@@ -30,6 +30,42 @@ from pyspark.sql import functions as F
 from degdb_spark.persistence import pin
 
 
+def paragraph_dedup_stage(
+    s2: DataFrame, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Curate stage 2b, module-level so its keep/drop semantics are
+    directly testable: CCNet paragraph dedup applied as a REWRITE
+    stage. Docs that lost some (but not all) paragraphs are rewritten
+    to the deduped text with token/char counts refreshed; fully-
+    duplicated docs (n_paras > 0, n_kept == 0) drop out; docs with NO
+    paragraphs at all (whitespace-only text — n_paras == 0) pass
+    through untouched, because nothing about them is duplicated
+    (ADVICE r12 — the rule gate upstream, not dedup, judges empties)."""
+    from degdb_spark.operators.dedup import paragraph_dedup
+    from degdb_spark.operators.text import token_count
+
+    if keep_cols is None:
+        keep_cols = s2.columns
+    paras = paragraph_dedup(s2).filter(
+        (F.col("n_kept") > 0) | (F.col("n_paras") == 0)
+    )
+    return (
+        s2.join(
+            paras.select("doc_id", "n_paras", "n_kept", "text_clean"),
+            on="doc_id",
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("n_kept") < F.col("n_paras"), F.col("text_clean")
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select(*keep_cols)
+    )
+
+
 def curate(
     spark: SparkSession,
     sf_dir: str,
@@ -105,28 +141,11 @@ def curate(
     # agg on an already-computed fingerprint) and before near-dup
     # clustering so shingling never pays for boilerplate paragraphs.
     # Same rewrite discipline as stage 3b: only docs that LOST a
-    # paragraph are rewritten; fully-duplicated docs drop out.
-    from degdb_spark.operators.dedup import paragraph_dedup
-    from degdb_spark.operators.text import token_count
-
-    paras = paragraph_dedup(s2).filter(F.col("n_kept") > 0)
-    s2b = audit(
-        "paragraph_dedup",
-        s2.join(
-            paras.select("doc_id", "n_paras", "n_kept", "text_clean"),
-            on="doc_id",
-        )
-        .withColumn(
-            "text",
-            F.when(
-                F.col("n_kept") < F.col("n_paras"), F.col("text_clean")
-            ).otherwise(F.col("text")),
-        )
-        .withColumn("n_tokens", token_count("text").cast("long"))
-        .withColumn("n_chars", F.length("text").cast("long"))
-        .select(*keep_cols),
-    )
-    s2 = s2b
+    # paragraph are rewritten; fully-duplicated docs drop out. A doc
+    # with NO paragraphs at all (whitespace-only text) has n_kept = 0
+    # but nothing duplicated — it survives this stage (ADVICE r12);
+    # earlier rule filters are where empty docs are judged.
+    s2 = audit("paragraph_dedup", paragraph_dedup_stage(s2, keep_cols))
 
     # stage 3: near-dup clusters, keep one representative per component
     pairs = ngram_jaccard_pairs(

@@ -1708,10 +1708,14 @@ def _graph_knn_sql(
     )
     parts = _knn_graph_ctes(gk, grounds)
     parts += [
-        # navigable_adjacency's long links: (id + j*floor(n/(gk+1))) % n
+        # navigable_adjacency's long links: (id + j*floor(m/(gk+1))) % m
+        # with m = max(id)+1, the ID-SPACE size — NOT the live count
+        # (ADVICE r12: tombstones / non-contiguous ids must not strand
+        # high ids or re-target every link); equal on contract data.
+        "mm AS MATERIALIZED (SELECT MAX(id) + 1 AS m FROM v)",
         f"""ll AS MATERIALIZED (
-  SELECT a.id, CAST((a.id + j.j * ((SELECT n FROM nn) // {gk + 1}))
-         % (SELECT n FROM nn) AS BIGINT) AS nbr
+  SELECT a.id, CAST((a.id + j.j * ((SELECT m FROM mm) // {gk + 1}))
+         % (SELECT m FROM mm) AS BIGINT) AS nbr
   FROM v a, generate_series(1, {gk}) j(j))""",
         f"adj AS MATERIALIZED (SELECT id, nbr FROM s{grounds} "
         f"UNION SELECT id, nbr FROM ll)",

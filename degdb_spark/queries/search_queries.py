@@ -343,7 +343,12 @@ dense AS MATERIALIZED (
   ) WHERE rank <= {_HYBRID_LIST_K}
 ),
 u AS (
-  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense
+  -- rrf_fuse reduces each input to its best rank per doc before the
+  -- union (identity here: both lists are rank-unique) — replayed so
+  -- the oracle certifies the same fusion plan.
+  SELECT doc_id, MIN(rank) AS rank FROM lex GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, MIN(rank) AS rank FROM dense GROUP BY doc_id
 ),
 f AS (
   SELECT doc_id,

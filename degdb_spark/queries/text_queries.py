@@ -1327,13 +1327,63 @@ FROM c ORDER BY doc_id
 """
 
 
+def bestfit_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-preserving best-fit packing placements (operators/
+    packing.pack_bestfit — harmonic length classes, VERDICT r12
+    "What's missing" #1): every 256-token-or-smaller document keeps
+    one (pack_id, pack_slot) bin placement, never split; oversize
+    docs are flagged. The oracle replays the class assignment, the
+    hash-ordered within-class decreasing rank, the per-class bin
+    counts, and the ascending-class pack_id layout."""
+    from degdb_spark.operators.packing import pack_bestfit
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return pack_bestfit(docs, budget=256).orderBy("doc_id")
+
+
+BESTFIT_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id < 300
+), p AS (
+  SELECT doc_id, n_tokens, CAST(256 // n_tokens AS BIGINT) AS len_class,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM t WHERE n_tokens > 0
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY len_class ORDER BY n_tokens DESC, h, doc_id) AS rank
+  FROM p
+), cb AS (
+  SELECT len_class,
+         (COUNT(*) + GREATEST(len_class, 1) - 1) // GREATEST(len_class, 1) AS nbins
+  FROM p GROUP BY len_class
+), os AS (
+  SELECT len_class,
+         COALESCE(SUM(nbins) OVER (ORDER BY len_class
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM cb
+)
+SELECT r.doc_id, r.n_tokens, r.len_class,
+       CAST(o.off + (r.rank - 1) // GREATEST(r.len_class, 1) AS BIGINT) AS pack_id,
+       CAST((r.rank - 1) % GREATEST(r.len_class, 1) AS BIGINT) AS pack_slot,
+       r.len_class = 0 AS oversize
+FROM rk r JOIN os o USING (len_class)
+ORDER BY doc_id
+"""
+
+
 def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packing-efficiency report for the 256-token concat-and-chunk
-    run: window count, fill ratio (tokens / window capacity), and how
-    many documents straddle a boundary (the truncation/continuation
-    workload). The number a data-engineering team watches when picking
-    the packing budget; pure aggregation over the packing placements."""
-    from degdb_spark.operators.packing import pack_documents
+    """Packing-efficiency report, BOTH strategies side by side
+    (extended r13 per Ding et al. 2024): the 256-token concat-and-
+    chunk run (window count, fill, boundary-crossing docs — its
+    truncation workload) against document-preserving best-fit
+    (bin count, fill over regular bins, oversize docs — ITS entire
+    truncation workload, zero split docs by construction). The
+    number a data-engineering team watches when picking a packer:
+    concat fills ~100% but truncates every straddling doc; best-fit
+    truncates nothing that fits a window, at a bounded fill cost."""
+    from degdb_spark.operators.packing import pack_bestfit, pack_documents
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     packed = pack_documents(docs, budget=256)
@@ -1344,16 +1394,39 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_crossing_docs"),
     )
-    return agg.withColumn(
-        "n_windows", F.expr("(total_tokens + 255) DIV 256")
-    ).select(
-        "n_docs",
-        "total_tokens",
-        "n_windows",
-        "n_crossing_docs",
-        dround(
-            F.col("total_tokens") / (F.col("n_windows") * F.lit(256.0)), 6
-        ).alias("fill_ratio"),
+    bf = pack_bestfit(docs, budget=256)
+    # bins are contiguous 0..max — counts are closed-form aggregates
+    bfa = bf.agg(
+        (F.max("pack_id") + 1).cast("long").alias("bestfit_bins"),
+        F.sum(F.col("oversize").cast("int")).cast("long").alias(
+            "bestfit_oversize_docs"
+        ),
+        F.sum(F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("_reg_tokens"),
+    )
+    return (
+        agg.withColumn("n_windows", F.expr("(total_tokens + 255) DIV 256"))
+        .crossJoin(F.broadcast(bfa))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "n_windows",
+            "n_crossing_docs",
+            dround(
+                F.col("total_tokens") / (F.col("n_windows") * F.lit(256.0)), 6
+            ).alias("fill_ratio"),
+            "bestfit_bins",
+            "bestfit_oversize_docs",
+            dround(
+                F.col("_reg_tokens")
+                / (
+                    (F.col("bestfit_bins") - F.col("bestfit_oversize_docs"))
+                    * F.lit(256.0)
+                ),
+                6,
+            ).alias("bestfit_fill"),
+        )
     )
 
 
@@ -1371,12 +1444,28 @@ WITH t AS (
          SUM(CASE WHEN n_tokens > 0 AND (start_offset // 256) <> ((start_offset + GREATEST(n_tokens - 1, 0)) // 256)
                   THEN 1 ELSE 0 END) AS n_crossing_docs
   FROM c
+), p AS (
+  SELECT doc_id, n_tokens, CAST(256 // n_tokens AS BIGINT) AS len_class
+  FROM t WHERE n_tokens > 0
+), cb AS (
+  SELECT len_class,
+         (COUNT(*) + GREATEST(len_class, 1) - 1) // GREATEST(len_class, 1) AS nbins
+  FROM p GROUP BY len_class
+), b AS (
+  SELECT CAST(SUM(nbins) AS BIGINT) AS bestfit_bins,
+         CAST(COALESCE(SUM(nbins) FILTER (len_class = 0), 0) AS BIGINT)
+           AS bestfit_oversize_docs,
+         (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+          FROM p WHERE len_class > 0) AS reg_tokens
+  FROM cb
 )
 SELECT n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
        CAST((total_tokens + 255) // 256 AS BIGINT) AS n_windows,
        CAST(n_crossing_docs AS BIGINT) AS n_crossing_docs,
-       FLOOR((total_tokens::DOUBLE / (((total_tokens + 255) // 256) * 256)) * 1000000 + 0.5) / 1000000 AS fill_ratio
-FROM s
+       FLOOR((total_tokens::DOUBLE / (((total_tokens + 255) // 256) * 256)) * 1000000 + 0.5) / 1000000 AS fill_ratio,
+       bestfit_bins, bestfit_oversize_docs,
+       FLOOR((reg_tokens::DOUBLE / ((bestfit_bins - bestfit_oversize_docs) * 256.0)) * 1000000 + 0.5) / 1000000 AS bestfit_fill
+FROM s, b
 """
 
 
@@ -2921,6 +3010,7 @@ QUERIES: dict[str, Query] = {
     "docs_vocab_topk": Query(vocab_topk, VOCAB_SQL),
     "docs_tfidf_terms": Query(tfidf_top_terms, TFIDF_SQL),
     "docs_packing": Query(packing_query, PACKING_SQL),
+    "docs_bestfit_packing": Query(bestfit_packing_query, BESTFIT_PACKING_SQL),
     "docs_packing_efficiency": Query(packing_efficiency, PACKING_EFF_SQL),
     "docs_collocations": Query(collocations, COLLOCATIONS_SQL),
     "docs_ngram_jaccard": Query(ngram_jaccard_neardups, JACCARD_SQL),

@@ -20,6 +20,8 @@ re-read.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from degdb_spark.persistence import pin
 
 
@@ -183,27 +185,13 @@ def knn_graph_index_stream(
     100 TB the per-batch cost is the increment's beam walks
     (|inc|·beam·k·hops scored candidates) + the bounded
     within-increment brute force — corpus-size-independent."""
-    from degdb_spark.operators.knngraph import (
-        build_knn_graph_index,
-        refresh_knn_graph_index,
-    )
-
-    spark = vecs.sparkSession
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.transform(pin, eager=True)
-        if all(
-            spark.catalog.tableExists(t) for t in (table, f"{table}_vectors")
-        ):
-            refresh_knn_graph_index(
-                batch, table, k=k, beam=beam, hops=hops,
-                batch_id=int(batch_id), id_col=id_col, vec_col=vec_col,
-            )
-        else:
-            build_knn_graph_index(
-                batch, table, k=k, rounds=rounds, rho=rho,
-                batch_id=int(batch_id), id_col=id_col, vec_col=vec_col,
-            )
+        _knn_graph_index_step(
+            batch, int(batch_id), table,
+            k=k, rounds=rounds, rho=rho, beam=beam, hops=hops,
+            id_col=id_col, vec_col=vec_col,
+        )
 
     return (
         vecs.writeStream.foreachBatch(step)
@@ -211,3 +199,56 @@ def knn_graph_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _knn_graph_index_step(
+    batch: DataFrame,
+    batch_id: int,
+    table: str,
+    k: int = 8,
+    rounds: int = 3,
+    rho: int = 1,
+    beam: int = 16,
+    hops: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of knn_graph_index_stream, module-level so the
+    replay contract is directly testable (the _paragraph_index_step
+    pattern). Build vs refresh decides on the index's own STATE, not
+    mere table existence (ADVICE r12): if batch 0 committed the
+    tables but the stream's checkpoint commit failed, the retried
+    batch 0 must take the BUILD path again (overwriting its own
+    partitions), not search-then-link against its own half-committed
+    index. The probe is `any _batch < batch_id rows exist`, and
+    refresh_knn_graph_index itself reads bounded to _batch <
+    batch_id, so retried refreshes converge too."""
+    from degdb_spark.operators.knngraph import (
+        build_knn_graph_index,
+        refresh_knn_graph_index,
+    )
+
+    spark = batch.sparkSession
+    batch = batch.transform(pin, eager=True)
+    has_prior = (
+        batch_id > 0
+        and all(
+            spark.catalog.tableExists(t)
+            for t in (table, f"{table}_vectors")
+        )
+        and spark.table(table)
+        .filter(F.col("_batch") < F.lit(batch_id))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if has_prior:
+        refresh_knn_graph_index(
+            batch, table, k=k, beam=beam, hops=hops,
+            batch_id=batch_id, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        build_knn_graph_index(
+            batch, table, k=k, rounds=rounds, rho=rho,
+            batch_id=batch_id, id_col=id_col, vec_col=vec_col,
+        )

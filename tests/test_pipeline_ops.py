@@ -223,3 +223,99 @@ def test_curate_media_empty_table(spark):
         ("validated", 0), ("exact_dedup", 0),
         ("fingerprintable", 0), ("neardup_keep", 0),
     ]
+
+
+def test_paragraph_dedup_stage_semantics(spark):
+    """Curate stage 2b (pipeline.paragraph_dedup_stage, ADVICE r12):
+    (a) a doc that lost SOME paragraphs is rewritten to the deduped
+    text with counts refreshed; (b) a FULLY-duplicated doc drops out;
+    (c) a whitespace-only doc (zero paragraphs — nothing duplicated)
+    passes through untouched instead of being dropped as if it were a
+    full duplicate; (d) untouched docs keep their original text."""
+    from degdb_spark.pipeline import paragraph_dedup_stage
+
+    banner = "accept cookies now"
+    rows = [
+        (0, f"alpha body here\n{banner}", "en", "web"),
+        (1, f"{banner}\nbeta body there", "en", "web"),  # loses the banner
+        (2, banner, "en", "web"),  # fully duplicated -> drops
+        (3, " \n\t\n ", "en", "web"),  # whitespace-only -> survives
+    ]
+    s2 = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in paragraph_dedup_stage(s2).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0].text == rows[0][1]  # first occurrence keeps both paras
+    assert out[1].text == "beta body there"  # banner stripped
+    assert out[3].text == rows[3][1]  # untouched whitespace doc
+
+
+def test_pack_bestfit_never_splits_and_fits(spark):
+    """pack_bestfit (Ding et al. 2024 motivation, harmonic classes):
+    (a) every in-budget doc gets exactly ONE placement — zero split
+    documents, the headline metric; (b) every non-oversize bin's
+    token sum fits the budget; (c) the whole assignment matches a
+    Python replica of the class/rank/offset arithmetic; (d) on a
+    window-tiling corpus the fill equals concat-chunk's 1.0 while
+    concat still truncates and bestfit does not."""
+    import hashlib
+
+    from degdb_spark.operators.packing import pack_bestfit, pack_documents
+
+    C = 32
+    lens = [40, 33, 20, 17, 16, 16, 11, 10, 9, 8, 7, 5, 4, 3, 2, 1, 1]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in pack_bestfit(df, budget=C, num_partitions=5)
+           .orderBy("doc_id").collect()]
+
+    # (a) one placement per doc, none missing
+    assert [r[0] for r in out] == list(range(len(lens)))
+    # (b) bins fit
+    bins = {}
+    for doc_id, n, cls, pack, slot, oversize in out:
+        bins.setdefault(pack, []).append((n, oversize))
+    for pack, members in bins.items():
+        if not members[0][1]:
+            assert sum(n for n, _ in members) <= C, (pack, members)
+
+    # (c) replica
+    by_class = {}
+    for i, n in enumerate(lens):
+        k = C // n
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        by_class.setdefault(k, []).append((-n, h, i))
+    offs, off = {}, 0
+    for k in sorted(by_class):
+        cap = max(k, 1)
+        offs[k] = off
+        off += (len(by_class[k]) + cap - 1) // cap
+    want = {}
+    for k, docs in by_class.items():
+        cap = max(k, 1)
+        for r, (_neg, _h, i) in enumerate(sorted(docs)):
+            want[i] = (k, offs[k] + r // cap, r % cap, k == 0)
+    got = {r[0]: (r[2], r[3], r[4], r[5]) for r in out}
+    assert got == want
+
+    # (d) tiling corpus: equal fill, strictly less truncation
+    tiling = spark.createDataFrame(
+        [(i, " ".join(["w"] * 16)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    bf = pack_bestfit(tiling, budget=C).collect()
+    per_bin = {}
+    for r in bf:
+        per_bin.setdefault(r.pack_id, 0)
+        per_bin[r.pack_id] += r.n_tokens
+    assert all(v == C for v in per_bin.values())  # fill 1.0 == concat's
+    cc = pack_documents(tiling, budget=C).collect()
+    assert all(not r.crosses_boundary for r in cc)  # tiling: concat also clean
+    # non-tiling corpus: concat truncates, bestfit never does
+    odd = spark.createDataFrame(
+        [(i, " ".join(["w"] * 13)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert sum(r.crosses_boundary for r in pack_documents(odd, budget=C).collect()) > 0
+    assert all(not r.oversize for r in pack_bestfit(odd, budget=C).collect())

@@ -641,7 +641,10 @@ _GLOBAL_WINDOW_WHITELIST = {
     # per-partition totals frame (operators/packing.py,
     # operators/ranking.py), O(num_partitions) not O(rows)
     "docs_packing": 1,
-    "docs_packing_efficiency": 1,
+    # + bestfit's ascending-class offset window over the <= budget-row
+    # per-class bin-count frame (operators/packing.pack_bestfit)
+    "docs_packing_efficiency": 2,
+    "docs_bestfit_packing": 1,
     "docs_zipf_fit": 1,
     "orders_skew_report": 1,
     "docs_token_budget_selection": 1,

@@ -379,3 +379,22 @@ def test_hybrid_search_fuses_real_rankings(spark):
         )
         n = (row.doc_id in lex) + (row.doc_id in dense)
         assert (row.rrf_nano, row.n_lists) == (want, n)
+
+
+def test_rrf_fuse_dedups_multirank_inputs(spark):
+    """A doc listed at SEVERAL ranks within one input list (passage
+    lists rolled up to docs) contributes once, at its BEST rank, to
+    that list's score and once to n_lists (ADVICE r12 — the
+    double-count fix). Equivalent rank-unique lists fuse identically."""
+    from degdb_spark.operators.search import rrf_fuse
+
+    multi = spark.createDataFrame(
+        [(10, 1), (10, 3), (11, 2), (10, 7)], "doc_id long, rank long"
+    )
+    uniq = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank long")
+    other = spark.createDataFrame([(11, 1), (12, 2)], "doc_id long, rank long")
+    got = [tuple(r) for r in rrf_fuse([multi, other], top=10).collect()]
+    want = [tuple(r) for r in rrf_fuse([uniq, other], top=10).collect()]
+    assert got == want
+    by_id = {r[1]: r for r in got}
+    assert by_id[10][2] == 1  # n_lists counts the LIST once, not 3x

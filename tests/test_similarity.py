@@ -914,3 +914,23 @@ def test_graph_index_lifecycle_serve_refresh(spark):
     finally:
         for t in (table, f"{table}_vectors"):
             drop_managed_table(spark, t)
+
+
+def test_navigable_adjacency_noncontiguous_ids(spark):
+    """Long links derive from the ID-SPACE size max(id)+1, not the
+    live row count (ADVICE r12): with gappy ids every node — including
+    ids >= count — gets its k_long shortcuts, at exactly
+    (id + j*floor(m/(k_long+1))) % m, m = max(id)+1."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.knngraph import navigable_adjacency
+
+    ids = [0, 2, 5, 9, 11]  # count=5, max(id)+1=12 — count-modulus would strand 5,9,11
+    emb = spark.createDataFrame([(i, [float(i)]) for i in ids],
+                                "vec_id long, embedding array<double>")
+    empty_graph = spark.createDataFrame([], "id long, neighbor_id long")
+    adj = navigable_adjacency(empty_graph, emb, k_long=2)
+    got = {(r.id, r.neighbor_id) for r in adj.collect()}
+    m, stride = 12, 12 // 3
+    want = {(i, (i + j * stride) % m) for i in ids for j in (1, 2)}
+    assert got == want

@@ -1991,3 +1991,39 @@ def test_phash_index_stream_equals_full_pairs(spark, tmp_path):
     got = {(r.id_a, r.id_b): (r.hamming, r.near_dup) for r in got_rows}
     assert len(got_rows) == len(got)
     assert got == full
+
+
+def test_knn_graph_index_step_replays_converge(spark):
+    """The stream step's replay contract (ADVICE r12): a batch that
+    committed its table partitions but NOT its checkpoint is re-run on
+    restart — the retried batch 0 must take the BUILD path again (not
+    search-then-link against its own half-committed index), and a
+    retried batch 1 must search only the pre-batch-1 index. Both
+    replays converge to the identical tables, row for row."""
+    import os as _os
+    import shutil as _shutil
+
+    from degdb_spark.streaming.ann import _knn_graph_index_step
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("knng_replay_idx", "knng_replay_idx_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b0 = emb.filter(F.col("vec_id") < 120)
+    b1 = emb.filter(F.col("vec_id") >= 120)
+    kw = dict(k=4, rounds=1, rho=1, beam=8, hops=2)
+    key = lambda t: sorted(tuple(r) for r in spark.table(t).collect())
+
+    _knn_graph_index_step(b0, 0, "knng_replay_idx", **kw)
+    first = (key("knng_replay_idx"), key("knng_replay_idx_vectors"))
+    _knn_graph_index_step(b0, 0, "knng_replay_idx", **kw)  # crashed-checkpoint retry
+    assert (key("knng_replay_idx"), key("knng_replay_idx_vectors")) == first
+
+    _knn_graph_index_step(b1, 1, "knng_replay_idx", **kw)
+    second = (key("knng_replay_idx"), key("knng_replay_idx_vectors"))
+    _knn_graph_index_step(b1, 1, "knng_replay_idx", **kw)  # retried refresh
+    assert (key("knng_replay_idx"), key("knng_replay_idx_vectors")) == second
+    assert second != first  # batch 1 genuinely landed
+    for t in ("knng_replay_idx", "knng_replay_idx_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
