@@ -182,3 +182,70 @@ def train_predict_from_features(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+#: chars of text the language-ID featurizer reads per doc — language
+#: identity is decidable from a short prefix (fastText's own demo
+#: truncates), and the cap bounds the char-ngram explode at any scale
+LANGID_MAX_CHARS = 256
+
+
+def char_ngram_features(
+    docs: DataFrame,
+    label_col: str = "lang",
+    test_pct: int = 20,
+    n_features: int = N_FEATURES,
+    n: int = 3,
+    max_chars: int = LANGID_MAX_CHARS,
+) -> DataFrame:
+    """(doc_id, actual, split, f, x): md5-bucketed CHARACTER n-gram
+    counts — the fastText language-ID feature family (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification": hashed
+    char n-grams capture orthography — accents, digraphs, script —
+    that word-level stopword lists miss entirely). Feeding these to
+    train_predict_from_features yields trained-model family member #9
+    (VERDICT r12 "What's missing" #2), the production replacement for
+    the stopword-voting heuristic (operators/text.predict_lang).
+
+    Same frame contract as hashed_features, so trainer, oracle CTE
+    chain, and streamed-feature twin all apply unchanged. The text is
+    lowercased and capped at ``max_chars`` chars, so the explode is
+    <= max_chars rows per doc — a constant, not a document-length,
+    bound. The bias row keeps gramless (too-short) docs scorable."""
+    split = F.when(md5_bucket("doc_id", 100) < test_pct, "test").otherwise(
+        "train"
+    )
+    base = docs.select(
+        "doc_id", F.col(label_col).alias("actual"), split.alias("split")
+    )
+    t = F.lower(F.substring(F.trim(F.col("text")), 1, max_chars))
+    # the gram array is built INSIDE the generator argument (evaluated
+    # once per row — the safe side of the explode-projection trap) and
+    # only the cheap md5 bucket rides per exploded element
+    grams = F.when(
+        F.length("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_t") - (n - 1)),
+            lambda i: F.substr(F.col("_t"), i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gramf = (
+        docs.select(
+            "doc_id",
+            F.col(label_col).alias("actual"),
+            split.alias("split"),
+            t.alias("_t"),
+        )
+        .select(
+            "doc_id", "actual", "split", F.explode(grams).alias("gram")
+        )
+        .withColumn("f", md5_bucket("gram", n_features).cast("int"))
+        .groupBy("doc_id", "actual", "split", "f")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bias = base.select(
+        "doc_id", "actual", "split",
+        F.lit(n_features).cast("int").alias("f"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return gramf.unionByName(bias)

@@ -2904,25 +2904,33 @@ def docs_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_predict_linear(docs, label_col="lang", test_pct=20)
 
 
-def _linear_train_sql(n_iters: int = 4, n_features: int = 64) -> str:
+def _linear_train_sql(
+    n_iters: int = 4, n_features: int = 64, feat_body: str | None = None
+) -> str:
     # every CTE is MATERIALIZED for the same reason as _bpe_train_sql:
     # plain CTEs re-inline and the w{k} chain would blow up
     # exponentially. Iteration k scores with w{k-1}, updates by the
     # misclassification deltas, and wavg sums the post-update weights
     # of every iteration (the averaged-perceptron estimator).
+    # ``feat_body`` swaps the feature CTE's corpus-sized half (default:
+    # hashed bag-of-words) — the char-ngram language-ID twin reuses the
+    # whole trainer chain with a different featurizer, exactly like
+    # train_predict_from_features on the Spark side.
     fhash = f"CAST(('0x' || substr(md5(x.token), 1, 8)) AS BIGINT) % {n_features}"
+    if feat_body is None:
+        feat_body = f"""
+  SELECT b.doc_id, b.actual, b.split, {fhash} AS f, COUNT(*) AS x
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) x
+  JOIN base b USING (doc_id)
+  WHERE x.token <> ''
+  GROUP BY 1, 2, 3, 4"""
     parts = [
         f"""base AS MATERIALIZED (
   SELECT doc_id, lang AS actual,
          CASE WHEN {_NB_BUCKET} < 20 THEN 'test' ELSE 'train' END AS split
   FROM documents
 ),
-feat AS MATERIALIZED (
-  SELECT b.doc_id, b.actual, b.split, {fhash} AS f, COUNT(*) AS x
-  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) x
-  JOIN base b USING (doc_id)
-  WHERE x.token <> ''
-  GROUP BY 1, 2, 3, 4
+feat AS MATERIALIZED ({feat_body}
   UNION ALL
   SELECT doc_id, actual, split, {n_features} AS f, 1 AS x FROM base
 ),
@@ -2981,9 +2989,58 @@ SELECT actual, predicted, COUNT(*) AS n_docs FROM (
 LINEAR_SQL = _linear_train_sql()
 
 
+def docs_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language-ID — trained-model family member #9 (VERDICT
+    r12 "What's missing" #2): the fastText recipe (Joulin et al.
+    2016) of a linear classifier over hashed CHARACTER 3-gram
+    features (operators/linear.char_ngram_features — orthography:
+    accents, digraphs, function-morphemes — where the stopword
+    heuristic only sees whole function words), through the SAME
+    integer averaged-perceptron trainer as docs_linear_classifier.
+    Returns the held-out confusion matrix; the oracle unrolls every
+    iteration's weights over the char-ngram feature CTE. The
+    heuristic-vs-trained accuracy comparison on an orthographically
+    separable corpus is pinned in tests/test_text_skew.py."""
+    from degdb_spark.operators.linear import (
+        char_ngram_features,
+        train_predict_from_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_predict_from_features(
+        char_ngram_features(docs, label_col="lang", test_pct=20)
+    )
+
+
+def _langid_train_sql(
+    n_iters: int = 4, n_features: int = 64, n: int = 3, max_chars: int = 256
+) -> str:
+    fhash = f"CAST(('0x' || substr(md5(g.gram), 1, 8)) AS BIGINT) % {n_features}"
+    feat_body = f"""
+  SELECT b.doc_id, b.actual, b.split, {fhash} AS f, COUNT(*) AS x
+  FROM (
+    SELECT i.doc_id, substr(i.t, i.pos, {n}) AS gram
+    FROM (
+      SELECT d.doc_id, d.t,
+             unnest(generate_series(1, len(d.t) - {n - 1})) AS pos
+      FROM (SELECT doc_id, lower(substr(trim(text), 1, {max_chars})) AS t
+            FROM documents) d
+    ) i
+  ) g
+  JOIN base b USING (doc_id)
+  GROUP BY 1, 2, 3, 4"""
+    return _linear_train_sql(
+        n_iters=n_iters, n_features=n_features, feat_body=feat_body
+    )
+
+
+LANGID_TRAIN_SQL = _langid_train_sql()
+
+
 QUERIES: dict[str, Query] = {
     "docs_naive_bayes": Query(docs_naive_bayes, NB_SQL),
     "docs_linear_classifier": Query(docs_linear_classifier, LINEAR_SQL),
+    "docs_langid_trained": Query(docs_langid_trained, LANGID_TRAIN_SQL),
     "docs_dsir_selection": Query(dsir_selection, DSIR_SQL),
     "docs_bpe_pair_counts": Query(bpe_pair_counts, BPE_PAIRS_SQL),
     "docs_bpe_encode": Query(bpe_encode_vocab, BPE_ENCODE_SQL),

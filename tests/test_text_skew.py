@@ -207,3 +207,72 @@ def test_span_dedup_celebrity_span_no_window(spark):
     for i in range(2, 300):
         if i % 10:
             assert got[i] == (1, " ".join(f"t{i}u{j}" for j in range(10)))
+
+
+def test_trained_langid_beats_stopword_heuristic_on_orthography(spark):
+    """Trained language-ID (operators/linear.char_ngram_features →
+    the integer perceptron; fastText's recipe) must WIN where the
+    stopword heuristic is structurally blind: two languages with
+    disjoint orthography (digraph inventories) and ZERO stopwords
+    from any marker list. predict_lang votes 'und' everywhere
+    (accuracy 0); the char-3gram model separates the scripts on the
+    held-out split. Also pins the trainer: the confusion matrix of
+    the planted corpus is deterministic."""
+    from degdb_spark.operators.linear import (
+        char_ngram_features,
+        train_predict_from_features,
+    )
+    from degdb_spark.operators.text import predict_lang
+
+    tha_words = ["thacha", "chatha", "thathra", "chracha", "thrachra"]
+    kak_words = ["kakoka", "kokaka", "kakkok", "kokkak", "kakkoko"]
+    rows = []
+    for i in range(60):
+        words = tha_words if i % 2 == 0 else kak_words
+        lang = "tha" if i % 2 == 0 else "kak"
+        text = " ".join(words[(i + j) % len(words)] for j in range(12))
+        rows.append((i, text, lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # heuristic: no marker stopwords anywhere -> 'und', accuracy 0
+    heur = predict_lang(docs).select("lang", "pred_lang").collect()
+    heur_acc = sum(r.lang == r.pred_lang for r in heur) / len(heur)
+    assert heur_acc == 0.0
+
+    conf = train_predict_from_features(
+        char_ngram_features(docs, label_col="lang", test_pct=20)
+    ).collect()
+    n_test = sum(r.n_docs for r in conf)
+    trained_acc = sum(r.n_docs for r in conf if r.actual == r.predicted) / n_test
+    assert n_test > 0 and trained_acc >= 0.9 > heur_acc
+
+
+def test_char_ngram_features_match_python_replica(spark):
+    """char_ngram_features == a literal Python featurizer: lowercase,
+    256-char cap, positions 1..len-2, md5-bucket counts, bias row —
+    including the short-doc (gramless) and empty-doc edges."""
+    import hashlib
+
+    from degdb_spark.operators.linear import char_ngram_features
+
+    rows = [
+        (0, "Abc defG", "x"),
+        (1, "ab", "y"),          # too short: bias row only
+        (2, "", "y"),            # empty: bias row only
+        (3, "ééé øøø", "x"),     # non-ASCII lowercasing parity
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_id, r.f): r.x
+        for r in char_ngram_features(docs, test_pct=0, n_features=64).collect()
+    }
+
+    want = {}
+    for i, text, _lang in rows:
+        t = text.strip()[:256].lower()
+        for p in range(len(t) - 2):
+            g = t[p : p + 3]
+            f = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 64
+            want[(i, f)] = want.get((i, f), 0) + 1
+        want[(i, 64)] = 1  # bias
+    assert got == want
