@@ -464,6 +464,138 @@ cent(cell, cv, c2) AS (VALUES
 IVF_FIXED_SQL = _ivf_fixed_oracle_sql(_IVF_CENTROIDS, _IVF_N_PROBE)
 
 
+#: semantic-decontamination contract knobs: cosine threshold sized to
+#: this corpus's top percentile (the synthetic embeddings plant no
+#: >=0.9 near-dups — p99 of best bench-cosine is ~0.44 at sf0.01, so
+#: 0.4 flags the discriminative tail), probes = the IVF contract's 3.
+_DECON_TAU, _DECON_NPROBE = 0.4, 3
+
+
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination rolled up per source
+    (operators/dedup.semantic_contamination — VERDICT r12 "What's
+    missing" #3): the held-out eval slice (vec_id % 25 == 0, the
+    docs_decontaminate convention in the shared id space) probes the
+    pinned-centroid IVF cells and flags corpus vectors with probed
+    cosine >= 0.4; the per-source SEMANTIC contamination rate lands
+    next to the N-GRAM rate (the docs_contamination_by_source
+    machinery) — the dashboard that catches paraphrased leakage
+    n-grams structurally miss. Index-pruned by cell equi-join (no
+    all-pairs; plan-gated in tests/test_plans.py); the oracle replays
+    assignment, probes, threshold and both rollups in one statement."""
+    from degdb_spark.operators.dedup import (
+        contamination_report,
+        semantic_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sem = semantic_contamination(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        _IVF_CENTROIDS,
+        threshold=_DECON_TAU,
+        n_probe=_DECON_NPROBE,
+    ).withColumnRenamed("vec_id", "doc_id")
+    corpus_d = docs.filter(F.col("doc_id") % 25 != 0)
+    ng = contamination_report(
+        corpus_d, docs.filter(F.col("doc_id") % 25 == 0), n=3
+    )
+    return (
+        corpus_d.select("doc_id", "source")
+        .join(sem, on="doc_id", how="left")
+        .join(ng.select("doc_id", "contaminated"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("sem_contaminated"), F.lit(False)).cast("int"))
+            .cast("long")
+            .alias("n_semantic"),
+            F.max(F.coalesce(F.col("max_sim"), F.lit(-1.0))).alias("max_sim"),
+            F.sum(F.col("contaminated").cast("int")).cast("long").alias("n_ngram"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_semantic",
+            dround(F.col("n_semantic") / F.col("n_docs"), 4).alias(
+                "semantic_rate"
+            ),
+            "max_sim",
+            "n_ngram",
+            dround(F.col("n_ngram") / F.col("n_docs"), 4).alias("ngram_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontaminate_sql(
+    centroids: list[list[float]], n_probe: int, tau: float
+) -> str:
+    from degdb_spark.queries.text_queries import _TOKS
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent(cell, cv, c2) AS (VALUES
+  {_centroid_values_rows(centroids)}),
+cell_rank AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY c.c2 - 2 * list_dot_product(e.v, c.cv), c.cell) AS rn
+  FROM e CROSS JOIN cent c
+),
+assign AS (SELECT vec_id AS doc_id, cell FROM cell_rank WHERE rn = 1 AND vec_id % 25 <> 0),
+probes AS (SELECT vec_id AS bench_id, cell FROM cell_rank WHERE rn <= {n_probe} AND vec_id % 25 = 0),
+semsc AS (
+  SELECT a.doc_id,
+         FLOOR((
+           list_dot_product(qe.v, ce.v) /
+           (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+         ) * 10000 + 0.5) / 10000 AS sim
+  FROM assign a JOIN probes p ON p.cell = a.cell
+  JOIN e qe ON qe.vec_id = p.bench_id
+  JOIN e ce ON ce.vec_id = a.doc_id
+),
+sem AS (
+  SELECT doc_id,
+         SUM(CASE WHEN sim >= {tau} THEN 1 ELSE 0 END) AS n_sem_hits,
+         MAX(sim) AS max_sim
+  FROM semsc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 3 + 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 25 = 0
+), doc_grams AS (
+  SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM grams WHERE doc_id % 25 <> 0
+), nghits AS (
+  SELECT doc_id, COUNT(*) AS n_hit
+  FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(s.n_sem_hits, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+       FLOOR((SUM(CASE WHEN COALESCE(s.n_sem_hits, 0) > 0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS semantic_rate,
+       MAX(COALESCE(s.max_sim, -1.0)) AS max_sim,
+       CAST(SUM(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram,
+       FLOOR((SUM(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) * 10000 + 0.5) / 10000 AS ngram_rate
+FROM documents d
+LEFT JOIN sem s ON s.doc_id = d.doc_id
+LEFT JOIN nghits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 25 <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+DECON_EMB_SQL = _decontaminate_sql(_IVF_CENTROIDS, _DECON_NPROBE, _DECON_TAU)
+
+
 def _lloyd_round_ctes(r: int) -> list[str]:
     """One unrolled Lloyd round as three CTEs over the training slice
     ``tr`` and the previous centroid relation ``c{r-1}``: nearest-
@@ -1865,6 +1997,7 @@ QUERIES: dict[str, Query] = {
     "emb_threshold_curve": Query(neardup_threshold_curve, THRESHOLD_CURVE_SQL),
     "emb_jl_distortion": Query(jl_projection, JL_SQL),
     "emb_ann_recall": Query(ann_recall, ANN_RECALL_SQL),
+    "emb_decontaminate": Query(emb_decontaminate, DECON_EMB_SQL),
     "emb_pq_knn": Query(pq_knn, PQ_KNN_SQL),
     "emb_ivfpq_knn": Query(ivf_pq_knn, IVF_PQ_SQL),
     "emb_pq_index_build": Query(pq_index_build, PQ_INDEX_BUILD_SQL),

@@ -1010,3 +1010,16 @@ def test_graph_knn_walk_equijoins_bounded_frontier(spark):
     # the entry scoring is allowed exactly as a broadcast NL join; a
     # second one would mean an unintended unbounded cross crept in
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_emb_decontaminate_index_pruned_no_cartesian(spark):
+    """emb_decontaminate: candidate generation must be the IVF cell
+    EQUI-join (benchmark probes broadcast, corpus assigned in-plan) —
+    never an all-pairs bench x corpus product (the thing the index
+    exists to avoid), and no Python UDF anywhere."""
+    from degdb_spark.queries.embeddings_queries import emb_decontaminate
+
+    plan = _plan(emb_decontaminate(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # tiny probe side rides broadcast

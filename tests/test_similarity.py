@@ -934,3 +934,49 @@ def test_navigable_adjacency_noncontiguous_ids(spark):
     m, stride = 12, 12 // 3
     want = {(i, (i + j * stride) % m) for i in ids for j in (1, 2)}
     assert got == want
+
+
+def test_semantic_contamination_flags_planted_paraphrase(spark):
+    """semantic_contamination (embedding-space decontamination): a
+    corpus vector that is a near-copy of a benchmark vector is
+    flagged; orthogonal vectors are not; and on this clustered
+    fixture the IVF-probed verdict equals brute force (the planted
+    pair shares its nearest cell by construction). Flags ride the
+    per-doc report every downstream rollup consumes."""
+    import numpy as np
+
+    from degdb_spark.operators.dedup import semantic_contamination
+    from degdb_spark.operators.similarity import make_hyperplanes
+
+    rng_axis = np.zeros(8); rng_axis[0] = 1.0
+    far_axis = np.zeros(8); far_axis[4] = 1.0
+    rows = []
+    # bench ids 0,25 (the %25 convention); 0 sits on axis-0
+    rows.append((0, [float(x) for x in rng_axis]))
+    rows.append((25, [float(x) for x in far_axis]))
+    # corpus: 1 = near-copy of bench 0 (paraphrase leak), others far
+    near = rng_axis + 0.05 * np.arange(8) / 8.0
+    rows.append((1, [float(x) for x in near]))
+    for i in (2, 3, 4):
+        v = np.zeros(8); v[i + 3] = 1.0; v[0] = -0.2
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    cents = make_hyperplanes(8, 4, seed=777)
+    rep = {
+        r.vec_id: r
+        for r in semantic_contamination(
+            corpus, bench, cents, threshold=0.9, n_probe=2
+        ).collect()
+    }
+    assert set(rep) == {1, 2, 3, 4}
+    assert rep[1].sem_contaminated and rep[1].max_sim >= 0.99
+    assert not any(rep[i].sem_contaminated for i in (2, 3, 4))
+    # brute-force agreement on the planted pair
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    want = {i: any(cos(dict(rows)[i], dict(rows)[b]) >= 0.9 for b in (0, 25))
+            for i in (1, 2, 3, 4)}
+    assert {i: rep[i].sem_contaminated for i in want} == want
