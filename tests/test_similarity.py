@@ -980,3 +980,51 @@ def test_semantic_contamination_flags_planted_paraphrase(spark):
     want = {i: any(cos(dict(rows)[i], dict(rows)[b]) >= 0.9 for b in (0, 25))
             for i in (1, 2, 3, 4)}
     assert {i: rep[i].sem_contaminated for i in want} == want
+
+
+def test_hnsw_two_layer_recall_at_reduced_budget(spark):
+    """Two-layer walk (hnsw_knn_search): on the clustered fixture the
+    coarse-seeded walk at a REDUCED total hop budget (1+2=3 vs the
+    single-layer 3+entry... here: coarse 1 hop + fine 2 hops vs
+    single-layer 3 fine hops) reaches at least the single-layer
+    recall — the HNSW layer earns its cost by landing the fine walk
+    in the query's region. Also sanity: every result is a real
+    corpus id and ranks are 1..k."""
+    from degdb_spark.operators.knngraph import (
+        graph_knn_search,
+        hnsw_knn_search,
+        knn_graph_descent,
+        navigable_adjacency,
+    )
+    from degdb_spark.operators.similarity import brute_force_topk
+
+    V = _clustered_corpus()
+    n = len(V)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    graph = knn_graph_descent(emb, k=8, rounds=3, rho=1).select(
+        "id", "neighbor_id"
+    )
+    adj = navigable_adjacency(graph, emb, k_long=8).localCheckpoint()
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_knn_search(adj, emb, queries, k=5, beam=8, hops=3).collect()
+    }
+    two = hnsw_knn_search(
+        emb, queries, k=5, beam=8, hops=2, graph_k=8, rounds=3, rho=1,
+        coarse_mod=4, coarse_k=8, coarse_rounds=1, coarse_hops=1,
+    ).collect()
+    two_set = {(r.query_id, r.neighbor_id) for r in two}
+    s_recall = len(exact & single) / len(exact)
+    t_recall = len(exact & two_set) / len(exact)
+    assert t_recall >= s_recall, (t_recall, s_recall)
+    assert t_recall >= 0.8
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert all(r.neighbor_id in ids and 1 <= r.rank <= 5 for r in two)
