@@ -1149,3 +1149,89 @@ QUERIES: dict[str, Query] = {
     "media_resize_check": Query(media_resize_check, RESIZE_SQL),
     "media_frame_extract": Query(media_frame_extract, FRAME_EXTRACT_SQL),
 }
+
+
+def media_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality gates verified bit-exactly (operators/multimodal.
+    image_quality — VERDICT r12 "What's missing" #5): REAL BMP decode
+    → integer variance-of-Laplacian sufficient statistics + gray-
+    histogram flatness, flags as integer cross-multiplications. The
+    oracle replays gray = Σ_c (7x+13y+31c+i) mod 256 and the
+    4-neighbor Laplacian in closed form over the pixel grid, so a
+    hash match certifies the decode AND the quality arithmetic."""
+    from degdb_spark.operators.multimodal import image_quality, synthetic_media
+
+    media = synthetic_media(spark, _N_MEDIA)
+    return image_quality(media).orderBy("media_id")
+
+
+def _gray_sql(x: str, y: str) -> str:
+    """Closed-form integer gray = r+g+b of the synthetic pixel formula
+    at (x, y) — each channel mods independently, exactly the decode."""
+    return (
+        f"(((7*({x}) + 13*({y}) + m.media_id) % 256)"
+        f" + ((7*({x}) + 13*({y}) + 31 + m.media_id) % 256)"
+        f" + ((7*({x}) + 13*({y}) + 62 + m.media_id) % 256))"
+    )
+
+
+def _image_quality_sql() -> str:
+    from degdb_spark.operators.multimodal import (
+        BLUR_VAR_THR,
+        FLAT_DOM_DEN,
+        FLAT_DOM_NUM,
+    )
+
+    lap = (
+        f"4*{_gray_sql('xs.x', 'ys.y')} - {_gray_sql('xs.x', 'ys.y - 1')}"
+        f" - {_gray_sql('xs.x', 'ys.y + 1')} - {_gray_sql('xs.x - 1', 'ys.y')}"
+        f" - {_gray_sql('xs.x + 1', 'ys.y')}"
+    )
+    return f"""
+WITH {_MEDIA_CTE},
+lap AS (
+  SELECT m.media_id, {lap} AS l
+  FROM media m,
+       LATERAL (SELECT unnest(generate_series(1, m.w - 2)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(1, m.h - 2)) AS y) ys
+  WHERE m.kind = 'image'
+),
+lstats AS (
+  SELECT media_id, COUNT(*) AS n_interior,
+         CAST(SUM(l) AS BIGINT) AS lap_s1,
+         CAST(SUM(l * l) AS BIGINT) AS lap_s2
+  FROM lap GROUP BY media_id
+),
+gray AS (
+  SELECT m.media_id, {_gray_sql('xs.x', 'ys.y')} AS g
+  FROM media m,
+       LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) ys
+  WHERE m.kind = 'image'
+),
+ghist AS (
+  SELECT media_id, g, COUNT(*) AS c FROM gray GROUP BY media_id, g
+),
+gstats AS (
+  SELECT media_id, CAST(SUM(c) AS BIGINT) AS n_pixels,
+         CAST(COUNT(*) AS BIGINT) AS gray_distinct,
+         CAST(MAX(c) AS BIGINT) AS gray_dom_count
+  FROM ghist GROUP BY media_id
+)
+SELECT g.media_id, g.n_pixels, l.n_interior, l.lap_s1, l.lap_s2,
+       g.gray_distinct, g.gray_dom_count,
+       (l.n_interior = 0 OR
+        l.n_interior * l.lap_s2 - l.lap_s1 * l.lap_s1
+          < {BLUR_VAR_THR} * l.n_interior * l.n_interior) AS blurry,
+       g.gray_dom_count * {FLAT_DOM_DEN} > {FLAT_DOM_NUM} * g.n_pixels AS flat
+FROM gstats g JOIN lstats l USING (media_id)
+ORDER BY media_id
+"""
+
+
+IMAGE_QUALITY_SQL = _image_quality_sql()
+
+
+# registered here (below its definition) — the dict literal above
+# predates this r13 surface
+QUERIES["media_image_quality"] = Query(media_image_quality, IMAGE_QUALITY_SQL)

@@ -131,7 +131,8 @@ def test_cli_media_pipeline(capsys, spark, tmp_path):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     rows = [_json.loads(l) for l in lines]
     assert [r["stage"] for r in rows] == [
-        "validated", "exact_dedup", "fingerprintable", "neardup_keep",
+        "validated", "image_quality", "exact_dedup", "fingerprintable",
+        "neardup_keep",
     ]
     counts = [r["n_items"] for r in rows]
     assert counts[0] == 18  # the synthetic table is fully decodable

@@ -175,6 +175,7 @@ def test_curate_media_planted_stages(spark, tmp_path):
     report = curate_media(spark, media, out_dir=out)
     assert [(r["stage"], r["n_items"]) for r in report] == [
         ("validated", 12),       # 13 in, the corrupt payload quarantined
+        ("image_quality", 12),   # mod-pattern images are crisp: none gated
         ("exact_dedup", 11),     # 310 is byte-identical to 100
         ("fingerprintable", 8),  # tiny audio + images 101/103 gated
         ("neardup_keep", 5),     # video twins 1,3 + aHash-equal image 102
@@ -220,7 +221,7 @@ def test_curate_media_empty_table(spark):
     empty = spark.createDataFrame([], M.MEDIA_SCHEMA)
     report = curate_media(spark, empty)
     assert [(r["stage"], r["n_items"]) for r in report] == [
-        ("validated", 0), ("exact_dedup", 0),
+        ("validated", 0), ("image_quality", 0), ("exact_dedup", 0),
         ("fingerprintable", 0), ("neardup_keep", 0),
     ]
 
@@ -319,3 +320,40 @@ def test_pack_bestfit_never_splits_and_fits(spark):
     )
     assert sum(r.crosses_boundary for r in pack_documents(odd, budget=C).collect()) > 0
     assert all(not r.oversize for r in pack_bestfit(odd, budget=C).collect())
+
+
+def test_image_quality_gate_quarantines_flat_and_blurry(spark):
+    """image_quality (blur/flat gates): a constant-color image is both
+    flat AND blurry (zero Laplacian variance, one gray bin); a smooth
+    near-constant gradient is blurry but not flat; the crisp synthetic
+    mod-pattern images are neither. curate_media quarantines exactly
+    the bad ones at the image_quality stage, audio untouched."""
+    import numpy as np
+
+    from degdb_spark.functions import codecs as C
+    from degdb_spark.operators import multimodal as M
+    from degdb_spark.pipeline import curate_media
+
+    flat_px = np.full((64, 64, 3), 200, dtype=np.uint8)
+    smooth = np.zeros((64, 64, 3), dtype=np.uint8)
+    smooth[:, :, :] = (np.arange(64)[None, :, None] // 8).astype(np.uint8)
+    good = M.synthetic_media(spark, 3)  # ids 0 image, 1 audio, 2 video
+    extra = spark.createDataFrame(
+        [
+            (50, "image", bytearray(C.encode_bmp(flat_px)),
+             ("bmp", 64, 64, None, None)),
+            (51, "image", bytearray(C.encode_bmp(smooth)),
+             ("bmp", 64, 64, None, None)),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    media = good.unionByName(extra)
+    q = {r.media_id: r for r in M.image_quality(media).collect()}
+    assert q[50].flat and q[50].blurry and q[50].gray_distinct == 1
+    assert q[51].blurry and not q[51].flat
+    assert not q[0].blurry and not q[0].flat
+
+    report = curate_media(spark, media)
+    by_stage = {r["stage"]: r["n_items"] for r in report}
+    assert by_stage["validated"] == 5
+    assert by_stage["image_quality"] == 3  # both planted bad images gone
