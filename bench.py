@@ -244,6 +244,18 @@ HEADLINE = [
     "docs_hybrid_search",
     # round 12: deterministic per-epoch training-order shuffle
     "docs_epoch_shuffle",
+    # round 13: document-preserving best-fit packing (harmonic length
+    # classes) and the dual-strategy efficiency report
+    "docs_bestfit_packing",
+    # round 13: trained char-3gram language-ID (perceptron family #9)
+    "docs_langid_trained",
+    # round 13: embedding-space benchmark decontamination (IVF-probed)
+    "emb_decontaminate",
+    # round 13: two-layer (HNSW-style) graph-ANN walk — both builds +
+    # both walks in one certified plan
+    "emb_hnsw_knn",
+    # round 13: integer blur/flat image quality gates
+    "media_image_quality",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

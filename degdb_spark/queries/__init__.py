@@ -31,101 +31,85 @@ class Query(NamedTuple):
     oracle: str | None  # DuckDB SQL (ANSI-ish), None → rows-only check
 
 
-#: Round-12 window (see module docstring). Composition (50 checked
-#: slots): the TWENTY-FOUR r6-era rows spilled by round 11 (exactly
-#: as planned in the round-11 comment), then the TEN surfaces NEW
-#: in round 12 (docs_paragraph_dedup / docs_paragraph_dup_by_source —
-#: CCNet paragraph-level dedup + its per-source profile;
-#: media_phash_dct_neardups — DCT perceptual hash in the shared band
-#: schema; docs_unigram_tokenizer — unigram-LM tokenizer training,
-#: full EM trajectory oracle; emb_graph_knn — beam ANN walk over the
-#: navigable NN-Descent graph; emb_graph_index_build /
-#: emb_graph_index_knn — the persisted k-NN graph contract index,
-#: lifecycle #16; docs_unigram_fertility — per-source tokenizer
-#: fertility through the trained unigram model's encode pass;
-#: docs_hybrid_search — Reciprocal-Rank Fusion of BM25 and dense
-#: rankings in exact integer nano-units; docs_epoch_shuffle —
-#: deterministic per-epoch training-order shuffle), then the THREE
-#: surfaces CHANGED in round 12
-#: (emb_knn_graph — the NN-Descent reverse-neighbor table is now
-#: capped to rho*k per pivot, plan + oracle changed;
-#: media_flac_decode / media_flac_transcode — decode_flac gained the
-#: RFC 9639 unknown-total/unknown-MD5 paths), then r7-era fill in
-#: module order (16 rows; the remaining 32 r7-era rows spill to
-#: round 13).
+#: Round-13 window (see module docstring). Composition (50 checked
+#: slots): the THIRTY-FIVE r7-era rows spilled by round 12 (exactly
+#: as planned in the round-12 comment), then the FIVE surfaces NEW
+#: in round 13 (docs_bestfit_packing — document-preserving harmonic
+#: length-class packing; docs_langid_trained — char-3gram perceptron
+#: language-ID, trained-model family #9; emb_decontaminate —
+#: embedding-space benchmark decontamination through the pinned-IVF
+#: probe; emb_hnsw_knn — two-layer HNSW-style graph walk, both
+#: layers unrolled in one oracle; media_image_quality — integer
+#: blur/flat image gates off the decode seam), then the FIVE
+#: surfaces CHANGED in round 13 (docs_hybrid_search — rrf_fuse now
+#: reduces each input to its best rank per doc before fusing;
+#: docs_packing_efficiency — reports both packing strategies side by
+#: side; docs_linear_classifier — trainer SQL parameterized by
+#: featurizer, defensive re-check; emb_graph_knn /
+#: emb_graph_index_knn — navigable_adjacency's long-link modulus is
+#: now max(id)+1, oracle mm CTE changed), then r8-era fill in module
+#: order (5 rows; the remaining 36 r8-era rows spill to round 14).
 #:
-#: Round-13 window, planned now so the standing policy stays
-#: executable: the 35 spilled r7-era rows first (docs_bpe_pair_counts,
-#: docs_bpe_encode, docs_dup_rate_by_source, docs_quality_vs_dup,
-#: docs_ngram_jaccard, docs_dedup_clusters, docs_neardup_kept,
-#: docs_incremental_neardups, docs_token_stats, docs_quality_scores,
-#: docs_language_id, docs_span_dedup, docs_fingerprints,
-#: events_hourly_rollup, events_dedup_first, events_sessionization,
-#: events_json_props, events_type_pivot, triple_subject_lookup,
-#: triple_or_patterns, triple_and_not, triple_two_hop,
-#: triple_three_hop, triple_insert_dedup, triple_predicate_histogram,
-#: cube_lineitem_status, customers_without_orders,
-#: left_join_order_stats, full_outer_nation_presence,
-#: above_nation_average, orders_with_big_items,
-#: conditional_aggregation, array_aggregation,
-#: docs_phrase_search_indexed, docs_proximity_search_indexed), then
-#: the r8-era cohort in module order + anything new/changed in round
-#: 13, overflow evicting newest-fill-first as usual.
+#: Round-14 window, planned now so the standing policy stays
+#: executable: the 36 spilled r8-era rows first (media_gif_decode
+#: onward in module order — the r8 cohort minus the 5 filled here),
+#: then the r9-era cohort in module order + anything new/changed in
+#: round 14, overflow evicting newest-fill-first as usual.
 _WINDOW = [
-    # --- r6-era spill from round 11, module order (24)
-    "lineitem_sample_revenue",
-    "docs_temperature_mixture",
-    "events_heavy_hitters",
-    "events_kmv_distinct",
-    "events_asof_join",
-    "events_range_join",
-    "events_hypertable_rollup",
-    "events_cms_estimate",
-    "media_phash_neardups",
-    "media_payload_stats",
-    "docs_bigrams",
-    "events_sliding_window",
-    "events_asof_forward",
-    "events_per_user_cap",
-    "lineitem_stratified_sample",
-    "docs_decontaminate",
-    "docs_pii_redaction",
-    "docs_repetition_metrics",
-    "docs_filter_rules",
-    "docs_vocab_topk",
-    "docs_tfidf_terms",
-    "docs_packing",
-    "docs_simhash_neardups",
-    "docs_exact_dedup",
-    # --- new in round 12 (7)
-    "docs_paragraph_dedup",  # NEW r12: CCNet paragraph-level dedup
-    "docs_paragraph_dup_by_source",  # NEW r12: per-source paragraph profile
-    "media_phash_dct_neardups",  # NEW r12: DCT pHash, shared band schema
-    "docs_unigram_tokenizer",  # NEW r12: unigram-LM tokenizer training
-    "emb_graph_knn",  # NEW r12: beam ANN walk over the navigable graph
-    "emb_graph_index_build",  # NEW r12: persisted k-NN graph build surface
-    "emb_graph_index_knn",  # NEW r12: graph ANN served from the index
-    "docs_unigram_fertility",  # NEW r12: tokenizer fertility by source (encode pass)
-    "docs_hybrid_search",  # NEW r12: RRF hybrid retrieval (BM25 + dense)
-    "docs_epoch_shuffle",  # NEW r12: deterministic per-epoch training-order shuffle
-    # --- changed in round 12 (3)
-    "emb_knn_graph",  # CHANGED r12: reverse-neighbor cap (rho*k, md5 order)
-    "media_flac_decode",  # CHANGED r12: RFC 9639 unknown-total/MD5 paths
-    "media_flac_transcode",  # CHANGED r12: same decoder change
-    # --- r7-era fill, oldest-first module order (16)
-    "emb_pq_knn",
-    "emb_ivfpq_knn",
-    "emb_pq_index_build",
-    "emb_pq_index_knn",
-    "emb_filtered_knn",
-    "emb_ivf_fixed_knn",
-    "emb_ivf_knn",
-    "emb_semantic_dedup",
-    "docs_mixture_sample",
-    "lineitem_quantile_sketch",
-    "events_hll_distinct",
-    "docs_chunking",
-    "docs_dsir_selection",
+    # --- r7-era spill from round 12, module order (35)
+    "docs_bpe_pair_counts",
+    "docs_bpe_encode",
+    "docs_dup_rate_by_source",
+    "docs_quality_vs_dup",
+    "docs_ngram_jaccard",
+    "docs_dedup_clusters",
+    "docs_neardup_kept",
+    "docs_incremental_neardups",
+    "docs_token_stats",
+    "docs_quality_scores",
+    "docs_language_id",
+    "docs_span_dedup",
+    "docs_fingerprints",
+    "events_hourly_rollup",
+    "events_dedup_first",
+    "events_sessionization",
+    "events_json_props",
+    "events_type_pivot",
+    "triple_subject_lookup",
+    "triple_or_patterns",
+    "triple_and_not",
+    "triple_two_hop",
+    "triple_three_hop",
+    "triple_insert_dedup",
+    "triple_predicate_histogram",
+    "cube_lineitem_status",
+    "customers_without_orders",
+    "left_join_order_stats",
+    "full_outer_nation_presence",
+    "above_nation_average",
+    "orders_with_big_items",
+    "conditional_aggregation",
+    "array_aggregation",
+    "docs_phrase_search_indexed",
+    "docs_proximity_search_indexed",
+    # --- new in round 13 (5)
+    "docs_bestfit_packing",  # NEW r13: document-preserving best-fit packing
+    "docs_langid_trained",  # NEW r13: char-3gram trained language-ID
+    "emb_decontaminate",  # NEW r13: embedding-space decontamination
+    "emb_hnsw_knn",  # NEW r13: two-layer (HNSW-style) graph-ANN walk
+    "media_image_quality",  # NEW r13: integer blur/flat image gates
+    # --- changed in round 13 (5)
+    "docs_hybrid_search",  # CHANGED r13: rrf_fuse per-list best-rank dedup
+    "docs_packing_efficiency",  # CHANGED r13: dual-strategy report
+    "docs_linear_classifier",  # CHANGED r13: trainer SQL parameterized (defensive)
+    "emb_graph_knn",  # CHANGED r13: long-link modulus max(id)+1
+    "emb_graph_index_knn",  # CHANGED r13: same long-link change on the served path
+    # --- r8-era fill, oldest-first module order (5)
+    "docs_weighted_sample",
+    "events_join_size_estimate",
+    "events_kmv_setops",
+    "media_png_decode",
+    "media_jpeg_decode",
 ]
 
 
