@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
         help="stage-3b rewrite: aligned 10-token spans (C4) or "
         "variable-length ExactSubstr repeats",
     )
+    pipe.add_argument(
+        "--packing",
+        choices=("concat", "bestfit"),
+        default="concat",
+        help="final placement: concat-and-chunk (fills windows, "
+        "truncates straddlers) or document-preserving best-fit "
+        "(harmonic length classes, zero split in-budget docs)",
+    )
 
     mpipe = sub.add_parser(
         "media-pipeline",
@@ -139,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="degdb_pipeline")
         for row in curate(
             spark, args.sf_dir or DEFAULT_SF_DIR, args.out,
-            rewrite_dedup=args.rewrite_dedup,
+            rewrite_dedup=args.rewrite_dedup, packing=args.packing,
         ):
             print(json.dumps(row, sort_keys=True))
         return 0

@@ -75,6 +75,7 @@ def curate(
     pack_budget: int = 256,
     rewrite_dedup: str = "span",
     substring_min_tokens: int = 20,
+    packing: str = "concat",
 ) -> list[dict]:
     """Run the full curation pipeline over ``sf_dir``/documents.
 
@@ -90,9 +91,18 @@ def curate(
     repeats at ANY offset, operators/dedup.substring_dedup — strictly
     stronger boilerplate removal at the cost of the stride-1 window
     pass).
+
+    ``packing`` picks the final placement strategy: "concat"
+    (concat-and-chunk — fills every window, truncates straddlers) or
+    "bestfit" (document-preserving harmonic length classes,
+    operators/packing.pack_bestfit — zero split in-budget docs; the
+    report's n_windows then counts best-fit bins and adds the
+    oversize-doc truncation workload).
     """
     if rewrite_dedup not in ("span", "substring"):
         raise ValueError(f"rewrite_dedup must be 'span' or 'substring', got {rewrite_dedup!r}")
+    if packing not in ("concat", "bestfit"):
+        raise ValueError(f"packing must be 'concat' or 'bestfit', got {packing!r}")
     from degdb_spark.catalog import load_table
     from degdb_spark.operators.dedup import (
         contamination_report,
@@ -101,7 +111,7 @@ def curate(
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
-    from degdb_spark.operators.packing import pack_documents
+    from degdb_spark.operators.packing import pack_bestfit, pack_documents
     from degdb_spark.operators.ranking import global_running_sum
     from degdb_spark.operators.sampling import train_test_split
     from degdb_spark.operators.text import filter_rules, token_count
@@ -230,21 +240,37 @@ def curate(
 
     # stage 6: split + packing placements
     final = train_test_split(s5, "doc_id")
-    placements = pack_documents(final, budget=pack_budget)
-    n_windows = placements.agg(
-        F.coalesce(
-            F.expr(f"(sum(n_tokens) + {pack_budget - 1}) DIV {pack_budget}"),
-            F.lit(0),
-        ).alias("w")
-    ).collect()[0]["w"]
-    report.append(
-        {
-            "stage": "packed",
-            "n_docs": report[-1]["n_docs"],
-            "n_tokens": report[-1]["n_tokens"],
-            "n_windows": int(n_windows),
-        }
-    )
+    if packing == "bestfit":
+        placements = pack_bestfit(final, budget=pack_budget).transform(
+            pin, eager=True
+        )
+        row = placements.agg(
+            F.coalesce(F.max("pack_id") + 1, F.lit(0)).alias("w"),
+            F.coalesce(
+                F.sum(F.col("oversize").cast("int")), F.lit(0)
+            ).alias("o"),
+        ).collect()[0]
+        n_windows, n_oversize = int(row["w"]), int(row["o"])
+    else:
+        placements = pack_documents(final, budget=pack_budget)
+        n_windows = int(
+            placements.agg(
+                F.coalesce(
+                    F.expr(f"(sum(n_tokens) + {pack_budget - 1}) DIV {pack_budget}"),
+                    F.lit(0),
+                ).alias("w")
+            ).collect()[0]["w"]
+        )
+        n_oversize = None
+    stage_row = {
+        "stage": "packed",
+        "n_docs": report[-1]["n_docs"],
+        "n_tokens": report[-1]["n_tokens"],
+        "n_windows": n_windows,
+    }
+    if n_oversize is not None:
+        stage_row["n_oversize_docs"] = n_oversize
+    report.append(stage_row)
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

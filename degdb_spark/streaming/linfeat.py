@@ -51,13 +51,23 @@ def linfeat_index_stream(
     label_col: str = "lang",
     test_pct: int = 20,
     n_features: int = 64,
+    featurizer: str = "words",
 ):
     """Maintain the per-batch hashed-feature index from a document
-    stream. Returns the started availableNow StreamingQuery."""
+    stream. Returns the started availableNow StreamingQuery.
+
+    ``featurizer`` picks the per-doc projection: "words" (hashed
+    bag-of-words — docs_linear_classifier's family) or "char3"
+    (hashed character 3-grams — the trained language-ID family #9,
+    operators/linear.char_ngram_features). Both land in the identical
+    (doc_id, actual, split, f, x) schema, so ONE index layout and ONE
+    training seam serve both model families — the wordhist/unigram
+    "one index, two trainers" device applied to the perceptron."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
         _linfeat_index_step(
-            batch, int(batch_id), index_path, label_col, test_pct, n_features
+            batch, int(batch_id), index_path, label_col, test_pct,
+            n_features, featurizer,
         )
 
     return (
@@ -75,14 +85,24 @@ def _linfeat_index_step(
     label_col: str = "lang",
     test_pct: int = 20,
     n_features: int = 64,
+    featurizer: str = "words",
 ) -> None:
     """One micro-batch, module-level so the replay contract is
     directly testable (the family convention)."""
-    from degdb_spark.operators.linear import hashed_features
-
-    feat = hashed_features(batch, label_col, test_pct, n_features).transform(
-        pin, eager=True
+    from degdb_spark.operators.linear import (
+        char_ngram_features,
+        hashed_features,
     )
+
+    if featurizer == "words":
+        feat = hashed_features(batch, label_col, test_pct, n_features)
+    elif featurizer == "char3":
+        feat = char_ngram_features(batch, label_col, test_pct, n_features)
+    else:
+        raise ValueError(
+            f"featurizer must be 'words' or 'char3', got {featurizer!r}"
+        )
+    feat = feat.transform(pin, eager=True)
     feat.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
 
 

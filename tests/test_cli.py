@@ -178,3 +178,35 @@ def test_cli_pipeline_substring_mode(capsys, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="rewrite_dedup"):
         curate(spark, "/root/testdata/sf0.001", rewrite_dedup="nope")
+
+
+def test_cli_pipeline_bestfit_packing(capsys, spark, tmp_path):
+    """--packing bestfit swaps the final stage for document-preserving
+    placement: the packed report row carries n_oversize_docs, the
+    written placements have zero split in-budget docs (one (pack_id,
+    pack_slot) per doc) and every non-oversize bin's tokens fit the
+    budget."""
+    import json as _json
+    import os as _os
+
+    from degdb_spark.__main__ import main
+
+    out = str(tmp_path / "curated_bf")
+    rc = main([
+        "pipeline", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--packing", "bestfit",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    packed = rows[-1]
+    assert packed["stage"] == "packed" and "n_oversize_docs" in packed
+    placements = spark.read.parquet(_os.path.join(out, "packing.parquet"))
+    rows_p = placements.collect()
+    assert len({r.doc_id for r in rows_p}) == len(rows_p)  # one placement per doc
+    bins = {}
+    for r in rows_p:
+        if not r.oversize:
+            bins[r.pack_id] = bins.get(r.pack_id, 0) + r.n_tokens
+    assert bins and all(v <= 256 for v in bins.values())
+    assert packed["n_windows"] == len({r.pack_id for r in rows_p})

@@ -2027,3 +2027,34 @@ def test_knn_graph_index_step_replays_converge(spark):
     assert second != first  # batch 1 genuinely landed
     for t in ("knng_replay_idx", "knng_replay_idx_vectors"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_linfeat_char3_index_retrains_langid_exactly(spark, tmp_path):
+    """The feature index's char3 featurizer (trained-model family #9's
+    index twin): char-3gram feature rows streamed batch-by-batch,
+    merged, and trained equal the full-corpus trained language-ID run
+    exactly — one index layout, two trainers (the wordhist/unigram
+    device on the perceptron family)."""
+    from degdb_spark.operators.linear import (
+        char_ngram_features,
+        train_predict_from_features,
+    )
+    from degdb_spark.streaming.linfeat import _linfeat_index_step, merged_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "c3idx")
+    _linfeat_index_step(docs.filter("doc_id < 200"), 0, idx, featurizer="char3")
+    _linfeat_index_step(docs.filter("doc_id >= 200"), 1, idx, featurizer="char3")
+    from_index = [
+        tuple(r)
+        for r in train_predict_from_features(merged_features(spark, idx)).collect()
+    ]
+    full = [
+        tuple(r)
+        for r in train_predict_from_features(char_ngram_features(docs)).collect()
+    ]
+    assert from_index == full and len(full) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="featurizer"):
+        _linfeat_index_step(docs.limit(1), 2, idx, featurizer="nope")
