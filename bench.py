@@ -256,6 +256,8 @@ HEADLINE = [
     "emb_hnsw_knn",
     # round 13: integer blur/flat image quality gates
     "media_image_quality",
+    # round 13: MinHash fuzzy decontamination (the middle rung)
+    "docs_fuzzy_decontaminate",
 ]
 
 #: Suite-aging canaries (VERDICT r5 ask #7): five cheap, shape-diverse

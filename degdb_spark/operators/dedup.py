@@ -1195,3 +1195,99 @@ def semantic_contamination(
             (F.coalesce("n_sem_hits", F.lit(0)) > 0).alias("sem_contaminated"),
         )
     )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """FUZZY (MinHash-LSH) benchmark decontamination — the middle rung
+    of the decontamination ladder between the exact n-gram check
+    (contamination_report: misses any edit) and the semantic check
+    (semantic_contamination: needs embeddings): a lightly edited
+    benchmark copy — whitespace/casing churn, a few swapped words —
+    shares most shingles, so it band-collides with the eval doc and
+    verifies at token-set Jaccard >= ``threshold``. This is the GPT-3
+    appendix-C style fuzzy dedup applied bench-vs-corpus.
+
+    Plan shape (100 TB): both sides get the standard band table
+    (band_table — 3 narrow values per doc-band); the BENCHMARK side is
+    broadcast (eval sets are tiny by definition), the corpus side
+    streams through one equi-join on (band, band_hash); only candidate
+    ENDPOINTS are tokenized for verification (the ngram_jaccard_pairs
+    prune). No corpus self-join anywhere — cost is one corpus sketch
+    pass + work proportional to collisions with the bench.
+
+    Returns (id_col, n_bench_matches, max_jaccard, fuzzy_contaminated)
+    over every corpus doc; max_jaccard = −1.0 for never-candidate docs
+    (the semantic_contamination convention). Jaccard arithmetic is
+    identical to ngram_jaccard_pairs (4-dp floor-round), so the oracle
+    replays the whole pipeline through the shared MinHash CTE chain."""
+    from degdb_spark.persistence import pin
+
+    cb = band_table(corpus, text_col, id_col, shingle_k, num_hashes, bands)
+    bb = band_table(bench, text_col, id_col, shingle_k, num_hashes, bands)
+    cand = pin(
+        cb.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("_cid"),
+            F.col(f"b.{id_col}").alias("_bid"),
+        )
+        .distinct()
+    )
+    ctoks = corpus.join(
+        cand.select(F.col("_cid").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    ).select(
+        F.col(id_col).alias("_cid"),
+        F.array_distinct(tokens(text_col)).alias("ts_c"),
+    )
+    btoks = bench.join(
+        cand.select(F.col("_bid").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    ).select(
+        F.col(id_col).alias("_bid"),
+        F.array_distinct(tokens(text_col)).alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect("ts_c", "ts_b"))
+    union = F.size(F.array_union("ts_c", "ts_b"))
+    verified = (
+        cand.join(ctoks, on="_cid")
+        .join(F.broadcast(btoks), on="_bid")
+        .withColumn(
+            "jaccard",
+            dround(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    hits = verified.groupBy("_cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits.withColumnRenamed("_cid", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            F.coalesce("max_jaccard", F.lit(-1.0)).alias("max_jaccard"),
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias(
+                "fuzzy_contaminated"
+            ),
+        )
+    )

@@ -33,14 +33,16 @@ class Query(NamedTuple):
 
 #: Round-13 window (see module docstring). Composition (50 checked
 #: slots): the THIRTY-FIVE r7-era rows spilled by round 12 (exactly
-#: as planned in the round-12 comment), then the FIVE surfaces NEW
+#: as planned in the round-12 comment), then the SIX surfaces NEW
 #: in round 13 (docs_bestfit_packing — document-preserving harmonic
 #: length-class packing; docs_langid_trained — char-3gram perceptron
 #: language-ID, trained-model family #9; emb_decontaminate —
 #: embedding-space benchmark decontamination through the pinned-IVF
 #: probe; emb_hnsw_knn — two-layer HNSW-style graph walk, both
 #: layers unrolled in one oracle; media_image_quality — integer
-#: blur/flat image gates off the decode seam), then the FIVE
+#: blur/flat image gates off the decode seam;
+#: docs_fuzzy_decontaminate — MinHash-LSH fuzzy decontamination,
+#: the middle rung of the decontamination ladder), then the FIVE
 #: surfaces CHANGED in round 13 (docs_hybrid_search — rrf_fuse now
 #: reduces each input to its best rank per doc before fusing;
 #: docs_packing_efficiency — reports both packing strategies side by
@@ -48,11 +50,11 @@ class Query(NamedTuple):
 #: featurizer, defensive re-check; emb_graph_knn /
 #: emb_graph_index_knn — navigable_adjacency's long-link modulus is
 #: now max(id)+1, oracle mm CTE changed), then r8-era fill in module
-#: order (5 rows; the remaining 36 r8-era rows spill to round 14).
+#: order (4 rows; the remaining 37 r8-era rows spill to round 14).
 #:
 #: Round-14 window, planned now so the standing policy stays
-#: executable: the 36 spilled r8-era rows first (media_gif_decode
-#: onward in module order — the r8 cohort minus the 5 filled here),
+#: executable: the 37 spilled r8-era rows first (media_jpeg_decode
+#: onward in module order — the r8 cohort minus the 4 filled here),
 #: then the r9-era cohort in module order + anything new/changed in
 #: round 14, overflow evicting newest-fill-first as usual.
 _WINDOW = [
@@ -92,24 +94,24 @@ _WINDOW = [
     "array_aggregation",
     "docs_phrase_search_indexed",
     "docs_proximity_search_indexed",
-    # --- new in round 13 (5)
+    # --- new in round 13 (6)
     "docs_bestfit_packing",  # NEW r13: document-preserving best-fit packing
     "docs_langid_trained",  # NEW r13: char-3gram trained language-ID
     "emb_decontaminate",  # NEW r13: embedding-space decontamination
     "emb_hnsw_knn",  # NEW r13: two-layer (HNSW-style) graph-ANN walk
     "media_image_quality",  # NEW r13: integer blur/flat image gates
+    "docs_fuzzy_decontaminate",  # NEW r13: MinHash fuzzy decontamination rung
     # --- changed in round 13 (5)
     "docs_hybrid_search",  # CHANGED r13: rrf_fuse per-list best-rank dedup
     "docs_packing_efficiency",  # CHANGED r13: dual-strategy report
     "docs_linear_classifier",  # CHANGED r13: trainer SQL parameterized (defensive)
     "emb_graph_knn",  # CHANGED r13: long-link modulus max(id)+1
     "emb_graph_index_knn",  # CHANGED r13: same long-link change on the served path
-    # --- r8-era fill, oldest-first module order (5)
+    # --- r8-era fill, oldest-first module order (4)
     "docs_weighted_sample",
     "events_join_size_estimate",
     "events_kmv_setops",
     "media_png_decode",
-    "media_jpeg_decode",
 ]
 
 

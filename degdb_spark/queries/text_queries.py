@@ -3096,3 +3096,44 @@ QUERIES: dict[str, Query] = {
     "docs_substring_dup_by_source": Query(substring_dup_by_source, SUBSTR_DUP_BY_SOURCE_SQL),
     "docs_fingerprints": Query(doc_fingerprints, FINGERPRINT_SQL),
 }
+
+
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH) benchmark decontamination — the middle
+    decontamination rung (operators/dedup.fuzzy_contamination):
+    lightly edited benchmark copies that the exact 3-gram check can
+    miss band-collide with the eval doc and verify at token-set
+    Jaccard >= 0.4. Same eval-set convention as docs_decontaminate
+    (every 25th doc); per-corpus-doc report with the bench side
+    broadcast. The oracle replays the shared banded-LSH chain
+    (_MINHASH_CTES) restricted to mixed bench-corpus pairs."""
+    from degdb_spark.operators.dedup import fuzzy_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_contamination(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0),
+        threshold=0.4,
+    ).orderBy("doc_id")
+
+
+FUZZY_DECONTAMINATE_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_matches,
+       COALESCE(h.mx, -1.0) AS max_jaccard,
+       COALESCE(h.n, 0) > 0 AS fuzzy_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+LEFT JOIN (
+  SELECT CASE WHEN id_a % 25 = 0 THEN id_b ELSE id_a END AS doc_id,
+         COUNT(*) AS n, MAX(jaccard) AS mx
+  FROM verified
+  WHERE (id_a % 25 = 0) <> (id_b % 25 = 0)
+  GROUP BY 1
+) h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["docs_fuzzy_decontaminate"] = Query(
+    fuzzy_decontaminate, FUZZY_DECONTAMINATE_SQL
+)

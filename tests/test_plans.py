@@ -1037,3 +1037,16 @@ def test_hnsw_two_layer_walk_equijoins_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_fuzzy_decontaminate_broadcasts_bench_no_corpus_selfjoin(spark):
+    """docs_fuzzy_decontaminate: the band probe must be corpus ⋈
+    BROADCAST(bench) — never a corpus band self-join (this is
+    decontamination, not corpus dedup) and never cartesian; no Python
+    UDF anywhere."""
+    from degdb_spark.queries.text_queries import fuzzy_decontaminate
+
+    plan = _plan(fuzzy_decontaminate(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan

@@ -1327,3 +1327,30 @@ def test_incremental_paragraph_dedup_batches_equal_full(spark):
         existing = existing.unionByName(fresh).distinct()
     assert got == want
     assert got[2][1] == 1 and got[4] == (1, 0, "")
+
+
+def test_fuzzy_contamination_catches_edited_benchmark_copy(spark):
+    """fuzzy_contamination (the middle decontamination rung): a
+    lightly EDITED benchmark copy — the case exact 3-gram overlap can
+    under-report — band-collides and verifies at Jaccard >= 0.4;
+    unrelated docs stay clean; never-candidate docs carry the
+    -1.0 max_jaccard sentinel. The planted edit keeps most shingles
+    (word swap deep in the doc) so at least one of the 8 bands
+    matches."""
+    from degdb_spark.operators.dedup import fuzzy_contamination
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    edited = base.replace("upsilon", "changed")  # edit at the tail
+    rows_bench = [(100, base)]
+    rows_corpus = [
+        (1, edited),
+        (2, "totally different words about spark shuffles and parquet files"),
+    ]
+    bench = spark.createDataFrame(rows_bench, "doc_id long, text string")
+    corpus = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    rep = {r.doc_id: r for r in fuzzy_contamination(corpus, bench).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[1].fuzzy_contaminated and rep[1].n_bench_matches == 1
+    assert rep[1].max_jaccard >= 0.9  # 19/21 shared tokens
+    assert not rep[2].fuzzy_contaminated and rep[2].max_jaccard == -1.0
