@@ -61,7 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from degdb_spark.operators.similarity import cosine
+from degdb_spark.operators.similarity import _dot, _norm
 from degdb_spark.persistence import pin
 from degdb_spark.queries.rounding import dround
 
@@ -132,53 +132,66 @@ def knn_graph_descent(
     if rho < 1:
         raise ValueError("knn_graph_descent requires rho >= 1")
     spark = emb.sparkSession
-    v = emb.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).transform(pin, eager=False)
+    # ||v|| is materialized ONCE per vector (n rows) instead of being
+    # re-folded per candidate pair: cosine(a,b) = dot/(na·nb) with
+    # na/nb precomputed is the same double ops in the same order as
+    # _dot/(_norm·_norm) per pair (the _semantic_assigned vnorm
+    # device), cutting the per-pair array folds from ~6 traversals
+    # (zip_with+aggregate dot, two transform+aggregate norms) to 2.
+    v = (
+        emb.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("vn", _norm(F.col("v")))
+        .transform(pin, eager=False)
+    )
     n = v.count()
     if n <= k:
         return spark.createDataFrame(
             [], "id long, rank long, neighbor_id long, cosine_sim double"
         )
 
+    va = v.select(F.col("id"), F.col("v").alias("_va"), F.col("vn").alias("_na"))
+    vb = v.select(
+        F.col("id").alias("nbr"), F.col("v").alias("_vb"), F.col("vn").alias("_nb")
+    )
+
     def scored(pairs: DataFrame) -> DataFrame:
         """(id, nbr) → + 6-dp cosine via two id-keyed joins."""
-        return (
-            pairs.join(v.select(F.col("id"), F.col("v").alias("_va")), on="id")
-            .join(
-                v.select(F.col("id").alias("nbr"), F.col("v").alias("_vb")),
-                on="nbr",
-            )
-            .select(
-                "id",
-                "nbr",
-                dround(cosine(F.col("_va"), F.col("_vb")), round_dp).alias("sim"),
-            )
+        return pairs.join(va, on="id").join(vb, on="nbr").select(
+            "id",
+            "nbr",
+            dround(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_dp,
+            ).alias("sim"),
         )
 
     def topk_arrays(cands: DataFrame) -> DataFrame:
         """(id, _top): per-id best k as a SORTED struct array —
-        (sim DESC, nbr ASC) via the (-sim, nbr) struct order. Duplicate
-        (id, nbr) entries collapse first (identical sims by
-        construction), then a bounded sort-slice aggregate."""
-        return (
-            cands.groupBy("id", "nbr")
-            .agg(F.max("sim").alias("sim"))
-            .groupBy("id")
-            .agg(
-                F.slice(
-                    F.array_sort(
+        (sim DESC, nbr ASC) via the (-sim, nbr) struct order, in ONE
+        exchange: duplicate (id, nbr) entries carry bit-identical sims
+        by construction (same formula over the same vectors — the old
+        two-exchange groupBy(id, nbr).max pre-collapse was pure
+        shuffle overhead), so array_distinct inside the aggregate
+        collapses them exactly. The collect_list buffer stays bounded:
+        candidates are pre-distinct per round and the state is k rows
+        per id, so ≤ k + ((1+ρ)k)² structs per id."""
+        return cands.groupBy("id").agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
                         F.collect_list(
                             F.struct(
                                 (-F.col("sim")).alias("d"), F.col("nbr").alias("nbr")
                             )
                         )
-                    ),
-                    1,
-                    k,
-                ).alias("_top")
-            )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
         )
 
     def explode_state(tops: DataFrame) -> DataFrame:
@@ -202,14 +215,38 @@ def knn_graph_descent(
                 capped_reverse(state, cap=rho * k)
             )
         )
-        cand = (
+        # The local join's candidate set is SYMMETRIC by construction
+        # (for pivot p every ordered pair over B_p appears in both
+        # directions), and cosine is exactly symmetric (the dot fold
+        # and the norm product are the same doubles either way), so
+        # each unordered pair is scored ONCE and mirrored by a 2-way
+        # explode — half the distinct-shuffle rows, half the score
+        # joins, half the cosine folds, bit-identical candidate
+        # multiset.
+        und = (
             b.alias("x")
             .join(b.alias("y"), on="id")
             .select(F.col("x.nbr").alias("id"), F.col("y.nbr").alias("nbr"))
-            .filter(F.col("id") != F.col("nbr"))
+            .filter(F.col("id") < F.col("nbr"))
             .distinct()
         )
-        tops = pin(topk_arrays(state.unionByName(scored(cand))))
+        cand_scored = (
+            scored(und)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("id"), F.col("nbr"), F.col("sim")),
+                        F.struct(
+                            F.col("nbr").alias("id"),
+                            F.col("id").alias("nbr"),
+                            F.col("sim"),
+                        ),
+                    )
+                ).alias("t")
+            )
+            .select("t.id", "t.nbr", "t.sim")
+        )
+        tops = pin(topk_arrays(state.unionByName(cand_scored)))
         state = explode_state(tops)
 
     return tops.select("id", F.posexplode("_top").alias("_r", "t")).select(
@@ -266,53 +303,75 @@ def graph_knn_search(
     graph walk scales with beam·k·hops.
     """
     spark = emb.sparkSession
-    v = emb.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).transform(pin, eager=False)
-    q = queries.select(
-        F.col(id_col).cast("long").alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).transform(pin, eager=False)
+    # norms materialized once per vector/query (the knn_graph_descent
+    # device — same doubles, a third of the per-pair folds)
+    v = (
+        emb.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("vn", _norm(F.col("v")))
+        .transform(pin, eager=False)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).cast("long").alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+        .transform(pin, eager=False)
+    )
     a = adj.select(
         F.col("id").cast("long").alias("_gid"),
         F.col("neighbor_id").cast("long").alias("_gnbr"),
     ).transform(pin, eager=False)
 
+    vsel = v.select(
+        F.col("id").alias("node"), F.col("v").alias("_vn"), F.col("vn").alias("_nn")
+    )
+    qsel = q.select("qid", F.col("qv").alias("_vq"), F.col("qn").alias("_nq"))
+
     def scored(pairs: DataFrame) -> DataFrame:
-        """(qid, node) → + 6-dp cosine."""
+        """(qid, node) → + 6-dp cosine. The frontier side is BOUNDED
+        by contract (≤ |Q|·beam·k rows — corpus-size-independent, the
+        whole point of the walk), so it is broadcast: the corpus-sized
+        vector table is streamed, never exchanged — per hop the only
+        shuffle left is the beam aggregate's."""
         return (
-            pairs.join(
-                v.select(F.col("id").alias("node"), F.col("v").alias("_vn")),
-                on="node",
-            )
-            .join(q.select("qid", F.col("qv").alias("_vq")), on="qid")
+            vsel.join(F.broadcast(pairs), on="node")
+            .join(F.broadcast(qsel), on="qid")
             .select(
                 "qid",
                 "node",
-                dround(cosine(F.col("_vq"), F.col("_vn")), round_dp).alias("sim"),
+                dround(
+                    _dot(F.col("_vq"), F.col("_vn"))
+                    / (F.col("_nq") * F.col("_nn")),
+                    round_dp,
+                ).alias("sim"),
             )
         )
 
     def best_arrays(cands: DataFrame, nkeep: int) -> DataFrame:
-        return (
-            cands.groupBy("qid", "node")
-            .agg(F.max("sim").alias("sim"))
-            .groupBy("qid")
-            .agg(
-                F.slice(
-                    F.array_sort(
+        """Per-query best ``nkeep`` in ONE exchange: duplicate
+        (qid, node) entries carry bit-identical sims (same formula,
+        same vectors), so array_distinct inside the aggregate replaces
+        the old groupBy(qid, node).max pre-collapse. Buffer stays
+        ≤ beam + beam·k structs per query."""
+        return cands.groupBy("qid").agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
                         F.collect_list(
                             F.struct(
                                 (-F.col("sim")).alias("d"),
                                 F.col("node").alias("node"),
                             )
                         )
-                    ),
-                    1,
-                    nkeep,
-                ).alias("_top")
-            )
+                    )
+                ),
+                1,
+                nkeep,
+            ).alias("_top")
         )
 
     def explode_best(tops: DataFrame) -> DataFrame:
@@ -330,9 +389,13 @@ def graph_knn_search(
         )
     best = pin(scored(seed))
     for _ in range(hops):
+        # frontier ⋈ graph with the |Q|·beam frontier BROADCAST: the
+        # corpus-sized adjacency is streamed (scanned, never shuffled)
         cand = (
-            best.select("qid", "node")
-            .join(a, on=F.col("node") == F.col("_gid"))
+            a.join(
+                F.broadcast(best.select("qid", "node")),
+                on=F.col("node") == F.col("_gid"),
+            )
             .select("qid", F.col("_gnbr").alias("node"))
             .distinct()
         )
@@ -400,9 +463,13 @@ def navigable_adjacency(
             )
         ).alias("neighbor_id"),
     )
-    return (
-        graph.select("id", "neighbor_id").unionByName(long_links).distinct()
-    )
+    # UNION ALL, deliberately: the rare duplicate edge (a long link
+    # that coincides with a k-NN edge) is harmless because every
+    # consumer is the beam walk, which dedups its candidate set per
+    # hop (graph_knn_search's distinct + best_arrays' array_distinct)
+    # — a distinct here would be a full corpus-sized-edge-set shuffle
+    # paid on every walk for nothing.
+    return graph.select("id", "neighbor_id").unionByName(long_links)
 
 
 # ---------------------------------------------------------------- index
