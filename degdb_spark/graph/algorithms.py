@@ -144,7 +144,7 @@ def hash_min_components(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .transform(pin, eager=True)
+        .transform(pin, eager=False)
     )
     # initial component = own id
     state = vertices.withColumn("component", F.col("id"))
@@ -205,7 +205,7 @@ def sssp_weighted(
     contain both directions if the graph is undirected.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst", "w").transform(pin, eager=True)
+    edges = edges.select("src", "dst", "w").transform(pin, eager=False)
     dist = spark.createDataFrame([(source, 0)], ["id", "dist"]).withColumn(
         "dist", F.col("dist").cast("long")
     )
@@ -246,7 +246,7 @@ def label_propagation(
     replays it exactly. One groupBy + one window shuffle per iteration.
     ``edges`` must contain both directions for undirected graphs.
     """
-    edges = edges.select("src", "dst").transform(pin, eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=False)
     labels = vertices.select("id").withColumn("label", F.col("id"))
     for _ in range(max_iter):
         votes = (
@@ -287,7 +287,7 @@ def kcore_peel(
     action per round, same discipline as sssp_weighted). ``edges`` must
     contain both directions for undirected graphs.
     """
-    edges = edges.select("src", "dst").transform(pin, eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=False)
     alive = (
         edges.select(F.col("src").alias("id")).distinct().transform(lineage_cut, eager=False)
     )
@@ -324,7 +324,7 @@ def bfs_distances(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     # one materialization; every BFS level joins the same edge frame
-    edges = edges.transform(pin, eager=True)
+    edges = edges.transform(pin, eager=False)
     spark = triples.sparkSession
     visited = spark.createDataFrame([(source, 0)], ["id", "dist"])
     frontier = visited
@@ -361,7 +361,7 @@ def multi_source_bfs(
     convergence action — every superstep is deterministic, which is
     what the unrolled-CTE oracle replays.
     """
-    edges = edges.select("src", "dst").transform(pin, eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=False)
     dist = sources.select(
         F.col("source"), F.col("source").alias("id"), F.lit(0).cast("long").alias("dist")
     )

@@ -390,7 +390,11 @@ def graph_knn_search(
     best = pin(scored(seed))
     for _ in range(hops):
         # frontier ⋈ graph with the |Q|·beam frontier BROADCAST: the
-        # corpus-sized adjacency is streamed (scanned, never shuffled)
+        # corpus-sized adjacency is streamed (scanned, never shuffled).
+        # The candidate distinct stays: measured, scoring the duplicate
+        # (qid, node) rows instead costs more than the small dedup
+        # exchange saves (duplicates multiply the broadcast build side
+        # and the per-hop cosine work by up to the frontier overlap)
         cand = (
             a.join(
                 F.broadcast(best.select("qid", "node")),
