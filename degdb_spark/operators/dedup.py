@@ -605,7 +605,12 @@ def band_table(
     ingest: 3 narrow values per doc-band, so tomorrow's increment never
     rescans today's text."""
     arr = minhash_band_hashes(text_col, shingle_k, num_hashes, bands)
-    return df.select(F.col(id_col), F.posexplode(arr).alias("band", "band_hash"))
+    # the shingle + 32-way minhash fold is the expensive projection
+    # here; spread a single-file input's lone scan partition first
+    # (guide §2.5 — the lsh_candidate_pairs path above already does)
+    return rebalance_for_compute(df).select(
+        F.col(id_col), F.posexplode(arr).alias("band", "band_hash")
+    )
 
 
 def incremental_lsh_candidates(

@@ -109,6 +109,14 @@ def setsim_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    # AQE right-sizes the candidate frame by BYTES, but verification is
+    # compute-bound per row (an array_intersect over ~|doc| tokens), so
+    # the byte-coalesced 2-partition frame serialized 2.6 s of
+    # intersections onto 2 tasks (measured) — spread candidates before
+    # attaching the arrays; per-pair results are partitioning-independent
+    from degdb_spark.operators.balance import rebalance_for_compute
+
+    cand_ids = rebalance_for_compute(cand_ids, min_fraction=1.0)
     sa = sets.select(
         F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
     )

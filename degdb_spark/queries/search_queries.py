@@ -83,16 +83,31 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from degdb_spark.operators.text import tokens
 
+    from degdb_spark.operators.balance import rebalance_for_compute
+
     docs = load_table(spark, sf_dir, "documents")
-    # tokenize ONCE in a lower projection (see phrase_count docstring)
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    # "shuffle-free scan" cuts both ways: a single-file input runs the
+    # whole per-position match loop on ONE task (measured 4.3 s on one
+    # core) — round-robin the raw docs first (guide §2.5); per-doc
+    # counts are partitioning-independent
+    toks = rebalance_for_compute(docs).select(
+        "doc_id", tokens("text").alias("toks")
+    )
     out = toks.select(
         "doc_id", S.phrase_count_tokens(F.col("toks"), PHRASE).alias("n_hits")
     )
+    # filter AFTER the top-k, not before: a pre-limit filter on the
+    # computed column is pushed below the rebalance exchange and
+    # re-evaluates the whole per-position match on the single scan
+    # task (the very thing the rebalance exists to avoid). Equivalent
+    # by the total order: the top-25 under (n_hits DESC, doc_id) is
+    # identical whether non-positive rows are dropped before or after
+    # the cut — if ≥25 docs are positive they fill the cut either
+    # way; if fewer, the post-filter trims exactly the same rows.
     return (
-        out.filter(F.col("n_hits") > 0)
-        .orderBy(F.col("n_hits").desc(), "doc_id")
+        out.orderBy(F.col("n_hits").desc(), "doc_id")
         .limit(25)
+        .filter(F.col("n_hits") > 0)
     )
 
 
@@ -270,8 +285,13 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from degdb_spark.operators.text import tokens
 
+    from degdb_spark.operators.balance import rebalance_for_compute
+
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("_t"))
+    # same single-task hazard as phrase_search: spread the scan first
+    toked = rebalance_for_compute(docs).select(
+        "doc_id", tokens("text").alias("_t")
+    )
     # cheap membership gate first: position arrays only materialize for
     # docs containing BOTH terms (array_contains is a single scan per
     # doc; the position cross-product is the expensive part)
@@ -282,10 +302,16 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         S.proximity_min_distance(F.col("_t"), PROX_A, PROX_B).alias("min_dist"),
     )
+    # window filter after the top-k (the phrase_search device): ascending
+    # (min_dist, doc_id) top-25 then <= window trims the identical rows
+    # a pre-limit filter would, without pushing the position
+    # cross-product below the rebalance exchange. The cheap
+    # array_contains membership gate above stays a pre-limit filter on
+    # purpose — that one we WANT pushed into the scan.
     return (
-        scored.filter(F.col("min_dist") <= PROX_WINDOW)
-        .orderBy("min_dist", "doc_id")
+        scored.orderBy("min_dist", "doc_id")
         .limit(25)
+        .filter(F.col("min_dist") <= PROX_WINDOW)
     )
 
 
