@@ -396,21 +396,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         id_col,
         F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long").alias("_h"),
     )
+    # the per-bit aggregates and the fingerprint fold are built as SQL
+    # strings, not Column chains: Column ops cost ~2 py4j round trips
+    # each, and 60 chained sums + a 60-term conditional fold measured
+    # ~2 s of driver time per query CONSTRUCTION (the
+    # _centroid_struct_lit lesson); F.expr parses each in one trip and
+    # the arithmetic is identical integer math
     votes = th.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright("_h", i).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"_v{i}")
+            F.expr(f"sum((shiftright(_h, {i}) & 1) * 2 - 1) AS _v{i}")
             for i in range(bits)
         ]
     )
-    fp = None
-    for i in range(bits):
-        term = F.when(
-            F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN _v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return votes.select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
 
 
 def simhash_near_dups(
@@ -426,7 +429,13 @@ def simhash_near_dups(
     (pigeonhole), so candidates come from 4 block-equality buckets —
     linear shuffle, no all-pairs.
     """
-    sh = simhash(df, text_col, id_col)
+    # pinned: the fingerprint subplan carries a 60-column conditional
+    # aggregate — planning it TWICE through the self-join below (plus
+    # the exchange-reuse analysis) measured ~2 s of pure driver time;
+    # behind the checkpoint each side is a trivial LogicalRDD
+    from degdb_spark.persistence import pin
+
+    sh = pin(simhash(df, text_col, id_col))
     blocks = sh.select(
         id_col,
         "simhash",

@@ -210,10 +210,13 @@ def knn_graph_descent(
     # (ADVICE r11); lazy, so rounds >= 1 never pays the extra aggregate
     tops = topk_arrays(state) if rounds == 0 else None
     for _ in range(rounds):
-        b = pin(
-            state.select("id", "nbr").unionByName(
-                capped_reverse(state, cap=rho * k)
-            )
+        # NOT pinned: b self-joins below, and both sides are the
+        # identical subtree, so exchange reuse computes it once — a
+        # pin here would only add one more checkpoint materialization
+        # barrier per round (measured ~0.5 s of fixed AQE/segment
+        # overhead each; state itself is already pinned)
+        b = state.select("id", "nbr").unionByName(
+            capped_reverse(state, cap=rho * k)
         )
         # The local join's candidate set is SYMMETRIC by construction
         # (for pivot p every ordered pair over B_p appears in both
