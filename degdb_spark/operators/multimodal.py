@@ -99,6 +99,20 @@ VIDEO_FRAME_INTERVAL_MS = 500
 AUDIO_RATE = 16000
 
 
+def _media_df(spark: SparkSession, n: int, row_fn) -> DataFrame:
+    """Synthetic media table with payload generation in the EXECUTORS:
+    the encoders are pure-Python and deterministic in media_id, so
+    shipping the id range and encoding in parallel replaces the serial
+    driver-side encode a local generator pays (measured 0.45-0.7 s per
+    construction for the GIF/MJPEG builders — every bench attempt and
+    every fixture build pays it) and skips the driver→JVM payload
+    copy. Row values are identical byte-for-byte: ``row_fn`` is the
+    same closed-form arithmetic either way."""
+    sc = spark.sparkContext
+    rdd = sc.parallelize(range(n), min(n, sc.defaultParallelism)).map(row_fn)
+    return spark.createDataFrame(rdd, schema=MEDIA_SCHEMA)
+
+
 def _image_dims(i: int) -> tuple[int, int]:
     return 64 + (i % 8) * 16, 64 + (i % 5) * 16
 
@@ -180,13 +194,12 @@ def synthetic_gif_media(spark: SparkSession, n: int = 60) -> DataFrame:
     bit-exactly and the SAME closed-form oracle that checks BMP and
     PNG checks the LZW + palette path too."""
 
-    def rows():
-        for i in range(n):
-            w, h = _image_dims(i)
-            payload = gif.encode_gif(_image_pixels(i, w, h))
-            yield (i, "image", bytearray(payload), ("gif", w, h, None, None))
+    def row(i):
+        w, h = _image_dims(i)
+        payload = gif.encode_gif(_image_pixels(i, w, h))
+        return (i, "image", bytearray(payload), ("gif", w, h, None, None))
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 def synthetic_gif_video_media(spark: SparkSession, n: int = 33) -> DataFrame:
@@ -197,19 +210,18 @@ def synthetic_gif_video_media(spark: SparkSession, n: int = 33) -> DataFrame:
     so the container is lossless and the frame-extraction oracle
     replays (11f + 7x + 13y + 31c + i) mod 256 in SQL."""
 
-    def rows():
-        for i in range(n):
-            duration_ms = 1000 + i * 37
-            frames = _video_frames(i, duration_ms)
-            payload = gif.encode_gif_frames(frames, VIDEO_FRAME_INTERVAL_MS)
-            yield (
-                i,
-                "video",
-                bytearray(payload),
-                ("gif", VIDEO_FRAME_W, VIDEO_FRAME_H, duration_ms, None),
-            )
+    def row(i):
+        duration_ms = 1000 + i * 37
+        frames = _video_frames(i, duration_ms)
+        payload = gif.encode_gif_frames(frames, VIDEO_FRAME_INTERVAL_MS)
+        return (
+            i,
+            "video",
+            bytearray(payload),
+            ("gif", VIDEO_FRAME_W, VIDEO_FRAME_H, duration_ms, None),
+        )
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 def avi_exact_frames(i: int, w: int, h: int, n: int) -> np.ndarray:
@@ -237,21 +249,20 @@ def synthetic_avi_media(spark: SparkSession, n: int = 33) -> DataFrame:
     clock."""
     from degdb_spark.functions import avi
 
-    def rows():
-        for i in range(n):
-            duration_ms = 1000 + i * 37
-            w = 56 + (i % 9) * 12
-            h = 56 + (i % 7) * 12
-            nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
-            payload = avi.encode_avi_mjpeg(
-                avi_exact_frames(i, w, h, nf),
-                VIDEO_FRAME_INTERVAL_MS,
-                quality=50,
-                restart_interval=4 if i % 2 else 0,
-            )
-            yield (i, "video", bytearray(payload), ("avi", w, h, duration_ms, None))
+    def row(i):
+        duration_ms = 1000 + i * 37
+        w = 56 + (i % 9) * 12
+        h = 56 + (i % 7) * 12
+        nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
+        payload = avi.encode_avi_mjpeg(
+            avi_exact_frames(i, w, h, nf),
+            VIDEO_FRAME_INTERVAL_MS,
+            quality=50,
+            restart_interval=4 if i % 2 else 0,
+        )
+        return (i, "video", bytearray(payload), ("avi", w, h, duration_ms, None))
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 def synthetic_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
@@ -264,21 +275,20 @@ def synthetic_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
     timescale + stts delta tables."""
     from degdb_spark.functions import mp4
 
-    def rows():
-        for i in range(n):
-            duration_ms = 1000 + i * 37
-            w = 56 + (i % 9) * 12
-            h = 56 + (i % 7) * 12
-            nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
-            payload = mp4.encode_mp4_mjpeg(
-                avi_exact_frames(i, w, h, nf),
-                VIDEO_FRAME_INTERVAL_MS,
-                quality=50,
-                restart_interval=4 if i % 2 else 0,
-            )
-            yield (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
+    def row(i):
+        duration_ms = 1000 + i * 37
+        w = 56 + (i % 9) * 12
+        h = 56 + (i % 7) * 12
+        nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
+        payload = mp4.encode_mp4_mjpeg(
+            avi_exact_frames(i, w, h, nf),
+            VIDEO_FRAME_INTERVAL_MS,
+            quality=50,
+            restart_interval=4 if i % 2 else 0,
+        )
+        return (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 def synthetic_mp3_media(spark: SparkSession, n: int = 40) -> DataFrame:
@@ -527,21 +537,20 @@ def synthetic_scene_mp4_media(spark: SparkSession, n: int = 33) -> DataFrame:
     difference → threshold."""
     from degdb_spark.functions import mp4
 
-    def rows():
-        for i in range(n):
-            duration_ms = 1000 + i * 37
-            w = 56 + (i % 9) * 12
-            h = 56 + (i % 7) * 12
-            nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
-            payload = mp4.encode_mp4_mjpeg(
-                scene_exact_frames(i, w, h, nf, 2 + i % 3),
-                VIDEO_FRAME_INTERVAL_MS,
-                quality=50,
-                restart_interval=4 if i % 2 else 0,
-            )
-            yield (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
+    def row(i):
+        duration_ms = 1000 + i * 37
+        w = 56 + (i % 9) * 12
+        h = 56 + (i % 7) * 12
+        nf = duration_ms // VIDEO_FRAME_INTERVAL_MS + 1
+        payload = mp4.encode_mp4_mjpeg(
+            scene_exact_frames(i, w, h, nf, 2 + i % 3),
+            VIDEO_FRAME_INTERVAL_MS,
+            quality=50,
+            restart_interval=4 if i % 2 else 0,
+        )
+        return (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 def _frame_cuts(frames: list, threshold: float) -> list[int]:
@@ -645,19 +654,18 @@ def synthetic_jpeg_media(spark: SparkSession, n: int = 48) -> DataFrame:
     land partially off-image and the edge-replication padding path is
     exercised too."""
 
-    def rows():
-        for i in range(n):
-            w = 56 + (i % 9) * 12
-            h = 56 + (i % 7) * 12
-            payload = jpeg.encode_jpeg(
-                jpeg_exact_pixels(i, w, h),
-                quality=50,
-                subsample=True,
-                restart_interval=4 if i % 2 else 0,
-            )
-            yield (i, "image", bytearray(payload), ("jpeg", w, h, None, None))
+    def row(i):
+        w = 56 + (i % 9) * 12
+        h = 56 + (i % 7) * 12
+        payload = jpeg.encode_jpeg(
+            jpeg_exact_pixels(i, w, h),
+            quality=50,
+            subsample=True,
+            restart_interval=4 if i % 2 else 0,
+        )
+        return (i, "image", bytearray(payload), ("jpeg", w, h, None, None))
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 # ------------------------------------------------------------- decoding
@@ -1316,30 +1324,29 @@ def synthetic_shot_media(spark: SparkSession, n: int = 24) -> DataFrame:
     join path."""
     from degdb_spark.functions import mp4
 
-    def rows():
-        for i in range(n):
-            g = i // 2
-            n_scenes = 3 + g % 2
-            s0 = i % 2  # odd clip: prefix-trimmed (drops scene 0)
-            w = 64 + (g % 3) * 16
-            h = 56 + (g % 2) * 16
-            frames = np.stack(
-                [
-                    shot_scene_frame(g, w, h, s)
-                    for s in range(s0, n_scenes)
-                    for _ in range(2)
-                ]
-            )
-            payload = mp4.encode_mp4_mjpeg(
-                frames,
-                VIDEO_FRAME_INTERVAL_MS,
-                quality=50,
-                restart_interval=4 if i % 2 else 0,
-            )
-            duration_ms = frames.shape[0] * VIDEO_FRAME_INTERVAL_MS
-            yield (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
+    def row(i):
+        g = i // 2
+        n_scenes = 3 + g % 2
+        s0 = i % 2  # odd clip: prefix-trimmed (drops scene 0)
+        w = 64 + (g % 3) * 16
+        h = 56 + (g % 2) * 16
+        frames = np.stack(
+            [
+                shot_scene_frame(g, w, h, s)
+                for s in range(s0, n_scenes)
+                for _ in range(2)
+            ]
+        )
+        payload = mp4.encode_mp4_mjpeg(
+            frames,
+            VIDEO_FRAME_INTERVAL_MS,
+            quality=50,
+            restart_interval=4 if i % 2 else 0,
+        )
+        duration_ms = frames.shape[0] * VIDEO_FRAME_INTERVAL_MS
+        return (i, "video", bytearray(payload), ("mp4", w, h, duration_ms, None))
 
-    return spark.createDataFrame(rows(), schema=MEDIA_SCHEMA)
+    return _media_df(spark, n, row)
 
 
 def validate_media(media: DataFrame, batch_rows: int = 32) -> DataFrame:
