@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from degdb_spark.graph.pregel import pregel
 from degdb_spark.queries.rounding import dround
+from degdb_spark.operators.balance import compact_pinned
 from degdb_spark.persistence import lineage_cut, pin
 
 
@@ -145,6 +146,9 @@ def hash_min_components(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .transform(pin, eager=False)
+        # fold tiny pinned edge frames so supersteps stop paying a
+        # near-empty task per original partition (no-op at scale)
+        .transform(compact_pinned)
     )
     # initial component = own id
     state = vertices.withColumn("component", F.col("id"))
@@ -205,7 +209,9 @@ def sssp_weighted(
     contain both directions if the graph is undirected.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst", "w").transform(pin, eager=False)
+    edges = edges.select("src", "dst", "w").transform(pin, eager=False).transform(
+        compact_pinned
+    )
     dist = spark.createDataFrame([(source, 0)], ["id", "dist"]).withColumn(
         "dist", F.col("dist").cast("long")
     )
@@ -246,7 +252,9 @@ def label_propagation(
     replays it exactly. One groupBy + one window shuffle per iteration.
     ``edges`` must contain both directions for undirected graphs.
     """
-    edges = edges.select("src", "dst").transform(pin, eager=False)
+    edges = edges.select("src", "dst").transform(pin, eager=False).transform(
+        compact_pinned
+    )
     labels = vertices.select("id").withColumn("label", F.col("id"))
     for _ in range(max_iter):
         votes = (
@@ -287,7 +295,9 @@ def kcore_peel(
     action per round, same discipline as sssp_weighted). ``edges`` must
     contain both directions for undirected graphs.
     """
-    edges = edges.select("src", "dst").transform(pin, eager=False)
+    edges = edges.select("src", "dst").transform(pin, eager=False).transform(
+        compact_pinned
+    )
     alive = (
         edges.select(F.col("src").alias("id")).distinct().transform(lineage_cut, eager=False)
     )
@@ -324,7 +334,9 @@ def bfs_distances(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     # one materialization; every BFS level joins the same edge frame
-    edges = edges.transform(pin, eager=False)
+    edges = edges.transform(pin, eager=False).transform(
+        compact_pinned
+    )
     spark = triples.sparkSession
     visited = spark.createDataFrame([(source, 0)], ["id", "dist"])
     frontier = visited
@@ -361,7 +373,9 @@ def multi_source_bfs(
     convergence action — every superstep is deterministic, which is
     what the unrolled-CTE oracle replays.
     """
-    edges = edges.select("src", "dst").transform(pin, eager=False)
+    edges = edges.select("src", "dst").transform(pin, eager=False).transform(
+        compact_pinned
+    )
     dist = sources.select(
         F.col("source"), F.col("source").alias("id"), F.lit(0).cast("long").alias("dist")
     )
@@ -399,7 +413,9 @@ def stress_path_counts(
     state keyed by (source, id) so k sources cost one BFS — the
     multi_source_bfs discipline, and every step is deterministic for
     the unrolled-CTE oracle."""
-    edges = edges.select("src", "dst").transform(pin, eager=True)
+    edges = edges.select("src", "dst").transform(pin, eager=True).transform(
+        compact_pinned
+    )
     frontier = sources.select(
         F.col("source"),
         F.col("source").alias("id"),

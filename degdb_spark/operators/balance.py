@@ -28,3 +28,25 @@ def rebalance_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame
     if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df
+
+
+def compact_pinned(
+    df: DataFrame, rows: int | None = None, rows_per_partition: int = 65536
+) -> DataFrame:
+    """The inverse of rebalance_for_compute, for MATERIALIZED (pinned)
+    frames that iterative algorithms re-scan every superstep: fold a
+    small frame's partitions with a narrow coalesce so each superstep
+    stops scheduling a near-empty task per original partition (a
+    7k-edge graph pinned off a 16-bucket table read costs a 16-32-task
+    swarm per BFS round otherwise — pure scheduler overhead).
+
+    Size-adaptive, so it self-disables at scale: the target partition
+    count is ceil(rows / rows_per_partition) capped at the current
+    count — a corpus-sized frame keeps every partition. ``rows`` (pass
+    it when the caller just counted) avoids a second count job; on an
+    eagerly pinned frame the count is a cached-RDD sweep either way.
+    coalesce() is pure partitioning — results are bit-identical."""
+    n = df.count() if rows is None else rows
+    parts = df.rdd.getNumPartitions()
+    want = max(1, min(parts, -(-n // rows_per_partition)))
+    return df.coalesce(want) if want < parts else df
