@@ -22,17 +22,15 @@ fixed iterations as MATERIALIZED CTEs (w0 → s1/p1/u1/w1 → … → wavg),
 the same shape as _bpe_train_sql.
 
 Scale shape (the k-center/BPE scalar-collect discipline): the hashed
-feature frame is aggregated once into per-doc sparse arrays and
-pinned (one exploded-corpus groupBy + one doc-keyed groupBy,
-map-side combined; one row per doc, ≤(n_features+1) struct entries).
-Each iteration is one fully-parallel PROJECTION pass over that frame
-— the integer model is |labels|·(n_features+1) literals baked into
-the argmax expression (it lives on the driver between iterations
-anyway), so scoring needs no join and no shuffle at all — plus one
-misclassification-delta groupBy, ending in a collect of at most
-|labels|·(n_features+1) rows (the model grid, never the corpus).
-The weight vector is the tiny per-round state; at 100 TB nothing
-about this loop changes but the scan time.
+feature frame is built once and pinned (one exploded-corpus groupBy,
+map-side combined; ≤(n_features+1) rows per doc). Each iteration is
+one fully-parallel pass over that frame — an equi-join against the
+BROADCAST (|labels|·(n_features+1))-row weight frame, a per-doc
+struct-min argmax (a map-side-combinable aggregation, no window
+sort), and a misclassification-delta groupBy — ending in a collect
+of at most |labels|·(n_features+1) rows (the model grid, never the
+corpus). The weight vector is the tiny per-round state;
+at 100 TB nothing about this loop changes but the scan time.
 
 Reference provenance: degdb has no ML surface; this implements the
 in-plan model-training leg of the training-pipeline extension
@@ -96,37 +94,29 @@ def hashed_features(
     return tokf.unionByName(bias)
 
 
-def _pred_expr(labels: list[str], weights, n_features: int):
-    """Per-doc argmax label as a pure PROJECTION over the per-doc
-    sparse feature array ``fs`` (array<struct<f int, x long>>): the
-    model is |labels|·(n_features+1) INTEGER literals baked into the
-    plan (it lives on the driver between iterations anyway), so
-    score(doc, cand) = Σ x·w is one bounded fold per label — no join,
-    no aggregation, no shuffle. The argmax keeps the exact
-    (score desc, cand asc) tie-break via array_sort over
-    (−score, cand) structs; everything is BIGINT, so the ordering is
-    bit-stable (the old broadcast-grid join + two-groupBy plan
-    computed the identical sums — this is the same integer math with
-    the corpus-sized shuffles deleted)."""
-    cand_structs = []
-    for lab in labels:
-        # a TRUE array Literal (F.lit of the list), not CreateArray of
-        # 65 scalar literals: CreateArray inside a lambda body is
-        # re-evaluated per array element, turning the fold into
-        # O(|fs|·n_features) literal constructions per label per row
-        warr = F.lit(
-            [int(weights[(lab, f)]) for f in range(n_features + 1)]
-        ).cast("array<bigint>")
-        s = F.aggregate(
-            F.col("fs"),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc
-            + e["x"] * F.element_at(warr, e["f"] + F.lit(1)),
+def _predictions(feat: DataFrame, wdf: DataFrame) -> DataFrame:
+    """Per-doc argmax label under a weight frame: score(doc, cand) =
+    Σ_f x·w via one equi-join on f against the broadcast model grid
+    (every doc matches every label through the grid, so zero-score
+    labels are present), tie-break (score desc, cand asc). The argmax
+    is a lexicographic struct-MIN over (−score, cand) — the exact same
+    ordering a row_number window would use, but as a map-side-
+    combinable aggregation with no per-partition sort (scores are
+    integers, so −s is exact)."""
+    scores = (
+        feat.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id", "actual", "cand")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    return (
+        scores.groupBy("doc_id", "actual")
+        .agg(
+            F.min(
+                F.struct((-F.col("s")).alias("ns"), F.col("cand").alias("cand"))
+            ).alias("b")
         )
-        cand_structs.append(
-            F.struct((-s).alias("ns"), F.lit(lab).alias("cand"))
-        )
-    return F.array_sort(F.array(*cand_structs))[0]["cand"]
+        .select("doc_id", "actual", F.col("b.cand").alias("pred"))
+    )
 
 
 def train_predict_linear(
@@ -155,22 +145,10 @@ def train_predict_from_features(
     it can equally come from hashed_features over the live corpus OR
     from the streamed feature index (streaming/linfeat.py) — training
     from the index alone never re-reads a historical document."""
-    # Per-doc sparse feature ARRAY, built and pinned once: the rest of
-    # training touches only (doc_id, actual, split, fs) rows — one per
-    # doc, ≤ n_features+1 struct entries each. Each iteration is then a
-    # single projection pass (argmax via _pred_expr's baked-in integer
-    # model) + one small groupBy over the misclassified docs' exploded
-    # features — the old per-iteration broadcast-grid join and its two
-    # corpus-keyed exchanges are gone. Array order is irrelevant:
-    # every consumer is a commutative exact-integer fold.
-    docfeat = pin(
-        feat.groupBy("doc_id", "actual", "split").agg(
-            F.collect_list(F.struct(F.col("f"), F.col("x"))).alias("fs")
-        ),
-        eager=True,
-    )
-    train_feat = docfeat.filter(F.col("split") == "train")
-    test_feat = docfeat.filter(F.col("split") == "test")
+    spark = feat.sparkSession
+    feat = pin(feat, eager=True)
+    train_feat = feat.filter(F.col("split") == "train")
+    test_feat = feat.filter(F.col("split") == "test")
 
     labels = sorted(
         r.actual
@@ -183,29 +161,18 @@ def train_predict_from_features(
     w_sum: dict[tuple[str, int], int] = {lf: 0 for lf in grid}
 
     for _ in range(n_iters):
-        pred = _pred_expr(labels, w, n_features)
-        miscl = train_feat.select(
-            "fs", "actual", pred.alias("pred")
-        ).filter(F.col("pred") != F.col("actual"))
+        wdf = spark.createDataFrame(
+            [(l, f, w[(l, f)]) for l, f in grid], "cand string, f int, w long"
+        )
+        miscl = _predictions(train_feat, wdf).filter(F.col("pred") != F.col("actual"))
         deltas = (
-            miscl.select(
-                "fs",
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("actual").alias("cand"),
-                            F.lit(1).cast("long").alias("sgn"),
-                        ),
-                        F.struct(
-                            F.col("pred").alias("cand"),
-                            F.lit(-1).cast("long").alias("sgn"),
-                        ),
-                    )
-                ).alias("u"),
+            miscl.select("doc_id", F.col("actual").alias("cand"), F.lit(1).alias("sgn"))
+            .unionByName(
+                miscl.select("doc_id", F.col("pred").alias("cand"), F.lit(-1).alias("sgn"))
             )
-            .select("u.cand", "u.sgn", F.explode("fs").alias("e"))
-            .groupBy("cand", F.col("e.f").alias("f"))
-            .agg(F.sum(F.col("sgn") * F.col("e.x")).alias("dw"))
+            .join(train_feat.select("doc_id", "f", "x"), "doc_id")
+            .groupBy("cand", "f")
+            .agg(F.sum(F.col("sgn") * F.col("x")).alias("dw"))
             .collect()  # ≤ |labels|·(n_features+1) rows — the model grid
         )
         for r in deltas:
@@ -213,11 +180,12 @@ def train_predict_from_features(
         for lf in grid:
             w_sum[lf] += w[lf]
 
+    wavg = spark.createDataFrame(
+        [(l, f, w_sum[(l, f)]) for l, f in grid], "cand string, f int, w long"
+    )
     return (
-        test_feat.select(
-            "actual", _pred_expr(labels, w_sum, n_features).alias("predicted")
-        )
-        .groupBy("actual", "predicted")
+        _predictions(test_feat, wavg)
+        .groupBy("actual", F.col("pred").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )

@@ -876,34 +876,22 @@ def test_scene_cuts_preserves_partitioning(spark):
     assert "Exchange" not in plan
 
 
-def test_linear_classifier_scoring_is_shuffle_free(spark):
-    """One perceptron scoring pass is a pure projection over the
-    per-doc sparse feature arrays: the integer model is baked into the
-    argmax expression as literals, so the pass must plan with NO
-    Exchange, NO join of any kind, and no Python eval — the r13 shape
-    that replaced the broadcast-grid join + two corpus-keyed
-    aggregations."""
-    from pyspark.sql import functions as F
-
-    from degdb_spark.operators.linear import _pred_expr, hashed_features
+def test_linear_classifier_scoring_broadcasts_weights(spark):
+    """One perceptron pass joins the corpus-sized feature frame against
+    the (|labels|·(n_features+1))-row model grid: that join must be a
+    broadcast (never a shuffle of the corpus onto the model, never a
+    CartesianProduct) and the whole pass stays JVM-side."""
+    from degdb_spark.operators.linear import _predictions, hashed_features
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    docfeat = hashed_features(docs, "lang", 20, 64).groupBy(
-        "doc_id", "actual", "split"
-    ).agg(F.collect_list(F.struct(F.col("f"), F.col("x"))).alias("fs"))
-    labels = ["de", "en", "fr"]
-    w = {(l, f): 1 for l in labels for f in range(65)}
-    scoring = docfeat.select(
-        "actual", _pred_expr(labels, w, 64).alias("pred")
+    feat = hashed_features(docs, "lang", 20, 64)
+    wdf = spark.createDataFrame(
+        [("en", f, 1) for f in range(65)], "cand string, f int, w long"
     )
-    # plan the scoring projection alone (docfeat stands in for the
-    # pinned per-doc array frame, whose build legitimately aggregates)
-    plan = _plan(scoring)
-    scoring_section = plan.split("collect_list", 1)[0]
+    plan = _plan(_predictions(feat, wdf))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "Join" not in scoring_section
-    assert "Exchange" not in scoring_section
+    assert "BroadcastHashJoin" in plan
 
 
 def test_shot_fingerprints_preserve_partitioning(spark):
