@@ -1050,3 +1050,40 @@ def test_fuzzy_decontaminate_broadcasts_bench_no_corpus_selfjoin(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_navigable_adjacency_no_exchange(spark):
+    """navigable_adjacency is UNION ALL (r13): deriving the walkable
+    edge set must plan with NO Exchange — the old distinct shuffled
+    the corpus-sized edge set on every walk to dedup the rare
+    long-link/k-NN-edge coincidence that every consumer dedups per
+    hop anyway."""
+    from degdb_spark.operators.knngraph import navigable_adjacency
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    graph = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id long, neighbor_id long"
+    )
+    plan = _plan(navigable_adjacency(graph, emb, k_long=4))
+    assert "Exchange" not in plan
+
+
+def test_graph_walk_unchanged_by_duplicate_adjacency_edges(spark):
+    """The union-all navigable_adjacency can emit a duplicate edge (a
+    long link that coincides with a k-NN edge); the beam walk must be
+    invariant to that — duplicates are scored identically and collapse
+    in the per-hop candidate distinct + array_distinct beam cut."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.knngraph import graph_knn_search
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    edges = [(i, (i + j) % 50) for i in range(50) for j in (1, 2, 3)]
+    adj = spark.createDataFrame(edges, "id long, neighbor_id long")
+    adj_dup = adj.unionByName(
+        spark.createDataFrame(edges[::2], "id long, neighbor_id long")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    a = graph_knn_search(adj, emb, q, k=3, beam=6, hops=2).collect()
+    b = graph_knn_search(adj_dup, emb, q, k=3, beam=6, hops=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
