@@ -175,16 +175,7 @@ def predicate_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uncapped query."""
     from degdb_spark.queries.rounding import dround
 
-    from degdb_spark.operators.balance import rebalance_for_compute
-
-    # the per-row md5 + per-subject sort below run on the distinct's
-    # AQE byte-coalesced output (1-2 tasks for ~300k small rows) —
-    # spread it first; arrays are hash-sorted so arrival order is
-    # irrelevant (guide §2.5 compute-vs-bytes mismatch)
-    t = rebalance_for_compute(
-        _triples(spark, sf_dir).select("subj", "pred").distinct(),
-        min_fraction=1.0,
-    )
+    t = _triples(spark, sf_dir).select("subj", "pred").distinct()
     capped = (
         t.groupBy("subj")
         .agg(
