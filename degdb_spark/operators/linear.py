@@ -146,7 +146,14 @@ def train_predict_from_features(
     from the streamed feature index (streaming/linfeat.py) — training
     from the index alone never re-reads a historical document."""
     spark = feat.sparkSession
-    feat = pin(feat, eager=True)
+    from degdb_spark.operators.balance import compact_pinned
+
+    # the featurizers rebalance their explode to full parallelism —
+    # right for the build, wrong for the 4-iteration loop below, which
+    # would then schedule a near-empty task per partition per pass
+    # (the graph-algorithms lesson): fold the materialized frame back
+    # to its size-appropriate partition count (no-op at scale)
+    feat = compact_pinned(pin(feat, eager=True))
     train_feat = feat.filter(F.col("split") == "train")
     test_feat = feat.filter(F.col("split") == "test")
 
