@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from degdb_spark.operators.balance import rebalance_for_compute
 from degdb_spark.operators.sampling import md5_bucket
 from degdb_spark.operators.text import tokens
-from degdb_spark.persistence import pin
+from degdb_spark.persistence import pin_partitioned
 
 #: hashed feature buckets (tokens hash into 0..N_FEATURES-1; the bias
 #: feature is index N_FEATURES, value 1 for every doc)
@@ -94,15 +94,61 @@ def hashed_features(
     return tokf.unionByName(bias)
 
 
+def _weight_arrays(spark, labels: list[str], w: dict, n_features: int) -> DataFrame:
+    """(f, warr): per-feature weight vector ordered by the sorted label
+    list — the broadcastable pivot of the (cand, f, w) model grid. The
+    weights stay DATA (a tiny createDataFrame per iteration, same plan
+    shape every round), never plan literals: the literal-baked trainer
+    measured faster isolated but degraded 2-5x late in long sessions
+    (per-iteration-unique codegen) and was reverted on evidence in r13."""
+    return spark.createDataFrame(
+        [(f, [w[(l, f)] for l in labels]) for f in range(n_features + 1)],
+        "f int, warr array<long>",
+    )
+
+
+def _scored_docs(feat: DataFrame, wdf: DataFrame, labels: list[str], keep_features: bool) -> DataFrame:
+    """Per-doc scores + argmax label in ONE aggregation: the broadcast
+    join on f attaches each feature's per-label weight vector, and the
+    per-label sums ride as |labels| native SUM columns of a single
+    groupBy(doc_id) — one exchange (none at all when ``feat`` is
+    doc_id-partitioned, the train_predict_from_features layout) instead
+    of the old join + two-level groupBy pyramid (scores, then argmax)
+    that cost 2 exchanges per call. The argmax is the same
+    lexicographic min over (−score, cand) structs — integers, so −s is
+    exact and ties break (score desc, label asc) identically.
+    ``keep_features`` additionally collects the doc's (f, x) pairs
+    (≤ n_features+1 structs, a fixed bound at any scale) so the
+    misclassification deltas can explode them directly instead of
+    re-joining the corpus-sized feature frame."""
+    aggs = [
+        F.sum(F.col("x") * F.col("warr")[j]).alias(f"_s{j}")
+        for j in range(len(labels))
+    ]
+    if keep_features:
+        aggs.append(F.collect_list(F.struct("f", "x")).alias("fx"))
+    scored = (
+        feat.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id", "actual")
+        .agg(*aggs)
+    )
+    structs = [
+        F.struct((-F.col(f"_s{j}")).alias("ns"), F.lit(l).alias("cand"))
+        for j, l in enumerate(labels)
+    ]
+    # F.least needs >= 2 columns; a single-label corpus argmaxes trivially
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    keep = ["doc_id", "actual"] + (["fx"] if keep_features else [])
+    return scored.select(*keep, best["cand"].alias("pred"))
+
+
 def _predictions(feat: DataFrame, wdf: DataFrame) -> DataFrame:
-    """Per-doc argmax label under a weight frame: score(doc, cand) =
-    Σ_f x·w via one equi-join on f against the broadcast model grid
-    (every doc matches every label through the grid, so zero-score
-    labels are present), tie-break (score desc, cand asc). The argmax
-    is a lexicographic struct-MIN over (−score, cand) — the exact same
-    ordering a row_number window would use, but as a map-side-
-    combinable aggregation with no per-partition sort (scores are
-    integers, so −s is exact)."""
+    """Per-doc argmax label under a (cand, f, w) weight frame —
+    the legacy grid-join shape, kept for the streamed-feature twin and
+    tests: score(doc, cand) = Σ_f x·w via one equi-join on f against
+    the broadcast model grid (every doc matches every label through
+    the grid, so zero-score labels are present), tie-break (score
+    desc, cand asc)."""
     scores = (
         feat.join(F.broadcast(wdf), "f")
         .groupBy("doc_id", "actual", "cand")
@@ -146,14 +192,24 @@ def train_predict_from_features(
     from the streamed feature index (streaming/linfeat.py) — training
     from the index alone never re-reads a historical document."""
     spark = feat.sparkSession
-    from degdb_spark.operators.balance import compact_pinned
 
-    # the featurizers rebalance their explode to full parallelism —
-    # right for the build, wrong for the 4-iteration loop below, which
-    # would then schedule a near-empty task per partition per pass
-    # (the graph-algorithms lesson): fold the materialized frame back
-    # to its size-appropriate partition count (no-op at scale)
-    feat = compact_pinned(pin(feat, eager=True))
+    # doc_id-partition the (narrow, integer) feature frame ONCE, then
+    # pin_partitioned — NOT pin(): a checkpoint materializes as an
+    # opaque ExistingRDD scan whose outputPartitioning is lost, so
+    # every iteration's per-doc aggregation would re-shuffle; persist
+    # keeps the plan (and its hashpartitioning(doc_id)), so the 4
+    # training scans and the test scoring all run exchange-free over
+    # the cached partitions (guide §2.4 "share one exchange"). The
+    # partition count is pinned to defaultParallelism (scale-adaptive,
+    # the rebalance_for_compute convention) rather than left to AQE:
+    # byte-based coalescing folds the small integer frame to one
+    # partition and every training iteration then runs its scoring
+    # aggregate serially on one core (measured).
+    feat = pin_partitioned(
+        feat.repartition(
+            feat.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
     train_feat = feat.filter(F.col("split") == "train")
     test_feat = feat.filter(F.col("split") == "test")
 
@@ -168,18 +224,28 @@ def train_predict_from_features(
     w_sum: dict[tuple[str, int], int] = {lf: 0 for lf in grid}
 
     for _ in range(n_iters):
-        wdf = spark.createDataFrame(
-            [(l, f, w[(l, f)]) for l, f in grid], "cand string, f int, w long"
+        wdf = _weight_arrays(spark, labels, w, n_features)
+        # misclassified docs carry their own (f, x) pairs out of the
+        # scoring aggregate, so the delta pass explodes them in-task
+        # (±1 × count per feature) instead of re-joining the feature
+        # frame — one tiny (cand, f) exchange per iteration, then a
+        # model-grid-sized collect (never the corpus).
+        miscl = _scored_docs(train_feat, wdf, labels, keep_features=True).filter(
+            F.col("pred") != F.col("actual")
         )
-        miscl = _predictions(train_feat, wdf).filter(F.col("pred") != F.col("actual"))
         deltas = (
-            miscl.select("doc_id", F.col("actual").alias("cand"), F.lit(1).alias("sgn"))
-            .unionByName(
-                miscl.select("doc_id", F.col("pred").alias("cand"), F.lit(-1).alias("sgn"))
+            miscl.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("actual").alias("cand"), F.lit(1).alias("sgn")),
+                        F.struct(F.col("pred").alias("cand"), F.lit(-1).alias("sgn")),
+                    )
+                ).alias("t"),
+                "fx",
             )
-            .join(train_feat.select("doc_id", "f", "x"), "doc_id")
-            .groupBy("cand", "f")
-            .agg(F.sum(F.col("sgn") * F.col("x")).alias("dw"))
+            .select("t.cand", "t.sgn", F.explode("fx").alias("e"))
+            .groupBy("cand", F.col("e.f").alias("f"))
+            .agg(F.sum(F.col("sgn") * F.col("e.x")).alias("dw"))
             .collect()  # ≤ |labels|·(n_features+1) rows — the model grid
         )
         for r in deltas:
@@ -187,15 +253,14 @@ def train_predict_from_features(
         for lf in grid:
             w_sum[lf] += w[lf]
 
-    wavg = spark.createDataFrame(
-        [(l, f, w_sum[(l, f)]) for l, f in grid], "cand string, f int, w long"
-    )
-    return (
-        _predictions(test_feat, wavg)
+    wavg = _weight_arrays(spark, labels, w_sum, n_features)
+    out = (
+        _scored_docs(test_feat, wavg, labels, keep_features=False)
         .groupBy("actual", F.col("pred").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+    return out
 
 
 #: chars of text the language-ID featurizer reads per doc — language

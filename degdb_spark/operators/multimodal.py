@@ -109,7 +109,9 @@ def _media_df(spark: SparkSession, n: int, row_fn) -> DataFrame:
     copy. Row values are identical byte-for-byte: ``row_fn`` is the
     same closed-form arithmetic either way."""
     sc = spark.sparkContext
-    rdd = sc.parallelize(range(n), min(n, sc.defaultParallelism)).map(row_fn)
+    # max(1, ...): n = 0 must yield an empty frame, not parallelize's
+    # positive-slice-count error (ADVICE r13)
+    rdd = sc.parallelize(range(n), max(1, min(n, sc.defaultParallelism))).map(row_fn)
     return spark.createDataFrame(rdd, schema=MEDIA_SCHEMA)
 
 

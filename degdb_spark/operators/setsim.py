@@ -113,10 +113,17 @@ def setsim_join(
     # compute-bound per row (an array_intersect over ~|doc| tokens), so
     # the byte-coalesced 2-partition frame serialized 2.6 s of
     # intersections onto 2 tasks (measured) — spread candidates before
-    # attaching the arrays; per-pair results are partitioning-independent
-    from degdb_spark.operators.balance import rebalance_for_compute
-
-    cand_ids = rebalance_for_compute(cand_ids, min_fraction=1.0)
+    # attaching the arrays; per-pair results are partitioning-independent.
+    # UNCONDITIONALLY (ADVICE r13): the conditional helper's partition-
+    # count probe finalizes the AQE plan of this post-shuffle subtree,
+    # which EXECUTES the candidate join+distinct once just to read the
+    # count, and the real query then re-runs the same stages (no
+    # cross-execution exchange reuse) — candidate generation was paid
+    # twice per query. The candidate rows are two longs, so the
+    # unconditional round-robin costs far less than the double run.
+    cand_ids = cand_ids.repartition(
+        cand_ids.sparkSession.sparkContext.defaultParallelism
+    )
     sa = sets.select(
         F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
     )

@@ -142,6 +142,31 @@ def pin(df: DataFrame, eager: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def pin_partitioned(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize ``df`` for multi-consumer reuse while PRESERVING its
+    outputPartitioning for downstream exchange elimination. Checkpoint
+    flavors are wrong for this job: a checkpointed frame scans back as
+    an opaque ExistingRDD whose partitioning Catalyst no longer knows,
+    so a consumer keyed the same way re-shuffles (measured on the
+    perceptron training loop). persist() keeps the logical plan — a
+    repartition("k") upstream still satisfies groupBy("k")/join-on-k
+    downstream (guide §2.4) — at the price of recompute-on-eviction,
+    which is fine for the deterministic one-query frames this serves.
+    Registered in the same eviction ring as pin()'s persist mode so
+    long-lived sessions don't accrete cache entries."""
+    out = df.persist()
+    if eager:
+        out.count()
+    _prune_ring()
+    _PERSIST_RING.append(out)
+    while len(_PERSIST_RING) > _PERSIST_RING_MAX:
+        try:
+            _PERSIST_RING.popleft().unpersist(blocking=False)
+        except Exception:
+            pass  # session of an old entry may be gone
+    return out
+
+
 def lineage_cut(df: DataFrame, eager: bool = False) -> DataFrame:
     """TRUE logical-plan cut for iterative state (supersteps, BFS
     frontiers, shrinking survivor sets, insert accumulation). Unlike

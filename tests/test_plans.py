@@ -1054,10 +1054,13 @@ def test_fuzzy_decontaminate_broadcasts_bench_no_corpus_selfjoin(spark):
 
 def test_navigable_adjacency_no_exchange(spark):
     """navigable_adjacency is UNION ALL (r13): deriving the walkable
-    edge set must plan with NO Exchange — the old distinct shuffled
-    the corpus-sized edge set on every walk to dedup the rare
+    edge set must never SHUFFLE — the old distinct shuffled the
+    corpus-sized edge set on every walk to dedup the rare
     long-link/k-NN-edge coincidence that every consumer dedups per
-    hop anyway."""
+    hop anyway. The only Exchanges allowed are the broadcast of the
+    1-row max-id aggregate (r14: the modulus rides in-plan instead of
+    a construction-time driver first()) and that tiny aggregate's own
+    single-partition exchange — nothing hash-partitions edge rows."""
     from degdb_spark.operators.knngraph import navigable_adjacency
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -1065,7 +1068,8 @@ def test_navigable_adjacency_no_exchange(spark):
         [(0, 1), (1, 2)], "id long, neighbor_id long"
     )
     plan = _plan(navigable_adjacency(graph, emb, k_long=4))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_graph_walk_unchanged_by_duplicate_adjacency_edges(spark):

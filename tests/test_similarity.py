@@ -1028,3 +1028,59 @@ def test_hnsw_two_layer_recall_at_reduced_budget(spark):
     assert t_recall >= 0.8
     ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert all(r.neighbor_id in ids and 1 <= r.rank <= 5 for r in two)
+
+
+def test_graph_ann_no_duplicate_neighbors(spark):
+    """The single-exchange top-k collapses duplicate (id, nbr)
+    candidates with array_distinct instead of a groupBy.max
+    pre-collapse — correct only while every producer scores a pair
+    bit-identically (same operand order, same rounding). This pins
+    that invariant where it would first break (ADVICE r13): on a
+    corpus of near-identical vectors the state and local-join
+    candidate sets overlap maximally, so any score divergence between
+    duplicate entries would leave BOTH copies occupying top-k slots.
+    Asserts no duplicate neighbor per id in the descent graph and no
+    duplicate neighbor per query in the walk."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.knngraph import (
+        graph_knn_search,
+        knn_graph_descent,
+        navigable_adjacency,
+    )
+
+    # 40 vectors in 4 tight clones-with-jitter groups: candidate sets
+    # within a group are near-total overlap, and exact duplicates make
+    # mirrored/re-scored sims collide on every tie-break axis
+    rows = []
+    for i in range(40):
+        g = i % 4
+        base = [1.0 if d == g else 0.0 for d in range(6)]
+        base[5] = (i // 4) * 1e-7  # sub-rounding jitter: many exact ties
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    graph = knn_graph_descent(emb, k=6, rounds=2, rho=1)
+    per_id = (
+        graph.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("neighbor_id").alias("nd"),
+        )
+        .collect()
+    )
+    assert per_id and all(r.n == r.nd for r in per_id)
+
+    adj = navigable_adjacency(graph.select("id", "neighbor_id"), emb, k_long=4)
+    hits = graph_knn_search(
+        adj, emb, emb.filter(F.col("vec_id") < 8), k=5, beam=6, hops=3
+    )
+    per_q = (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("neighbor_id").alias("nd"),
+        )
+        .collect()
+    )
+    assert per_q and all(r.n == r.nd for r in per_q)
