@@ -325,10 +325,21 @@ def graph_knn_search(
         .withColumn("qn", _norm(F.col("qv")))
         .transform(pin, eager=False)
     )
-    a = adj.select(
-        F.col("id").cast("long").alias("_gid"),
-        F.col("neighbor_id").cast("long").alias("_gnbr"),
-    ).transform(pin, eager=False)
+    # Adjacency is pinned EAGERLY and compacted (size-adaptive; a
+    # corpus-sized edge set keeps every partition): every hop's
+    # candidate expansion re-scans this frame inside its broadcast
+    # build, and the uncompacted pin kept one near-empty partition
+    # per upstream bucket/task — a 32-task swarm per hop whose
+    # scheduling dwarfed the scan (measured: -25% on the served-index
+    # walk, -15% on the in-plan walks).
+    from degdb_spark.operators.balance import compact_pinned
+
+    a = compact_pinned(
+        adj.select(
+            F.col("id").cast("long").alias("_gid"),
+            F.col("neighbor_id").cast("long").alias("_gnbr"),
+        ).transform(pin, eager=True)
+    )
 
     vsel = v.select(
         F.col("id").alias("node"), F.col("v").alias("_vn"), F.col("vn").alias("_nn")
