@@ -52,8 +52,22 @@ def wedge_counts(lineitem: DataFrame) -> DataFrame:
     in-codegen combination explode bounded by per-order fanout, then a
     (u, v) count. Linear in lineitem. NO threshold here: raw counts
     are what makes batches additive/retractable."""
-    items = lineitem.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # Explicit partition count on the order key: the combination
+    # explode below runs on the groupBy's REDUCE side, and AQE's
+    # byte-based coalescing folds the small ps-array frame onto a
+    # handful of tasks — serializing the compute-bound explode
+    # (measured: the 955 ms 4-task stage of the sf0.1 build). An
+    # explicit repartition is AQE-coalesce-exempt, the groupBy reuses
+    # its partitioning (one exchange either way), and defaultParallelism
+    # keeps it scale-adaptive (the rebalance_for_compute convention).
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(
+            lineitem.sparkSession.sparkContext.defaultParallelism,
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
     pairs = items.select(
         F.explode(

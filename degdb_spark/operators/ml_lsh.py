@@ -330,7 +330,17 @@ def lloyd_centroids(
     # the materialized (sampled) slice instead of rescanning parquet
     from degdb_spark.persistence import pin
 
-    vecs = train.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # Spread the training slice before the rounds: a single-file
+    # sample arrives as ONE scan partition and each round's argmin
+    # then runs serially (stageprof: 636 ms round-1 collect on 1
+    # task). Unconditional round-robin — NOT the partition-count
+    # probing helper, whose plan-to-RDD probe costs more than this
+    # narrow exchange (the r13 A/B that rejected rebalancing here
+    # measured the probe+exchange variant). DECIMAL per-cell sums are
+    # order-independent, so the result is bit-identical.
+    vecs = train.select(F.col(vec_col).cast("array<double>").alias("v")).repartition(
+        train.sparkSession.sparkContext.defaultParallelism
+    )
     if n_rounds > 1:
         vecs = pin(vecs)
 

@@ -917,6 +917,28 @@ def test_shot_overlap_is_banded_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_phash_neardups_banded_equijoin_arrow_only(spark):
+    """Both image pHash near-dup paths (aHash and DCT) derive pairs
+    only through the shared banded equi-join + hash-keyed re-rank
+    (VERDICT r13 #6): never a CartesianProduct or nested-loop join,
+    and the only Python in the plan is the Arrow decode seam
+    (MapInPandas) — no pickled row-at-a-time BatchEvalPython."""
+    from degdb_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, 6)
+    for hashes in (M.image_ahash(media), M.image_phash_dct(media)):
+        # the fingerprint pass itself: Python only through the Arrow
+        # seam, never the pickled row path
+        hplan = _plan(hashes)
+        assert "BatchEvalPython" not in hplan
+        assert "MapInPandas" in hplan or "ArrowEvalPython" in hplan
+        # the pair derivation (post-pin): pure JVM banded equi-join
+        plan = _plan(M.banded_neardup_pairs(hashes))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 def test_hard_negatives_broadcast_anchors_only(spark):
     """Triplet mining crosses the corpus against the BOUNDED anchor
     frame only — the nested-loop join must be broadcast (16 rows),
