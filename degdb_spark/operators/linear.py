@@ -200,16 +200,30 @@ def train_predict_from_features(
     # keeps the plan (and its hashpartitioning(doc_id)), so the 4
     # training scans and the test scoring all run exchange-free over
     # the cached partitions (guide §2.4 "share one exchange"). The
-    # partition count is pinned to defaultParallelism (scale-adaptive,
+    # partition count starts at defaultParallelism (scale-adaptive,
     # the rebalance_for_compute convention) rather than left to AQE:
     # byte-based coalescing folds the small integer frame to one
     # partition and every training iteration then runs its scoring
     # aggregate serially on one core (measured).
-    feat = pin_partitioned(
-        feat.repartition(
-            feat.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
-        )
-    )
+    dp = feat.sparkSession.sparkContext.defaultParallelism
+    feat = pin_partitioned(feat.repartition(dp, F.col("doc_id")))
+    # Second phase of the compact_pinned discipline, hash-preserving
+    # flavor: the loop re-scans this frame 6+ times (labels, 4 training
+    # passes, test scoring), so a small corpus paying a dp-task swarm
+    # per pass is pure scheduler overhead (measured: the 4-iteration
+    # loop at 2.6k-row partitions runs ~2x slower than at ~32k). Count
+    # the materialized pin (a cached-RDD sweep) and, when the frame is
+    # far below dp partitions' worth of rows, re-pin at
+    # ceil(rows/32768) — repartition, NOT coalesce, so the
+    # hashpartitioning(doc_id) the exchange-free iterations rely on is
+    # preserved. Self-disables at scale: a corpus-sized frame keeps dp.
+    n_feat_rows = feat.count()
+    want = max(2, -(-n_feat_rows // 32768))
+    if want < dp // 2:
+        feat2 = pin_partitioned(feat.repartition(want, F.col("doc_id")))
+        feat2.count()
+        feat.unpersist(blocking=False)
+        feat = feat2
     train_feat = feat.filter(F.col("split") == "train")
     test_feat = feat.filter(F.col("split") == "test")
 
