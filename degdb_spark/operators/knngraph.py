@@ -317,14 +317,21 @@ def graph_knn_search(
         .withColumn("vn", _norm(F.col("v")))
         .transform(pin, eager=False)
     )
-    q = (
-        queries.select(
-            F.col(id_col).cast("long").alias("qid"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        )
-        .withColumn("qn", _norm(F.col("qv")))
-        .transform(pin, eager=False)
-    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    # In broadcast mode |Q| is bounded by contract, and every hop's
+    # scored() re-reads this frame inside a BroadcastExchange build —
+    # an uncompacted pin keeps one near-empty partition per upstream
+    # task and each of those builds pays a task swarm to collect a
+    # handful of rows (the batch-2 adjacency disease, frontier side).
+    # coalesce BEFORE the pin: narrow, so the checkpoint materializes
+    # as one partition with no extra job. The unbounded-|Q| insertion
+    # path (broadcast_frontier=False) keeps the spread layout.
+    if broadcast_frontier:
+        q = q.coalesce(1)
+    q = q.transform(pin, eager=False)
     # Adjacency is pinned EAGERLY and compacted (size-adaptive; a
     # corpus-sized edge set keeps every partition): every hop's
     # candidate expansion re-scans this frame inside its broadcast
@@ -413,7 +420,19 @@ def graph_knn_search(
             F.col("qid").cast("long").alias("qid"),
             F.col("node").cast("long").alias("node"),
         )
-    best = pin(scored(seed))
+    def pin_beam(df: DataFrame) -> DataFrame:
+        """Per-hop beam state: ≤ |Q|·beam rows, re-read by the next
+        hop's TWO broadcast builds (frontier expansion + union). In
+        broadcast mode the bounded-|Q| contract makes one partition
+        the right layout — the shuffle-partition-count checkpoint
+        otherwise costs a near-empty-task swarm per build (the
+        batch-2 adjacency disease). coalesce is narrow (no extra job,
+        bit-identical results; the beam aggregate is partition-order
+        independent by construction: array_sort normalizes what
+        collect_list gathers)."""
+        return pin(df.coalesce(1) if broadcast_frontier else df)
+
+    best = pin_beam(scored(seed))
     for _ in range(hops):
         # frontier ⋈ graph with the |Q|·beam frontier BROADCAST: the
         # corpus-sized adjacency is streamed (scanned, never shuffled).
@@ -429,7 +448,7 @@ def graph_knn_search(
             .select("qid", F.col("_gnbr").alias("node"))
             .distinct()
         )
-        best = pin(
+        best = pin_beam(
             explode_best(best_arrays(best.unionByName(scored(cand)), beam))
         )
 
