@@ -557,6 +557,32 @@ def test_linear_retrain_after_corpus_deletion(spark, tmp_path):
     assert got == want
 
 
+def test_linear_trainer_invariant_to_feature_partitioning(spark):
+    """The trainer re-pins its feature frame at a row-derived partition
+    count (r14: ceil(rows/32768), self-disabling at scale); the
+    confusion matrix must be identical whatever layout the feature
+    frame arrives in — 1 partition, heavily over-partitioned, or the
+    default — because every partitioning step in the loop is
+    pure layout (hash repartition + partition-order-independent
+    aggregates)."""
+    from degdb_spark.operators.linear import (
+        hashed_features,
+        train_predict_from_features,
+    )
+
+    rows = []
+    for i in range(60):
+        lab = ("a", "b", "c")[i % 3]
+        word = {"a": "alpha", "b": "bravo", "c": "carol"}[lab]
+        rows.append((i, " ".join([word] * (1 + i % 4) + ["shared"]), lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    feat = hashed_features(docs, "lang", 20, 64)
+    want = [tuple(r) for r in train_predict_from_features(feat).collect()]
+    for layout in (feat.coalesce(1), feat.repartition(64, "f")):
+        got = [tuple(r) for r in train_predict_from_features(layout).collect()]
+        assert got == want
+
+
 def test_basket_edges_retract_after_corpus_deletion(spark, tmp_path):
     """Basket-edge index lifecycle (round 11): deletion is a NEGATIVE
     count batch needing only the deleted orders' own rows — the

@@ -779,6 +779,48 @@ def test_graph_knn_search_matches_python_replica(spark):
     assert got == _beam_replica(V, adj, qids, k, beam, hops)
 
 
+def test_graph_knn_search_broadcast_gate_result_identical(spark):
+    """The broadcast_frontier gate switches LAYOUT only: the bounded
+    walk (frontier broadcast, beam state coalesced to one partition
+    before each pin) and the unbounded insertion-path layout (spread
+    state, planner-chosen joins) must return bit-identical rows —
+    the invariant the r14 one-partition beam-state compaction (and
+    the r13 insertion-path gate before it) silently rely on."""
+    from pyspark.sql import functions as F
+
+    from degdb_spark.operators.knngraph import (
+        graph_knn_search,
+        knn_graph_descent,
+        navigable_adjacency,
+    )
+
+    V = _clustered_corpus()
+    n = len(V)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    graph = knn_graph_descent(emb, k=8, rounds=2, rho=1).select(
+        "id", "neighbor_id"
+    )
+    adj_df = navigable_adjacency(graph, emb, k_long=8).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % 50 == 3)
+    kw = dict(k=5, beam=8, hops=3)
+    a = sorted(
+        tuple(r)
+        for r in graph_knn_search(
+            adj_df, emb, queries, broadcast_frontier=True, **kw
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in graph_knn_search(
+            adj_df, emb, queries, broadcast_frontier=False, **kw
+        ).collect()
+    )
+    assert a == b
+
+
 def test_graph_knn_recall_beats_ivf_at_matched_budget(spark):
     """The reason graph ANN exists: at a MATCHED candidate budget on a
     clustered corpus, the navigable-graph beam walk beats IVF probing.
