@@ -1717,7 +1717,14 @@ def novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated text — the inverse signal of the dup-rate column on the
     per-source dashboard. One gram-keyed aggregation + one linear
     join-back; nothing vocabulary-wide funnels into one task."""
-    docs = load_table(spark, sf_dir, "documents")
+    from degdb_spark.operators.balance import rebalance_for_compute
+
+    # the single-file documents scan arrives as ONE partition and the
+    # 3-gram explode is evaluated TWICE (occurrence side + probe side
+    # of the join) — both serialized onto one task without a spread
+    # (measured: 2 × ~0.6 s single-task stages). Counts only, so the
+    # round-robin is a result identity (guide §2.5).
+    docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     grams = docs.select("source", F.explode(X.ngrams("text", 3)).alias("g"))
     occ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
@@ -1816,7 +1823,11 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed primitive.) All codegen built-ins — split/sequence/
     transform/explode — one shuffle on the 26²-key pair groupBy,
     map-side combined to a few hundred rows regardless of corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    from degdb_spark.operators.balance import rebalance_for_compute
+
+    # spread the single-file scan before the two-level explode
+    # (guide §2.5); counts only → identity
+    docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
     ).filter(F.length("w") >= 2)
@@ -1852,7 +1863,11 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.bpe_encode — chained codegen replaces, no UDF):
     top-30 subword tokens by frequency. The round-trip complement of
     docs_bpe_pair_counts (training side)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from degdb_spark.operators.balance import rebalance_for_compute
+
+    # the chained-replace BPE encode is pure codegen CPU per word —
+    # spread the single-file scan first (guide §2.5); counts → identity
+    docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
     ).filter(F.length("w") >= 1)
@@ -2766,9 +2781,15 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent and replays bit-for-bit in DuckDB (the md5
     bucket hash is engine-portable); top-20 cut is
     TakeOrderedAndProject on (score, doc_id) — no window."""
+    from degdb_spark.operators.balance import rebalance_for_compute
     from degdb_spark.queries.rounding import davg
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the corpus is scanned twice (count pass, scoring pass), both
+    # through the tokenize+md5 bucket explode — spread the single-file
+    # scan so neither serializes (guide §2.5). Per-bucket LLR is 6-dp
+    # rounded BEFORE the decimal per-doc sum (docstring above), so the
+    # score is order-independent → partitioning identity.
+    docs = rebalance_for_compute(load_table(spark, sf_dir, "documents"))
     occ = X.dsir_occurrences(docs)
     scored = X.dsir_scores(occ, X.dsir_word_counts(occ, _DSIR_TARGET))
     return (
