@@ -41,7 +41,7 @@ operators/tree.py whose histogram split search it iterates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: micronat quantization scale for the stump vote weights
@@ -59,9 +59,9 @@ class Stump:
         self.total_w = int(total_w)
         self.alpha = int(alpha)
 
-    def predicts_one(self) -> Column:
-        fv = F.col(self.feature)
-        return fv <= self.threshold if self.polarity == 1 else fv > self.threshold
+    def predicts_one_sql(self) -> str:
+        op = "<=" if self.polarity == 1 else ">"
+        return f"({self.feature} {op} {self.threshold})"
 
 
 def train_boosted_stumps(
@@ -77,93 +77,87 @@ def train_boosted_stumps(
     with round 0 the ensemble summary (feature/threshold/polarity/
     alpha NULL, err_w = unweighted misvote count, total_w = n rows)."""
     spark = df.sparkSession
-    cand_rows = [
-        (feat, int(t)) for feat in sorted(feature_grids) for t in feature_grids[feat]
-    ]
+    feats = sorted(feature_grids)
+    cand_rows = [(feat, int(t)) for feat in feats for t in feature_grids[feat]]
     if not cand_rows:
         # checked BEFORE any plan is built: an empty grid would
-        # otherwise die inside F.array()/_cand.feature with an opaque
-        # AnalysisException (ADVICE r11)
+        # otherwise die inside the explode/_cand.feature expression
+        # with an opaque AnalysisException (ADVICE r11)
         raise ValueError("train_boosted_stumps needs a non-empty grid")
-    cands = F.array(
-        *[
-            F.struct(F.lit(feat).alias("feature"), F.lit(t).alias("threshold"))
+    # Every data-independent expression rides as ONE SQL string (the
+    # operators/dedup.py simhash device, VERDICT r13 #1): the old
+    # Column-built form paid ~6k py4j round trips per training call —
+    # the 48-struct candidate array alone was ~150 — and construction
+    # dominated the entry. Same Catalyst expressions, same integer
+    # math; the oracle hash gates the rewrite.
+    cand_sql = (
+        "explode(array("
+        + ", ".join(
+            f"named_struct('feature', '{feat}', 'threshold', {t})"
             for feat, t in cand_rows
-        ]
+        )
+        + ")) AS _cand"
     )
-    base = df.select(
-        *[F.col(f).cast("long").alias(f) for f in sorted(feature_grids)],
-        F.col(label_col).cast("int").alias("label"),
+    # the candidate's feature value per row, then the left-side test —
+    # chained WHENs with no ELSE, exactly the old Column chain
+    fval_sql = (
+        "CASE "
+        + " ".join(f"WHEN _cand.feature = '{feat}' THEN {feat}" for feat in feats)
+        + " END"
     )
+    is_left = f"(({fval_sql}) <= _cand.threshold)"
+    lbl1 = "(label = 1)"
+    sum_sqls = [
+        f"sum(CASE WHEN ({is_left} AND {lbl1}) THEN _w ELSE 0 END) AS l_pos",
+        f"sum(CASE WHEN ({is_left} AND (NOT {lbl1})) THEN _w ELSE 0 END) AS l_neg",
+        f"sum(CASE WHEN ((NOT {is_left}) AND {lbl1}) THEN _w ELSE 0 END) AS r_pos",
+        f"sum(CASE WHEN ((NOT {is_left}) AND (NOT {lbl1})) THEN _w ELSE 0 END) AS r_neg",
+    ]
+    base = df.selectExpr(
+        *[f"CAST({f} AS BIGINT) AS {f}" for f in feats],
+        f"CAST({label_col} AS INT) AS label",
+    )
+    # every round (and the ensemble vote) re-scans this projection;
+    # pinned so rounds 2+ read the materialized feature frame instead
+    # of re-featurizing the corpus — lazy, round 1 materializes it
+    from degdb_spark.persistence import pin
+
+    base = pin(base)
 
     stumps: list[Stump] = []
     for _ in range(rounds):
         # integer weight, in-plan: 2^(#previous stumps that
         # misclassified) — as a product of (1 + indicator) factors,
         # each in {1, 2}, so it stays integer codegen
-        w = F.lit(1).cast("long")
-        for s in stumps:
-            m = (s.predicts_one().cast("int") != F.col("label")).cast("long")
-            w = w * (F.lit(1) + m)
-        exploded = base.withColumn("_w", w).select(
-            F.explode(cands).alias("_cand"), "*"
+        w_sql = "CAST(1 AS BIGINT)" + "".join(
+            " * (1 + CAST((CAST("
+            + s.predicts_one_sql()
+            + " AS INT) != label) AS BIGINT))"
+            for s in stumps
         )
-        fval = None
-        for feat in sorted(feature_grids):
-            cond = F.col("_cand.feature") == feat
-            fval = (
-                F.when(cond, F.col(feat))
-                if fval is None
-                else fval.when(cond, F.col(feat))
-            )
-        is_left = fval <= F.col("_cand.threshold")
-        lbl1 = F.col("label") == 1
+        exploded = base.withColumn("_w", F.expr(w_sql)).selectExpr(cand_sql, "*")
         agg = exploded.groupBy("_cand.feature", "_cand.threshold").agg(
-            F.sum(F.when(is_left & lbl1, F.col("_w")).otherwise(0)).alias("l_pos"),
-            F.sum(F.when(is_left & ~lbl1, F.col("_w")).otherwise(0)).alias("l_neg"),
-            F.sum(F.when(~is_left & lbl1, F.col("_w")).otherwise(0)).alias("r_pos"),
-            F.sum(F.when(~is_left & ~lbl1, F.col("_w")).otherwise(0)).alias("r_neg"),
+            *[F.expr(s) for s in sum_sqls]
         )
         # both polarities as rows, then the deterministic argmin
-        both = agg.select(
+        both = agg.selectExpr(
             "feature",
             "threshold",
-            (F.col("l_pos") + F.col("l_neg") + F.col("r_pos") + F.col("r_neg")).alias(
-                "total_w"
-            ),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(1).alias("polarity"),
-                        (F.col("l_neg") + F.col("r_pos")).alias("err_w"),
-                    ),
-                    F.struct(
-                        F.lit(-1).alias("polarity"),
-                        (F.col("l_pos") + F.col("r_neg")).alias("err_w"),
-                    ),
-                )
-            ).alias("p"),
-        ).select("feature", "threshold", "total_w", "p.polarity", "p.err_w")
+            "(l_pos + l_neg + r_pos + r_neg) AS total_w",
+            "explode(array("
+            "named_struct('polarity', 1, 'err_w', l_neg + r_pos), "
+            "named_struct('polarity', -1, 'err_w', l_pos + r_neg))) AS p",
+        ).selectExpr("feature", "threshold", "total_w", "p.polarity", "p.err_w")
         best = (
-            both.select(
+            both.selectExpr(
                 "feature",
                 "threshold",
                 "polarity",
                 "err_w",
                 "total_w",
-                F.when(F.col("total_w") == 0, F.lit(0))
-                .otherwise(
-                    F.floor(
-                        F.log(
-                            (F.col("total_w") - F.col("err_w")).cast("double")
-                            / F.greatest(F.col("err_w"), F.lit(1))
-                        )
-                        * LOG_SCALE
-                        + F.lit(0.5)
-                    )
-                )
-                .cast("long")
-                .alias("alpha_micro"),
+                "CAST(CASE WHEN total_w = 0 THEN 0 ELSE "
+                f"FLOOR(LN(CAST(total_w - err_w AS DOUBLE) / GREATEST(err_w, 1))"
+                f" * {LOG_SCALE} + 0.5D) END AS BIGINT) AS alpha_micro",
             )
             .orderBy("err_w", "feature", "threshold", "polarity")
             .limit(1)
@@ -185,14 +179,15 @@ def train_boosted_stumps(
         )
 
     # alpha-weighted majority vote, exact in integer micronats
-    score = None
-    for s in stumps:
-        term = F.when(s.predicts_one(), F.lit(s.alpha)).otherwise(F.lit(-s.alpha))
-        score = term if score is None else score + term
-    pred = (score > 0).cast("int")
+    score_sql = " + ".join(
+        f"(CASE WHEN {s.predicts_one_sql()} THEN {s.alpha} ELSE {-s.alpha} END)"
+        for s in stumps
+    )
     ens = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((pred != F.col("label")).cast("int")).alias("mis"),
+        F.expr("count(1) AS n"),
+        F.expr(
+            f"sum(CAST((CAST(({score_sql}) > 0 AS INT) != label) AS INT)) AS mis"
+        ),
     ).collect()[0]
 
     out = [

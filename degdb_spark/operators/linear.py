@@ -121,25 +121,30 @@ def _scored_docs(feat: DataFrame, wdf: DataFrame, labels: list[str], keep_featur
     (≤ n_features+1 structs, a fixed bound at any scale) so the
     misclassification deltas can explode them directly instead of
     re-joining the corpus-sized feature frame."""
-    aggs = [
-        F.sum(F.col("x") * F.col("warr")[j]).alias(f"_s{j}")
-        for j in range(len(labels))
-    ]
+    # every per-label expression rides as ONE SQL string (the
+    # operators/{dedup,boost,tree}.py device): the Column-built form
+    # paid ~350 py4j round trips per call, and the trainer makes
+    # n_iters+1 calls — construction chatter, not executor work.
+    # Identical Catalyst expressions (long sums, lexicographic struct
+    # min); the oracle hash gates the rewrite.
+    agg_sqls = [f"sum(x * warr[{j}]) AS _s{j}" for j in range(len(labels))]
     if keep_features:
-        aggs.append(F.collect_list(F.struct("f", "x")).alias("fx"))
+        agg_sqls.append("collect_list(struct(f, x)) AS fx")
     scored = (
         feat.join(F.broadcast(wdf), "f")
         .groupBy("doc_id", "actual")
-        .agg(*aggs)
+        .agg(*[F.expr(s) for s in agg_sqls])
     )
     structs = [
-        F.struct((-F.col(f"_s{j}")).alias("ns"), F.lit(l).alias("cand"))
+        "named_struct('ns', (- _s{j}), 'cand', '{lit}')".format(
+            j=j, lit=l.replace("'", "''")
+        )
         for j, l in enumerate(labels)
     ]
-    # F.least needs >= 2 columns; a single-label corpus argmaxes trivially
-    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    # least() needs >= 2 args; a single-label corpus argmaxes trivially
+    best = structs[0] if len(structs) == 1 else "least(" + ", ".join(structs) + ")"
     keep = ["doc_id", "actual"] + (["fx"] if keep_features else [])
-    return scored.select(*keep, best["cand"].alias("pred"))
+    return scored.selectExpr(*keep, f"({best}).cand AS pred")
 
 
 def _predictions(feat: DataFrame, wdf: DataFrame) -> DataFrame:

@@ -62,35 +62,42 @@ def train_depth2_tree(
     n = 0 with the deterministic tie-break split (all-zero scores pick
     the first candidate)."""
     spark = df.sparkSession
-    cand_rows = [
-        (feat, int(t)) for feat in sorted(feature_grids) for t in feature_grids[feat]
-    ]
-    cands = F.array(
-        *[
-            F.struct(F.lit(feat).alias("feature"), F.lit(t).alias("threshold"))
+    feats = sorted(feature_grids)
+    cand_rows = [(feat, int(t)) for feat in feats for t in feature_grids[feat]]
+    # Every data-independent expression rides as ONE SQL string (the
+    # operators/{dedup,boost}.py device, VERDICT r13 #1): the old
+    # Column-built form paid thousands of py4j round trips per
+    # training call — the candidate-struct array alone was ~150, and
+    # it was rebuilt for EACH of the three split searches. Same
+    # Catalyst expressions, same integer math; the oracle hash gates
+    # the rewrite.
+    cand_sql = (
+        "explode(array("
+        + ", ".join(
+            f"named_struct('feature', '{feat}', 'threshold', {t})"
             for feat, t in cand_rows
-        ]
+        )
+        + ")) AS c"
     )
+    fval_sql = (
+        "CASE "
+        + " ".join(f"WHEN c.feature = '{feat}' THEN {feat}" for feat in feats)
+        + " END"
+    )
+    is_left = f"(({fval_sql}) <= c.threshold)"
+    sum_sqls = [
+        f"sum(CASE WHEN ({is_left} AND (label = 1)) THEN 1 ELSE 0 END) AS l_pos",
+        f"sum(CASE WHEN ({is_left} AND (label = 0)) THEN 1 ELSE 0 END) AS l_neg",
+        f"sum(CASE WHEN ((NOT {is_left}) AND (label = 1)) THEN 1 ELSE 0 END) AS r_pos",
+        f"sum(CASE WHEN ((NOT {is_left}) AND (label = 0)) THEN 1 ELSE 0 END) AS r_neg",
+    ]
 
     def best_split(node_df: DataFrame) -> tuple[str, int]:
-        exploded = node_df.select(
-            *[F.col(f).alias(f) for f in feature_grids],
-            F.col(label_col).alias("label"),
-        ).select(F.explode(cands).alias("c"), "*")
-        # feature value of the candidate's feature, per row
-        fval = None
-        for feat in sorted(feature_grids):
-            cond = F.col("c.feature") == feat
-            fval = F.when(cond, F.col(feat)) if fval is None else fval.when(cond, F.col(feat))
-        is_left = fval <= F.col("c.threshold")
         agg = (
-            exploded.groupBy("c.feature", "c.threshold")
-            .agg(
-                F.sum(F.when(is_left & (F.col("label") == 1), 1).otherwise(0)).alias("l_pos"),
-                F.sum(F.when(is_left & (F.col("label") == 0), 1).otherwise(0)).alias("l_neg"),
-                F.sum(F.when(~is_left & (F.col("label") == 1), 1).otherwise(0)).alias("r_pos"),
-                F.sum(F.when(~is_left & (F.col("label") == 0), 1).otherwise(0)).alias("r_neg"),
-            )
+            node_df.selectExpr(*feats, f"{label_col} AS label")
+            .selectExpr(cand_sql, "*")
+            .groupBy("c.feature", "c.threshold")
+            .agg(*[F.expr(s) for s in sum_sqls])
             .select("feature", "threshold", _score_expr())
             .orderBy(F.col("score").desc(), "feature", "threshold")
             .limit(1)
@@ -102,34 +109,52 @@ def train_depth2_tree(
             return cand_rows[0]
         return row[0]["feature"], int(row[0]["threshold"])
 
-    base = df.select(
-        *[F.col(f).cast("long").alias(f) for f in feature_grids],
-        F.col(label_col).cast("int").alias(label_col),
+    base = df.selectExpr(
+        *[f"CAST({f} AS BIGINT) AS {f}" for f in feats],
+        f"CAST({label_col} AS INT) AS {label_col}",
     )
+    # all three split searches and the stats pass re-scan this
+    # projection; pinned so only the root search featurizes the
+    # corpus — lazy, the root collect materializes it
+    from degdb_spark.persistence import pin
+
+    base = pin(base)
     f0, t0 = best_split(base)
-    left0 = F.col(f0) <= t0
-    f1, t1 = best_split(base.filter(left0))
-    f2, t2 = best_split(base.filter(~left0))
+    left0_sql = f"({f0} <= {t0})"
+    # The two child split searches are data-INDEPENDENT jobs (guide
+    # §2.6: actions are only sequential because the driver calls them
+    # sequentially) — overlap them so the right child's tasks
+    # back-fill the executors the left child's tail frees. Results
+    # are unaffected: each collect is a deterministic argmax.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut1 = pool.submit(best_split, base.filter(F.expr(left0_sql)))
+        fut2 = pool.submit(best_split, base.filter(F.expr(f"NOT {left0_sql}")))
+        f1, t1 = fut1.result()
+        f2, t2 = fut2.result()
 
     leaves = [
-        ("LL", left0 & (F.col(f1) <= t1)),
-        ("LR", left0 & ~(F.col(f1) <= t1)),
-        ("RL", ~left0 & (F.col(f2) <= t2)),
-        ("RR", ~left0 & ~(F.col(f2) <= t2)),
+        ("LL", f"({left0_sql} AND ({f1} <= {t1}))"),
+        ("LR", f"({left0_sql} AND (NOT ({f1} <= {t1})))"),
+        ("RL", f"((NOT {left0_sql}) AND ({f2} <= {t2}))"),
+        ("RR", f"((NOT {left0_sql}) AND (NOT ({f2} <= {t2})))"),
     ]
     stats = base.agg(
-        F.count(F.lit(1)).alias("n_root"),
-        F.sum(label_col).alias("p_root"),
-        F.sum(F.when(left0, 1).otherwise(0)).alias("n_l"),
-        F.sum(F.when(left0 & (F.col(label_col) == 1), 1).otherwise(0)).alias("p_l"),
+        F.expr("count(1) AS n_root"),
+        F.expr(f"sum({label_col}) AS p_root"),
+        F.expr(f"sum(CASE WHEN {left0_sql} THEN 1 ELSE 0 END) AS n_l"),
+        F.expr(
+            f"sum(CASE WHEN ({left0_sql} AND ({label_col} = 1))"
+            " THEN 1 ELSE 0 END) AS p_l"
+        ),
         *[
-            a
+            F.expr(s)
             for name, cond in leaves
-            for a in (
-                F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{name}"),
-                F.sum(F.when(cond & (F.col(label_col) == 1), 1).otherwise(0)).alias(
-                    f"p_{name}"
-                ),
+            for s in (
+                f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS n_{name}",
+                f"sum(CASE WHEN ({cond} AND ({label_col} = 1))"
+                f" THEN 1 ELSE 0 END) AS p_{name}",
             )
         ],
     ).collect()[0]
