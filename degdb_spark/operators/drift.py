@@ -89,21 +89,35 @@ def psi_bins(
     # ONE array-argument percentile aggregate (a single sort-based pass)
     # instead of n_bins-1 separate ones
     arr = F.expr(f"percentile({col}, array({', '.join(str(q) for q in qs)}))")
-    bounds = reference.agg(
+    # The n_bins-1 boundaries are fetched once and baked as EXACT
+    # double literals (the ml_lsh centroid-literal device: repr
+    # round-trips the double bit-exactly). The old form pinned the
+    # 1-row aggregate and crossJoin-broadcast it into both sides —
+    # a checkpoint materialization plus two broadcast builds for
+    # n_bins-1 scalars; the fetch is the same reference scan the
+    # checkpoint paid anyway. Same comparisons, same bin ids.
+    brow = reference.agg(
         *[
             dround(F.element_at(arr, i + 1), 2).alias(f"_b{i}")
             for i in range(len(qs))
         ]
-    )
-    # 1 row; read by BOTH sides' binning — left lazy, each side replans
-    # the reference percentile pass
-    bounds = bounds.transform(pin)
+    ).first()
+    def _b(i: int) -> str:
+        v = brow[f"_b{i}"]
+        # empty/all-null reference: percentile is NULL and the old
+        # broadcast form compared against NULL — mirror it
+        return "CAST(NULL AS DOUBLE)" if v is None else f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    bin_sql = " + ".join(
+        f"CAST(({col} > {_b(i)}) AS INT)" for i in range(len(qs))
+    ) or "0"
 
     def binned(df, name):
-        j = df.select(col).crossJoin(F.broadcast(bounds))
-        b = sum((F.col(col) > F.col(f"_b{i}")).cast("int") for i in range(n_bins - 1))
-        out = j.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias(name))
-        return out
+        return (
+            df.select(F.expr(bin_sql).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
 
     r = binned(reference, "n_ref")
     c = binned(current, "n_cur")

@@ -67,28 +67,38 @@ def global_row_number(
     )
 
 
-def global_running_sum(
-    df: DataFrame,
-    order_cols: list[Column],
-    value_col: str | list[str],
-    sum_name: str | list[str] = "running_sum",
-    num_partitions: int = 32,
+def cut_range_partitioned(
+    df: DataFrame, order_cols: list[Column], num_partitions: int = 32
 ) -> DataFrame:
-    """Append INCLUSIVE running SUM(s) under the global total order
-    given by ``order_cols`` — the cumulative-sum twin of
-    global_row_number, same two-phase scan (range partition → local
-    cumsum → broadcast prefix offsets). Value columns must be integral
-    (long) so partial sums are exact and order-free. Pass lists to
-    carry several cumulative columns through ONE range partitioning
-    (e.g. KS needs both groups' CDFs on the same value order)."""
-    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
-    sum_names = [sum_name] if isinstance(sum_name, str) else list(sum_name)
-    assert len(value_cols) == len(sum_names)
-    parted = (
+    """Range-partition ``df`` by the total order, stamp ``_pid``, and
+    lineage-cut (eager) — the shared first phase of the two-phase
+    scans. The cut is load-bearing (see global_row_number's safety
+    note: sampled range boundaries are not re-evaluation-stable and
+    ``_pid`` is a physical read); exposing it lets a caller run
+    SEVERAL cumsum phases — including ones over columns DERIVED from
+    an earlier phase's result — against ONE sample + shuffle +
+    checkpoint instead of paying that stack per phase
+    (events_kaplan_meier: the survival sum consumes the at-risk sum)."""
+    return (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .transform(lineage_cut, eager=True)
     )
+
+
+def running_sums_over(
+    parted: DataFrame,
+    order_cols: list[Column],
+    value_cols: list[str],
+    sum_names: list[str],
+) -> DataFrame:
+    """INCLUSIVE running sums over an already cut_range_partitioned
+    frame carrying ``_pid`` (kept in the output so a later phase can
+    ride the same partitioning): local windowed cumsums per partition,
+    per-partition totals prefix-summed over the tiny ``_pid`` frame,
+    offsets added back through a broadcast join. Identical to the
+    naive global cumsum for any total order, wherever the range
+    boundaries fell."""
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
@@ -116,7 +126,30 @@ def global_running_sum(
             name,
             (F.col(f"_local_sum_{i}") + F.col(f"_offset_{i}")).cast("long"),
         )
-    drop = ["_pid"] + [f"_local_sum_{i}" for i in range(len(value_cols))] + [
-        f"_offset_{i}" for i in range(len(value_cols))
-    ]
-    return out.drop(*drop)
+    return out.drop(
+        *[f"_local_sum_{i}" for i in range(len(value_cols))],
+        *[f"_offset_{i}" for i in range(len(value_cols))],
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str | list[str],
+    sum_name: str | list[str] = "running_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append INCLUSIVE running SUM(s) under the global total order
+    given by ``order_cols`` — the cumulative-sum twin of
+    global_row_number, same two-phase scan (range partition → local
+    cumsum → broadcast prefix offsets). Value columns must be integral
+    (long) so partial sums are exact and order-free. Pass lists to
+    carry several cumulative columns through ONE range partitioning
+    (e.g. KS needs both groups' CDFs on the same value order)."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    sum_names = [sum_name] if isinstance(sum_name, str) else list(sum_name)
+    assert len(value_cols) == len(sum_names)
+    parted = cut_range_partitioned(df, order_cols, num_partitions)
+    return running_sums_over(parted, order_cols, value_cols, sum_names).drop(
+        "_pid"
+    )

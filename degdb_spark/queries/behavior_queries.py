@@ -708,7 +708,10 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exp() runs once per output row — deterministic cross-engine.
     At-risk counts come from the same running-sum machinery, so the
     whole estimator is two tiny scans past the per-user reduction."""
-    from degdb_spark.operators.ranking import global_running_sum
+    from degdb_spark.operators.ranking import (
+        cut_range_partitioned,
+        running_sums_over,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
@@ -742,8 +745,17 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = pu.groupBy("duration_h").agg(
         F.sum("event").alias("d"), F.count(F.lit(1)).alias("c_all")
     )
-    cum = global_running_sum(dt, [F.col("duration_h")], "c_all", sum_name="cum_all")
-    total = dt.agg(F.sum("c_all").alias("_n"))
+    # BOTH cumulative phases (at-risk counts, then the survival sum
+    # over t9 — a column DERIVED from the first phase) ride ONE range
+    # partitioning + lineage cut: duration_h is the total order of
+    # both, so the second global_running_sum's sample + shuffle +
+    # checkpoint stack was pure overhead. Identical results for any
+    # boundary placement (the two-phase scan's invariant).
+    parted = cut_range_partitioned(dt, [F.col("duration_h")])
+    cum = running_sums_over(parted, [F.col("duration_h")], ["c_all"], ["cum_all"])
+    # off the cut, not dt: the same rows (an integer sum is
+    # layout-independent), without re-running the per-user reduction
+    total = parted.agg(F.sum("c_all").alias("_n"))
     risk = cum.crossJoin(F.broadcast(total)).withColumn(
         "n_at_risk", F.col("_n") - (F.col("cum_all") - F.col("c_all"))
     )
@@ -758,7 +770,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk = risk.withColumn(
         "t9", F.floor(ln_term * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
     )
-    surv = global_running_sum(risk, [F.col("duration_h")], "t9", sum_name="cum_t9")
+    surv = running_sums_over(risk, [F.col("duration_h")], ["t9"], ["cum_t9"])
     return surv.select(
         "duration_h",
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
