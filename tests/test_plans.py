@@ -650,8 +650,14 @@ _GLOBAL_WINDOW_WHITELIST = {
     "docs_token_budget_selection": 1,
     "events_mann_whitney": 1,
     "events_ks_test": 1,
-    # Kaplan-Meier: two two-phase running sums over distinct durations
-    "events_kaplan_meier": 2,
+    # Kaplan-Meier: two two-phase running sums riding ONE shared
+    # range-partition cut (operators/ranking.cut_range_partitioned).
+    # Each phase's prefix window runs over the <= num_partitions-row
+    # per-partition totals frame; phase 2 reads phase 1's result in
+    # BOTH its branches (local cumsum + totals aggregate), so phase 1's
+    # prefix-window subtree appears twice in the logical plan. All
+    # three instances are O(num_partitions), never data-sized.
+    "events_kaplan_meier": 3,
     "orders_pareto_share": 1,
     # day-grain moving average: one row per calendar day
     "moving_average_revenue": 1,
