@@ -329,3 +329,38 @@ def test_welch_t_test_small_group_nulls(spark):
     got2 = welch_t_test(df, "g", "v", "a", "zzz").collect()[0]
     assert (got2["n_a"], got2["n_b"]) == (3, 0)
     assert got2["t_stat"] is None and got2["mean_b"] is None
+
+
+def test_shared_cut_second_phase_over_derived_column_matches_naive(spark):
+    """The batch-8 Kaplan-Meier shape: two cumsum phases riding ONE
+    cut_range_partitioned cut, where phase 2's value column is DERIVED
+    from phase 1's running sum. Both phases must match the naive
+    single-partition cumsums — for any boundary placement — and the
+    exposed helpers must compose exactly like two independent
+    global_running_sum calls did before the refactor."""
+    from degdb_spark.operators.ranking import (
+        cut_range_partitioned,
+        running_sums_over,
+    )
+
+    df = _scrambled(spark, n=3000)
+    order = [F.col("key"), F.col("id")]
+    parted = cut_range_partitioned(df, order)
+    p1 = running_sums_over(parted, order, ["val"], ["cum1"])
+    # derived per-row column, then the second phase over the SAME cut
+    # (p1 keeps _pid precisely so this works)
+    p1 = p1.withColumn("v2", F.pmod(F.col("cum1"), F.lit(11)) + 1)
+    p2 = running_sums_over(p1, order, ["v2"], ["cum2"]).drop("_pid")
+
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn("cum1", F.sum("val").over(w).cast("long"))
+    naive = naive.withColumn("v2", F.pmod(F.col("cum1"), F.lit(11)) + 1)
+    naive = naive.withColumn("cum2", F.sum("v2").over(w).cast("long"))
+
+    assert (
+        p2.select("id", "cum1", "cum2")
+        .exceptAll(naive.select("id", "cum1", "cum2"))
+        .count()
+        == 0
+    )
+    assert p2.count() == naive.count()
